@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink so we time the query plan,
+not driver-side row materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_8million_data__spark.plans import all_queries  # noqa: E402
+from etl_8million_data__spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "group_agg_pricing_summary",  # scan + multi-agg groupBy
+    "tpch_q6_forecast_revenue",  # selective pushdown filter
+    "tpch_q3_shipping_priority",  # 3-way join + agg + topk
+    "regional_revenue_5way_join",  # star join w/ broadcasts
+    "dedup_latest_event_per_user_type",  # window dedup
+    "topk_orders_per_customer",  # ranking window
+    "unpivot_lineitem_measures",  # wide->long restructure
+    "pivot_event_type_avg",  # long->wide pivot
+    "cumulative_revenue_per_customer",  # running window
+]
+
+
+def main() -> None:
+    spark = get_spark("etl8m-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    # Warm up JVM/codegen/parquet-footer paths so q1 isn't charged for it.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["group_agg_pricing_summary"].build(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name].build(spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
