@@ -1,0 +1,103 @@
+"""Multimodal (binary) column plumbing (SURVEY.md §7.2(4)).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. The Spark-side contract — schema, Arrow batching via
+mapInPandas, partition sizing — is real and tested; the actual codec
+step is stubbed (decode libraries are not in this container) behind
+``decode_media``, with a deterministic fake used by tests and the
+feature-extraction query.
+
+At 100 TB: binary payloads dominate partition size, so repartition by
+bytes (``spark.sql.files.maxPartitionBytes``) not rows, keep metadata
+in separate columns so pruning can skip payload bytes entirely when a
+query only touches metadata, and let mapInPandas stream Arrow batches
+(payloads never materialize on the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # e.g. image/png
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes int, header_hex string, fake_width int, fake_channels int"
+)
+
+
+def decode_media(content: bytes, media_type: str) -> dict:
+    """Real decode hook — image/audio libs are not available here.
+
+    STUB: raises for real codecs; tests and the feature pipeline use
+    :func:`fake_decode` instead.
+    """
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment; use fake_decode"
+    )
+
+
+def fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a decoder: derives 'image' properties
+    from the byte stream only, so tests are reproducible anywhere."""
+    n = len(content)
+    return {
+        "n_bytes": n,
+        "header_hex": content[:4].hex(),
+        "fake_width": n % 640,
+        "fake_channels": (n % 3) + 1,
+    }
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text as a binary payload so the media
+    plumbing is exercisable against the committed fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("text/plain").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas (not a scalar pandas UDF) because a real decoder emits
+    a *variable* number of rows per input (frame sampling) — this
+    signature supports 1->N out of the box.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "header_hex": feats.map(lambda d: d["header_hex"]),
+                    "fake_width": feats.map(lambda d: d["fake_width"]),
+                    "fake_channels": feats.map(lambda d: d["fake_channels"]),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(fn, FEATURE_SCHEMA)

@@ -1,0 +1,153 @@
+"""Dedup extension queries over the documents table (SURVEY.md §7.2(4))
+with exact DuckDB oracles.
+
+The DuckDB SQL mirrors the Spark operators' hashing scheme literally:
+lowercase md5 hex, string-min for MinHash, strpos-based hex folds — see
+operators/text.py for the portability contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_verified_pairs,
+    minhash_lsh_candidate_pairs,
+    minhash_signature,
+    simhash32,
+)
+from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+from etl_8million_data__spark.plans.registry import register
+
+# Shared DuckDB fragments (must mirror operators/text.py exactly).
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLED = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(toks) - 2),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+_SIG = """
+  SELECT doc_id,
+         list_transform(range(16), j ->
+           list_aggregate(list_transform(shingles,
+             s -> md5(j::VARCHAR || '|' || s)), 'min')) AS sig
+  FROM shingled
+"""
+_BANDS = """
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band*4+1 : b.band*4+4], ',')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+"""
+_PAIRS = """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           count(*) AS dup_count,
+           min(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(normalized text), canonical =
+    min doc_id. One shuffle on a 32-byte key regardless of doc size."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG})
+    SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sig
+    """,
+    tags=("dedup", "minhash", "extension"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signatures over distinct 3-word shingles —
+    narrow map stage, no shuffle; the per-doc signature is 16 md5 mins."""
+    d = doc_shingle_frame(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.array_join(minhash_signature(F.col("shingles"), 16), ",").alias("sig_csv"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS})
+    {_PAIRS}
+    """,
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs (4 bands × 4 rows): only
+    (doc_id, band_key) tuples are shuffled; the self-join is equi on
+    band_key so it scales to billions of docs with AQE skew handling."""
+    return minhash_lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_near_dup_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    pairs AS ({_PAIRS})
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN shingled sa ON sa.doc_id = p.doc_a
+    JOIN shingled sb ON sb.doc_id = p.doc_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    """,
+    tags=("dedup", "minhash", "jaccard", "extension"),
+)
+def dedup_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard >= 0.5 —
+    the full near-dup pipeline (shingle → minhash → band → verify)."""
+    return jaccard_verified_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),
+    hx AS (SELECT doc_id, md5(t)[1:8] AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN CAST(floor(
+                    (strpos('0123456789abcdef', h[(b.b//4)+1 : (b.b//4)+1]) - 1)
+                    / (2 ** (3 - (b.b % 4)))) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) AS score
+      FROM hx CROSS JOIN (SELECT unnest(range(32)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           sum(CASE WHEN score > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — one bigint per doc from a narrow
+    map stage; near-dup candidates are low-Hamming-distance pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))

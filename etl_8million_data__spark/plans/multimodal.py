@@ -1,0 +1,39 @@
+"""Multimodal plumbing query: binary payload -> Arrow-batched feature
+extraction via mapInPandas, oracle-checked because the deterministic
+fake decoder's outputs are SQL-expressible (byte length, header hex).
+The point of the oracle here is to pin the *plumbing* — schema, batch
+shape, binary round-trip — not the codec."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from etl_8million_data__spark.plans.registry import register
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           octet_length(encode(text)) % 640 AS fake_width,
+           (octet_length(encode(text)) % 3) + 1 AS fake_channels
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "extension"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents-as-binary -> mapInPandas feature extraction.
+
+    NOTE: header_hex as hex-of-first-4-*chars* in the oracle matches
+    hex-of-first-4-*bytes* in the UDF only for ASCII payloads — true
+    for the fixtures; the operator itself is byte-correct.
+    """
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)

@@ -28,6 +28,7 @@ _MODULES = (
     "dedup",
     "text",
     "similarity",
+    "multimodal",
     "timeseries",
     "pipeline_parity",
 )

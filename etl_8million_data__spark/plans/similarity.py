@@ -1,0 +1,108 @@
+"""Similarity-search extension queries over the embeddings table.
+
+The brute-force query has an exact DuckDB oracle (identical fold-order
+cosine, see operators/similarity.py). The IVF variant is approximate
+and registered without an oracle (driver rows-only check); its recall
+vs brute force is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.similarity import (
+    cosine,
+    knn_bruteforce,
+    knn_ivf,
+)
+from etl_8million_data__spark.plans.registry import register
+
+# DuckDB mirror of the fold-order cosine over FLOAT[] columns.
+_FOLD = (
+    "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
+    "i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return _FOLD.format(a=a, b=b)
+
+
+@register(
+    "similarity_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "extension"),
+)
+def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 100th vector as query — the
+    correctness baseline for ANN. One corpus scan; queries broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id", "cosine", "rn")
+
+
+@register(
+    "similarity_knn_ivf",
+    oracle=None,  # approximate: validated by recall test vs brute force
+    tags=("similarity", "knn", "ivf", "extension", "approx"),
+)
+def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label column as coarse cells, probe top-3 cells
+    per query, exact search within. The 100 TB scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_ivf(emb, queries, k=10, nprobe=3).select("query_id", "vec_id", "cosine", "rn")
+
+
+@register(
+    "similarity_near_dup_embeddings",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4; the
+    fixture embeddings are near-orthogonal so 0.4 is the meaningful tail).
+
+    All-pairs here (correctness form); the scale path is the same
+    predicate after LSH/IVF blocking — see knn_ivf. Kept oracle-exact
+    to pin the arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    out = pairs.select(
+        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+    )
+    return out.filter(F.col("cosine") >= 0.4)

@@ -1,0 +1,169 @@
+"""Text-analysis extension queries over the documents table
+(SURVEY.md §7.2(4)): quality scoring, language-ID heuristic, token
+counting, rolling-hash fingerprinting — each with an exact DuckDB
+oracle. All Spark-side logic is built-in expressions over token arrays
+(no Python UDFs in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8, tokens
+from etl_8million_data__spark.plans.registry import register
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to", "in"),
+    "de": ("der", "die", "das", "und", "nicht", "mit"),
+    "es": ("el", "la", "los", "las", "y", "que"),
+    "fr": ("le", "les", "des", "et", "une", "dans"),
+}
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                       (a, b) -> a + b) / len(toks) AS avg_token_len,
+           {_sql_count_in(_LANG_MARKERS["en"])} / len(toks) AS stopword_ratio,
+           length(regexp_replace(norm, '[^a-z]', '', 'g')) / length(norm) AS alpha_ratio,
+           (len(toks) BETWEEN 5 AND 100000)
+             AND {_sql_count_in(_LANG_MARKERS["en"])} / len(toks) <= 0.6 AS quality_ok
+    FROM t
+    """,
+    tags=("text", "quality", "extension"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics (length/stopword/alpha ratios) — the
+    standard pre-training corpus filters, all as one narrow projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    stop_ratio = _count_in(toks, _LANG_MARKERS["en"]) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (sum_len / n).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.length(F.regexp_replace(norm, "[^a-z]", "")) / F.length(norm)).alias("alpha_ratio"),
+        (n.between(5, 100000) & (stop_ratio <= 0.6)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_sql_count_in(_LANG_MARKERS["en"])} AS s_en,
+                 {_sql_count_in(_LANG_MARKERS["de"])} AS s_de,
+                 {_sql_count_in(_LANG_MARKERS["es"])} AS s_es,
+                 {_sql_count_in(_LANG_MARKERS["fr"])} AS s_fr
+          FROM t)
+    SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+    tags=("text", "langid", "extension"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic
+    priority-cascade argmax (en > de > es > fr on ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    s = d.select(
+        "doc_id",
+        "lang",
+        *[_count_in(toks, _LANG_MARKERS[code]).alias(f"s_{code}") for code in _LANG_MARKERS],
+    )
+    se, sd, ss, sf_ = (F.col(c) for c in ("s_en", "s_de", "s_es", "s_fr"))
+    predicted = (
+        F.when(F.greatest(se, sd, ss, sf_) == 0, "und")
+        .when((se >= sd) & (se >= ss) & (se >= sf_), "en")
+        .when((sd >= ss) & (sd >= sf_), "de")
+        .when(ss >= sf_, "es")
+        .otherwise("fr")
+    )
+    return s.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_ish,
+           length(text) / len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS chars_per_word
+    FROM documents
+    """,
+    tags=("text", "tokens", "extension"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, word-regex, and a BPE-ish
+    segmentation (letter runs / single digits / punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(low, F.lit("([a-z0-9]+)"), 1))
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        n_words.alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"([a-z]+|[0-9]|[^a-z0-9\s])"), 1)).alias(
+            "n_bpe_ish"
+        ),
+        (F.length("text") / n_words).alias("chars_per_word"),
+    )
+
+
+@register(
+    "text_doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, tok ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(6),
+                   i -> CAST(strpos('0123456789abcdef', md5(tok)[i+1:i+1]) - 1 AS BIGINT))),
+                 (a, x) -> a * 16 + x))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM t
+    """,
+    tags=("text", "fingerprint", "extension"),
+)
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (mod 1e9+7) — a compact positional fingerprint; equal fingerprints
+    imply (w.h.p.) identical token sequences."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + hex_prefix_int(md5_utf8(t), 6)) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,195 @@
+"""Event-time window queries over the events table (SURVEY.md §7.2(4):
+the streaming vocabulary, batch-first). The same builders are wrapped
+as Structured Streaming jobs in ``streaming/``; these batch forms carry
+the DuckDB oracles (time_bucket / offset cross-join / gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.functions.exact import cents, sql_cents
+from etl_8million_data__spark.operators.asof import asof_join_backward
+from etl_8million_data__spark.plans.registry import register
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum({sql_cents('value')}) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window", "streaming-vocab"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch form of the
+    canonical streaming aggregation (watermarked twin in streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_halfhour",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL 30 MINUTE
+             AS window_start,
+           count(*) AS n_events,
+           sum({sql_cents('value')}) / 100.0 AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(2)) AS off) o
+    GROUP BY 1
+    """,
+    tags=("timeseries", "window", "sliding"),
+)
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour span, 30 min slide): each event lands in
+    span/slide = 2 windows; the oracle materializes that via an offset
+    cross-join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("timeseries", "session-window"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap. Spark's
+    session_window end = last event + gap; the oracle reproduces the
+    merge rule via gaps-and-islands."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+              FROM bounds),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_start,
+             count(*) AS n_events,
+             sum({sql_cents('value')}) / 100.0 AS total_value
+      FROM events GROUP BY 1)
+    SELECT h.hour_start,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.total_value, 0.0) AS total_value
+    FROM hours h LEFT JOIN agg a ON a.hour_start = h.hour_start
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with zero-filled gaps: sequence() over the
+    observed bound, left join the hourly aggregate. The generated spine
+    is tiny; only the aggregate shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    agg = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents("value")) / 100.0).alias("total_value"),
+    )
+    return hours.join(agg, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+    """,
+    tags=("timeseries", "asof-join"),
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the customer's latest
+    order at event time (user_id ≡ custkey in the fixtures)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_join_backward(
+        e,
+        o,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+    )
