@@ -1,0 +1,136 @@
+"""Structured Streaming twins of the batch time-series queries
+(SURVEY.md §7.2(4)): readStream → event-time transforms → writeStream.
+
+The reference has no true streaming (its closest pattern is the
+skip-existing incremental ingest, details.py:277-281); these jobs are
+the streaming vocabulary the rebuilt engine adds, expressed so the
+*same aggregation logic* runs batch (plans/timeseries.py, oracle-
+checked) and streaming (here, checked against the batch results in
+tests/test_streaming.py).
+
+Notes for a real cluster:
+- watermarks bound state: tune to the real out-of-orderness, not the
+  test's replay;
+- ``trigger(availableNow=True)`` is the batch-replay/backfill mode;
+  production uses processing-time triggers + checkpoints;
+- distinct counts are not supported in streaming aggs — the streaming
+  twin uses approx_count_distinct where the batch form is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.functions.exact import cents
+from etl_8million_data__spark.operators.upsert import upsert_parquet
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream. Streams need an explicit schema;
+    reuse the batch reader's (post nanos->micros conversion happens
+    here too, mirroring catalog.load_table)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # readStream sources must be directories; stage a symlink dir over
+    # the single-file fixture (sf_dir itself holds many tables).
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(path))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation (streaming twin of
+    events_tumbling_hourly; n_users is approximate here — exact
+    distinct is unsupported on streams)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users_approx",
+            "total_value",
+        )
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds") -> DataFrame:
+    """Watermarked per-user session windows (streaming twin of
+    events_session_windows; append mode emits sessions the watermark
+    has passed)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "30 days"
+) -> DataFrame:
+    """Streaming dedup: first row per key within the watermark horizon
+    (state is bounded by the watermark — the streaming analog of the
+    batch window-dedup upsert)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
+) -> DataFrame:
+    """Execute a streaming frame over all currently-available input and
+    return the memory-sink result (test/backfill harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_upsert_to_parquet(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """writeStream.foreachBatch -> keyed last-writer-wins upsert into a
+    Parquet snapshot: the streaming version of the reference's
+    ON DUPLICATE KEY UPDATE sink."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, path, keys, order_col)
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,89 @@
+"""Streaming twins must agree with their oracle-checked batch forms."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.plans import all_queries
+from etl_8million_data__spark.streaming.jobs import (
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    session_windows_stream,
+    stream_upsert_to_parquet,
+    tumbling_hourly_stream,
+)
+
+
+@pytest.fixture()
+def ckpt():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, ckpt):
+    stream = tumbling_hourly_stream(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_tumbling", "complete", ckpt)
+    batch = all_queries()["events_tumbling_hourly"].build(spark, sf_dir)
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_stream_emits_closed_sessions(spark, sf_dir, ckpt):
+    events = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        session_windows_stream(events), "t_sessions", "append", ckpt
+    )
+    batch = all_queries()["events_session_windows"].build(spark, sf_dir)
+    # final watermark = max event time (0s delay): only sessions whose
+    # end <= watermark are emitted in append mode
+    from etl_8million_data__spark.catalog import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    expected = batch.filter(F.col("session_end") <= F.lit(max_ts))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert got.count() > 0
+
+
+def test_dedup_stream_within_watermark(spark, sf_dir, ckpt):
+    events = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        dedup_stream(events, ["user_id", "event_type"]), "t_dedup", "append", ckpt
+    )
+    from etl_8million_data__spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    # single availableNow pass over one file -> exact one-per-key dedup
+    assert got.count() == n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_upsert_foreachbatch(spark, sf_dir, ckpt):
+    events = read_events_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as outdir:
+        path = f"{outdir}/latest_events"
+        q = stream_upsert_to_parquet(
+            events, path, keys=["user_id", "event_type"], order_col="ts", checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+        snap = spark.read.parquet(path)
+        from etl_8million_data__spark.catalog import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        n_keys = e.select("user_id", "event_type").distinct().count()
+        assert snap.count() == n_keys
+        # last-writer-wins: the kept ts per key is the max ts
+        got_max = _rows(snap.groupBy("user_id", "event_type").agg(F.max("ts").alias("ts")),
+                        ["user_id", "event_type", "ts"])
+        exp_max = _rows(e.groupBy("user_id", "event_type").agg(F.max("ts").alias("ts")),
+                        ["user_id", "event_type", "ts"])
+        assert got_max == exp_max

@@ -1,0 +1,59 @@
+"""Keyed parquet upsert: ON DUPLICATE KEY UPDATE parity
+(Financilas.py:167-184 semantics, re-expressed as last-writer-wins)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from etl_8million_data__spark.operators.upsert import last_writer_wins, upsert_parquet
+
+
+def test_upsert_idempotent_and_last_writer_wins(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        v1 = spark.createDataFrame(
+            [("A", "IS", 1.0, 1), ("B", "IS", 2.0, 1)],
+            "stock string, stype string, value double, load_ts int",
+        )
+        upsert_parquet(spark, v1, path, keys=["stock", "stype"], order_col="load_ts")
+        assert spark.read.parquet(path).count() == 2
+
+        # update A, insert C
+        v2 = spark.createDataFrame(
+            [("A", "IS", 10.0, 2), ("C", "BS", 3.0, 2)],
+            "stock string, stype string, value double, load_ts int",
+        )
+        upsert_parquet(spark, v2, path, keys=["stock", "stype"], order_col="load_ts")
+        got = {(r.stock, r.stype): r.value for r in spark.read.parquet(path).collect()}
+        assert got == {("A", "IS"): 10.0, ("B", "IS"): 2.0, ("C", "BS"): 3.0}
+
+        # replay of v2 is a no-op (idempotent upsert)
+        upsert_parquet(spark, v2, path, keys=["stock", "stype"], order_col="load_ts")
+        got2 = {(r.stock, r.stype): r.value for r in spark.read.parquet(path).collect()}
+        assert got2 == got
+
+
+def test_last_writer_wins_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 1, 2.0)], "k string, ts int, v double"
+    )
+    # same order_col value: without a tiebreak the pick would be
+    # nondeterministic; v as tiebreak keeps the max
+    out = last_writer_wins(df, ["k"], "ts", tiebreak="v").collect()
+    assert len(out) == 1 and out[0].v == 2.0
+
+
+def test_upsert_partitioned_layout(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df = spark.createDataFrame(
+            [("A", "IS", 1.0, 1), ("B", "BS", 2.0, 1)],
+            "stock string, stype string, value double, load_ts int",
+        )
+        upsert_parquet(
+            spark, df, path, keys=["stock", "stype"], order_col="load_ts",
+            partition_by=["stype"],
+        )
+        got = spark.read.parquet(path)
+        assert got.count() == 2
+        assert set(got.select("stype").distinct().toPandas()["stype"]) == {"IS", "BS"}
