@@ -1,0 +1,50 @@
+"""Stage-2 parity: ingest pipeline (reference: details.py main(),
+SURVEY.md §3.1).
+
+CSV universe -> clean -> anti-join against the existing payload store
+(skip-existing incremental ingest, details.py:277-281) -> fetch ->
+append to the bronze store. The per-symbol loop becomes set-at-a-time;
+the only sequential thing left is the per-partition rate limiter in
+sources/fetch.py.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.sources.fetch import fetch_payloads
+from etl_8million_data__spark.sources.symbols import clean_symbols, read_symbols_csv
+
+
+def incremental_symbols(symbols: DataFrame, store: DataFrame | None) -> DataFrame:
+    """Anti-join vs the sink snapshot (details.py:230-238,277-281)."""
+    if store is None:
+        return symbols
+    existing = store.select("symbol").distinct()
+    return symbols.join(existing, "symbol", "left_anti")
+
+
+def ingest(
+    spark: SparkSession,
+    symbols_csv: str,
+    store_path: str,
+    fetch_fn: Callable[[str], dict],
+    rate_limit_sleep: float = 0.0,
+) -> int:
+    """Run one incremental ingest; returns the number of newly-loaded
+    symbols. Append-only bronze store (details.py:207-227); the
+    dedup-on-read happens downstream via last-writer-wins."""
+    symbols = clean_symbols(read_symbols_csv(spark, symbols_csv))
+    store = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    todo = incremental_symbols(symbols, store)
+    fetched = fetch_payloads(todo, fetch_fn, rate_limit_sleep).withColumn(
+        "loaded_at", F.current_timestamp()
+    )
+    fetched.write.mode("append").parquet(store_path)
+    return spark.read.parquet(store_path).select("symbol").distinct().count() - (
+        store.select("symbol").distinct().count() if store is not None else 0
+    )
