@@ -1,0 +1,293 @@
+"""Analytical query coverage beyond the reference's surface
+(SURVEY.md §2.4/§2.5 note these are 'free in Spark' — here they are
+exercised and oracle-checked): correlated subqueries, grouping sets,
+exact percentiles, EAV pivot round-trip, moving windows, ordered
+aggregation, math scalars."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.functions.exact import cents, sql_cents
+from etl_8million_data__spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "correlated_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("subquery", "correlated"),
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join — SURVEY.md §4 'subquery decorrelation free').
+
+    avg() on raw doubles would be engine-order-dependent; comparing
+    with a strict > against the *same-engine* average is stable because
+    both engines compute the average from exact cents here."""
+    c = _t(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (F.sum(cents("c_acctbal")) / (100.0 * F.count(F.lit(1)))).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+@register(
+    "grouping_sets_region_year",
+    oracle=f"""
+    SELECT n.n_name, year(o.o_orderdate) AS order_year,
+           count(*) AS cnt,
+           sum({sql_cents('o.o_totalprice')}) / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, year(o.o_orderdate)), (n.n_name), ())
+    """,
+    tags=("grouping-sets", "agg", "sql-api"),
+)
+def grouping_sets_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (spark.sql over registered
+    views) — exercises the engine's SQL entry point alongside the
+    DataFrame API."""
+    for name in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT n.n_name, year(o.o_orderdate) AS order_year,
+               count(*) AS cnt,
+               sum({sql_cents('o.o_totalprice')}) / 100.0 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name, year(o.o_orderdate)), (n.n_name), ())
+        """
+    )
+
+
+@register(
+    "exact_percentiles_order_value",
+    oracle=f"""
+    SELECT o_orderpriority,
+           quantile_cont({sql_cents('o_totalprice')}, 0.5) / 100.0 AS median_price,
+           quantile_cont({sql_cents('o_totalprice')}, 0.9) / 100.0 AS p90_price,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("percentile", "agg"),
+)
+def exact_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over integer cents (both engines
+    use the same (n-1)*p linear interpolation on identical ints)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile(cents("o_totalprice"), F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents("o_totalprice"), F.lit(0.9)) / 100.0).alias("p90_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "count_distinct_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("distinct", "agg", "outer-join"),
+)
+def count_distinct_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct aggregates over left joins (Spark expands
+    to a grouping-sets style plan internally)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "eav_pivot_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           max(l_quantity) AS quantity, max(l_extendedprice) AS extendedprice,
+           max(l_discount) AS discount, max(l_tax) AS tax
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    """,
+    tags=("pivot", "unpivot", "roundtrip"),
+)
+def eav_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot -> pivot round trip: proves the EAV long form (the
+    reference's central model, SURVEY.md §1.1) reconstructs the wide
+    table. (orderkey, linenumber) is not unique in the fixture, so the
+    round trip lands at key grain with max-per-measure — the oracle
+    states exactly that."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    long = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("l_orderkey", "l_linenumber")
+        .pivot("measure", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+        .agg(F.max("value"))
+        .withColumnsRenamed(
+            {
+                "l_quantity": "quantity",
+                "l_extendedprice": "extendedprice",
+                "l_discount": "discount",
+                "l_tax": "tax",
+            }
+        )
+    )
+
+
+@register(
+    "moving_avg_and_ntile",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           sum({sql_cents('o_totalprice')}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           / (100.0 * count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg_3,
+           ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+    tags=("window", "moving-avg", "ntile"),
+)
+def moving_avg_and_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row frame (exact cents) + global ntile
+    quartiles with a total-order tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    frame = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    nt = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(frame) / (100.0 * F.count(F.lit(1)).over(frame))).alias(
+            "moving_avg_3"
+        ),
+        F.ntile(4).over(nt).alias("price_quartile"),
+    )
+
+
+@register(
+    "ordered_string_agg_orders",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "string-agg"),
+)
+def ordered_string_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered concatenation per key (sort_array over
+    collect_list — collection order is nondeterministic, the sort
+    restores a total order)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("order_keys")
+    )
+
+
+@register(
+    "math_scalars_portable",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_diff,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+           round(l_extendedprice / 1000.0, 2) AS price_k,
+           sqrt(l_quantity) AS sqrt_qty,
+           CAST(sign(l_discount - 0.05) AS INT) AS sign_diff,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def math_scalars_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable math scalars (IEEE-exact: abs/ceil/floor/round/sqrt/
+    sign/mod — deliberately no transcendentals, whose libm last-ulp
+    behavior differs across engines)."""
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.round(F.col("l_extendedprice") / 1000.0, 2).alias("price_k"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sign_diff"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "union_by_name_missing_cols",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal,
+           'customer' AS kind
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, NULL AS acctbal,
+           'supplier' AS kind
+    FROM supplier
+    """,
+    tags=("setops", "union-by-name"),
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — schema-evolution-style
+    append where the narrower side null-fills."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
