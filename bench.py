@@ -34,6 +34,12 @@ HEADLINE = [
     "unpivot_lineitem_measures",  # wide->long restructure
     "pivot_event_type_avg",  # long->wide pivot
     "cumulative_revenue_per_customer",  # running window
+    "pipeline_financials_unpivot",  # full bronze->fact pipeline round trip
+    "events_session_windows",  # session windows
+    "dedup_minhash_lsh_pairs",  # shingle->minhash->band->join
+    "dedup_simhash",  # per-doc simhash
+    "similarity_knn_bruteforce",  # cosine top-k
+    "text_quality_scores",  # corpus quality filters
 ]
 
 

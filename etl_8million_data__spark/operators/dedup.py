@@ -74,13 +74,26 @@ def lsh_band_keys(sig_col: Column, bands: int = 4, rows: int = 4) -> Column:
     )
 
 
+def spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id before CPU-heavy per-row work.
+
+    Small fixture files arrive as one input split, which would serialize
+    the md5-heavy stages onto a single core; on a real cluster this
+    same repartition balances skewed file sizes. Cost: one shuffle of
+    the raw rows — cheap relative to the per-row hashing it parallelizes.
+    """
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+
+
 def doc_shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, distinct shingle set) for docs with >= k tokens."""
     toks = tokens(F.col(text_col))
     return (
-        df.select(F.col(id_col), F.array_distinct(word_shingles(toks, k)).alias("shingles"))
+        spread(df, id_col)
+        .select(F.col(id_col), F.array_distinct(word_shingles(toks, k)).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
 
@@ -100,6 +113,11 @@ def minhash_lsh_candidate_pairs(
     band = sig.select(
         id_col, F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # materialize once: the self-join would otherwise recompute the md5
+    # signature pipeline for both sides. The band frame is tiny
+    # (|docs| × bands rows of ~40 bytes); at petabyte scale you'd land
+    # it in a temp table instead of executor storage.
+    band = band.localCheckpoint(eager=True)
     a = band.alias("a")
     b = band.alias("b")
     return (
@@ -125,7 +143,8 @@ def jaccard_verified_pairs(
     Joins shingle sets only for the candidate pairs (the LSH output),
     never all-pairs — this is what keeps it sub-quadratic at scale."""
     pairs = minhash_lsh_candidate_pairs(df, text_col, id_col, k)
-    sh = doc_shingle_frame(df, text_col, id_col, k)
+    # shingle sets are joined twice (both pair sides): compute once
+    sh = doc_shingle_frame(df, text_col, id_col, k).localCheckpoint(eager=True)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -34,6 +34,7 @@ def ingest(
     store_path: str,
     fetch_fn: Callable[[str], dict],
     rate_limit_sleep: float = 0.0,
+    loaded_csv_path: str | None = None,
 ) -> int:
     """Run one incremental ingest; returns the number of newly-loaded
     symbols. Append-only bronze store (details.py:207-227); the
@@ -45,6 +46,12 @@ def ingest(
         "loaded_at", F.current_timestamp()
     )
     fetched.write.mode("append").parquet(store_path)
+    if loaded_csv_path:
+        # CSV sink parity (symbols_loaded.csv, details.py:300-303);
+        # coalesce(1) mirrors the single-file output
+        spark.read.parquet(store_path).select("symbol").distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).csv(loaded_csv_path, header=True)
     return spark.read.parquet(store_path).select("symbol").distinct().count() - (
         store.select("symbol").distinct().count() if store is not None else 0
     )

@@ -149,5 +149,7 @@ def dedup_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — one bigint per doc from a narrow
     map stage; near-dup candidates are low-Hamming-distance pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    from etl_8million_data__spark.operators.dedup import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))

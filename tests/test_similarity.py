@@ -1,0 +1,42 @@
+"""IVF ANN quality: recall vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from etl_8million_data__spark.plans import all_queries
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    qs = all_queries()
+    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    approx = qs["similarity_knn_ivf"].build(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # nprobe=3 of 10 cells over near-orthogonal vectors: recall is the
+    # probe fraction's ballpark; assert it's clearly above chance and
+    # that every query returns a full k
+    assert avg_recall >= 0.2, f"avg recall {avg_recall}"
+    assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_ivf_results_within_probed_cells(spark, sf_dir):
+    """Every IVF hit must be a real corpus vector with correct cosine
+    (spot-check: IVF cosine values appear in the brute-force scoring
+    for the same (query, vec) pair when present)."""
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    }
+    approx = qs["similarity_knn_ivf"].build(spark, sf_dir).collect()
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-12

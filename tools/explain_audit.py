@@ -1,0 +1,52 @@
+"""Physical-plan audit: capture explain('formatted') for the
+scale-critical queries and check the properties that matter at 100 TB
+(filter pushdown, column pruning, broadcast joins, whole-stage codegen,
+partial aggregation)."""
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from etl_8million_data__spark.plans import all_queries
+from etl_8million_data__spark.session import get_spark
+
+AUDIT = {
+    "tpch_q6_forecast_revenue": ["PushedFilters", "WholeStageCodegen", "HashAggregate"],
+    "group_agg_pricing_summary": ["PushedFilters", "HashAggregate", "WholeStageCodegen"],
+    "scan_project_filter": ["PushedFilters", "ReadSchema"],
+    "regional_revenue_5way_join": ["BroadcastHashJoin", "HashAggregate"],
+    "segment_revenue_broadcast_join": ["BroadcastHashJoin"],
+    "tpch_q3_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "topk_orders_global": ["TakeOrderedAndProject"],
+    "anti_join_customers_without_orders": ["PushedFilters"],
+    "dedup_minhash_lsh_pairs": ["HashAggregate"],
+    "similarity_knn_bruteforce": ["Broadcast"],
+}
+
+def main():
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    sf = "/root/testdata/sf0.1"
+    report = []
+    for name, expects in AUDIT.items():
+        df = qs[name].build(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        checks = {e: (e in plan) for e in expects}
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        schemas = re.findall(r"ReadSchema: (.*)", plan)
+        report.append((name, checks, pushed[:3], [s[:120] for s in schemas[:3]]))
+        print(f"== {name}")
+        for e, ok in checks.items():
+            print(f"   {'OK ' if ok else 'MISS'} {e}")
+        for p in pushed[:3]:
+            print(f"   pushed: {p[:140]}")
+        for s in schemas[:3]:
+            print(f"   schema: {s[:140]}")
+    spark.stop()
+
+if __name__ == "__main__":
+    main()
