@@ -162,6 +162,47 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_ema",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value
+      FROM events
+      ORDER BY user_id, ts, event_id),
+    vals AS (
+      SELECT user_id, list(value) AS vs
+      FROM ordered GROUP BY user_id)
+    SELECT user_id,
+           len(vs) AS n_events,
+           list_reduce(vs, (acc, v) -> 0.1 * v + 0.9 * acc) AS ema_value
+    FROM vals
+    """,
+    tags=("timeseries", "stateful", "ema"),
+)
+def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EMA (alpha=0.1) over time-ordered values — the
+    batch twin of the applyInPandasWithState operator
+    (streaming/stateful.py). Implemented as an ordered-array fold so
+    the accumulation order (and thus every FP bit) is pinned on both
+    engines. DuckDB's list() preserves the ORDER BY of the inlined
+    subquery; Spark sorts (ts, event_id, value) structs explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, v: F.lit(0.1) * v + F.lit(0.9) * acc,
+    )
+    return vals.select(
+        "user_id", F.size("vs").cast("bigint").alias("n_events"), ema.alias("ema_value")
+    )
+
+
+@register(
     "events_asof_latest_order",
     oracle="""
     SELECT event_id, user_id, ts, o_orderkey, o_orderdate

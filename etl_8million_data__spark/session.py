@@ -10,6 +10,7 @@ stores naive-UTC datetimes, details.py:39-44).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -38,5 +39,10 @@ def get_spark(app_name: str = "etl8m-spark", master: str | None = None) -> Spark
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed-table data (bucketing tests/demos) out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "etl8m-warehouse"),
+        )
     )
     return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Scale techniques: bucketed co-located joins (no shuffle) and schema
+evolution (mergeSchema + conform)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.schema_evolution import conform_to, read_merged
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Pre-bucketing both join sides on the key makes the sort-merge
+    join shuffle-free — the 100 TB co-location strategy for the
+    recurring lineitem⋈orders join (SURVEY.md §4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite")
+        .saveAsTable("o_bucketed")
+    )
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture size the planner rightly prefers broadcast; force
+        # the large-large path to show the bucketed SMJ is shuffle-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it is still correct
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_schema_evolution_merge_and_conform(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        v1 = spark.createDataFrame([("A", 1.0)], "stock string, value double")
+        v1.write.mode("append").parquet(path)
+        # later writer adds a column (metric) — yfinance-style drift
+        v2 = spark.createDataFrame(
+            [("B", 2.0, "Capex")], "stock string, value double, metric string"
+        )
+        v2.write.mode("append").parquet(path)
+
+        merged = read_merged(spark, path)
+        assert set(merged.columns) == {"stock", "value", "metric"}
+        rows = {r.stock: r for r in merged.collect()}
+        assert rows["A"].metric is None and rows["B"].metric == "Capex"
+
+        # conform onto a stricter target: adds missing col, retypes
+        # dirty values to NULL instead of failing (repair-not-crash)
+        target = StructType(
+            [
+                StructField("stock", StringType()),
+                StructField("metric", StringType()),
+                StructField("value", DoubleType()),
+                StructField("calendar_year", IntegerType()),
+            ]
+        )
+        conformed = conform_to(merged, target)
+        assert [f.name for f in conformed.schema.fields] == [
+            "stock",
+            "metric",
+            "value",
+            "calendar_year",
+        ]
+        assert all(r.calendar_year is None for r in conformed.collect())

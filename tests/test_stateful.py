@@ -1,0 +1,24 @@
+"""applyInPandasWithState operator vs its oracle-checked batch twin."""
+
+from __future__ import annotations
+
+import tempfile
+
+from etl_8million_data__spark.plans import all_queries
+from etl_8million_data__spark.streaming.jobs import read_events_stream, run_available_now
+from etl_8million_data__spark.streaming.stateful import user_ema_stream
+
+
+def test_user_ema_stream_matches_batch(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream = user_ema_stream(read_events_stream(spark, sf_dir))
+        got = run_available_now(stream, "t_ema", "update", ckpt)
+        # single availableNow batch -> exactly one output row per user
+        stream_rows = {r.user_id: (r.n_events, r.ema_value) for r in got.collect()}
+    batch = all_queries()["events_user_ema"].build(spark, sf_dir)
+    batch_rows = {r.user_id: (r.n_events, r.ema_value) for r in batch.collect()}
+    assert set(stream_rows) == set(batch_rows)
+    for uid, (n_b, ema_b) in batch_rows.items():
+        n_s, ema_s = stream_rows[uid]
+        assert n_s == n_b
+        assert abs(ema_s - ema_b) < 1e-9, f"user {uid}: {ema_s} vs {ema_b}"
