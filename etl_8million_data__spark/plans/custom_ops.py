@@ -1,0 +1,136 @@
+"""Custom-operator queries: the batch applyInPandas grouped-map
+operator (integer-exact trend slopes) and character-n-gram Jaccard
+verification of LSH candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs, spread
+from etl_8million_data__spark.operators.grouped import user_value_trend
+from etl_8million_data__spark.operators.text import normalize_text
+from etl_8million_data__spark.plans.registry import register
+
+
+@register(
+    "events_user_trend_applyinpandas",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT user_id,
+             sec - min(sec) OVER (PARTITION BY user_id) AS x,
+             cents AS y
+      FROM t),
+    a AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM b GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+           CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                ELSE CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) * 3600.0
+           END AS slope_cents_per_hour
+    FROM a
+    """,
+    tags=("custom-op", "applyInPandas", "extension"),
+)
+def events_user_trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares value trend via the grouped-map pandas
+    operator (operators/grouped.py). The closed form runs on integer
+    sums, so the Arrow/pandas path is bit-identical to the SQL oracle —
+    the strongest possible check that the custom-operator plumbing
+    (shuffle -> Arrow batch -> pandas -> Arrow) is value-faithful."""
+    return user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+# word-shingle MinHash bands (must mirror plans/dedup.py exactly)
+_SHINGLED = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(toks) - 2),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+_SIG = """
+  SELECT doc_id,
+         list_transform(range(16), j ->
+           list_aggregate(list_transform(shingles,
+             s -> md5(j::VARCHAR || '|' || s)), 'min')) AS sig
+  FROM shingled
+"""
+_BANDS = """
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band*4+1 : b.band*4+4], ',')) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+"""
+_PAIRS = """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    pairs AS ({_PAIRS}),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(norm) - 4),
+                           i -> norm[i+1:i+5])) AS g5
+      FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+      WHERE length(norm) >= 5)
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(ga.g5, gb.g5))
+             / (len(ga.g5) + len(gb.g5) - len(list_intersect(ga.g5, gb.g5)))
+             AS char5_jaccard
+    FROM pairs p
+    JOIN grams ga ON ga.doc_id = p.doc_a
+    JOIN grams gb ON gb.doc_id = p.doc_b
+    """,
+    tags=("dedup", "ngram", "jaccard", "extension"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard for the MinHash LSH candidate pairs —
+    the n-gram-level similarity check (more robust to small token edits
+    than word shingles). Gram sets are computed once per doc and joined
+    only for candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(docs)
+    norm = normalize_text(F.col("text"))
+    grams = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            norm.alias("norm"),
+        )
+        .filter(F.length("norm") >= 5)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("norm") - 5),
+                    lambda i: F.substr(F.col("norm"), i + 1, F.lit(5)),
+                )
+            ).alias("g5"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g5").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g5").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("char5_jaccard"))
+    )

@@ -31,6 +31,8 @@ _MODULES = (
     "multimodal",
     "timeseries",
     "pipeline_parity",
+    "tpch_more",
+    "custom_ops",
 )
 
 
