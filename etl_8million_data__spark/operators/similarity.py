@@ -10,8 +10,23 @@ and the centroid table is broadcast.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def hyperplane_weights(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: integer weights derived
+    from md5(plane,dim), centered on 0. Integers (not floats) so the
+    projection arithmetic is reproducible in any engine."""
+    return [
+        [
+            int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:4], 16) - 32768
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -66,6 +81,67 @@ def knn_bruteforce(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def lsh_bucket_array(
+    vec: Column,
+    weights: list[list[int]],
+    tables: int = 8,
+    planes_per_table: int = 4,
+) -> Column:
+    """Signed-random-projection LSH: per table, an integer bucket whose
+    bits are the signs of ``planes_per_table`` hyperplane projections.
+    Vectors within cos θ share a table-bucket with prob (1-θ/π)^planes;
+    multiple tables trade candidate volume for recall. Returns an array
+    of ``tables`` bucket ints (a narrow map stage — only (id, table,
+    bucket) ever reaches the shuffle)."""
+
+    def proj(p: int) -> Column:
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        return F.aggregate(
+            F.zip_with(w, vec, lambda wi, xi: wi * xi.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    buckets = []
+    for t in range(tables):
+        b: Column = F.lit(0)
+        for j in range(planes_per_table):
+            b = b + F.when(proj(t * planes_per_table + j) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        buckets.append(b)
+    return F.array(*buckets)
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    weights: list[list[int]],
+    tables: int = 8,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs sharing any table-bucket."""
+    sig = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            lsh_bucket_array(F.col(vec_col), weights, tables, planes_per_table)
+        ).alias("tbl", "bucket"),
+    ).localCheckpoint(eager=True)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:

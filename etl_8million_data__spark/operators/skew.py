@@ -1,0 +1,42 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+The EAV model makes some keys ubiquitous (SURVEY §4: popular metrics
+like 'Accounts Payable' appear for every symbol), so single-key
+reducers become stragglers at 100 TB. The standard fix: append a salt
+to the hot key, aggregate partially per (key, salt), then aggregate
+the partials — two small shuffles instead of one skewed one.
+
+AQE's skew-join splitting handles *join* skew automatically
+(session.py enables it); this operator is the *aggregation* analog,
+and it is exact for any algebraic aggregate (sum/count/min/max here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, "F.Column"],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact sum/count aggregation over skewed keys via salting.
+
+    ``sum_cols`` maps output name -> column expression to sum
+    (use exact integer expressions for determinism).
+    """
+    # any salt distribution preserves exactness (the outer agg re-merges);
+    # monotonically_increasing_id spreads rows evenly without a hash of
+    # the (hot) key, which would defeat the purpose
+    salted = df.withColumn("_salt", F.monotonically_increasing_id() % salt_buckets)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(expr).alias(f"_s_{name}") for name, expr in sum_cols.items()],
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_cnt").alias("cnt"),
+        *[F.sum(f"_s_{name}").alias(name) for name in sum_cols],
+    )

@@ -33,6 +33,7 @@ _MODULES = (
     "pipeline_parity",
     "tpch_more",
     "custom_ops",
+    "robustness",
 )
 
 

@@ -1,0 +1,79 @@
+"""Robustness / scale-technique queries: salted aggregation over hot
+keys (exactness proven against the plain-groupBy oracle) and
+reader-level malformed-JSON quarantine (§2.10 PERMISSIVE parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.functions.exact import cents, sql_cents
+from etl_8million_data__spark.operators.skew import salted_agg
+from etl_8million_data__spark.plans.registry import register
+
+
+@register(
+    "skew_salted_event_type_totals",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS cnt,
+           sum({sql_cents('value')}) AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("skew", "salting", "agg", "scale"),
+)
+def skew_salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type has 5 values over all rows — maximal key skew. The
+    salted two-phase aggregate must equal the plain GROUP BY exactly
+    (the oracle is the plain form), proving the skew mitigation is
+    semantics-preserving."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        key_cols=["event_type"],
+        sum_cols={"value_cents": cents("value")},
+        salt_buckets=16,
+    )
+
+
+@register(
+    "json_quarantine_split",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0
+                  THEN '{broken' || props ELSE props END AS payload
+      FROM events)
+    SELECT event_id,
+           NOT json_valid(payload) AS quarantined,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+           END AS k
+    FROM t
+    """,
+    tags=("json", "quarantine", "error-tolerance"),
+)
+def json_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-level error quarantine (details.py:136-137 / PERMISSIVE
+    mode parity): corrupt every 10th payload, parse with from_json and
+    a columnNameOfCorruptRecord — the corrupt column captures the raw
+    text (quarantine), good rows parse normally, and no exception ever
+    reaches the job. (PERMISSIVE from_json yields a null-*fielded*
+    struct for malformed input, so isNull() alone cannot detect it —
+    the corrupt-record column is the canonical signal.)"""
+    e = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("{broken"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        payload,
+        "k int, _corrupt_record string",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return e.select(
+        "event_id",
+        parsed["_corrupt_record"].isNotNull().alias("quarantined"),
+        parsed["k"].alias("k"),
+    )

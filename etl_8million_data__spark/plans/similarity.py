@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.operators.similarity import (
     cosine,
+    hyperplane_weights,
     knn_bruteforce,
     knn_ivf,
+    lsh_candidate_pairs,
 )
 from etl_8million_data__spark.plans.registry import register
 
@@ -74,6 +76,59 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return knn_ivf(emb, queries, k=10, nprobe=3).select("query_id", "vec_id", "cosine", "rn")
+
+
+_W = hyperplane_weights(32, 64)
+_W_SQL = "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _W) + "]"
+
+
+@register(
+    "similarity_lsh_near_dup_pairs",
+    oracle=f"""
+    WITH w(W) AS (SELECT {_W_SQL}),
+    e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, t.t AS tbl,
+             list_reduce(list_prepend(0, list_transform(range(4), j ->
+               CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
+                      i -> W[t.t*4 + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      (a, x) -> a + x) > 0
+                    THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
+      FROM e, w, (SELECT unnest(range(8)) AS t) t),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT p.vec_a, p.vec_b,
+           {_dot('ea.embedding', 'eb.embedding')} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.vec_a
+    JOIN e eb ON eb.vec_id = p.vec_b
+    WHERE {_dot('ea.embedding', 'eb.embedding')} / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.4
+    """,
+    tags=("similarity", "lsh", "dedup", "extension", "scale-path"),
+)
+def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs — the sub-quadratic scale
+    path for embedding dedup (8 tables × 4-bit sign buckets; only
+    (id, table, bucket) shuffles; cosine verified only for candidates).
+    Deterministic md5-derived integer hyperplanes keep both engines
+    bit-identical. Recall vs the all-pairs form is asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
+    e = emb.select("vec_id", "embedding")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    out = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine"))
+    )
+    return out.filter(F.col("cosine") >= 0.4)
 
 
 @register(

@@ -97,6 +97,18 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enriched_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    customer dim (broadcast per batch — the streaming form of the
+    fact⋈dim dimension join, SURVEY §2.3)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -27,6 +27,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert all(len(v) == 10 for v in approx_sets.values())
 
 
+def test_lsh_recall_vs_allpairs(spark, sf_dir):
+    """Hyperplane LSH must recover a meaningful fraction of the true
+    near-dup pairs, and every emitted pair must be a true pair (the
+    cosine filter makes precision exact)."""
+    qs = all_queries()
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in qs["similarity_near_dup_embeddings"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in qs["similarity_lsh_near_dup_pairs"].build(spark, sf_dir).collect()
+    }
+    assert lsh <= truth  # exact-precision: every LSH pair is real
+    assert truth, "fixture should contain near-dup pairs"
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
 def test_ivf_results_within_probed_cells(spark, sf_dir):
     """Every IVF hit must be a real corpus vector with correct cosine
     (spot-check: IVF cosine values appear in the brute-force scoring

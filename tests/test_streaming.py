@@ -67,6 +67,24 @@ def test_dedup_stream_within_watermark(spark, sf_dir, ckpt):
     assert got.select("user_id", "event_type").distinct().count() == n_keys
 
 
+def test_stream_static_join(spark, sf_dir, ckpt):
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.streaming.jobs import enriched_events_stream
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = enriched_events_stream(read_events_stream(spark, sf_dir), customer)
+    got = run_available_now(stream, "t_enriched", "append", ckpt)
+    events = load_table(spark, sf_dir, "events")
+    batch = events.join(
+        customer.selectExpr("c_custkey AS user_id", "c_name", "c_mktsegment"),
+        "user_id",
+        "left",
+    )
+    assert got.count() == events.count() == batch.count()
+    cols = ["event_id", "c_name", "c_mktsegment"]
+    assert _rows(got.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
 def test_stream_upsert_foreachbatch(spark, sf_dir, ckpt):
     events = read_events_stream(spark, sf_dir)
     with tempfile.TemporaryDirectory() as outdir:
