@@ -34,6 +34,7 @@ _MODULES = (
     "tpch_more",
     "custom_ops",
     "robustness",
+    "approx",
 )
 
 

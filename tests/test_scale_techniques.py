@@ -57,6 +57,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
 
+def test_partition_pruning_on_fact_layout(spark, sf_dir):
+    """The financials fact written partitioned by statement_type must
+    prune partitions for statement-filtered queries (PartitionFilters
+    in the scan, not a post-scan filter) — the SURVEY §4 layout choice
+    doing its job."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.pipelines.financials import build_financials_fact
+
+    payload = {
+        "info": {"longName": "P Inc", "currency": "USD"},
+        "cashflow": {"yearly": {"2024-12-31": {"FCF": 1.0}}, "quarterly": {}},
+        "balancesheet": {"yearly": {"2024-12-31": {"TA": 2.0}}, "quarterly": {}},
+        "incomestatement": {"yearly": {"2024-12-31": {"NI": 3.0}}, "quarterly": {}},
+    }
+    raw = spark.createDataFrame(
+        [("P", json.dumps(payload), "2025-01-01 00:00:00")],
+        "symbol string, payload string, loaded_at string",
+    ).withColumn("loaded_at", F.to_timestamp("loaded_at"))
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/fact"
+        build_financials_fact(raw, path)
+        q = spark.read.parquet(path).filter(F.col("statement_type") == "CF")
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "PartitionFilters: [isnotnull(statement_type" in plan, plan
+        assert q.count() == 1
+
+
 def test_schema_evolution_merge_and_conform(spark):
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/t"
