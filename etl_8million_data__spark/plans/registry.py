@@ -35,6 +35,7 @@ _MODULES = (
     "custom_ops",
     "robustness",
     "approx",
+    "behavioral",
 )
 
 

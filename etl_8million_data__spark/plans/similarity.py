@@ -150,14 +150,24 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     fixture embeddings are near-orthogonal so 0.4 is the meaningful tail).
 
     All-pairs here (correctness form); the scale path is the same
-    predicate after LSH/IVF blocking — see knn_ivf. Kept oracle-exact
-    to pin the arithmetic."""
+    predicate after LSH blocking — similarity_lsh_near_dup_pairs.
+    Norms are computed once per vector (not per pair), and the left
+    side is spread across cores before the O(n²) join."""
+    from etl_8million_data__spark.operators.dedup import spread
+    from etl_8million_data__spark.operators.similarity import dot, norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    a = spread(e, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     out = pairs.select(
-        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+        "vec_a",
+        "vec_b",
+        (dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= 0.4)
