@@ -32,6 +32,7 @@ _MODULES = (
     "timeseries",
     "pipeline_parity",
     "tpch_more",
+    "tpch_wide",
     "custom_ops",
     "robustness",
     "approx",
