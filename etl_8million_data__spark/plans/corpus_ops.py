@@ -1,0 +1,227 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond
+per-doc scoring (SURVEY.md §7.2(4) extensions): global term statistics,
+repetition-based quality, PII redaction, deterministic dataset splits,
+and near-dup *clustering* (LSH pairs → connected components).
+
+Everything stays JVM-side (explode / higher-order array functions /
+joins); the connected-components loop is the only iterative piece and
+is verified against a DuckDB recursive-CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs
+from etl_8million_data__spark.operators.graph import connected_components
+from etl_8million_data__spark.operators.text import tokens
+from etl_8million_data__spark.plans.dedup import _BANDS, _PAIRS, _SHINGLED, _SIG
+from etl_8million_data__spark.plans.registry import register
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# Deterministic split hash: a Knuth-style multiplicative mix kept in
+# exact bigint range so Spark and DuckDB agree bit-for-bit. NOT Spark's
+# hash() / DuckDB's hash(), which differ by engine.
+_SPLIT_BUCKET = "((doc_id * 2654435761 + 104729) % 4294967296) % 1000"
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9 -]{5,}[0-9]"
+
+
+@register(
+    "corpus_term_frequencies",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 100
+    """,
+    tags=("text", "corpus", "extension"),
+)
+def corpus_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 term + document frequencies: explode the token
+    array, one hash aggregate keyed by token (map-side partials), then
+    a true top-k (TakeOrderedAndProject) — the vocabulary/IDF building
+    block. Tie-break on token keeps the limit deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 2),
+    g AS (SELECT doc_id, toks,
+                 list_transform(range(len(toks) - 1),
+                                i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams
+          FROM t)
+    SELECT doc_id, len(toks) AS n_tokens,
+           1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS token_rep_ratio,
+           1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+             AS bigram_rep_ratio
+    FROM g
+    """,
+    tags=("text", "quality", "extension"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: fraction of duplicated tokens
+    and duplicated 2-grams per document (boilerplate / spam detector).
+    Bigrams come from zip_with over two shifted slices — all array ops,
+    no shuffle, exact integer ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(F.col("toks"))) * 1.0 / n).alias(
+            "token_rep_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)) * 1.0 / F.size(bigrams)
+        ).alias("bigram_rep_ratio"),
+    )
+
+
+@register(
+    "pii_redaction_contacts",
+    oracle=f"""
+    WITH blobs AS (
+      SELECT c_custkey,
+             'contact ' || lower(replace(c_name, '#', '')) ||
+             ' at ' || lower(replace(c_name, '#', '.')) || '@example.com' ||
+             ' or +1 555-00' || CAST(c_custkey % 100 AS VARCHAR) ||
+             ' ext ' || CAST(c_custkey AS VARCHAR) AS blob
+      FROM customer)
+    SELECT c_custkey,
+           len(regexp_extract_all(blob, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(blob, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(blob, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM blobs
+    """,
+    tags=("text", "pii", "extension"),
+)
+def pii_redaction_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find-and-redact emails / phone numbers with pure
+    regexp expressions (the fixture corpus contains no PII, so the
+    contact blob is derived deterministically from the customer dim;
+    the operator — count, then redact in place — is what a real corpus
+    pipeline runs per shard, embarrassingly parallel)."""
+    c = load_table(spark, sf_dir, "customer")
+    clean = F.lower(F.regexp_replace(F.col("c_name"), "#", ""))
+    dotted = F.lower(F.regexp_replace(F.col("c_name"), "#", "."))
+    blob = F.concat(
+        F.lit("contact "), clean, F.lit(" at "), dotted, F.lit("@example.com"),
+        F.lit(" or +1 555-00"), (F.col("c_custkey") % 100).cast("string"),
+        F.lit(" ext "), F.col("c_custkey").cast("string"),
+    )
+    b = c.select("c_custkey", blob.alias("blob"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("blob"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return b.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(F.col("blob"), F.lit(f"({_EMAIL_RE})"), 1)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("blob"), F.lit(f"({_PHONE_RE})"), 1)).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    SELECT lang, source,
+           CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang, source, split
+    """,
+    tags=("corpus", "split", "extension"),
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment from a
+    multiplicative hash of doc_id (reproducible across engines and
+    runs — unlike rand() — and stable under re-partitioning), then
+    per-(lang, source, split) corpus accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE shingled AS ({_SHINGLED}), sig AS ({_SIG}),
+    bands AS ({_BANDS}), pairs AS ({_PAIRS}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: LSH candidate pairs form a similarity graph;
+    iterative min-label propagation (operators/graph.py) assigns every
+    doc the min doc_id of its component — the canonical-doc choice that
+    makes 'keep one per cluster' a single filter. Oracle is a DuckDB
+    recursive-CTE transitive closure over the identical pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    comp = connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return d.select("doc_id").join(
+        comp, d.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )

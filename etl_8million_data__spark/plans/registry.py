@@ -37,6 +37,7 @@ _MODULES = (
     "robustness",
     "approx",
     "behavioral",
+    "corpus_ops",
 )
 
 
