@@ -16,6 +16,8 @@ Catalyst sees the whole plan. Scale notes per operator:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,34 +159,37 @@ def jaccard_verified_pairs(
     )
 
 
-def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash over the distinct-token set.
+def simhash32_frame(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over each doc's distinct-token set.
 
-    Per token: first 8 hex chars of md5 -> 32 bits. Per bit: sum of ±1
-    across tokens; simhash bit = (sum > 0). Pure integer arithmetic so
-    both engines agree exactly. Near-dup distance = popcount(xor).
+    Fully relational formulation: explode distinct tokens to rows, md5
+    each token ONCE, extract its 32 bits with shift/mask integer ops,
+    and sum ±1 per bit in a single hash aggregate. Every stage is
+    WholeStageCodegen (a higher-order-function fold over the token
+    array is CodegenFallback and evaluates ~30× slower); the one
+    shuffle moves skinny (id, 32 smallints) partial aggregates, and
+    per-token rows parallelize huge documents instead of serializing
+    them into one array. Near-dup distance = popcount(xor).
     """
-    hexes = F.transform(
-        F.array_distinct(tokens(text_col)), lambda t: F.substring(md5_utf8(t), 1, 8)
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t")
     )
-
-    def bit_val(h: Column, b: Column) -> Column:
-        nib = F.conv(F.substr(h, (F.floor(b / 4) + 1).cast("int"), F.lit(1)), 16, 10).cast(
-            "bigint"
-        )
-        pw = F.pow(F.lit(2.0), (3 - (b % 4)).cast("double"))
-        return F.floor(nib / pw).cast("bigint") % 2
-
-    def bit_score(b: Column) -> Column:
-        return F.aggregate(
-            hexes, F.lit(0).cast("bigint"), lambda acc, h: acc + (2 * bit_val(h, b) - 1)
-        )
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(bit_score(b) > 0, F.pow(F.lit(2.0), b.cast("double")).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
+    v = F.conv(F.substring(md5_utf8(F.col("_t")), 1, 8), 16, 10).cast("bigint")
+    ints = tok.select(id_col, v.alias("_v"))
+    # score_b = sum over tokens of (2*bit_b - 1); simhash bit b = score_b > 0
+    scores = ints.groupBy(id_col).agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("_v"), 31 - b).bitwiseAND(F.lit(1)) - 1).alias(f"_s{b}")
+            for b in range(32)
+        ]
     )
+    sim = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(32)
+        ],
+    )
+    return scores.select(id_col, sim.alias("simhash"))

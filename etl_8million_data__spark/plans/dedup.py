@@ -17,7 +17,6 @@ from etl_8million_data__spark.operators.dedup import (
     jaccard_verified_pairs,
     minhash_lsh_candidate_pairs,
     minhash_signature,
-    simhash32,
 )
 from etl_8million_data__spark.operators.dedup import doc_shingle_frame
 from etl_8million_data__spark.plans.registry import register
@@ -149,7 +148,7 @@ def dedup_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — one bigint per doc from a narrow
     map stage; near-dup candidates are low-Hamming-distance pairs."""
-    from etl_8million_data__spark.operators.dedup import spread
+    from etl_8million_data__spark.operators.dedup import simhash32_frame, spread
 
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+    return simhash32_frame(d, "doc_id", "text")

@@ -39,6 +39,12 @@ def _events_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
+    # One exchange, reused four times: hash-partitioning by symbol alone
+    # satisfies the ClusteredDistribution of the window (symbol,...,metric)
+    # AND of all three nested groupBys (each key set has symbol as a
+    # prefix), so the window-dedup + 3 nesting aggregates below run
+    # shuffle-free after this single repartition.
+    base = base.repartition(F.col("symbol"))
     w = Window.partitionBy("symbol", "folder", "freq", "date_str", "metric").orderBy(
         F.col("event_id").desc()
     )
