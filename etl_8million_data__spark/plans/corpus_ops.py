@@ -189,6 +189,49 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_salient_terms_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tf * n_docs * 1.0 / df AS salience
+    FROM tf JOIN dfq USING (token) CROSS JOIN n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY tf * n_docs * 1.0 / df DESC, token) <= 5
+    """,
+    tags=("text", "tfidf", "extension"),
+)
+def corpus_salient_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document, TF-IDF-style. The idf factor
+    is the *rational* N/df rather than log(N/df): same ranking, but the
+    score is a single division of exact integers, so it hashes
+    identically across engines (libm log() does not). Term frequencies
+    and document frequencies come from one exploded scan; the tiny df
+    side broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("salience", F.col("tf") * F.col("n_docs") * 1.0 / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("salience"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "salience")
+    )
+
+
+@register(
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE shingled AS ({_SHINGLED}), sig AS ({_SIG}),
