@@ -291,3 +291,70 @@ def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "cube_returnflag_status_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum({sql_cents('l_extendedprice')}) / 100.0 AS sum_price,
+           count(*) AS line_cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_returnflag_status_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass — completes the rollup/grouping-sets/cube trio."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_price"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "window_rank_zoo_per_customer",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS dr,
+           percent_rank() OVER w AS pr,
+           {sql_cents('o_totalprice')}
+             - lag({sql_cents('o_totalprice')}, 1, CAST(0 AS BIGINT)) OVER w
+             AS delta_prev_cents,
+           first_value({sql_cents('o_totalprice')}) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_price_cents,
+           last_value({sql_cents('o_totalprice')}) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "rank", "frames"),
+)
+def window_rank_zoo_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window surface in one query:
+    dense_rank, percent_rank (exact (rank-1)/(n-1) integer ratio),
+    lag-with-default delta, and first/last_value under explicit ROWS
+    frames — per-customer windows keep state bounded at scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = cents("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        (price - F.lag(price, 1, 0).over(w)).alias("delta_prev_cents"),
+        F.first(price).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_price_cents"),
+        F.last(price).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("last_price_cents"),
+    )
