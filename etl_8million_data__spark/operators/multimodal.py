@@ -101,3 +101,33 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes int, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """1 -> N frame sampling over binary payloads (the video/audio
+    chunking shape): each media row emits one row per fixed-size byte
+    window. mapInPandas lets a single input batch yield any number of
+    output rows; on a cluster the expansion happens executor-side with
+    no driver involvement, and downstream repartition re-balances the
+    fan-out."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_no": [], "frame_bytes": [], "frame_md5": []
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                for fno, off in enumerate(range(0, len(data), frame_bytes)):
+                    chunk = data[off : off + frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fno)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(fn, FRAME_SCHEMA)

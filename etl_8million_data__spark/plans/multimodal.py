@@ -37,3 +37,30 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id, text,
+             unnest(range(CAST(ceil(octet_length(encode(text)) / 256.0)
+                               AS BIGINT))) AS frame_no
+      FROM documents)
+    SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+           octet_length(encode(substr(text, CAST(frame_no*256 + 1 AS INTEGER), 256)))
+             AS frame_bytes,
+           md5(substr(text, CAST(frame_no*256 + 1 AS INTEGER), 256)) AS frame_md5
+    FROM f
+    """,
+    tags=("multimodal", "pandas-udf", "extension"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 -> N frame sampling (video/audio chunking shape): each binary
+    payload emits one row per 256-byte window with its md5 — proves the
+    mapInPandas expansion contract (variable output rows per input).
+    ASCII fixtures make byte-md5 == string-md5 in the oracle."""
+    from etl_8million_data__spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media)
