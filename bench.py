@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_simhash",  # per-doc simhash
     "similarity_knn_bruteforce",  # cosine top-k
     "text_quality_scores",  # corpus quality filters
+    "corpus_term_frequencies",  # explode -> agg -> top-k (vocab/IDF)
+    "tpch_q21_suppliers_kept_waiting",  # decorrelated EXISTS/NOT-EXISTS
+    "tpch_q13_customer_order_distribution",  # outer join + double agg
 ]
 
 

@@ -453,21 +453,32 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")  # noqa: E741
     j = l.join(o, l.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
-        j.groupBy("l_orderkey")
+    # Single pass over the fact join (the naive form scans it twice) and
+    # no COUNT(DISTINCT) Expand: per-(order, supplier) late-line counts
+    # feed BOTH the order qualification (>=2 suppliers, exactly one of
+    # them late) and the final per-supplier waiting-line count. The one
+    # explicit repartition by orderkey satisfies both groupBys (orderkey
+    # is a prefix of each key) and the qual join's clustering.
+    per_supp = (
+        j.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("_cnt_late"))
+    )
+    qual = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("_cnt_late") > 0, 1).otherwise(0)).alias("n_late_supp"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .select(F.col("l_orderkey").alias("q_orderkey"))
     )
     return (
-        j.filter(late)
-        .join(per_order, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+        per_supp.filter(F.col("_cnt_late") > 0)
+        .join(qual, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_cnt_late").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )

@@ -13,8 +13,8 @@ from etl_8million_data__spark.plans import all_queries
 from etl_8million_data__spark.session import get_spark
 
 AUDIT = {
-    "tpch_q6_forecast_revenue": ["PushedFilters", "WholeStageCodegen", "HashAggregate"],
-    "group_agg_pricing_summary": ["PushedFilters", "HashAggregate", "WholeStageCodegen"],
+    "tpch_q6_forecast_revenue": ["PushedFilters", "codegen id", "HashAggregate"],
+    "group_agg_pricing_summary": ["PushedFilters", "HashAggregate", "codegen id"],
     "scan_project_filter": ["PushedFilters", "ReadSchema"],
     "regional_revenue_5way_join": ["BroadcastHashJoin", "HashAggregate"],
     "segment_revenue_broadcast_join": ["BroadcastHashJoin"],
@@ -23,6 +23,18 @@ AUDIT = {
     "anti_join_customers_without_orders": ["PushedFilters"],
     "dedup_minhash_lsh_pairs": ["HashAggregate"],
     "similarity_knn_bruteforce": ["Broadcast"],
+    "dedup_simhash": ["codegen id", "HashAggregate"],
+    "corpus_term_frequencies": ["TakeOrderedAndProject", "HashAggregate"],
+    "tpch_q21_suppliers_kept_waiting": ["LeftSemi", "HashAggregate"],
+    "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_q10_returned_item_top_customers": ["TakeOrderedAndProject", "PushedFilters"],
+    "window_rank_zoo_per_customer": ["Window"],
+}
+
+# Queries whose scale story is "exactly N shuffles" — assert the count.
+MAX_EXCHANGES = {
+    "pipeline_financials_unpivot": 1,  # repartition(symbol) reused by window + 3 aggs
+    "dedup_simhash": 2,  # spread() repartition + the per-doc hash agg
 }
 
 def main():
@@ -36,6 +48,15 @@ def main():
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         checks = {e: (e in plan) for e in expects}
+        if "codegen id" in checks and not checks["codegen id"]:
+            # AQE omits codegen ids from the pre-execution formatted
+            # plan; execute THIS DataFrame (small results only) so its
+            # own query execution finalizes, then inspect it.
+            df.collect()
+            final = df._jdf.queryExecution().executedPlan().toString()
+            # '*(N)' prefixes are the WholeStageCodegen markers in the
+            # finalized AQE plan's simple string.
+            checks["codegen id"] = "*(" in final
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: (.*)", plan)
         report.append((name, checks, pushed[:3], [s[:120] for s in schemas[:3]]))
@@ -46,6 +67,12 @@ def main():
             print(f"   pushed: {p[:140]}")
         for s in schemas[:3]:
             print(f"   schema: {s[:140]}")
+    for name, max_ex in MAX_EXCHANGES.items():
+        df = qs[name].build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange")
+        print(f"== {name}: {n} Exchange(s) "
+              f"{'OK' if n <= max_ex else f'MISS (expected <= {max_ex})'}")
     spark.stop()
 
 if __name__ == "__main__":
