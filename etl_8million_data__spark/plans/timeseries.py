@@ -234,3 +234,46 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_orderdate"],
         right_tiebreak="o_orderkey",
     )
+
+
+@register(
+    "events_click_attribution_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           count(c.ts) AS n_clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("timeseries", "range-join", "extension"),
+)
+def events_click_attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (attribution shape): for every purchase,
+    count the same user's clicks in the preceding hour. Equi key
+    (user_id) + time-range predicate — Spark plans the equi part as the
+    join key and evaluates the range as a post-join filter, so it
+    shuffles on user_id only; purchases with no clicks survive via the
+    left join. The streaming twin is the watermarked stream-stream join
+    (streaming/jobs.py click_purchase_pairs_stream)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("click_ts").alias("n_clicks_1h")
+    )

@@ -105,3 +105,32 @@ def test_stream_upsert_foreachbatch(spark, sf_dir, ckpt):
         exp_max = _rows(e.groupBy("user_id", "event_type").agg(F.max("ts").alias("ts")),
                         ["user_id", "event_type", "ts"])
         assert got_max == exp_max
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, ckpt):
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.streaming.jobs import click_purchase_pairs_stream
+
+    got = run_available_now(
+        click_purchase_pairs_stream(read_events_stream(spark, sf_dir)),
+        "t_ss_join",
+        "append",
+        ckpt,
+    )
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    cols = ["purchase_id", "click_id", "user_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
