@@ -26,9 +26,23 @@ from etl_8million_data__spark.plans.registry import register
 def _events_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> one payload JSON per synthetic symbol (user_id)."""
     e = load_table(spark, sf_dir, "events")
+    # Shuffle FIRST on the cheap derived key, THEN run the expensive
+    # projection (get_json_object / date_format) post-shuffle: the
+    # fixture arrives as one input split, so projecting before the
+    # exchange would serialize the JSON parsing onto a single core.
+    # One exchange, reused four times: hash-partitioning by symbol alone
+    # satisfies the ClusteredDistribution of the window (symbol,...,metric)
+    # AND of all three nested groupBys (each key set has symbol as a
+    # prefix), so the window-dedup + 3 nesting aggregates below run
+    # shuffle-free after this single repartition. The explicit partition
+    # count keeps AQE from coalescing the (byte-small but CPU-heavy)
+    # map-building stages onto too few cores.
+    e = e.withColumn(
+        "symbol", F.concat(F.lit("SYM"), F.col("user_id").cast("string"))
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("symbol"))
     k = F.get_json_object("props", "$.k").try_cast("int")
     base = e.select(
-        F.concat(F.lit("SYM"), F.col("user_id").cast("string")).alias("symbol"),
+        "symbol",
         F.when(F.col("event_type").isin("click", "view"), "cashflow")
         .when(F.col("event_type").isin("purchase", "signup"), "incomestatement")
         .otherwise("balancesheet")
@@ -39,12 +53,6 @@ def _events_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
-    # One exchange, reused four times: hash-partitioning by symbol alone
-    # satisfies the ClusteredDistribution of the window (symbol,...,metric)
-    # AND of all three nested groupBys (each key set has symbol as a
-    # prefix), so the window-dedup + 3 nesting aggregates below run
-    # shuffle-free after this single repartition.
-    base = base.repartition(F.col("symbol"))
     w = Window.partitionBy("symbol", "folder", "freq", "date_str", "metric").orderBy(
         F.col("event_id").desc()
     )
