@@ -731,3 +731,29 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "json_variant_semistructured",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "semistructured"),
+)
+def json_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema JSON via the VARIANT type (Spark 4): parse_json once
+    into a binary variant, then typed try_variant_get extraction — the
+    modern engine path for semi-structured payloads (vs per-access
+    get_json_object string re-parsing; at 100 TB the parse-once
+    encoding wins on every repeated access)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return e.select("event_type", k.alias("_k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_k").alias("sum_k"),
+        F.max("_k").alias("max_k"),
+    )

@@ -124,3 +124,24 @@ def test_schema_evolution_merge_and_conform(spark):
             "calendar_year",
         ]
         assert all(r.calendar_year is None for r in conformed.collect())
+
+
+def test_observe_metrics_running_counters(spark, sf_dir):
+    """The reference's running counters (rows upserted / errors,
+    SURVEY §2.4) as df.observe() metrics: counted during the SAME job
+    that produces the output — no second scan, the Spark-native
+    accumulator surface."""
+    from pyspark.sql import Observation
+    from etl_8million_data__spark.catalog import load_table
+
+    obs = Observation("ingest_counters")
+    e = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+    )
+    out = e.filter(F.col("value") >= 0)
+    n_kept = out.count()
+    got = obs.get
+    assert got["n_rows"] == n_kept + got["n_negative"]
+    assert got["n_rows"] == load_table(spark, sf_dir, "events").count()
