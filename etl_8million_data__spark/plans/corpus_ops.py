@@ -268,3 +268,31 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
     )
+
+
+@register(
+    "corpus_token_first_positions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, toks[i+1] AS token, min(i) AS first_pos,
+           count(*) AS occurrences
+    FROM t, unnest(range(len(toks))) AS u(i)
+    GROUP BY doc_id, token
+    """,
+    tags=("text", "posexplode", "lateral", "extension"),
+)
+def corpus_token_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL-VIEW-with-ordinality shape): token positions
+    survive the explode, so first-occurrence offset and occurrence
+    count come from one grouped pass — the positional-index building
+    block (snippet extraction, proximity features)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("first_pos", "token"))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.min("first_pos").alias("first_pos"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .select("doc_id", "token", "first_pos", "occurrences")
+    )
