@@ -18,8 +18,15 @@ def clean_str(col: Column) -> Column:
 
 def collapse_ws(col: Column, max_len: int = 200_000) -> Column:
     """Collapse runs of whitespace to one space and cap length
-    (reference: Summary.py:110-115)."""
-    return F.substring(F.regexp_replace(F.trim(col), r"\s+", " "), 1, max_len)
+    (reference: Summary.py:110-115).
+
+    Collapse BEFORE trim: Spark's trim strips only spaces (0x20), so
+    trimming first would leave a lone space for strings like ``"\\r"``
+    where Python's str.strip() (the reference) removes all whitespace.
+    Collapsing turns every edge-whitespace run into a plain space,
+    which trim then removes — found by the hypothesis property test.
+    """
+    return F.substring(F.trim(F.regexp_replace(col, r"\s+", " ")), 1, max_len)
 
 
 def parse_market_cap(col: Column) -> Column:
