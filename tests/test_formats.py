@@ -44,3 +44,33 @@ def test_format_roundtrip_lineitem(spark, sf_dir, tmp_path, fmt):
     back = r.format(fmt).load(path)
     assert back.schema == src.schema
     assert _sig(back) == _sig(src)
+
+
+def test_csv_permissive_quarantine(spark, tmp_path):
+    """File-reader error tolerance (§2.10): PERMISSIVE mode + corrupt
+    record column — bad rows are quarantined, not dropped and never
+    fail the job (the reference's per-record try/except, details.py:287-296,
+    as a declarative reader policy)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,price,day\n"
+        "1,10.5,2024-01-01\n"
+        "2,not_a_number,2024-01-02\n"
+        "3,30.25,not_a_date\n"
+        "4,40.0,2024-01-04\n"
+    )
+    schema = "id int, price double, day date, _corrupt string"
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("dateFormat", "yyyy-MM-dd")
+        .schema(schema)
+        .csv(str(p))
+    ).cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2 and bad.count() == 2
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    # quarantined rows keep the raw line for replay/debugging
+    assert all("not_a_" in r["_corrupt"] for r in bad.collect())
