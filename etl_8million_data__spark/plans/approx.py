@@ -47,3 +47,44 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[2].alias("p99"),
         "n_orders",
     )
+
+
+@register(
+    "sketch_kmv_distinct_customers",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(8), i -> CAST(
+                   strpos('0123456789abcdef',
+                          md5(CAST(c_custkey AS VARCHAR))[i+1:i+1]) - 1 AS BIGINT))),
+               (a, x) -> a * 16 + x) AS h
+      FROM customer),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                ELSE 63 * 4294967296.0 / max(h) END AS est_distinct,
+           count(*) AS k_used
+    FROM k
+    """,
+    tags=("sketch", "kmv", "approx", "extension"),
+)
+def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k=64): keep the k
+    smallest 32-bit hashes of the key; estimate = (k-1) / kth-min
+    (normalized). Unlike HLL the sketch is a deterministic function of
+    the input set — md5-derived hashes are engine-portable — so this
+    approximate operator still gets an EXACT oracle. Mergeable across
+    partitions/tables by unioning hash sets and re-truncating to k."""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    c = load_table(spark, sf_dir, "customer")
+    h = hex_prefix_int(md5_utf8(F.col("c_custkey").cast("string")), 8)
+    top = c.select(h.alias("h")).distinct().orderBy("h").limit(64)
+    return top.agg(
+        F.count(F.lit(1)).alias("_k"), F.max("h").alias("_mx")
+    ).select(
+        F.when(F.col("_k") < 64, F.col("_k") * 1.0)
+        .otherwise(63 * 4294967296.0 / F.col("_mx"))
+        .alias("est_distinct"),
+        F.col("_k").alias("k_used"),
+    )

@@ -277,3 +277,25 @@ def events_click_attribution_range_join(spark: SparkSession, sf_dir: str) -> Dat
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count("click_ts").alias("n_clicks_1h")
     )
+
+
+@register(
+    "events_rollup_daily_from_hourly",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           count(*) AS n_events,
+           sum({sql_cents('value')}) AS sum_value_cents,
+           max(value) AS max_value
+    FROM events GROUP BY day_start, event_type
+    """,
+    tags=("timeseries", "rollup", "hypertable", "extension"),
+)
+def events_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day-grain totals computed
+    by RE-AGGREGATING the materialized hour rollup (sums of partial
+    sums), never the raw events — the oracle aggregates raw directly,
+    so an exact match proves the algebraic merge. operators/rollup.py
+    adds O(affected-buckets) late-data refresh."""
+    from etl_8million_data__spark.operators.rollup import hourly_rollup, reaggregate_daily
+
+    return reaggregate_daily(hourly_rollup(load_table(spark, sf_dir, "events")))

@@ -1,0 +1,61 @@
+"""Hierarchical rollup: algebraic re-aggregation and O(affected-hours)
+late-data refresh must reproduce a from-raw day aggregate exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.rollup import (
+    hourly_rollup,
+    reaggregate_daily,
+    refresh_rollup,
+)
+
+
+def _daily_sig(df):
+    return sorted(
+        (str(r.day_start), r.event_type, r.n_events, r.sum_value_cents)
+        for r in df.collect()
+    )
+
+
+def test_rollup_refresh_with_late_events(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(
+        F.expr("percentile_approx(ts, 0.8)").alias("c")
+    ).collect()[0]["c"]
+    on_time = events.filter(F.col("ts") <= F.lit(cutoff))
+    late = events.filter(F.col("ts") > F.lit(cutoff))
+    assert late.count() > 0
+
+    path = str(tmp_path / "rollup")
+    hourly_rollup(on_time).write.parquet(path)
+    refresh_rollup(spark, late, path)
+
+    refreshed = spark.read.parquet(path).drop("_v")
+    got = _daily_sig(reaggregate_daily(refreshed))
+    want = _daily_sig(reaggregate_daily(hourly_rollup(events)))
+    assert got == want
+
+    # the refresh only rewrote partials for hours the late data touched:
+    # untouched hour buckets are byte-identical to the original rollup
+    orig = hourly_rollup(on_time)
+    touched = (
+        hourly_rollup(late).select("hour_start", "event_type").distinct().collect()
+    )
+    touched_keys = {(str(r.hour_start), r.event_type) for r in touched}
+    kept = [
+        r
+        for r in refreshed.collect()
+        if (str(r.hour_start), r.event_type) not in touched_keys
+    ]
+    orig_rows = {
+        (str(r.hour_start), r.event_type): (r.n_events, r.sum_value_cents)
+        for r in orig.collect()
+    }
+    for r in kept:
+        assert orig_rows[(str(r.hour_start), r.event_type)] == (
+            r.n_events,
+            r.sum_value_cents,
+        )
