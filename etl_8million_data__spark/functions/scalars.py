@@ -12,8 +12,13 @@ HEX_DIGITS = "0123456789abcdef"
 
 
 def clean_str(col: Column) -> Column:
-    """trim + empty-string->NULL (reference: details.py:262-271)."""
-    return F.nullif(F.trim(col), F.lit(""))
+    """strip + empty-string->NULL (reference: details.py:262-271).
+
+    Regexp strip, not F.trim: Spark's trim removes only 0x20 while the
+    reference's str.strip() removes all whitespace ('AAPL\\n' must clean
+    to 'AAPL') — same class of gap the hypothesis tests caught in
+    collapse_ws."""
+    return F.nullif(F.regexp_replace(col, r"^\s+|\s+$", ""), F.lit(""))
 
 
 def collapse_ws(col: Column, max_len: int = 200_000) -> Column:

@@ -145,3 +145,28 @@ def test_observe_metrics_running_counters(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] == n_kept + got["n_negative"]
     assert got["n_rows"] == load_table(spark, sf_dir, "events").count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.functions.exact import cents
+    from etl_8million_data__spark.operators.skew import salted_broadcast_replicate_join
+
+    e = load_table(spark, sf_dir, "events")  # user_id is the hot key
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    plain = e.join(dim, "user_id")
+    salted = salted_broadcast_replicate_join(e, dim, "user_id", salt_buckets=8)
+
+    def sig(df):
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(cents("value")),
+                F.count_distinct("c_mktsegment"),
+            ).collect()[0]
+        )
+
+    assert sig(salted) == sig(plain)
