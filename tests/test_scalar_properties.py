@@ -149,3 +149,52 @@ def test_nan_inf_to_null(spark, vals):
             assert o is None
         else:
             assert o == v
+
+
+_HQ_RE = re.compile(r"\bheadquartered in ([^.]+?)(?:\.|$)", re.IGNORECASE)
+
+
+def _hq_model(text):
+    """Python model of the reference's split logic (Summary.py:136-147)."""
+    m = _HQ_RE.search(text)
+    if not m or not m.group(1).strip():
+        return (None, None, None)
+    parts = [p.strip() for p in m.group(1).strip().split(",")]
+    if len(parts) == 1:
+        return (parts[0], None, None)
+    if len(parts) == 2:
+        return (parts[0], None, parts[1])
+    return (parts[0], parts[1], ", ".join(parts[2:]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.text(alphabet="abc xyz", min_size=1, max_size=8),
+                min_size=1,
+                max_size=4,
+            ),
+            st.booleans(),  # trailing sentence or end-of-string
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_extract_headquarters_matches_python_model(spark, cases):
+    from etl_8million_data__spark.functions.scalars import extract_headquarters
+
+    vals = [
+        "Acme Corp is headquartered in "
+        + ", ".join(p.strip() or "x" for p in parts)
+        + (". It makes things." if tail else "")
+        for parts, tail in cases
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    city, state, country = extract_headquarters(F.col("v"))
+    out = df.select(
+        city.alias("city"), state.alias("state"), country.alias("country")
+    ).collect()
+    for v, r in zip(vals, out):
+        assert (r["city"], r["state"], r["country"]) == _hq_model(v), v
