@@ -1,0 +1,38 @@
+"""connected_components unit tests on adversarial graph shapes (the
+oracle-gated query covers real LSH pair data; these cover topology)."""
+
+from __future__ import annotations
+
+from etl_8million_data__spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    edf = spark.createDataFrame(edges or [(None, None)], "src bigint, dst bigint")
+    if not edges:
+        edf = edf.filter("src IS NOT NULL")
+    got = connected_components(ndf, edf)
+    return {r.node: r.component for r in got.collect()}
+
+
+def test_chain_graph_worst_case_diameter(spark):
+    # path 0-1-2-...-15 converges to min label 0 despite diameter 15
+    nodes = list(range(16)) + [99]  # 99 isolated
+    edges = [(i, i + 1) for i in range(15)]
+    comp = _cc(spark, nodes, edges)
+    assert all(comp[i] == 0 for i in range(16))
+    assert comp[99] == 99
+
+
+def test_two_cliques_and_orientation_independence(spark):
+    nodes = list(range(8))
+    # clique A: 0-3 (edges given forward), clique B: 4-7 (edges reversed)
+    edges = [(0, 1), (1, 2), (2, 3), (7, 6), (6, 5), (5, 4)]
+    comp = _cc(spark, nodes, edges)
+    assert {comp[i] for i in range(4)} == {0}
+    assert {comp[i] for i in range(4, 8)} == {4}
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _cc(spark, [3, 7, 11], [])
+    assert comp == {3: 3, 7: 7, 11: 11}
