@@ -27,13 +27,18 @@ def _fetch_one(symbol: str) -> dict:
     """Deterministic fixture payload in the reference's bronze shape
     (details.py:139-153): info + per-statement yearly/quarterly maps."""
     seed = sum(ord(c) for c in symbol)
-    dates = [f"{2022 + i}-12-31" for i in range(2)]
+    # distinct period-end dates per frequency: the fact PK is
+    # (stock, statement_type, metric, date) — no freq — so colliding
+    # dates across freqs would (correctly) collapse in the upsert
+    ends = {"yearly": "12-31", "quarterly": "03-31"}
     stmt = {
         freq: {
-            d: {f"metric_{m}": float(seed * 100 + i * 10 + m) for m in range(3)}
-            for i, d in enumerate(dates)
+            f"{2022 + i}-{end}": {
+                f"metric_{m}": float(seed * 100 + i * 10 + m) for m in range(3)
+            }
+            for i in range(2)
         }
-        for freq in ("yearly", "quarterly")
+        for freq, end in ends.items()
     }
     return {
         "info": {"longName": f"Name {symbol}", "currency": "USD",
