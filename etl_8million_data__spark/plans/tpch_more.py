@@ -189,3 +189,53 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             (F.sum(cents("c_acctbal")) / 100.0).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q20_dominant_part_suppliers",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey, sum({sql_cents('l.l_quantity')}) AS sq
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_partkey, l.l_suppkey),
+    tot AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps JOIN tot USING (l_partkey)
+      WHERE ps.sq * 2 > tot.tq)
+    """,
+    tags=("tpch", "nested-in", "semi-join", "two-level-agg"),
+)
+def tpch_q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (`Financilas.py` has nothing like it; pure extension):
+    nested IN subqueries — part-name filter feeds a per-(part,supplier)
+    aggregate, compared against a per-part total, and the surviving
+    supplier keys semi-join the supplier dim. The fixture set has no
+    partsupp/availqty, so 1996 shipped quantity stands in for stock:
+    a supplier qualifies when it shipped >50% of a red-part's 1996
+    volume. Exact integer-cents quantity sums keep both engines
+    bit-identical. Scale notes: the part filter broadcasts; the second
+    aggregate re-uses the first's output (tiny, one extra exchange on
+    l_partkey); supplier-side is a broadcast semi join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    l96 = l.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).join(F.broadcast(part), l.l_partkey == part.p_partkey, "left_semi")
+    per_ps = l96.groupBy("l_partkey", "l_suppkey").agg(F.sum(cents("l_quantity")).alias("sq"))
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
