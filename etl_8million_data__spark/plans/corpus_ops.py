@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs
 from etl_8million_data__spark.operators.graph import connected_components
-from etl_8million_data__spark.operators.text import tokens
+from etl_8million_data__spark.operators.text import tokens, word_shingles
 from etl_8million_data__spark.plans.dedup import _BANDS, _PAIRS, _SHINGLED, _SIG
 from etl_8million_data__spark.plans.registry import register
 
@@ -295,4 +295,108 @@ def corpus_token_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("occurrences"),
         )
         .select("doc_id", "token", "first_pos", "occurrences")
+    )
+
+
+@register(
+    "corpus_benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, source, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i : i + 2], ' ') AS gram
+      FROM idx),
+    probe AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    corpus AS (SELECT * FROM grams WHERE source <> 'src0')
+    SELECT c.doc_id, c.source, count(*) AS n_grams,
+           count(p.gram) AS n_contaminated,
+           CAST(count(p.gram) AS DOUBLE) / count(*) AS contamination
+    FROM corpus c LEFT JOIN probe p ON c.gram = p.gram
+    GROUP BY c.doc_id, c.source
+    """,
+    tags=("text", "corpus", "contamination", "extension"),
+)
+def corpus_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the LLM-pipeline op of scanning
+    a training corpus for n-gram overlap with a held-out benchmark
+    (here: source `src0` plays the benchmark, everything else is the
+    corpus; 3-grams so the fixture vocabulary actually collides — real
+    corpora use 8-13). Per corpus doc: distinct word n-grams, how many
+    appear anywhere in the benchmark, and the contaminated fraction.
+    Scale shape: the benchmark gram set is small by construction →
+    broadcast left join against it; the corpus side is a narrow
+    explode + distinct keyed by (doc_id, gram), so the one shuffle
+    carries grams, not documents. No Python in the path."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram"),
+    ).distinct()
+    probe = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.col("gram").alias("pgram"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(probe), corpus.gram == probe.pgram, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("pgram").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
+@register(
+    "corpus_pack_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM toks)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(tokens_before / 256) AS BIGINT) AS bin_id
+    FROM cum
+    """,
+    tags=("text", "corpus", "packing", "window", "extension"),
+)
+def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch assembly: stream each
+    source's documents in doc_id order into ~256-token bins (bin_id =
+    exclusive running token count // budget — contiguous chunking, the
+    streaming-friendly cousin of greedy bin packing: a doc may straddle
+    a boundary rather than open a new bin). One window per source
+    partition — sources are independent, so at 100 TB this is
+    embarrassingly parallel across the partition key with no global
+    sort; token counts are exact ints so both engines agree."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("tokens_before") / 256).cast("bigint").alias("bin_id"),
+        )
     )

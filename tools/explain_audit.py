@@ -27,6 +27,8 @@ AUDIT = {
     "corpus_term_frequencies": ["TakeOrderedAndProject", "HashAggregate"],
     "tpch_q21_suppliers_kept_waiting": ["LeftSemi", "HashAggregate"],
     "tpch_q17_small_quantity_revenue": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_q20_dominant_part_suppliers": ["BroadcastHashJoin", "LeftSemi", "HashAggregate"],
+    "corpus_benchmark_contamination": ["BroadcastHashJoin", "HashAggregate"],
     "tpch_q10_returned_item_top_customers": ["TakeOrderedAndProject", "PushedFilters"],
     "window_rank_zoo_per_customer": ["Window"],
 }
