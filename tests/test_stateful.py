@@ -22,3 +22,39 @@ def test_user_ema_stream_matches_batch(spark, sf_dir):
         n_s, ema_s = stream_rows[uid]
         assert n_s == n_b
         assert abs(ema_s - ema_b) < 1e-9, f"user {uid}: {ema_s} vs {ema_b}"
+
+
+def test_user_ema_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (new API, RocksDB state store) must
+    produce the identical per-user fold as the old API and the batch
+    oracle twin. The new API's state protocol requires the protobuf
+    package; skip where it isn't installed (the old-API test above
+    still covers the operator's semantics)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from etl_8million_data__spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        user_ema_tws_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            stream = user_ema_tws_stream(read_events_stream(spark, sf_dir))
+            got = run_available_now(stream, "t_ema_tws", "update", ckpt)
+            stream_rows = {r.user_id: (r.n_events, r.ema_value) for r in got.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = all_queries()["events_user_ema"].build(spark, sf_dir)
+    batch_rows = {r.user_id: (r.n_events, r.ema_value) for r in batch.collect()}
+    assert set(stream_rows) == set(batch_rows)
+    for uid, (n_b, ema_b) in batch_rows.items():
+        n_s, ema_s = stream_rows[uid]
+        assert n_s == n_b
+        assert abs(ema_s - ema_b) < 1e-9, f"user {uid}: {ema_s} vs {ema_b}"
