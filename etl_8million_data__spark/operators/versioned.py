@@ -1,0 +1,160 @@
+"""Versioned Parquet tables: snapshot commits, time travel, rollback,
+vacuum — the slice of a table format (Delta/Iceberg-style) this engine
+needs to make its upsert sink (operators/upsert.py, re-expressing the
+reference's ON DUPLICATE KEY semantics, Financilas.py:167-184) safe for
+concurrent readers and auditable over time.
+
+Layout::
+
+    table/
+      _manifest.json          {"current": 3, "versions": {"1": {...}}}
+      v00001/ v00002/ ...     immutable Parquet snapshot directories
+
+Commit protocol (single writer, many readers):
+1. write the new snapshot to the next ``vNNNNN`` directory (never
+   touching any existing one);
+2. atomically replace ``_manifest.json`` (``os.replace``) to point
+   ``current`` at it.
+
+A reader resolves the manifest once, then reads an immutable directory:
+it sees the pre- or post-commit snapshot, never a partial one —
+snapshot isolation without locks. Rollback commits a new version whose
+entry *references* the old snapshot directory (no data copy), so vacuum
+refcounts directories before deleting. On a real cluster the same
+protocol works on any store with atomic rename (HDFS) or
+put-if-absent (S3 + a commit service); multi-writer needs a lock
+service or a log-structured manifest — out of scope here, as the
+pipelines are single-writer per table by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_8million_data__spark.operators.upsert import last_writer_wins
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _load_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {"current": 0, "versions": {}}
+    with open(mp, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _store_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))  # atomic on POSIX
+
+
+def commit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    op: str = "write",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as the table's next snapshot; returns the version."""
+    os.makedirs(path, exist_ok=True)
+    m = _load_manifest(path)
+    version = m["current"] + 1
+    snap_dir = f"v{version:05d}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(path, snap_dir))
+    m["versions"][str(version)] = {"dir": snap_dir, "ts": time.time(), "op": op}
+    m["current"] = version
+    _store_manifest(path, m)
+    return version
+
+
+def read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    m = _load_manifest(path)
+    v = m["current"] if version is None else version
+    entry = m["versions"].get(str(v))
+    if entry is None:
+        raise ValueError(f"{path}: no version {v} (current={m['current']})")
+    return spark.read.parquet(os.path.join(path, entry["dir"]))
+
+
+def versions(path: str) -> list[dict]:
+    """Commit history, oldest first: [{version, dir, ts, op}, ...]."""
+    m = _load_manifest(path)
+    return [
+        {"version": int(k), **v}
+        for k, v in sorted(m["versions"].items(), key=lambda kv: int(kv[0]))
+    ]
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Commit a new version pointing at an old snapshot's data (no
+    copy); the rolled-back-from version stays in history."""
+    m = _load_manifest(path)
+    entry = m["versions"].get(str(to_version))
+    if entry is None:
+        raise ValueError(f"{path}: no version {to_version}")
+    version = m["current"] + 1
+    m["versions"][str(version)] = {
+        "dir": entry["dir"],
+        "ts": time.time(),
+        "op": f"rollback->{to_version}",
+    }
+    m["current"] = version
+    _store_manifest(path, m)
+    return version
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the last ``keep_last`` versions from history and
+    delete snapshot directories no surviving version references (a
+    rollback target shared with a kept version survives). Returns the
+    dropped version numbers."""
+    m = _load_manifest(path)
+    keep_last = max(keep_last, 1)
+    ordered = sorted(int(k) for k in m["versions"])
+    dropped = ordered[:-keep_last]
+    kept_dirs = {m["versions"][str(v)]["dir"] for v in ordered[-keep_last:]}
+    for v in dropped:
+        d = m["versions"].pop(str(v))["dir"]
+        if d not in kept_dirs and os.path.exists(os.path.join(path, d)):
+            shutil.rmtree(os.path.join(path, d))
+    _store_manifest(path, m)
+    return dropped
+
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Last-writer-wins merge committed as a new snapshot (the
+    versioned twin of operators/upsert.upsert_parquet): read current,
+    union, window-dedup per key, commit. Returns the new version."""
+    m = _load_manifest(path) if os.path.exists(path) else {"current": 0}
+    if m["current"]:
+        merged = read(spark, path).unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    deduped = last_writer_wins(merged, keys, order_col, tiebreak)
+    return commit(spark, deduped, path, op="upsert", partition_by=partition_by)

@@ -1,0 +1,74 @@
+"""Versioned-table operator: snapshot isolation, time travel, rollback,
+refcounted vacuum (operators/versioned.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from etl_8million_data__spark.operators import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k string, v int, ts int")
+
+
+def test_commit_read_and_time_travel(spark, table):
+    v1 = V.commit(spark, _rows(spark, [("a", 1, 1), ("b", 2, 1)]), table)
+    v2 = V.upsert(
+        spark, _rows(spark, [("b", 20, 2), ("c", 30, 2)]), table, ["k"], "ts"
+    )
+    assert (v1, v2) == (1, 2)
+    latest = {r.k: r.v for r in V.read(spark, table).collect()}
+    assert latest == {"a": 1, "b": 20, "c": 30}
+    # time travel: version 1 unchanged by the upsert
+    old = {r.k: r.v for r in V.read(spark, table, version=1).collect()}
+    assert old == {"a": 1, "b": 2}
+    ops = [e["op"] for e in V.versions(table)]
+    assert ops == ["write", "upsert"]
+
+
+def test_reader_snapshot_isolation(spark, table):
+    V.commit(spark, _rows(spark, [("a", 1, 1)]), table)
+    handle = V.read(spark, table)  # lazy plan pinned to the v1 directory
+    V.commit(spark, _rows(spark, [("a", 999, 2)]), table)
+    # the in-flight reader still sees its snapshot, post-commit readers the new one
+    assert [r.v for r in handle.collect()] == [1]
+    assert [r.v for r in V.read(spark, table).collect()] == [999]
+
+
+def test_rollback_is_a_new_version_without_copy(spark, table):
+    V.commit(spark, _rows(spark, [("a", 1, 1)]), table)
+    V.commit(spark, _rows(spark, [("a", 2, 2)]), table)
+    v3 = V.rollback(table, to_version=1)
+    assert v3 == 3
+    assert [r.v for r in V.read(spark, table).collect()] == [1]
+    vs = {e["version"]: e["dir"] for e in V.versions(table)}
+    assert vs[3] == vs[1]  # shared data directory, no copy
+
+
+def test_vacuum_refcounts_shared_dirs(spark, table):
+    V.commit(spark, _rows(spark, [("a", 1, 1)]), table)
+    V.commit(spark, _rows(spark, [("a", 2, 2)]), table)
+    V.rollback(table, to_version=1)  # v3 -> v1's dir
+    dropped = V.vacuum(table, keep_last=1)
+    assert dropped == [1, 2]
+    # v1's dir survives (referenced by kept v3); v2's dir is deleted
+    assert os.path.isdir(os.path.join(table, "v00001"))
+    assert not os.path.exists(os.path.join(table, "v00002"))
+    assert [r.v for r in V.read(spark, table).collect()] == [1]
+    with pytest.raises(ValueError):
+        V.read(spark, table, version=2)
+
+
+def test_upsert_on_empty_table_bootstraps(spark, table):
+    v = V.upsert(spark, _rows(spark, [("x", 7, 1)]), table, ["k"], "ts")
+    assert v == 1
+    assert [r.v for r in V.read(spark, table).collect()] == [7]
