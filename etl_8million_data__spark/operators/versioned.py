@@ -35,6 +35,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_8million_data__spark.operators.upsert import last_writer_wins
 
@@ -158,3 +159,59 @@ def upsert(
         merged = updates
     deduped = last_writer_wins(merged, keys, order_col, tiebreak)
     return commit(spark, deduped, path, op="upsert", partition_by=partition_by)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots (CDC read): one row per
+    changed key with ``_change_type`` in insert / update / delete and
+    the *post-image* values (pre-image for deletes). Computed as a full
+    outer join of the two immutable snapshots on the key — at scale
+    both sides are partition-pruned Parquet scans and the join shuffles
+    on the key only; for tables with a recency column an incremental
+    log would be cheaper, but a diff of snapshots is always available
+    and needs no write-path cooperation."""
+    before = read(spark, path, version=from_version)
+    after = read(spark, path, version=to_version)
+    val_cols = [c for c in after.columns if c not in keys]
+    b = before.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in val_cols],
+    )
+    a = after.select(
+        *[F.col(k).alias(f"_a_{k}") for k in keys],
+        *[F.col(c).alias(f"_a_{c}") for c in val_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_b_{k}") == F.col(f"_a_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = b.join(a, cond, "full_outer")
+    in_after = F.col(f"_a_{keys[0]}").isNotNull()
+    in_before = F.col(f"_b_{keys[0]}").isNotNull()
+    changed = None
+    for c in val_cols:
+        ne = ~F.col(f"_b_{c}").eqNullSafe(F.col(f"_a_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(in_after & ~in_before, F.lit("insert"))
+        .when(~in_after & in_before, F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_a_{k}"), F.col(f"_b_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(in_after, F.col(f"_a_{c}")).otherwise(F.col(f"_b_{c}")).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("_change_type", change_type)
+        .filter(F.col("_change_type").isNotNull())
+        .select("_change_type", *out_keys, *out_vals)
+    )

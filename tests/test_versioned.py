@@ -72,3 +72,19 @@ def test_upsert_on_empty_table_bootstraps(spark, table):
     v = V.upsert(spark, _rows(spark, [("x", 7, 1)]), table, ["k"], "ts")
     assert v == 1
     assert [r.v for r in V.read(spark, table).collect()] == [7]
+
+
+def test_table_changes_cdc_diff(spark, table):
+    V.commit(spark, _rows(spark, [("a", 1, 1), ("b", 2, 1), ("d", 4, 1)]), table)
+    # v2: b updated, c inserted, d deleted (upsert can't delete -> commit)
+    V.commit(spark, _rows(spark, [("a", 1, 1), ("b", 20, 2), ("c", 30, 2)]), table)
+    changes = {
+        r.k: (r._change_type, r.v)
+        for r in V.table_changes(spark, table, ["k"], from_version=1).collect()
+    }
+    # unchanged key 'a' is absent; post-image for insert/update, pre-image for delete
+    assert changes == {
+        "b": ("update", 20),
+        "c": ("insert", 30),
+        "d": ("delete", 4),
+    }
