@@ -358,3 +358,29 @@ def window_rank_zoo_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("last_price_cents"),
     )
+
+
+@register(
+    "histogram_order_totalprice",
+    oracle=f"""
+    SELECT least(CAST(floor(o_totalprice / 25000) AS INTEGER), 19) AS bucket,
+           count(*) AS n_orders,
+           sum({sql_cents('o_totalprice')}) / 100.0 AS total_value
+    FROM orders GROUP BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width_bucket shape): 25k-wide
+    buckets with the last bucket open-ended. One map-side-combined
+    hash aggregate on a derived integer key — the profile/skew-probe
+    primitive for choosing partition bounds at scale. Exact cents
+    sums keep the per-bucket totals hash-identical to the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19)
+    ).alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents("o_totalprice")) / 100.0).alias("total_value"),
+    )

@@ -171,3 +171,45 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         (dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= 0.4)
+
+
+@register(
+    "embedding_norm_stats_per_label",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+               AS BIGINT) AS norm_micro
+      FROM embeddings)
+    SELECT label, count(*) AS n_vectors,
+           sum(norm_micro) / (1000000.0 * count(*)) AS avg_norm,
+           min(norm_micro) / 1000000.0 AS min_norm,
+           max(norm_micro) / 1000000.0 AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("similarity", "embedding", "stats", "extension"),
+)
+def embedding_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the sanity
+    gate before any cosine-based dedup/search (un-normalized vectors
+    silently break cosine thresholds). Per-row norms are computed in
+    one narrow pass, micro-rounded to exact integers so the cross-row
+    aggregation is order-insensitive and bit-identical to the oracle
+    (the engines' float fold orders differ only below 1e-6)."""
+    from etl_8million_data__spark.operators.similarity import norm2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_micro = (
+        F.round(F.sqrt(norm2(F.col("embedding"))) * 1_000_000).cast("bigint")
+    )
+    return (
+        e.select("label", norm_micro.alias("norm_micro"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("norm_micro") / (1_000_000.0 * F.count(F.lit(1)))).alias("avg_norm"),
+            (F.min("norm_micro") / 1_000_000.0).alias("min_norm"),
+            (F.max("norm_micro") / 1_000_000.0).alias("max_norm"),
+        )
+    )
