@@ -67,8 +67,15 @@ def commit(
     path: str,
     op: str = "write",
     partition_by: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
-    """Write ``df`` as the table's next snapshot; returns the version."""
+    """Write ``df`` as the table's next snapshot; returns the version.
+
+    ``batch_id`` records a streaming micro-batch id in the manifest
+    (``last_batch_id``) — the idempotence token for foreachBatch
+    sinks: a replayed batch is detected by ``last_committed_batch``
+    and skipped, giving exactly-once table commits over Spark's
+    at-least-once batch redelivery."""
     os.makedirs(path, exist_ok=True)
     m = _load_manifest(path)
     version = m["current"] + 1
@@ -77,10 +84,19 @@ def commit(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(path, snap_dir))
-    m["versions"][str(version)] = {"dir": snap_dir, "ts": time.time(), "op": op}
+    entry = {"dir": snap_dir, "ts": time.time(), "op": op}
+    if batch_id is not None:
+        entry["batch_id"] = batch_id
+        m["last_batch_id"] = batch_id
+    m["versions"][str(version)] = entry
     m["current"] = version
     _store_manifest(path, m)
     return version
+
+
+def last_committed_batch(path: str) -> int | None:
+    """Highest streaming batch_id ever committed, or None."""
+    return _load_manifest(path).get("last_batch_id")
 
 
 def read(
@@ -148,6 +164,7 @@ def upsert(
     order_col: str,
     tiebreak: str | None = None,
     partition_by: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Last-writer-wins merge committed as a new snapshot (the
     versioned twin of operators/upsert.upsert_parquet): read current,
@@ -158,7 +175,9 @@ def upsert(
     else:
         merged = updates
     deduped = last_writer_wins(merged, keys, order_col, tiebreak)
-    return commit(spark, deduped, path, op="upsert", partition_by=partition_by)
+    return commit(
+        spark, deduped, path, op="upsert", partition_by=partition_by, batch_id=batch_id
+    )
 
 
 def table_changes(

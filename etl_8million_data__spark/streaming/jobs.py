@@ -181,3 +181,36 @@ def click_purchase_pairs_stream(
         & (F.col("click_ts") < F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "click_id", "user_id")
+
+
+def stream_upsert_versioned(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """writeStream.foreachBatch -> *versioned* keyed upsert with
+    exactly-once table commits: foreachBatch is at-least-once (a batch
+    is redelivered after a failure between sink write and checkpoint
+    commit), so each micro-batch's id is recorded in the table manifest
+    and a batch at-or-below the last committed id is skipped instead of
+    re-applied. The upsert itself is idempotent for identical rows, but
+    skipping also keeps the version history replay-clean (no spurious
+    snapshots), which vacuum/time-travel consumers see."""
+    from etl_8million_data__spark.operators import versioned as V
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = V.last_committed_batch(path)
+        if last is not None and batch_id <= last:
+            return
+        V.upsert(
+            batch_df.sparkSession, batch_df, path, keys, order_col, batch_id=batch_id
+        )
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,3 +88,35 @@ def test_table_changes_cdc_diff(spark, table):
         "c": ("insert", 30),
         "d": ("delete", 4),
     }
+
+
+def test_stream_upsert_versioned_exactly_once(spark, sf_dir, table):
+    """A replayed micro-batch (fresh checkpoint, same input) must not
+    create a new table version: the manifest's last_batch_id makes the
+    foreachBatch sink exactly-once at the table level."""
+    import tempfile
+
+    from etl_8million_data__spark.streaming.jobs import (
+        read_events_stream,
+        stream_upsert_versioned,
+    )
+
+    def run_once():
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = stream_upsert_versioned(
+                read_events_stream(spark, sf_dir),
+                table,
+                keys=["user_id", "event_type"],
+                order_col="ts",
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination()
+
+    run_once()
+    n_rows = V.read(spark, table).count()
+    n_versions = len(V.versions(table))
+    assert n_versions == 1 and n_rows > 0
+    # fresh checkpoint => Spark redelivers batch 0; the sink must skip it
+    run_once()
+    assert len(V.versions(table)) == n_versions
+    assert V.read(spark, table).count() == n_rows
