@@ -239,3 +239,38 @@ def test_dynamic_partition_pruning(spark, sf_dir):
         assert "dynamicpruningexpression" in plan, plan
         expected = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
         assert q.count() == expected
+
+
+def test_zstd_compression_smaller_and_exact(spark, sf_dir):
+    """Storage codec choice is a first-order cost at 100 TB: zstd
+    parquet must round-trip bit-exact and beat snappy's footprint on
+    the lineitem fact (dictionary+zstd compresses the low-cardinality
+    string columns hard)."""
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        for codec in ("snappy", "zstd"):
+            li.write.option("compression", codec).mode("overwrite").parquet(
+                f"{d}/{codec}"
+            )
+        size = {
+            c: sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(f"{d}/{c}")
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            for c in ("snappy", "zstd")
+        }
+        assert size["zstd"] < size["snappy"], size
+        back = spark.read.parquet(f"{d}/zstd")
+        assert back.count() == li.count()
+        # exact content signature both ways (integer cents, order-free)
+        sig = lambda df: df.selectExpr(
+            "sum(cast(round(l_extendedprice*100) as bigint)) as s",
+            "sum(l_orderkey) as k",
+            "count(*) as n",
+        ).collect()[0]
+        assert sig(back) == sig(li)
