@@ -400,3 +400,36 @@ def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("tokens_before") / 256).cast("bigint").alias("bin_id"),
         )
     )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+    mn AS (SELECT min(n_lang) AS min_n FROM cnt)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cnt USING (lang) CROSS JOIN mn
+    WHERE ((d.doc_id * 2654435761 + 104729) % 4294967296) % 1000
+          < (1000 * min_n) // n_lang
+    """,
+    tags=("corpus", "sampling", "extension"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing stratified downsample: every language is kept at
+    ~the rarest language's row count. The per-stratum keep rate is
+    derived on the fly (tiny groupBy, broadcast back onto the fact —
+    at 100 TB the rate table is KBs while the scan stays one pass), and
+    membership comes from the deterministic multiplicative doc_id hash,
+    so the sample is reproducible across engines, runs, and partitioning
+    — none of which holds for rand()-based sampleBy. Thresholds use
+    integer div only, exact in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = cnt.agg(F.min("n_lang").alias("min_n"))
+    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    return (
+        d.join(F.broadcast(cnt), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket < F.expr("(1000 * min_n) div n_lang"))
+        .select("doc_id", "lang")
+    )

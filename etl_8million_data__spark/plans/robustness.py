@@ -77,3 +77,54 @@ def json_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["_corrupt_record"].isNotNull().alias("quarantined"),
         parsed["k"].alias("k"),
     )
+
+
+@register(
+    "data_quality_expectations",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) AS n_rows,
+        sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS v_qty,
+        sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS v_disc,
+        sum(CASE WHEN l_tax <= 0 THEN 1 ELSE 0 END) AS v_tax,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
+        sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
+      FROM lineitem)
+    SELECT 'quantity_in_1_50' AS rule, v_qty AS n_violations, n_rows FROM t
+    UNION ALL SELECT 'discount_le_5pct', v_disc, n_rows FROM t
+    UNION ALL SELECT 'tax_positive', v_tax, n_rows FROM t
+    UNION ALL SELECT 'shipdate_not_null', v_ship, n_rows FROM t
+    UNION ALL SELECT 'price_positive', v_price, n_rows FROM t
+    """,
+    tags=("quality", "expectations", "extension"),
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation report: N declared constraints checked
+    in ONE scan of the fact (conditional sums fold into a single
+    hash-free aggregate — the oracle's UNION-ALL form would scan five
+    times), then stack() unpivots the counters into a (rule,
+    n_violations, n_rows) report. Hard invariants (quantity domain,
+    non-null shipdate, positive price) sit alongside soft expectations
+    that do fire (discount cap, nonzero tax), so the report proves it
+    counts rather than just returning zeros."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        one(~F.col("l_quantity").between(1, 50)).alias("v_qty"),
+        one(F.col("l_discount") > 0.05).alias("v_disc"),
+        one(F.col("l_tax") <= 0).alias("v_tax"),
+        one(F.col("l_shipdate").isNull()).alias("v_ship"),
+        one(F.col("l_extendedprice") <= 0).alias("v_price"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'quantity_in_1_50', v_qty,"
+            " 'discount_le_5pct', v_disc,"
+            " 'tax_positive', v_tax,"
+            " 'shipdate_not_null', v_ship,"
+            " 'price_positive', v_price) as (rule, n_violations)"
+        ),
+        "n_rows",
+    )
