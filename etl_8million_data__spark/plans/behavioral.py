@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.functions.exact import cents, sql_cents
 from etl_8million_data__spark.plans.registry import register
 
 
@@ -102,4 +103,80 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("behavioral", "window", "extension"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    of each user: one lag window partitioned by user (shuffle keyed on
+    user_id scales out; no global sort), then a tiny |types|^2
+    aggregate. (ts, event_id) ordering makes ties deterministic in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "events_value_outliers_zscore",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, {sql_cents('value')} AS v FROM events),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ssq
+      FROM c GROUP BY event_type)
+    SELECT c.event_type, c.event_id, c.v AS value_cents
+    FROM c JOIN g USING (event_type)
+    WHERE (c.v*n - s) * (c.v*n - s) > 9 * (n*ssq - s*s)
+    """,
+    tags=("behavioral", "outliers", "exact", "extension"),
+)
+def events_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outliers per event_type with EXACT membership: the
+    z-score test |v - mean| > 3*sigma is cleared of division and sqrt
+    by multiplying through by n^2 — (v*n - s)^2 > 9*(n*ssq - s^2) — so
+    the decision is pure integer-cents arithmetic and both engines flag
+    the identical row set (float sigma would disagree at the boundary).
+    One scan computes the per-type moments (5 groups, broadcast back),
+    one scan filters; the squared terms go through decimal(38,0) so the
+    test survives group sums far past bigint range."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select("event_type", "event_id", cents("value").alias("v"))
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+    )
+    D = "decimal(38,0)"
+    dev = (F.col("v") * F.col("n") - F.col("s")).cast(D)
+    spread = F.col("n").cast(D) * F.col("ssq") - F.col("s").cast(D) * F.col("s")
+    return (
+        c.join(F.broadcast(g), "event_type")
+        .filter(dev * dev > 9 * spread)
+        .select("event_type", "event_id", F.col("v").alias("value_cents"))
     )
