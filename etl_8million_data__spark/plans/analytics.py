@@ -384,3 +384,46 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(cents("o_totalprice")) / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "quantile_binning_order_value",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority,
+             ntile(4) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY {sql_cents('o_totalprice')}, o_orderkey) AS bin,
+             {sql_cents('o_totalprice')} AS price_cents
+      FROM orders)
+    SELECT o_orderpriority, bin, count(*) AS n_orders,
+           min(price_cents) AS lo_cents, max(price_cents) AS hi_cents
+    FROM b GROUP BY o_orderpriority, bin
+    """,
+    tags=("binning", "window", "feature-eng", "extension"),
+)
+def quantile_binning_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (feature-engineering quartiles):
+    ntile(4) per order priority yields per-stratum bin edges. The
+    window partitions on the stratum key, so the sort is distributed
+    per group — never a single global sort — and scales with the
+    widest stratum. Ordering on (price_cents, o_orderkey) totalizes
+    ties, making bin membership — and thus the min/max edges —
+    identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("bin"),
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price_cents").alias("lo_cents"),
+            F.max("price_cents").alias("hi_cents"),
+        )
+    )
