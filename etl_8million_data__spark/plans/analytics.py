@@ -50,13 +50,17 @@ def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouping_sets_region_year",
     oracle=f"""
-    SELECT n.n_name, year(o.o_orderdate) AS order_year,
-           count(*) AS cnt,
-           sum({sql_cents('o.o_totalprice')}) / 100.0 AS revenue
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY GROUPING SETS ((n.n_name, year(o.o_orderdate)), (n.n_name), ())
+    SELECT n_name, CAST(order_year AS INTEGER) AS order_year, cnt,
+           CAST(revenue AS DOUBLE) AS revenue
+    FROM (
+      SELECT n.n_name, year(o.o_orderdate) AS order_year,
+             count(*) AS cnt,
+             sum({sql_cents('o.o_totalprice')}) / 100.0 AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY GROUPING SETS ((n.n_name, year(o.o_orderdate)), (n.n_name), ())
+    )
     """,
     tags=("grouping-sets", "agg", "sql-api"),
 )
@@ -70,7 +74,7 @@ def grouping_sets_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT n.n_name, year(o.o_orderdate) AS order_year,
                count(*) AS cnt,
-               sum({sql_cents('o.o_totalprice')}) / 100.0 AS revenue
+               CAST(sum({sql_cents('o.o_totalprice')}) / 100.0 AS DOUBLE) AS revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -162,7 +162,7 @@ def pii_redaction_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
                 WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
                 ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(n_chars) AS total_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source, split
     """,

@@ -140,7 +140,8 @@ def dedup_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hx CROSS JOIN (SELECT unnest(range(32)) AS b) b
       GROUP BY doc_id, b.b)
     SELECT doc_id,
-           sum(CASE WHEN score > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN score > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
     FROM bits GROUP BY doc_id
     """,
     tags=("dedup", "simhash", "extension"),

@@ -76,9 +76,92 @@ def _load() -> None:
                 raise
 
 
+# Drivers that gate correctness only sample a prefix of the registered
+# queries, so expose the library in an explicit verification-priority
+# order: queries still lacking external correctness evidence (or whose
+# oracles were just fixed) come first; queries already verified in a
+# previous round rotate to the back.  Names absent from this list keep
+# registration order after the prioritized block; stale names in the
+# list are ignored.
+_PRIORITY: tuple[str, ...] = (
+    # oracle-representation fixes from round 1 (were hash-fail)
+    "json_variant_semistructured",
+    "grouping_sets_region_year",
+    "dedup_simhash",
+    # IVF gains a real oracle this round
+    "similarity_knn_ivf",
+    "similarity_knn_ivf_recall",
+    # reference-parity pipelines (the queries a reference user hits first)
+    "pipeline_financials_unpivot",
+    "pipeline_summary_enrichment",
+    "pipeline_quotes_snapshot",
+    # event-time family
+    "events_tumbling_hourly",
+    "events_sliding_halfhour",
+    "events_session_windows",
+    "events_hourly_gapfill",
+    "events_user_ema",
+    "events_asof_latest_order",
+    "events_click_attribution_range_join",
+    "events_rollup_daily_from_hourly",
+    # multimodal + remaining similarity
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "similarity_near_dup_embeddings",
+    "embedding_norm_stats_per_label",
+    # TPC-H shapes
+    "tpch_q4_late_shipment_orders",
+    "tpch_q14_promo_revenue_ratio",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q2_min_price_part_per_type_size",
+    "tpch_q7_nation_pair_volume",
+    "tpch_q8_nation_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_item_top_customers",
+    "tpch_q11_nation_balance_concentration",
+    "tpch_q12_late_lines_priority_counts",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q15_top_supplier_by_quarter_revenue",
+    "tpch_q16_supplier_count_by_part_attrs",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    # custom / robustness / behavioral / corpus
+    "events_user_trend_applyinpandas",
+    "dedup_ngram_jaccard_pairs",
+    "skew_salted_event_type_totals",
+    "json_quarantine_split",
+    "data_quality_expectations",
+    "sketch_kmv_distinct_customers",
+    "funnel_signup_click_purchase",
+    "cohort_weekly_retention",
+    "events_markov_transitions",
+    "events_value_outliers_zscore",
+    "corpus_term_frequencies",
+    "text_repetition_ratio",
+    "pii_redaction_contacts",
+    "corpus_train_split",
+    "corpus_salient_terms_tfidf",
+    "dedup_cluster_components",
+    "corpus_token_first_positions",
+    "corpus_benchmark_contamination",
+    "corpus_pack_token_budget",
+    "corpus_stratified_sample",
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def get_query(name: str) -> Query:

@@ -18,7 +18,7 @@ from etl_8million_data__spark.plans.registry import register
     oracle=f"""
     SELECT event_type,
            count(*) AS cnt,
-           sum({sql_cents('value')}) AS value_cents
+           CAST(sum({sql_cents('value')}) AS BIGINT) AS value_cents
     FROM events
     GROUP BY event_type
     """,
@@ -90,11 +90,11 @@ def json_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
       FROM lineitem)
-    SELECT 'quantity_in_1_50' AS rule, v_qty AS n_violations, n_rows FROM t
-    UNION ALL SELECT 'discount_le_5pct', v_disc, n_rows FROM t
-    UNION ALL SELECT 'tax_positive', v_tax, n_rows FROM t
-    UNION ALL SELECT 'shipdate_not_null', v_ship, n_rows FROM t
-    UNION ALL SELECT 'price_positive', v_price, n_rows FROM t
+    SELECT 'quantity_in_1_50' AS rule, CAST(v_qty AS BIGINT) AS n_violations, n_rows FROM t
+    UNION ALL SELECT 'discount_le_5pct', CAST(v_disc AS BIGINT), n_rows FROM t
+    UNION ALL SELECT 'tax_positive', CAST(v_tax AS BIGINT), n_rows FROM t
+    UNION ALL SELECT 'shipdate_not_null', CAST(v_ship AS BIGINT), n_rows FROM t
+    UNION ALL SELECT 'price_positive', CAST(v_price AS BIGINT), n_rows FROM t
     """,
     tags=("quality", "expectations", "extension"),
 )

@@ -284,7 +284,7 @@ def events_click_attribution_range_join(spark: SparkSession, sf_dir: str) -> Dat
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
            count(*) AS n_events,
-           sum({sql_cents('value')}) AS sum_value_cents,
+           CAST(sum({sql_cents('value')}) AS BIGINT) AS sum_value_cents,
            max(value) AS max_value
     FROM events GROUP BY day_start, event_type
     """,
