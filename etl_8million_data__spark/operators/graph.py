@@ -42,6 +42,9 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    changed = 0
     for _ in range(max_iter):
         # A node's new label: min of its own and all neighbours' labels.
         nbr = labels.join(e, labels.node == e.src).select(
@@ -63,4 +66,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exiting here would hand back silently-wrong labels for any
+        # graph whose diameter exceeds max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (graph diameter too large for min-label propagation); "
+            "raise max_iter or use a large-star/small-star variant"
+        )
     return labels.select("node", F.col("label").alias("component"))

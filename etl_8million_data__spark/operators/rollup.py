@@ -65,6 +65,16 @@ def refresh_rollup(
 
     delta = hourly_rollup(late_events)
     existing = spark.read.parquet(rollup_path)
+    # Monotonic refresh token: strictly above every version already in
+    # the snapshot, so last-writer-wins always prefers the re-merged
+    # bucket over the stored one (a constant would tie after the first
+    # refresh and pick nondeterministically).  One-row driver read of
+    # the small materialized rollup — not a fact-table scan.
+    if "_v" in existing.columns:
+        prev_v = existing.agg(F.max("_v")).first()[0] or 0
+        existing = existing.drop("_v")
+    else:
+        prev_v = 0
     touched = delta.select("hour_start", "event_type").distinct()
     merged = (
         existing.join(
@@ -82,7 +92,7 @@ def refresh_rollup(
             F.sum("sum_value_cents").alias("sum_value_cents"),
             F.max("max_value").alias("max_value"),
         )
-        .withColumn("_v", F.lit(1))
+        .withColumn("_v", F.lit(prev_v + 1))
     )
     upsert_parquet(
         spark,

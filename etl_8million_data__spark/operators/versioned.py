@@ -68,14 +68,18 @@ def commit(
     op: str = "write",
     partition_by: list[str] | None = None,
     batch_id: int | None = None,
+    query_id: str | None = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot; returns the version.
 
-    ``batch_id`` records a streaming micro-batch id in the manifest
-    (``last_batch_id``) — the idempotence token for foreachBatch
-    sinks: a replayed batch is detected by ``last_committed_batch``
-    and skipped, giving exactly-once table commits over Spark's
-    at-least-once batch redelivery."""
+    ``batch_id`` records a streaming micro-batch id in the manifest —
+    the idempotence token for foreachBatch sinks.  It is scoped to
+    ``query_id`` (Delta-style ``txnAppId``): batch ids restart from 0
+    for every fresh checkpoint, so a *global* high-water mark would
+    silently drop the first batches of a brand-new stream writing to an
+    existing table.  A replayed (query_id, batch_id) is detected by
+    ``last_committed_batch`` and skipped, giving exactly-once table
+    commits over Spark's at-least-once batch redelivery."""
     os.makedirs(path, exist_ok=True)
     m = _load_manifest(path)
     version = m["current"] + 1
@@ -86,17 +90,20 @@ def commit(
     writer.parquet(os.path.join(path, snap_dir))
     entry = {"dir": snap_dir, "ts": time.time(), "op": op}
     if batch_id is not None:
+        scope = query_id or "_default"
         entry["batch_id"] = batch_id
-        m["last_batch_id"] = batch_id
+        entry["query_id"] = scope
+        m.setdefault("last_batch_ids", {})[scope] = batch_id
     m["versions"][str(version)] = entry
     m["current"] = version
     _store_manifest(path, m)
     return version
 
 
-def last_committed_batch(path: str) -> int | None:
-    """Highest streaming batch_id ever committed, or None."""
-    return _load_manifest(path).get("last_batch_id")
+def last_committed_batch(path: str, query_id: str | None = None) -> int | None:
+    """Highest streaming batch_id committed *by this query* (scoped
+    like Delta's txnAppId/txnVersion), or None."""
+    return _load_manifest(path).get("last_batch_ids", {}).get(query_id or "_default")
 
 
 def read(
@@ -138,16 +145,31 @@ def rollback(path: str, to_version: int) -> int:
     return version
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[int]:
+def vacuum(path: str, keep_last: int = 1, retention_s: float = 0.0) -> list[int]:
     """Drop all but the last ``keep_last`` versions from history and
     delete snapshot directories no surviving version references (a
     rollback target shared with a kept version survives). Returns the
-    dropped version numbers."""
+    dropped version numbers.
+
+    ``retention_s`` is the reader-protection window (Delta/Iceberg
+    retention semantics): versions committed within the last
+    ``retention_s`` seconds are kept even beyond ``keep_last``, so a
+    reader pinned to a recent snapshot cannot have its files deleted
+    mid-scan. The default of 0 deletes eagerly and is only safe when
+    readers are quiesced — production callers should pass a window
+    larger than their longest-running read."""
     m = _load_manifest(path)
     keep_last = max(keep_last, 1)
+    now = time.time()
     ordered = sorted(int(k) for k in m["versions"])
-    dropped = ordered[:-keep_last]
-    kept_dirs = {m["versions"][str(v)]["dir"] for v in ordered[-keep_last:]}
+    candidates = ordered[:-keep_last]
+    dropped = [
+        v
+        for v in candidates
+        if now - m["versions"][str(v)].get("ts", now) >= retention_s
+    ]
+    kept = [v for v in ordered if v not in set(dropped)]
+    kept_dirs = {m["versions"][str(v)]["dir"] for v in kept}
     for v in dropped:
         d = m["versions"].pop(str(v))["dir"]
         if d not in kept_dirs and os.path.exists(os.path.join(path, d)):
@@ -165,6 +187,7 @@ def upsert(
     tiebreak: str | None = None,
     partition_by: list[str] | None = None,
     batch_id: int | None = None,
+    query_id: str | None = None,
 ) -> int:
     """Last-writer-wins merge committed as a new snapshot (the
     versioned twin of operators/upsert.upsert_parquet): read current,
@@ -176,7 +199,13 @@ def upsert(
         merged = updates
     deduped = last_writer_wins(merged, keys, order_col, tiebreak)
     return commit(
-        spark, deduped, path, op="upsert", partition_by=partition_by, batch_id=batch_id
+        spark,
+        deduped,
+        path,
+        op="upsert",
+        partition_by=partition_by,
+        batch_id=batch_id,
+        query_id=query_id,
     )
 
 

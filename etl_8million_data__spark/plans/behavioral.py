@@ -170,7 +170,10 @@ def events_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        # cast each term BEFORE summing: v~10^7 cents squared is 10^14
+        # per row, so a bigint accumulator overflows around 10^5
+        # rows/group — the decimal(38,0) sum matches DuckDB's int128.
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ssq"),
     )
     D = "decimal(38,0)"
     dev = (F.col("v") * F.col("n") - F.col("s")).cast(D)

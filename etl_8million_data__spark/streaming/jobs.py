@@ -194,18 +194,30 @@ def stream_upsert_versioned(
     exactly-once table commits: foreachBatch is at-least-once (a batch
     is redelivered after a failure between sink write and checkpoint
     commit), so each micro-batch's id is recorded in the table manifest
-    and a batch at-or-below the last committed id is skipped instead of
-    re-applied. The upsert itself is idempotent for identical rows, but
-    skipping also keeps the version history replay-clean (no spurious
-    snapshots), which vacuum/time-travel consumers see."""
+    and a batch at-or-below the last committed id *for this stream* is
+    skipped instead of re-applied. The skip token is scoped to the
+    checkpoint location (Delta txnAppId-style): batch ids restart at 0
+    for a fresh checkpoint, so a new stream with genuinely new data
+    must not be dropped by another stream's high-water mark. The upsert
+    itself is idempotent for identical rows, but skipping also keeps
+    the version history replay-clean (no spurious snapshots), which
+    vacuum/time-travel consumers see."""
     from etl_8million_data__spark.operators import versioned as V
 
+    scope = os.path.abspath(checkpoint_dir)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = V.last_committed_batch(path)
+        last = V.last_committed_batch(path, query_id=scope)
         if last is not None and batch_id <= last:
             return
         V.upsert(
-            batch_df.sparkSession, batch_df, path, keys, order_col, batch_id=batch_id
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            keys,
+            order_col,
+            batch_id=batch_id,
+            query_id=scope,
         )
 
     return (

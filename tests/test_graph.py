@@ -36,3 +36,19 @@ def test_two_cliques_and_orientation_independence(spark):
 def test_no_edges_all_singletons(spark):
     comp = _cc(spark, [3, 7, 11], [])
     assert comp == {3: 3, 7: 7, 11: 11}
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    """A diameter beyond max_iter must raise, never return silently
+    incorrect labels."""
+    import pytest
+
+    nodes = list(range(8))
+    edges = [(i, i + 1) for i in range(7)]  # path graph, diameter 7
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ndf, edf, max_iter=2)
+    # and a sufficient budget still converges on the same graph
+    got = connected_components(ndf, edf, max_iter=10)
+    assert {r.component for r in got.collect()} == {0}

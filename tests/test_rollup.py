@@ -59,3 +59,33 @@ def test_rollup_refresh_with_late_events(spark, sf_dir, tmp_path):
             r.n_events,
             r.sum_value_cents,
         )
+
+
+def test_rollup_second_refresh_converges(spark, sf_dir, tmp_path):
+    """Two successive refreshes (once-broken path: the stored rollup
+    carries _v after the first) must still reproduce the from-raw
+    aggregate, with a strictly increasing version so the re-merged
+    bucket beats the stored one deterministically."""
+    events = load_table(spark, sf_dir, "events")
+    c1, c2 = (
+        events.agg(
+            F.expr("percentile_approx(ts, 0.6)").alias("a"),
+            F.expr("percentile_approx(ts, 0.8)").alias("b"),
+        )
+        .collect()[0]
+    )
+    on_time = events.filter(F.col("ts") <= F.lit(c1))
+    late1 = events.filter((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2)))
+    late2 = events.filter(F.col("ts") > F.lit(c2))
+    assert late1.count() > 0 and late2.count() > 0
+
+    path = str(tmp_path / "rollup2")
+    hourly_rollup(on_time).write.parquet(path)
+    refresh_rollup(spark, late1, path)
+    refresh_rollup(spark, late2, path)
+
+    refreshed = spark.read.parquet(path)
+    assert refreshed.agg(F.max("_v")).collect()[0][0] == 2
+    got = _daily_sig(reaggregate_daily(refreshed.drop("_v")))
+    want = _daily_sig(reaggregate_daily(hourly_rollup(events)))
+    assert got == want

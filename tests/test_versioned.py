@@ -90,33 +90,66 @@ def test_table_changes_cdc_diff(spark, table):
     }
 
 
-def test_stream_upsert_versioned_exactly_once(spark, sf_dir, table):
-    """A replayed micro-batch (fresh checkpoint, same input) must not
-    create a new table version: the manifest's last_batch_id makes the
-    foreachBatch sink exactly-once at the table level."""
-    import tempfile
-
+def test_stream_upsert_versioned_exactly_once(spark, sf_dir, table, tmp_path):
+    """Replay protection is scoped to the stream (checkpoint) like
+    Delta's txnAppId: a redelivered (query, batch) is skipped, but a
+    *new* stream with a fresh checkpoint — whose batch ids restart at
+    0 — must NOT be dropped by another stream's high-water mark."""
     from etl_8million_data__spark.streaming.jobs import (
         read_events_stream,
         stream_upsert_versioned,
     )
 
-    def run_once():
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = stream_upsert_versioned(
-                read_events_stream(spark, sf_dir),
-                table,
-                keys=["user_id", "event_type"],
-                order_col="ts",
-                checkpoint_dir=ckpt,
-            )
-            q.awaitTermination()
+    def run_once(ckpt):
+        q = stream_upsert_versioned(
+            read_events_stream(spark, sf_dir),
+            table,
+            keys=["user_id", "event_type"],
+            order_col="ts",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
 
-    run_once()
+    ckpt1 = str(tmp_path / "ckpt1")
+    run_once(ckpt1)
     n_rows = V.read(spark, table).count()
-    n_versions = len(V.versions(table))
-    assert n_versions == 1 and n_rows > 0
-    # fresh checkpoint => Spark redelivers batch 0; the sink must skip it
-    run_once()
-    assert len(V.versions(table)) == n_versions
+    assert len(V.versions(table)) == 1 and n_rows > 0
+
+    # same checkpoint restarted: source + manifest both say nothing new
+    run_once(ckpt1)
+    assert len(V.versions(table)) == 1
     assert V.read(spark, table).count() == n_rows
+
+    # a brand-new stream (fresh checkpoint, batch ids restart at 0) IS
+    # applied — its data must not be silently dropped; the idempotent
+    # upsert leaves identical rows but commits a new version
+    run_once(str(tmp_path / "ckpt2"))
+    assert len(V.versions(table)) == 2
+    assert V.read(spark, table).count() == n_rows
+
+
+def test_batch_token_scoped_per_query(spark, table):
+    """Manifest batch tokens are (query_id, batch_id) pairs, not a
+    global high-water mark."""
+    V.commit(spark, _rows(spark, [("a", 1, 1)]), table, batch_id=5, query_id="q1")
+    assert V.last_committed_batch(table, query_id="q1") == 5
+    assert V.last_committed_batch(table, query_id="q2") is None
+    assert V.last_committed_batch(table) is None  # unscoped default bucket
+    V.commit(spark, _rows(spark, [("b", 2, 1)]), table, batch_id=0, query_id="q2")
+    assert V.last_committed_batch(table, query_id="q1") == 5
+    assert V.last_committed_batch(table, query_id="q2") == 0
+
+
+def test_vacuum_retention_protects_recent_versions(spark, table):
+    """Versions committed inside the retention window survive vacuum
+    even beyond keep_last, so a reader pinned to a recent snapshot
+    cannot lose its files mid-scan."""
+    V.commit(spark, _rows(spark, [("a", 1, 1)]), table)
+    V.commit(spark, _rows(spark, [("a", 2, 2)]), table)
+    V.commit(spark, _rows(spark, [("a", 3, 3)]), table)
+    # everything was committed "just now": a 1-hour retention keeps all
+    assert V.vacuum(table, keep_last=1, retention_s=3600) == []
+    assert os.path.isdir(os.path.join(table, "v00001"))
+    # retention 0 (explicit eager mode) drops the old ones
+    assert V.vacuum(table, keep_last=1, retention_s=0) == [1, 2]
+    assert not os.path.exists(os.path.join(table, "v00001"))
