@@ -3,9 +3,11 @@
 Cosine arithmetic is an explicit left-fold over the array so results
 are bit-identical to the DuckDB oracle (same cast-to-double, same
 accumulation order). Brute-force top-k is the correctness baseline;
-IVF (label-partitioned coarse quantizer) is the scale path: at 100 TB
-the candidate set per query shrinks from |N| to |N| * nprobe / ncells,
-and the centroid table is broadcast.
+the scale path is an SRP inverted file (sign-bit cells from
+deterministic integer hyperplanes + multiprobe bit-flipping): at
+100 TB the candidate set per query shrinks from |N| to
+|N| * nprobe / 2^n_bits, cell assignment is a narrow map over the
+scan, and the probe table is broadcast.
 """
 
 from __future__ import annotations
@@ -144,57 +146,113 @@ def lsh_candidate_pairs(
     )
 
 
-def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
-    """Per-label mean vector (the IVF coarse quantizer). Uses
-    posexplode + groupBy so the shuffle carries (label, pos) partial
-    sums — dim × ncells rows — not whole vectors."""
-    pos = emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
-    per_dim = pos.groupBy(label_col, "pos").agg(F.avg("val").alias("avg_val"))
-    return per_dim.groupBy(label_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "avg_val"))), lambda s: s["avg_val"]
-        ).alias("centroid")
+def projections(vec: Column, weights: list[list[int]], n_planes: int) -> Column:
+    """Array of the first ``n_planes`` hyperplane projections of ``vec``
+    — the same deterministic fold the LSH bucketer uses, exposed so the
+    IVF quantizer and its DuckDB oracle share one definition."""
+
+    def proj(p: int) -> Column:
+        w = F.array(*[F.lit(x) for x in weights[p]])
+        return F.aggregate(
+            F.zip_with(w, vec, lambda wi, xi: wi * xi.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(*[proj(p) for p in range(n_planes)])
+
+
+def srp_cell(projs: Column, n_bits: int) -> Column:
+    """Signed-random-projection cell id: bit j set iff projection j is
+    positive. The cells PARTITION the corpus (each vector lives in
+    exactly one cell) — a true inverted file, data-driven and fully
+    deterministic (integer hyperplanes, fixed fold order), so the whole
+    quantizer is reproducible in any engine."""
+    b: Column = F.lit(0)
+    for j in range(n_bits):
+        b = b + F.when(F.element_at(projs, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+def srp_probe_cells(projs: Column, n_bits: int, nprobe: int) -> Column:
+    """Multiprobe sequence for a query: its own cell first, then the
+    cells at Hamming distance 1 obtained by flipping the bits whose
+    projection magnitude is smallest (the sign decisions most likely to
+    differ for a true near neighbor — standard multiprobe LSH). Ties
+    break on bit index, so the sequence is total-ordered and
+    engine-portable. ``nprobe`` <= n_bits + 1."""
+    if nprobe > n_bits + 1:
+        raise ValueError(f"nprobe={nprobe} exceeds n_bits+1={n_bits + 1} (hamming-1 probing)")
+    primary = srp_cell(projs, n_bits)
+    flip_order = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(projs, j + 1)).alias("a"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(n_bits)
+            ]
+        )
     )
+    bitvals = F.array(*[F.lit(1 << j) for j in range(n_bits)])
+    flipped = F.transform(
+        F.slice(flip_order, 1, nprobe - 1),
+        lambda s: primary.bitwiseXOR(F.element_at(bitvals, s["j"] + 1)),
+    )
+    return F.concat(F.array(primary), flipped)
 
 
 def knn_ivf(
     emb: DataFrame,
     queries: DataFrame,
+    weights: list[list[int]],
     k: int = 10,
-    nprobe: int = 3,
+    nprobe: int = 5,
+    n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: route each query to its nprobe nearest
-    centroids (broadcast), then brute-force only within those cells.
-    Approximation error appears when a true neighbor lives in an
-    unprobed cell — the recall/cost knob is nprobe/ncells."""
-    cents = label_centroids(emb, vec_col, label_col)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qvec")
-    )
-    routed = q.join(F.broadcast(cents)).select(
-        "query_id",
-        "_qvec",
-        F.col(label_col).alias("probe_label"),
-        cosine(F.col("_qvec"), F.col("centroid")).alias("_c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_c_cos").desc(), F.col("probe_label"))
-    probes = routed.withColumn("_pr", F.row_number().over(wq)).filter(F.col("_pr") <= nprobe)
+    """Approximate top-k over an SRP inverted file: assign every corpus
+    vector to one of 2^n_bits sign-bit cells (narrow map, no shuffle),
+    route each query to ``nprobe`` cells by multiprobe bit-flipping,
+    then score exactly only inside the probed cells.
 
+    Scale shape: the candidate cut is nprobe / 2^n_bits of the corpus;
+    at 100 TB raise n_bits so cells hold ~1 shuffle partition each —
+    cell assignment stays a narrow map over the scan, the probe table
+    (|Q| x nprobe rows) is broadcast, and the only join is an equi-join
+    on the cell id that AQE can split when a cell runs hot. Entirely
+    deterministic (integer hyperplanes, fixed fold order), so the whole
+    approximate result — not just its recall — is oracle-checkable."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
-        F.col(label_col).alias("probe_label"),
+        norm2(F.col(vec_col)).alias("_n2"),
+        srp_cell(projections(F.col(vec_col), weights, n_bits), n_bits).alias("cell"),
     )
-    scored = e.join(
-        F.broadcast(probes.select("query_id", "_qvec", "probe_label")), "probe_label"
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id", "vec_id", cosine(F.col("_qvec"), F.col("_vec")).alias("cosine")
+    qp = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+        norm2(F.col(query_vec_col)).alias("_qn2"),
+        F.explode(
+            srp_probe_cells(
+                projections(F.col(query_vec_col), weights, n_bits), n_bits, nprobe
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        e.join(F.broadcast(qp), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("_qvec"), F.col("_vec")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -20,11 +20,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
     avg_recall = sum(recalls) / len(recalls)
-    # nprobe=3 of 10 cells over near-orthogonal vectors: recall is the
-    # probe fraction's ballpark; assert it's clearly above chance and
-    # that every query returns a full k
-    assert avg_recall >= 0.2, f"avg recall {avg_recall}"
+    # SRP multiprobe probes 3 of 16 cells (~19% of a near-orthogonal
+    # corpus) and measures ~0.30 recall — the sign-bit correlation
+    # bump over the 0.19 chance floor. Assert clearly above chance and
+    # that every query returns a full k.
+    assert avg_recall >= 0.25, f"avg recall {avg_recall}"
     assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_ivf_recall_query_matches_python_recall(spark, sf_dir):
+    """The driver-visible recall query must report the same number the
+    Python-side set arithmetic yields, and clear the data floor."""
+    qs = all_queries()
+    row = qs["similarity_knn_ivf_recall"].build(spark, sf_dir).collect()[0]
+    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    approx = qs["similarity_knn_ivf"].build(spark, sf_dir).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx}
+    hits = len(exact_pairs & approx_pairs)
+    assert row.n_hits == hits
+    assert row.n_queries == len({q for q, _ in exact_pairs})
+    assert abs(row.avg_recall - hits / (row.n_queries * 10)) < 1e-12
+    assert row.avg_recall >= 0.25
 
 
 def test_lsh_recall_vs_allpairs(spark, sf_dir):
