@@ -3,17 +3,24 @@ reference's ``INSERT … ON DUPLICATE KEY UPDATE`` (Financilas.py:167-184,
 Summary.py:223-249) without a table format.
 
 Last-writer-wins: union the existing snapshot with the updates, keep
-row_number()==1 per key ordered by the recency column, rewrite. The
-rewrite goes to a temp dir then swaps, because Spark cannot lazily read
-and overwrite the same path.
+row_number()==1 per key ordered by the recency column, rewrite.
 
-Scale note: full-snapshot rewrite is O(table) per batch — correct, but
-at 100 TB you bound the rewrite by partitioning the table on a stable
-key range (e.g. statement_type/calendar_year for the financials fact)
-and using dynamic partition overwrite so only partitions containing
-updated keys rewrite; with Delta/Iceberg this whole module becomes
-``MERGE INTO``. Both noted in the docstring so the judge can see the
-intended cluster-path.
+Two write paths:
+
+- **Unpartitioned**: full-snapshot rewrite to a temp dir, then an
+  atomic swap (Spark cannot lazily read and overwrite one path).
+  O(table) per batch — fine for small dimension tables.
+- **Partitioned** (``partition_by``): only the partitions that contain
+  updated keys are rewritten. The existing snapshot is semi-joined on
+  the updates' distinct partition values (a broadcast that Spark's
+  dynamic partition pruning pushes into the scan, so untouched
+  directories are never read), merged, then written with dynamic
+  partition overwrite — untouched partition directories are not
+  touched, byte for byte. O(affected partitions) per batch: this is
+  the 100 TB path, assuming partition columns are stable attributes of
+  the key (a key never migrates between partitions — same contract as
+  any Hive-style partitioned upsert; with Delta/Iceberg this whole
+  module becomes ``MERGE INTO``).
 """
 
 from __future__ import annotations
@@ -38,6 +45,36 @@ def last_writer_wins(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def _upsert_pruned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None,
+    partition_by: list[str],
+) -> None:
+    """Rewrite only the partitions the updates touch (dynamic partition
+    overwrite)."""
+    existing = spark.read.parquet(path)
+    touched = updates.select(*partition_by).distinct()
+    relevant = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    merged = relevant.unionByName(updates, allowMissingColumns=True)
+    # Materialize before the overwrite: the merged plan reads from
+    # ``path``, and Spark (rightly) refuses to overwrite a location its
+    # own input is still lazily reading.  localCheckpoint is
+    # O(affected partitions), not O(table).
+    deduped = last_writer_wins(merged, keys, order_col, tiebreak).localCheckpoint(
+        eager=True
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        deduped.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -48,7 +85,12 @@ def upsert_parquet(
     partition_by: list[str] | None = None,
 ) -> None:
     """Merge ``updates`` into the Parquet table at ``path`` with
-    last-writer-wins per key, atomically swapping the new snapshot in."""
+    last-writer-wins per key. Partitioned tables rewrite only touched
+    partitions; unpartitioned tables atomically swap a full snapshot."""
+    if os.path.exists(path) and partition_by:
+        _upsert_pruned(spark, updates, path, keys, order_col, tiebreak, partition_by)
+        return
+
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(updates, allowMissingColumns=True)

@@ -43,6 +43,81 @@ def test_last_writer_wins_tiebreak(spark):
     assert len(out) == 1 and out[0].v == 2.0
 
 
+def _partition_snapshot(root, part_dir):
+    """(filename, size, mtime_ns, content-hash) for every data file in
+    one partition directory."""
+    import hashlib
+    import os
+
+    out = {}
+    d = os.path.join(root, part_dir)
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        if not os.path.isfile(p) or name.startswith(("_", ".")):
+            continue
+        with open(p, "rb") as f:
+            h = hashlib.sha256(f.read()).hexdigest()
+        st = os.stat(p)
+        out[name] = (st.st_size, st.st_mtime_ns, h)
+    return out
+
+
+def test_upsert_rewrites_only_touched_partitions(spark):
+    """An upsert whose updates all land in one partition must leave
+    every other partition directory byte-identical (same files, same
+    mtimes — they were never rewritten)."""
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        base = spark.createDataFrame(
+            [
+                ("A", "IS", 1.0, 1),
+                ("B", "IS", 2.0, 1),
+                ("C", "BS", 3.0, 1),
+                ("D", "CF", 4.0, 1),
+            ],
+            "stock string, stype string, value double, load_ts int",
+        )
+        upsert_parquet(
+            spark, base, path, keys=["stock", "stype"], order_col="load_ts",
+            partition_by=["stype"],
+        )
+        before_bs = _partition_snapshot(path, "stype=BS")
+        before_cf = _partition_snapshot(path, "stype=CF")
+        assert before_bs and before_cf
+
+        # touch only the IS partition: update A, insert E
+        updates = spark.createDataFrame(
+            [("A", "IS", 10.0, 2), ("E", "IS", 5.0, 2)],
+            "stock string, stype string, value double, load_ts int",
+        )
+        upsert_parquet(
+            spark, updates, path, keys=["stock", "stype"], order_col="load_ts",
+            partition_by=["stype"],
+        )
+
+        got = {(r.stock, r.stype): r.value for r in spark.read.parquet(path).collect()}
+        assert got == {
+            ("A", "IS"): 10.0,
+            ("B", "IS"): 2.0,
+            ("C", "BS"): 3.0,
+            ("D", "CF"): 4.0,
+            ("E", "IS"): 5.0,
+        }
+        # untouched partitions: identical files, sizes, mtimes, content
+        assert _partition_snapshot(path, "stype=BS") == before_bs
+        assert _partition_snapshot(path, "stype=CF") == before_cf
+
+        # replay is idempotent and still leaves the others alone
+        upsert_parquet(
+            spark, updates, path, keys=["stock", "stype"], order_col="load_ts",
+            partition_by=["stype"],
+        )
+        assert {
+            (r.stock, r.stype): r.value for r in spark.read.parquet(path).collect()
+        } == got
+        assert _partition_snapshot(path, "stype=BS") == before_bs
+
+
 def test_upsert_partitioned_layout(spark):
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/t"
