@@ -35,14 +35,23 @@ HEADLINE = [
     "pivot_event_type_avg",  # long->wide pivot
     "cumulative_revenue_per_customer",  # running window
     "pipeline_financials_unpivot",  # full bronze->fact pipeline round trip
+    "pipeline_summary_enrichment",  # wide projection + regex enrichment
+    "pipeline_quotes_snapshot",  # quotes wide projection
     "events_session_windows",  # session windows
+    "events_asof_latest_order",  # as-of join
     "dedup_minhash_lsh_pairs",  # shingle->minhash->band->join
     "dedup_simhash",  # per-doc simhash
+    "dedup_cluster_components",  # iterative connected components
     "similarity_knn_bruteforce",  # cosine top-k
+    "similarity_knn_ivf",  # SRP inverted-file pruned ANN
+    "multimodal_feature_extract",  # Arrow-batched mapInPandas decode
     "text_quality_scores",  # corpus quality filters
     "corpus_term_frequencies",  # explode -> agg -> top-k (vocab/IDF)
+    "corpus_salient_terms_tfidf",  # two-level agg + join
     "tpch_q21_suppliers_kept_waiting",  # decorrelated EXISTS/NOT-EXISTS
     "tpch_q13_customer_order_distribution",  # outer join + double agg
+    "tpch_q9_profit_by_nation_year",  # 6-way star join + agg
+    "tpch_q18_large_volume_orders",  # agg-filter semi join
 ]
 
 

@@ -31,10 +31,28 @@ from etl_8million_data__spark.schemas import (
 
 
 def parse_payload(payload_col: Column) -> Column:
-    """3-stage JSON parse parity (Financilas.py:147-165): from_json
-    returns NULL on malformed input — the same net effect as the
-    reference's ``{}`` fallback (no fact rows emitted)."""
-    return F.from_json(payload_col, PAYLOAD_SCHEMA)
+    """3-stage JSON parse parity (Financilas.py:147-165).
+
+    The reference retries ``json.loads`` after
+    ``strip('"') + unicode_escape`` — written for the double-encoded
+    case (``json.dumps`` applied twice). Here that case is detected up
+    front: a JSON *document* that starts with ``"`` must be a string
+    literal, so it is decoded by wrapping —
+    ``from_json('{"v":' || payload || '}', 'v string')`` — which gives
+    full, spec-correct escape decoding (including ``\\uXXXX``)
+    JVM-side; the normalized text then goes through the one schema
+    parse. Anything failing both paths becomes a NULL struct — the
+    explode chain emits no fact rows, matching the reference's ``{}``
+    fallback.
+    """
+    # A JSON *document* can only start with '"' when the whole payload is
+    # a string literal — i.e. the double-encoded case. Decode that string
+    # first (tiny "v string" parse), then run ONE schema parse; keeping a
+    # single PAYLOAD_SCHEMA parse keeps codegen/compile cost flat vs the
+    # plain-parse baseline.
+    inner = F.from_json(F.concat(F.lit('{"v":'), payload_col, F.lit("}")), "v string")["v"]
+    normalized = F.when(F.ltrim(payload_col).startswith('"'), inner).otherwise(payload_col)
+    return F.from_json(normalized, PAYLOAD_SCHEMA)
 
 
 def _info(p: Column, key: str) -> Column:
@@ -55,8 +73,13 @@ def unpivot_financials(
     passthrough: list[str] | None = None,
 ) -> DataFrame:
     """One payload row -> ~1.4k EAV fact rows (normalize_financials
-    parity, Financilas.py:71-107), as a pure explode chain."""
-    p = parse_payload(F.col(payload_col))
+    parity, Financilas.py:71-107), as a pure explode chain.
+
+    The (large) parse expression is materialized into one column first
+    so the wide projection references it by name — ~10 copies of the
+    two-stage from_json tree would bloat analysis/codegen time."""
+    raw = raw.withColumn("__p", parse_payload(F.col(payload_col)))
+    p = F.col("__p")
     stmts = F.array(
         *[
             F.struct(

@@ -41,12 +41,21 @@ def normalize_summary(
     - JSON-value-over-regex precedence for city/state/country
       (Summary.py:201-204: ``city or s_city``)
     - employees: digit-strip -> int (Summary.py:186-198)
+    - symbol fallback (Summary.py:68-89,153-154): when the table lacks a
+      symbol column (or the value is NULL), derive it from info.symbol /
+      info.ticker inside the payload
     """
-    p = parse_payload(F.col(payload_col))
+    sym_hint = (
+        F.col(symbol_col) if symbol_col in raw.columns else F.lit(None).cast("string")
+    )
+    # parse once into a named column: the projection below references the
+    # two-stage parse ~15 times — by-name keeps the analyzed plan small
+    raw = raw.withColumn("__p", parse_payload(F.col(payload_col)))
+    p = F.col("__p")
     prose = collapse_ws(F.coalesce(_info(p, "longBusinessSummary"), _info(p, "description")))
     s_city, s_state, s_country = extract_headquarters(prose)
     return raw.select(
-        F.col(symbol_col).alias("stock"),
+        F.coalesce(sym_hint, _info(p, "symbol"), _info(p, "ticker")).alias("stock"),
         F.coalesce(
             _info(p, "longName"), _info(p, "shortName"), _info(p, "displayName")
         ).alias("yf_name"),

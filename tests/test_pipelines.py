@@ -85,6 +85,27 @@ def test_unpivot_financials_adversarial(spark, raw_payloads):
     assert len(rows) == 5
 
 
+def test_unpivot_double_encoded_payload_recovered(spark, raw_payloads):
+    """Financilas.py:154-157 retry parity: a double-encoded payload
+    (json.dumps applied twice — the exact case the reference's
+    strip('"') + unicode_escape retry was written for) must yield the
+    SAME fact rows as its plain-encoded twin, not silently zero rows."""
+    rows = [
+        ("PLAIN", json.dumps(GOOD_PAYLOAD), "2025-01-02 03:04:05"),
+        ("DOUBLE", json.dumps(json.dumps(GOOD_PAYLOAD)), "2025-01-02 03:04:05"),
+        # double-encoded garbage: both stages fail -> {} -> no rows
+        ("DGARBAGE", json.dumps("still not json"), "2025-01-02 03:04:05"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "symbol string, payload string, loaded_at string"
+    ).withColumn("loaded_at", F.to_timestamp("loaded_at"))
+    fact = {(r.stock, r.statement_type, r.metric, str(r.date)): r for r in unpivot_financials(raw).collect()}
+    plain = {k[1:]: (v.value, v.yf_name, v.calendar_year, v.period) for k, v in fact.items() if k[0] == "PLAIN"}
+    double = {k[1:]: (v.value, v.yf_name, v.calendar_year, v.period) for k, v in fact.items() if k[0] == "DOUBLE"}
+    assert plain == double and len(plain) == 5
+    assert not any(k[0] == "DGARBAGE" for k in fact)
+
+
 def test_financials_upsert_last_writer_wins(spark, raw_payloads):
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/financials"
@@ -121,6 +142,28 @@ def test_normalize_summary_enrichment(spark, raw_payloads):
     # malformed payload -> all-null profile, row still present (offset-loop parity)
     assert dim["BROKEN"].yf_name is None
     assert dim["EMPTY"].yf_name == "Empty Inc"
+
+
+def test_normalize_summary_symbol_fallback(spark):
+    """Summary.py:68-89,153-154 parity: when the table has no symbol
+    column (offset-loop mode), stock derives from info.symbol, then
+    info.ticker."""
+    rows = [
+        (json.dumps({"info": {"symbol": "FROMSYM", "longName": "Sym Co"}}),),
+        (json.dumps({"info": {"ticker": "FROMTICK", "longName": "Tick Co"}}),),
+        (json.dumps({"info": {"longName": "Anon Co"}}),),
+    ]
+    raw = spark.createDataFrame(rows, "payload string")
+    dim = {r.stock: r for r in normalize_summary(raw).collect()}
+    assert dim["FROMSYM"].yf_name == "Sym Co"
+    assert dim["FROMTICK"].yf_name == "Tick Co"
+    assert dim[None].yf_name == "Anon Co"
+    # null symbol value in a PRESENT column also falls back (Summary.py:154)
+    raw2 = spark.createDataFrame(
+        [(None, json.dumps({"info": {"symbol": "S2", "longName": "Two"}}))],
+        "symbol string, payload string",
+    )
+    assert normalize_summary(raw2).collect()[0].stock == "S2"
 
 
 def test_quote_snapshot_epoch_and_coalesce(spark):
