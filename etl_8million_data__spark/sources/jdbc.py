@@ -1,0 +1,157 @@
+"""JDBC source/sink adapter (reference: details.py:177-238 MySQL store).
+
+The reference keeps its bronze layer in MySQL: `ensure_table` DDL,
+per-symbol committed INSERTs (details.py:206-228), and
+`get_existing_symbols` for skip-existing increments (details.py:231-238).
+Parquet is this repo's canonical store (SURVEY.md §2.1); this module is
+the boundary adapter for deployments where the bronze/raw layer really
+lives behind JDBC.
+
+Scale design (100 TB / 1000-executor notes):
+
+- **Reads parallelize only if told how.** A bare ``spark.read.jdbc`` is
+  ONE connection on one executor. `read_jdbc` exposes
+  ``partition_column/lower_bound/upper_bound/num_partitions`` (range
+  split, the `id BIGINT AUTO_INCREMENT` PK of details.py:194 is the
+  natural choice) and ``predicates`` (one scan per predicate) so the
+  scan fans out. ``fetchsize`` keeps the cursor streaming instead of
+  buffering whole result sets.
+- **Let the dialect generate SQL.** Column pruning and filter pushdown
+  reach the remote engine through Spark's JdbcDialect (quoted
+  identifiers per-DB — raw hand-built subqueries break on e.g. Derby's
+  case folding). `existing_keys` is therefore ``.select(keys).distinct()``
+  on the JDBC relation: the remote engine sees only the key columns.
+- **Writes bound DB fan-in.** ``num_partitions`` caps concurrent
+  connections (a 1000-task append is a self-inflicted DoS on the DB);
+  ``batchsize`` batches the INSERT round-trips the reference paid
+  per-row.
+- **Upsert semantics** (ON DUPLICATE KEY, Financilas.py:169-186) are not
+  portable through the plain JDBC writer; the reference's *actual*
+  incremental pattern — skip symbols already present, insert the rest
+  (main-loop of details.py) — is `write_jdbc_skip_existing`: left-anti
+  against `existing_keys`, then append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"  # bundled with Spark
+
+
+def _options(url: str, table: str, driver: str | None, extra: dict | None) -> dict:
+    opts = {"url": url, "dbtable": table}
+    if driver:
+        opts["driver"] = driver
+    opts.update(extra or {})
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    fetch_size: int = 10_000,
+    options: dict | None = None,
+) -> DataFrame:
+    """Parallel JDBC scan. ``partition_column`` + bounds split the table
+    into ``num_partitions`` range predicates (one connection each);
+    ``predicates`` is the explicit alternative for non-numeric splits."""
+    if predicates is not None:
+        props = {"driver": driver} if driver else {}
+        props["fetchsize"] = str(fetch_size)
+        props.update({k: str(v) for k, v in (options or {}).items()})
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    reader = spark.read.format("jdbc").options(
+        **_options(url, table, driver, options), fetchsize=fetch_size
+    )
+    if partition_column is not None:
+        reader = reader.options(
+            partitionColumn=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions or 8,
+        )
+    return reader.load()
+
+
+def existing_keys(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    *,
+    driver: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Distinct key set already in the remote table
+    (get_existing_symbols parity, details.py:231-238). Column pruning
+    pushes to the remote scan; only key columns cross the wire."""
+    return (
+        read_jdbc(spark, url, table, driver=driver, options=options)
+        .select(*key_cols)
+        .distinct()
+    )
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    options: dict | None = None,
+) -> None:
+    """Batched append (vs the reference's one-commit-per-symbol loop,
+    details.py:206-228). ``num_partitions`` caps concurrent DB
+    connections — always set it on a large cluster."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .options(**_options(url, table, driver, options), batchsize=batch_size)
+        .mode("append")
+        .save()
+    )
+
+
+def write_jdbc_skip_existing(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    *,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    options: dict | None = None,
+) -> int:
+    """Incremental load: insert only rows whose key is not already
+    present (the main-loop skip of details.py). Left-anti against the
+    (pruned, distinct) remote key set — no read-back of payload columns.
+    Returns the number of rows appended.
+
+    Not a concurrent-writer-safe upsert: like the reference, the guard
+    is read-then-insert. Last-writer-wins merge semantics live in
+    operators/upsert.py on the canonical store.
+    """
+    keys = existing_keys(df.sparkSession, url, table, key_cols, driver=driver, options=options)
+    fresh = df.join(keys, on=key_cols, how="left_anti")
+    # localCheckpoint would be overkill: the anti-join re-reads only the
+    # key projection if the plan is re-executed by the writer.
+    n = fresh.count()
+    if n:
+        write_jdbc_append(
+            fresh, url, table,
+            driver=driver, batch_size=batch_size,
+            num_partitions=num_partitions, options=options,
+        )
+    return n
