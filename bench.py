@@ -48,6 +48,7 @@ HEADLINE = [
     "text_quality_scores",  # corpus quality filters
     "corpus_term_frequencies",  # explode -> agg -> top-k (vocab/IDF)
     "corpus_salient_terms_tfidf",  # two-level agg + join
+    "corpus_e2e_curation",  # flagship: full curation pipeline in one plan
     "tpch_q21_suppliers_kept_waiting",  # decorrelated EXISTS/NOT-EXISTS
     "tpch_q13_customer_order_distribution",  # outer join + double agg
     "tpch_q9_profit_by_nation_year",  # 6-way star join + agg

@@ -433,3 +433,169 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.expr("(1000 * min_n) div n_lang"))
         .select("doc_id", "lang")
     )
+
+
+def _e2e_oracle() -> str:
+    from etl_8million_data__spark.plans.text import _LANG_MARKERS, _sql_count_in
+
+    en = _sql_count_in(_LANG_MARKERS["en"])
+    de = _sql_count_in(_LANG_MARKERS["de"])
+    es = _sql_count_in(_LANG_MARKERS["es"])
+    fr = _sql_count_in(_LANG_MARKERS["fr"])
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars, {_TOKS} AS toks, md5({_NORM}) AS fp
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, n_chars, fp, len(toks) AS n,
+             {en} AS s_en, {de} AS s_de, {es} AS s_es, {fr} AS s_fr
+      FROM base),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n BETWEEN 5 AND 100000 AND s_en * 5 <= n * 3
+        AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr),
+    exact AS (
+      SELECT * FROM gated QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+    shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    pairs AS ({_PAIRS}),
+    near AS (
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.doc_a
+      JOIN shingled sb ON sb.doc_id = p.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5),
+    gr AS (
+      SELECT DISTINCT doc_id, source, array_to_string(toks[i : i + 2], ' ') AS gram
+      FROM (SELECT doc_id, source, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM base)),
+    probe AS (SELECT DISTINCT gram FROM gr WHERE source = 'src0'),
+    cont AS (
+      SELECT c.doc_id, count(*) AS n_grams, count(p.gram) AS n_cont
+      FROM gr c LEFT JOIN probe p ON c.gram = p.gram
+      WHERE c.source <> 'src0' GROUP BY c.doc_id),
+    bad AS (SELECT doc_id FROM cont WHERE n_cont * 20 > n_grams),
+    surv AS (
+      SELECT e.doc_id, e.source, e.n_chars FROM exact e
+      WHERE e.source <> 'src0'
+        AND e.doc_id NOT IN (SELECT doc_id FROM near)
+        AND e.doc_id NOT IN (SELECT doc_id FROM bad))
+    SELECT CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM surv GROUP BY 1
+    """
+
+
+@register(
+    "corpus_e2e_curation",
+    oracle=_e2e_oracle(),
+    tags=("corpus", "curation", "dedup", "contamination", "split", "flagship", "extension"),
+)
+def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the full pre-training data pipeline
+    as ONE declarative plan (every stage is an existing verified
+    operator; this query is their composition):
+
+      1. language gate: English marker count >= every other language's
+         and > 0 (text_lang_id heuristic);
+      2. quality gate: 5 <= n_tokens <= 100k, stopword ratio <= 0.6 —
+         integer arithmetic (s_en*5 <= n*3), no FP in filters;
+      3. exact dedup: keep the lowest doc_id per md5(normalized text)
+         fingerprint (window min — one shuffle on the 32-byte key);
+      4. near-dup removal: MinHash-LSH candidates verified by exact
+         shingle Jaccard >= 0.5; a doc is dropped when it is the
+         HIGHER id of any verified pair (non-iterative keep rule —
+         no transitive closure needed, unlike clustering);
+      5. decontamination: drop corpus docs sharing > 5% of their
+         distinct 3-grams with the benchmark source `src0` (integer
+         form n_cont*20 > n_grams), and drop the benchmark itself;
+      6. deterministic ~90/5/5 train/val/test split via the
+         multiplicative doc_id hash, then per-split accounting.
+
+    Scale shape: stages 1-3 are one scan + one window; stage 4 shuffles
+    only (doc_id, band_key) tuples and joins shingle sets for candidate
+    pairs alone; stage 5 broadcasts the benchmark gram set; the final
+    agg is 3 rows. No Python anywhere; every filter/judgment is exact
+    integer or md5-string arithmetic so DuckDB reproduces it
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.dedup import (
+        exact_fingerprint,
+        jaccard_verified_pairs,
+    )
+    from etl_8million_data__spark.plans.text import _LANG_MARKERS, _count_in
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    s_en = _count_in(toks, _LANG_MARKERS["en"])
+    s_de = _count_in(toks, _LANG_MARKERS["de"])
+    s_es = _count_in(toks, _LANG_MARKERS["es"])
+    s_fr = _count_in(toks, _LANG_MARKERS["fr"])
+    gated = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        exact_fingerprint(F.col("text")).alias("fp"),
+        n.alias("n"),
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_es.alias("s_es"),
+        s_fr.alias("s_fr"),
+    ).filter(
+        F.col("n").between(5, 100000)
+        & (F.col("s_en") * 5 <= F.col("n") * 3)
+        & (F.col("s_en") > 0)
+        & (F.col("s_en") >= F.col("s_de"))
+        & (F.col("s_en") >= F.col("s_es"))
+        & (F.col("s_en") >= F.col("s_fr"))
+    )
+    exact = gated.withColumn(
+        "_min_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("_min_id"))
+    near_drops = (
+        jaccard_verified_pairs(d, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    grams = d.select(
+        "doc_id", "source", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram")
+    ).distinct()
+    probe = (
+        grams.filter(F.col("source") == "src0").select(F.col("gram").alias("pgram")).distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(probe), F.col("gram") == F.col("pgram"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("pgram").alias("n_cont"))
+        .filter(F.col("n_cont") * 20 > F.col("n_grams"))
+        .select("doc_id")
+    )
+    surv = (
+        exact.filter(F.col("source") != "src0")
+        .join(near_drops, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    return (
+        surv.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct(F.col("source")).alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
