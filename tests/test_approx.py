@@ -1,5 +1,7 @@
 """Approximate aggregates stay within their error bounds of the exact
-forms."""
+forms — both through the registered self-certifying queries (whose
+`*_ok` / `*_within_bound` assertions the DuckDB oracle expects true)
+and directly against the raw sketch values."""
 
 from __future__ import annotations
 
@@ -10,10 +12,9 @@ from etl_8million_data__spark.plans import all_queries
 
 
 def test_hll_within_rsd(spark, sf_dir):
-    got = {
-        r.event_type: r.approx_users
-        for r in all_queries()["approx_distinct_users_hll"].build(spark, sf_dir).collect()
-    }
+    rows = all_queries()["approx_distinct_users_hll"].build(spark, sf_dir).collect()
+    assert rows and all(r.hll_within_bound for r in rows)
+    # the exact side the query carries matches an independent recompute
     e = load_table(spark, sf_dir, "events")
     exact = {
         r.event_type: r.n
@@ -21,15 +22,28 @@ def test_hll_within_rsd(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
+    assert {r.event_type: r.exact_users for r in rows} == exact
+    # raw sketch accuracy, independent of the query's bound column
+    appx = {
+        r.event_type: r.a
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
     for et, n in exact.items():
-        assert abs(got[et] - n) / n <= 0.1, (et, got[et], n)
+        assert abs(appx[et] - n) / n <= 0.1, (et, appx[et], n)
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     r = all_queries()["approx_percentile_prices"].build(spark, sf_dir).collect()[0]
+    assert r.p50_ok and r.p90_ok and r.p99_ok
     o = load_table(spark, sf_dir, "orders")
+    assert r.n_orders == o.count()
+    # raw sketch accuracy: GK with accuracy 10000 on a few-thousand-row
+    # table is near-exact; allow a loose 2% envelope on p50
+    pcts = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("p")
+    ).collect()[0].p
     exact = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("p50")).collect()[0].p50
-    # GK sketch with accuracy 10000 on a few-thousand-row table is
-    # near-exact; allow a loose 2% envelope
-    assert abs(r.p50 - exact) / exact < 0.02
-    assert r.p50 <= r.p90 <= r.p99
+    assert abs(pcts[0] - exact) / exact < 0.02
+    assert pcts[0] <= pcts[1] <= pcts[2]
