@@ -27,8 +27,13 @@ def quote_snapshot(
     raw: DataFrame, symbol_col: str = "symbol", payload_col: str = "payload"
 ) -> DataFrame:
     """Wide quote projection: coalesce chains for price-like fields and
-    epoch-seconds -> date for keys ending in ``Date`` (pyc _safe_get)."""
-    p = parse_payload(F.col(payload_col))
+    epoch-seconds -> date for keys ending in ``Date`` (pyc _safe_get).
+
+    Parse-once: the projection references the payload parse ~25 times;
+    materializing it as a named column keeps the analyzed plan small
+    and the from_json evaluation single (same win as financials)."""
+    raw = raw.withColumn("__p", parse_payload(F.col(payload_col)))
+    p = F.col("__p")
     return raw.select(
         F.col(symbol_col).alias("symbol"),
         F.coalesce(_info(p, "longName"), _info(p, "shortName")).alias("name"),

@@ -599,3 +599,36 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "corpus_domain_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY {_SPLIT_BUCKET}, doc_id) <= 50
+    """,
+    tags=("corpus", "sampling", "quota", "window", "extension"),
+)
+def corpus_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping — keep at most 50 docs per source so no
+    single domain dominates the training mix (the composition-control
+    cousin of stratified sampling: a hard cap instead of a rate).
+    Selection order is the deterministic multiplicative doc_id hash
+    (pseudorandom but reproducible across engines/partitioning, unlike
+    rand(); doc_id tie-break makes the window total-ordered). One
+    window over the source key — at 100 TB each domain's rank state is
+    bounded per partition, and a pre-aggregated top-51 per (source,
+    executor-partition) would AQE-shrink the shuffle further if domain
+    skew demanded it."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 50)
+        .select("doc_id", "source")
+    )

@@ -31,6 +31,8 @@ AUDIT = {
     "corpus_benchmark_contamination": ["BroadcastHashJoin", "HashAggregate"],
     "tpch_q10_returned_item_top_customers": ["TakeOrderedAndProject", "PushedFilters"],
     "window_rank_zoo_per_customer": ["Window"],
+    "corpus_e2e_curation": ["BroadcastHashJoin", "HashAggregate", "Window"],
+    "corpus_domain_quota_sample": ["Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
