@@ -107,10 +107,13 @@ def minhash_lsh_candidate_pairs(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH."""
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+    Pass ``shingles`` (a doc_shingle_frame) to share the tokenize+shingle
+    stage with a downstream verifier instead of computing it twice."""
     rows = num_hashes // bands
-    sh = doc_shingle_frame(df, text_col, id_col, k)
+    sh = shingles if shingles is not None else doc_shingle_frame(df, text_col, id_col, k)
     sig = sh.select(id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
     band = sig.select(
         id_col, F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
@@ -144,9 +147,9 @@ def jaccard_verified_pairs(
     """LSH candidates filtered by exact shingle-set Jaccard >= threshold.
     Joins shingle sets only for the candidate pairs (the LSH output),
     never all-pairs — this is what keeps it sub-quadratic at scale."""
-    pairs = minhash_lsh_candidate_pairs(df, text_col, id_col, k)
-    # shingle sets are joined twice (both pair sides): compute once
+    # shingle sets feed the LSH pipeline AND both pair sides: compute once
     sh = doc_shingle_frame(df, text_col, id_col, k).localCheckpoint(eager=True)
+    pairs = minhash_lsh_candidate_pairs(df, text_col, id_col, k, shingles=sh)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
