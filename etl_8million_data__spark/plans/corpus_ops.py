@@ -632,3 +632,66 @@ def corpus_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 50)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "corpus_packed_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, len({_TOKS}) AS n FROM documents),
+    cum AS (
+      SELECT doc_id, source, text, n,
+             COALESCE(sum(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+    SELECT source, CAST(before // 256 AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+    FROM cum GROUP BY source, bin_id
+    """,
+    tags=("corpus", "packing", "window", "extension"),
+)
+def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence ASSEMBLY on top of the bin assignment
+    (corpus_pack_token_budget): each ~256-token bin's documents are
+    concatenated in doc_id order with a blank-line separator — the
+    actual packed sample a trainer would tokenize. Output carries the
+    bin's doc count, token total, and the md5 of the packed text (the
+    full text stays distributed; only 16-byte digests reach the
+    result). The running-count window and the groupBy share the
+    source-keyed shuffle; per-bin state is bounded by the token
+    budget."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n.alias("n"),
+        F.coalesce(F.sum(n).over(w), F.lit(0)).alias("before"),
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n\n",
+    )
+    return (
+        cum.withColumn("bin_id", F.expr("before div 256"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.md5(packed).alias("packed_md5"),
+        )
+    )

@@ -1,9 +1,11 @@
 """Similarity-search extension queries over the embeddings table.
 
-The brute-force query has an exact DuckDB oracle (identical fold-order
-cosine, see operators/similarity.py). The IVF variant is approximate
-and registered without an oracle (driver rows-only check); its recall
-vs brute force is asserted in tests/test_similarity.py.
+Every query here carries an exact DuckDB oracle: brute-force kNN via
+identical fold-order cosine (operators/similarity.py); the IVF variant
+via a deterministic signed-random-projection inverted file that DuckDB
+reproduces exactly (plus a recall@k query vs brute force); SRP-bucketed
+near-dup pairs; and int8 quantization with explicit sign*floor(+0.5)
+rounding so both engines agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -330,4 +332,54 @@ def embedding_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFram
             (F.min("norm_micro") / 1_000_000.0).alias("min_norm"),
             (F.max("norm_micro") / 1_000_000.0).alias("max_norm"),
         )
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, v -> abs(v))) AS scale
+      FROM x)
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0 THEN
+             array_to_string(list_transform(xd, v ->
+               CAST(CAST(sign(v) AS DOUBLE)
+                    * floor(abs(v) / scale * 127 + 0.5) AS INTEGER)), ',')
+           ELSE array_to_string(list_transform(xd, v -> 0), ',')
+           END AS q_csv
+    FROM s
+    """,
+    tags=("similarity", "embedding", "quantization", "extension"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    workhorse of large embedding corpora (4x smaller than float32, and
+    int8 dot products are SIMD-friendly downstream). scale = max |x|;
+    q_i = sign(x_i) * floor(|x_i|/scale * 127 + 0.5).
+
+    Exactness contract: elements are upcast to double FIRST (float
+    upcasts are value-exact), and rounding is the explicit
+    sign*floor(+0.5) form — engine round() half-rule differences never
+    enter. Pure narrow map stage: no shuffle, scales to any corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    staged = emb.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+    quant = F.transform(
+        F.col("xd"),
+        lambda v: (F.signum(v) * F.floor(F.abs(v) / F.col("scale") * 127 + F.lit(0.5)))
+        .cast("int")
+        .cast("string"),
+    )
+    zeros = F.transform(F.col("xd"), lambda v: F.lit("0"))
+    return staged.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.when(F.col("scale") > 0, quant).otherwise(zeros), ",").alias("q_csv"),
     )
