@@ -10,7 +10,7 @@ is verified against a DuckDB recursive-CTE transitive closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_8million_data__spark.catalog import load_table
@@ -531,33 +531,44 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_8million_data__spark.operators.dedup import (
         exact_fingerprint,
         jaccard_verified_pairs,
+        spread,
     )
-    from etl_8million_data__spark.plans.text import _LANG_MARKERS, _count_in
+    from etl_8million_data__spark.plans.text import _LANG_MARKERS
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    s_en = _count_in(toks, _LANG_MARKERS["en"])
-    s_de = _count_in(toks, _LANG_MARKERS["de"])
-    s_es = _count_in(toks, _LANG_MARKERS["es"])
-    s_fr = _count_in(toks, _LANG_MARKERS["fr"])
-    gated = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        exact_fingerprint(F.col("text")).alias("fp"),
-        n.alias("n"),
-        s_en.alias("s_en"),
-        s_de.alias("s_de"),
-        s_es.alias("s_es"),
-        s_fr.alias("s_fr"),
-    ).filter(
-        F.col("n").between(5, 100000)
-        & (F.col("s_en") * 5 <= F.col("n") * 3)
-        & (F.col("s_en") > 0)
-        & (F.col("s_en") >= F.col("s_de"))
-        & (F.col("s_en") >= F.col("s_es"))
-        & (F.col("s_en") >= F.col("s_fr"))
+    # Marker counts RELATIONALLY (explode -> codegen conditional sums),
+    # not via list_filter: higher-order array functions are
+    # CodegenFallback and evaluate interpreted per row (~2.5 s vs
+    # ~0.5 s on this stage; same trap simhash escaped). Equivalent to
+    # the oracle's len(list_filter(...)): split('') yields [''] so every
+    # doc emits >= 1 token row.
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
+    )
+
+    def _marks(words: tuple[str, ...]) -> Column:
+        return F.sum(F.when(F.col("_t").isin(*words), 1).otherwise(0))
+
+    marks = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _marks(_LANG_MARKERS["en"]).alias("s_en"),
+        _marks(_LANG_MARKERS["de"]).alias("s_de"),
+        _marks(_LANG_MARKERS["es"]).alias("s_es"),
+        _marks(_LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    gated = (
+        d.select(
+            "doc_id", "source", "n_chars", exact_fingerprint(F.col("text")).alias("fp")
+        )
+        .join(marks, "doc_id")
+        .filter(
+            F.col("n").between(5, 100000)
+            & (F.col("s_en") * 5 <= F.col("n") * 3)
+            & (F.col("s_en") > 0)
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+        )
     )
     exact = gated.withColumn(
         "_min_id", F.min("doc_id").over(Window.partitionBy("fp"))
@@ -567,7 +578,7 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    grams = d.select(
+    grams = spread(d, "doc_id").select(
         "doc_id", "source", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram")
     ).distinct()
     probe = (
