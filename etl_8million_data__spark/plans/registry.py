@@ -109,25 +109,29 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "similarity_near_dup_embeddings",
     "embedding_norm_stats_per_label",
-    # TPC-H shapes
+    # TPC-H shapes (the structurally hardest ten; the remaining eight
+    # rotate into the window next round — all 18 are pytest-oracle-green
+    # at sf0.01 already, so the swap trades low-risk evidence for
+    # first-ever evidence on the flagship corpus operators below)
     "tpch_q4_late_shipment_orders",
-    "tpch_q14_promo_revenue_ratio",
     "tpch_q18_large_volume_orders",
     "tpch_q19_disjunctive_predicates",
-    "tpch_q22_global_sales_opportunity",
     "tpch_q20_dominant_part_suppliers",
-    "tpch_q2_min_price_part_per_type_size",
-    "tpch_q7_nation_pair_volume",
-    "tpch_q8_nation_market_share",
     "tpch_q9_profit_by_nation_year",
     "tpch_q10_returned_item_top_customers",
-    "tpch_q11_nation_balance_concentration",
-    "tpch_q12_late_lines_priority_counts",
     "tpch_q13_customer_order_distribution",
-    "tpch_q15_top_supplier_by_quarter_revenue",
-    "tpch_q16_supplier_count_by_part_attrs",
+    "tpch_q14_promo_revenue_ratio",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_suppliers_kept_waiting",
+    # flagship + LLM-pipeline corpus operators, never driver-checked
+    "corpus_e2e_curation",
+    "dedup_cluster_components",
+    "corpus_benchmark_contamination",
+    "corpus_pack_token_budget",
+    "corpus_train_split",
+    "corpus_stratified_sample",
+    "pii_redaction_contacts",
+    "corpus_salient_terms_tfidf",
     # custom / robustness / behavioral / corpus
     "events_user_trend_applyinpandas",
     "dedup_ngram_jaccard_pairs",
@@ -141,14 +145,15 @@ _PRIORITY: tuple[str, ...] = (
     "events_value_outliers_zscore",
     "corpus_term_frequencies",
     "text_repetition_ratio",
-    "pii_redaction_contacts",
-    "corpus_train_split",
-    "corpus_salient_terms_tfidf",
-    "dedup_cluster_components",
     "corpus_token_first_positions",
-    "corpus_benchmark_contamination",
-    "corpus_pack_token_budget",
-    "corpus_stratified_sample",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_price_part_per_type_size",
+    "tpch_q7_nation_pair_volume",
+    "tpch_q8_nation_market_share",
+    "tpch_q11_nation_balance_concentration",
+    "tpch_q12_late_lines_priority_counts",
+    "tpch_q15_top_supplier_by_quarter_revenue",
+    "tpch_q16_supplier_count_by_part_attrs",
 )
 
 
