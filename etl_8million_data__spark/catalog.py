@@ -27,10 +27,38 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)` below every
+# explode(e). For this engine's explodes, e is an expensive computed
+# expression (from_json payload maps, shingle/token transforms — all
+# CodegenFallback, so no subexpression elimination rescues the copy), and
+# predicate pushdown then drags the duplicated evaluation below the
+# repartition into the narrow pre-shuffle stage: measured 10x on the
+# MinHash band pipeline and 5x on the financials unpivot at sf0.1. The
+# rule only pays off when the generator input is often empty AND cheap;
+# every explode here is either pre-gated relationally or near-never
+# empty, so it is excluded engine-wide.
+_EXCLUDED_OPT_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Session tuning every engine entry point applies (idempotent);
+    called from load_table so the driver's vanilla session gets it too."""
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        existing = None
+    if not existing:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
+    elif _EXCLUDED_OPT_RULES not in existing:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", f"{existing},{_EXCLUDED_OPT_RULES}"
+        )
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized

@@ -95,16 +95,24 @@ def extract_former_name(summary: Column) -> Column:
     )
 
 
-def extract_headquarters(summary: Column) -> tuple[Column, Column, Column]:
-    """``headquartered in ([^.]+?)`` split on commas into
-    (city, state, country) with 1/2/3+-part positional assignment;
-    3+ parts join the remainder into country (reference: Summary.py:120,136-147).
-    """
+def headquarters_parts(summary: Column) -> Column:
+    """``headquartered in ([^.]+?)`` -> comma-split, trimmed parts array
+    (NULL when no match). Split out from :func:`extract_headquarters` so
+    wide projections can stage this once as a named column instead of
+    re-embedding the regex in every city/state/country branch — the
+    un-staged form costs seconds of driver-side tree construction and
+    codegen on a 13-column enrichment (see pipelines/summary.py)."""
     loc = F.nullif(
         F.trim(F.regexp_extract(summary, r"(?i)\bheadquartered in ([^.]+?)(?:\.|$)", 1)),
         F.lit(""),
     )
-    parts = F.transform(F.split(loc, ","), lambda p: F.trim(p))
+    return F.transform(F.split(loc, ","), lambda p: F.trim(p))
+
+
+def headquarters_from_parts(parts: Column) -> tuple[Column, Column, Column]:
+    """(city, state, country) with 1/2/3+-part positional assignment;
+    3+ parts join the remainder into country (reference: Summary.py:120,136-147).
+    """
     n = F.size(parts)
     city = F.when(n >= 1, F.element_at(parts, 1))
     state = F.when(n >= 3, F.element_at(parts, 2)).when(n == 2, F.lit(None).cast("string"))
@@ -114,6 +122,12 @@ def extract_headquarters(summary: Column) -> tuple[Column, Column, Column]:
         .otherwise(F.lit(None).cast("string"))
     )
     return city, state, country
+
+
+def extract_headquarters(summary: Column) -> tuple[Column, Column, Column]:
+    """One-shot form of headquarters_parts + headquarters_from_parts
+    (reference: Summary.py:120,136-147)."""
+    return headquarters_from_parts(headquarters_parts(summary))
 
 
 def epoch_to_date(col: Column) -> Column:

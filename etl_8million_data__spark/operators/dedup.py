@@ -47,32 +47,60 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed j, min over shingles of
-    md5(j || '|' || shingle). String-min over lowercase hex is a total
-    order both engines agree on; empty shingle sets yield NULL mins and
-    must be filtered upstream."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: md5_utf8(F.concat(j.cast("string"), F.lit("|"), s)),
-            )
-        ),
+def minhash_min_frame(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """One row per doc with ``num_hashes`` MinHash columns ``_m0.._mN``:
+    for seed j, min over shingles of md5(j || '|' || shingle). String-min
+    over lowercase hex is a total order both engines agree on.
+
+    Relational on purpose: the obvious nested
+    ``transform(seq, j -> array_min(transform(shingles, md5...)))`` is
+    CodegenFallback — every md5 evaluates interpreted, which measured
+    ~9 s vs ~1 s for this formulation on the sf0.1 documents table (same
+    trap simhash32_frame escaped). Here shingles explode to rows, the
+    md5s run inside WholeStageCodegen, and the conditional-min hash
+    aggregate combines map-side, so only (id, N hashes) hits the shuffle.
+    Empty shingle sets are filtered by doc_shingle_frame upstream."""
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(md5_utf8(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
-def lsh_band_keys(sig_col: Column, bands: int = 4, rows: int = 4) -> Column:
-    """Group the signature into ``bands`` bands of ``rows`` hashes; band
-    key = md5 of the joined slice. Docs sharing any band key are
-    candidate near-duplicates."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            md5_utf8(F.array_join(F.slice(sig_col, b * rows + 1, rows), ",")).alias("band_key"),
-        ),
+def minhash_signature_frame(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<string>) — array form of minhash_min_frame."""
+    mins = minhash_min_frame(sh, id_col, num_hashes)
+    return mins.select(
+        id_col, F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_band_frame(
+    mins: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """(id, band, band_key) — one row per band; band key = md5 of the
+    comma-joined signature slice. Docs sharing any band key are candidate
+    near-duplicates. Built from the plain ``_m*`` columns of
+    minhash_min_frame so everything stays codegen (no array slicing)."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_utf8(
+                    F.concat_ws(",", *[f"_m{b * rows + r}" for r in range(rows)])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select(F.col(id_col), F.explode(keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -91,12 +119,20 @@ def spread(df: DataFrame, id_col: str) -> DataFrame:
 def doc_shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, distinct shingle set) for docs with >= k tokens."""
-    toks = tokens(F.col(text_col))
+    """(id, distinct shingle set) for docs with >= k tokens.
+
+    The >=k gate filters on token COUNT, not on the shingle array:
+    ``filter(size(shingles) > 0)`` gets predicate-pushed below the
+    repartition, where it re-inlines the whole interpreted shingle
+    transform into the narrow pre-shuffle stage (all docs, one input
+    split, twice — measured 8s vs 1s on sf0.1). size(split(..)) pushes
+    down as one cheap codegen'd split and prunes the shuffle instead."""
     return (
         spread(df, id_col)
-        .select(F.col(id_col), F.array_distinct(word_shingles(toks, k)).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        # tokens staged as a named column: see word_shingles docstring
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(F.col(id_col), F.array_distinct(word_shingles(F.col("_toks"), k)).alias("shingles"))
     )
 
 
@@ -114,10 +150,9 @@ def minhash_lsh_candidate_pairs(
     stage with a downstream verifier instead of computing it twice."""
     rows = num_hashes // bands
     sh = shingles if shingles is not None else doc_shingle_frame(df, text_col, id_col, k)
-    sig = sh.select(id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
-    band = sig.select(
-        id_col, F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    band = lsh_band_frame(
+        minhash_min_frame(sh, id_col, num_hashes), id_col, bands, rows
+    )
     # materialize once: the self-join would otherwise recompute the md5
     # signature pipeline for both sides. The band frame is tiny
     # (|docs| × bands rows of ~40 bytes); at petabyte scale you'd land

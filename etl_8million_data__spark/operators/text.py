@@ -32,7 +32,15 @@ def tokens(col: Column) -> Column:
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """k-word shingles as space-joined strings; empty array when the doc
-    has fewer than k tokens (guards sequence() against negative spans)."""
+    has fewer than k tokens (guards sequence() against negative spans).
+
+    IMPORTANT: pass a *named column* holding the token array, not the
+    ``tokens(text)`` expression tree. transform() is CodegenFallback
+    (interpreted), and in interpreted eval the lambda body re-evaluates
+    its argument subtree per element — an inlined tokens() expression
+    re-runs the regex tokenizer once per shingle (~8x slower measured on
+    sf0.1 documents). A named column makes each slice hit the already
+    materialized array."""
     n = F.size(toks)
     return F.when(
         n >= k,

@@ -17,7 +17,8 @@ from etl_8million_data__spark.functions.scalars import (
     digits_to_int,
     extract_former_name,
     extract_founded_year,
-    extract_headquarters,
+    headquarters_from_parts,
+    headquarters_parts,
 )
 from etl_8million_data__spark.operators.upsert import upsert_parquet
 from etl_8million_data__spark.pipelines.financials import parse_payload
@@ -48,12 +49,23 @@ def normalize_summary(
     sym_hint = (
         F.col(symbol_col) if symbol_col in raw.columns else F.lit(None).cast("string")
     )
-    # parse once into a named column: the projection below references the
-    # two-stage parse ~15 times — by-name keeps the analyzed plan small
+    # Stage each expensive expression as a named column before the wide
+    # projection: __p (two-stage JSON parse) is referenced ~15 times,
+    # __prose 5 times, and the headquarters parts array 6 times.  Without
+    # the staging every reference re-embeds the whole subtree — the
+    # Column tree alone took ~4.4s of driver time to build via py4j and
+    # the generated code duplicated each regex ~10x.  CollapseProject
+    # keeps non-cheap multi-referenced aliases staged, so these survive
+    # as stacked (codegen-fused) Projects.
     raw = raw.withColumn("__p", parse_payload(F.col(payload_col)))
     p = F.col("__p")
-    prose = collapse_ws(F.coalesce(_info(p, "longBusinessSummary"), _info(p, "description")))
-    s_city, s_state, s_country = extract_headquarters(prose)
+    raw = raw.withColumn(
+        "__prose",
+        collapse_ws(F.coalesce(_info(p, "longBusinessSummary"), _info(p, "description"))),
+    )
+    prose = F.col("__prose")
+    raw = raw.withColumn("__hq", headquarters_parts(prose))
+    s_city, s_state, s_country = headquarters_from_parts(F.col("__hq"))
     return raw.select(
         F.coalesce(sym_hint, _info(p, "symbol"), _info(p, "ticker")).alias("stock"),
         F.coalesce(

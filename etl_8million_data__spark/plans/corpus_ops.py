@@ -331,11 +331,13 @@ def corpus_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     explode + distinct keyed by (doc_id, gram), so the one shuffle
     carries grams, not documents. No Python in the path."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        "source",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram"),
-    ).distinct()
+    grams = (
+        d.select("doc_id", "source", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", "source", F.explode(word_shingles(F.col("_toks"), 3)).alias("gram")
+        )
+        .distinct()
+    )
     probe = (
         grams.filter(F.col("source") == "src0")
         .select(F.col("gram").alias("pgram"))
@@ -578,9 +580,14 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    grams = spread(d, "doc_id").select(
-        "doc_id", "source", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram")
-    ).distinct()
+    grams = (
+        spread(d, "doc_id")
+        .select("doc_id", "source", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", "source", F.explode(word_shingles(F.col("_toks"), 3)).alias("gram")
+        )
+        .distinct()
+    )
     probe = (
         grams.filter(F.col("source") == "src0").select(F.col("gram").alias("pgram")).distinct()
     )

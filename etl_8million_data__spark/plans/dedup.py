@@ -16,7 +16,7 @@ from etl_8million_data__spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_verified_pairs,
     minhash_lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signature_frame,
 )
 from etl_8million_data__spark.operators.dedup import doc_shingle_frame
 from etl_8million_data__spark.plans.registry import register
@@ -77,12 +77,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "extension"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-hash MinHash signatures over distinct 3-word shingles —
-    narrow map stage, no shuffle; the per-doc signature is 16 md5 mins."""
-    d = doc_shingle_frame(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        F.array_join(minhash_signature(F.col("shingles"), 16), ",").alias("sig_csv"),
+    """16-hash MinHash signatures over distinct 3-word shingles — the
+    md5s run in a codegen'd explode stage and the 16 conditional mins
+    combine map-side, so only (doc_id, 16 hashes) hits the shuffle."""
+    sh = doc_shingle_frame(load_table(spark, sf_dir, "documents"))
+    return minhash_signature_frame(sh, "doc_id", 16).select(
+        "doc_id", F.array_join(F.col("sig"), ",").alias("sig_csv")
     )
 
 

@@ -45,4 +45,8 @@ def get_spark(app_name: str = "etl8m-spark", master: str | None = None) -> Spark
             os.path.join(tempfile.gettempdir(), "etl8m-warehouse"),
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from etl_8million_data__spark.catalog import tune_session
+
+    tune_session(spark)
+    return spark

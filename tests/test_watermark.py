@@ -26,15 +26,21 @@ from etl_8million_data__spark.functions.exact import cents
 @pytest.fixture()
 def split_events(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
-    ts_cut = events.selectExpr("percentile(cast(ts as double), 0.1) AS c").collect()[0].c
-    on_time = events.filter(F.col("ts").cast("double") > ts_cut)
-    late = events.filter(F.col("ts").cast("double") <= ts_cut)
+    # ts may arrive as TIMESTAMP_NTZ (not castable to double); go through
+    # TIMESTAMP first — session tz is UTC so the cast is wall-clock-safe.
+    sec = F.col("ts").cast("timestamp").cast("double")
+    ts_cut = events.select(F.percentile(sec, F.lit(0.1)).alias("c")).collect()[0].c
+    on_time = events.filter(sec > ts_cut)
+    late = events.filter(sec <= ts_cut)
     assert late.count() > 0
     return on_time, late
 
 
 def test_late_data_dropped_after_restart(spark, split_events):
     on_time, late = split_events
+    # watermarks require TIMESTAMP (LTZ); the fixture may be NTZ
+    on_time = on_time.withColumn("ts", F.col("ts").cast("timestamp"))
+    late = late.withColumn("ts", F.col("ts").cast("timestamp"))
     with tempfile.TemporaryDirectory() as d:
         src = f"{d}/src"
         out = f"{d}/out"
