@@ -34,6 +34,7 @@ _MODULES = (
     "tpch_more",
     "tpch_wide",
     "custom_ops",
+    "substring",
     "robustness",
     "approx",
     "behavioral",
@@ -135,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     # custom / robustness / behavioral / corpus
     "events_user_trend_applyinpandas",
     "dedup_ngram_jaccard_pairs",
+    "dedup_exact_substring_spans",
+    "dedup_semantic_keepers",
     "skew_salted_event_type_totals",
     "json_quarantine_split",
     "data_quality_expectations",

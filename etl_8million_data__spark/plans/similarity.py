@@ -383,3 +383,63 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.array_join(F.when(F.col("scale") > 0, quant).otherwise(zeros), ",").alias("q_csv"),
     )
+
+
+@register(
+    "dedup_semantic_keepers",
+    oracle=f"""
+    WITH w(W) AS (SELECT {_W_SQL}),
+    e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, t.t AS tbl,
+             list_reduce(list_prepend(0, list_transform(range(4), j ->
+               CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
+                      i -> W[t.t*4 + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      (a, x) -> a + x) > 0
+                    THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
+      FROM e, w, (SELECT unnest(range(8)) AS t) t),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dropped AS (
+      SELECT DISTINCT p.vec_b AS vec_id
+      FROM pairs p
+      JOIN e ea ON ea.vec_id = p.vec_a
+      JOIN e eb ON eb.vec_id = p.vec_b
+      WHERE {_dot('ea.embedding', 'eb.embedding')} / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.4)
+    SELECT e.vec_id, e.label
+    FROM e
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+    """,
+    tags=("similarity", "dedup", "semantic", "extension", "scale-path"),
+)
+def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication keep-set (Abbas et al.
+    2023): within each SRP-LSH block, a vector is dropped when a
+    smaller-id vector sits above the cosine threshold; survivors are
+    the training keep-set.  Keep-smallest-id makes the result
+    deterministic without any centroid-distance tie-break.
+
+    Scale path: candidate generation is the bucketed SRP join (only
+    (id, table, bucket) shuffles — no all-pairs stage anywhere), cosine
+    is verified only on candidates, and the final anti join is
+    co-partitioned on vec_id.  The fixture embeddings are
+    near-orthogonal, so the 0.4 threshold is the meaningful tail (as in
+    similarity_near_dup_embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
+    e = emb.select("vec_id", "embedding")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dropped = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")

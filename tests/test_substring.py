@@ -1,0 +1,47 @@
+"""Semantics tests for exact duplicated-substring span coverage
+(operators/substring.py) on crafted micro-corpora — overlap merging,
+within-doc repetition, short-doc zero rows."""
+
+from __future__ import annotations
+
+from etl_8million_data__spark.operators.substring import duplicated_span_coverage
+
+
+def _rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = duplicated_span_coverage(df, k=8)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_shared_run_covered_in_both_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    a = f"unique1 unique2 {shared} tail1 tail2"
+    b = f"other1 {shared} other2 other3 other4"
+    got = _rows(spark, [a, b, "short doc"])
+    # one duplicated 8-gram per doc -> 8 covered tokens each
+    assert got[0]["dup_positions"] == 1 and got[0]["dup_tokens"] == 8
+    assert got[1]["dup_positions"] == 1 and got[1]["dup_tokens"] == 8
+    assert got[0]["n_tokens"] == 12 and abs(got[0]["dup_frac"] - 8 / 12) < 1e-12
+    # doc with < 8 tokens: present, zero coverage
+    assert got[2]["dup_positions"] == 0 and got[2]["dup_tokens"] == 0
+
+
+def test_overlapping_spans_merge(spark):
+    # 9-token shared run duplicated across docs -> two overlapping 8-grams
+    # per doc whose union is 9 tokens, not 16.
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    got = _rows(spark, [f"x {shared}", f"y {shared} z"])
+    assert got[0]["dup_positions"] == 2
+    assert got[0]["dup_tokens"] == 9
+    assert got[1]["dup_tokens"] == 9
+
+
+def test_within_doc_repetition_counts(spark):
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    doc = f"{run} sep1 sep2 {run}"  # same 8-gram twice in ONE doc
+    got = _rows(spark, [doc, "totally different words here now ok fine yes"])
+    assert got[0]["dup_positions"] == 2
+    assert got[0]["dup_tokens"] == 16  # disjoint spans: 8 + 8
+    assert got[1]["dup_tokens"] == 0
