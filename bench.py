@@ -41,6 +41,8 @@ HEADLINE = [
     "events_asof_latest_order",  # as-of join
     "dedup_minhash_lsh_pairs",  # shingle->minhash->band->join
     "dedup_simhash",  # per-doc simhash
+    "dedup_exact_substring_spans",  # duplicated k-token span coverage
+    "dedup_semantic_keepers",  # SemDeDup keep-set via SRP blocks
     "dedup_cluster_components",  # iterative connected components
     "similarity_knn_bruteforce",  # cosine top-k
     "similarity_knn_ivf",  # SRP inverted-file pruned ANN

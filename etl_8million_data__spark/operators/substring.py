@@ -81,6 +81,12 @@ def duplicated_span_coverage(
     duplicated spans were cut.
     """
     base, grams = token_gram_positions(docs, k, id_col, text_col)
+    # The gram stage (tokenize + md5 per position) is the dominant CPU
+    # cost and feeds BOTH the duplicate-key aggregate and the span side
+    # of the semi join; materialize it once instead of recomputing the
+    # whole explode chain per consumer (same pattern as the shared
+    # shingle frame in dedup_ngram_jaccard_pairs).
+    grams = grams.localCheckpoint(eager=True)
     dup_keys = (
         grams.groupBy("gk")
         .agg(F.count(F.lit(1)).alias("_c"))
