@@ -713,3 +713,50 @@ def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(packed).alias("packed_md5"),
         )
     )
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ((doc_id * 2654435761 + 104729) % 4294967296) AS mix
+      FROM documents)
+    SELECT doc_id,
+           CAST(mix % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY mix % 16 ORDER BY mix, doc_id)
+                AS BIGINT) AS pos,
+           CAST(sum(n_chars) OVER (PARTITION BY mix % 16 ORDER BY mix, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_chars
+    FROM h
+    """,
+    tags=("corpus", "shard", "training", "extension", "scale-path"),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + dataloader shard assignment — the
+    last step of a training-data pipeline: every document gets a shard
+    (hash mod 16), a position within its shard, and a cumulative byte
+    offset, so shard files are reproducible and offset-addressable
+    without any central coordinator.
+
+    The shuffle order is the engine-portable multiplicative doc_id hash
+    (never ``rand()`` — stable under re-partitioning, retries, and
+    engine choice, like corpus_train_split). One exchange keyed by
+    shard; the ordering window is bounded by shard size (corpus/N), so
+    at 100 TB you raise N_SHARDS, not partition memory."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    mix = (F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)
+    h = d.select("doc_id", "n_chars", mix.alias("mix"))
+    w = Window.partitionBy(F.col("mix") % 16).orderBy("mix", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("mix") % 16).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        F.sum("n_chars")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_chars"),
+    )

@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_pack_token_budget",
     "corpus_train_split",
     "corpus_stratified_sample",
+    "corpus_shard_assignment",
     "pii_redaction_contacts",
     "corpus_salient_terms_tfidf",
     # custom / robustness / behavioral / corpus
