@@ -131,3 +131,40 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(fn, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, in_bytes long, out_bytes long, thumb_hex string"
+
+
+def fake_resize(content: bytes, stride: int = 4, cap: int = 64) -> dict:
+    """Deterministic stand-in for an image resize/thumbnail: keep every
+    ``stride``-th byte, capped at ``cap`` bytes — byte-derived only, so
+    reproducible anywhere (a real resizer plugs in via decode_media)."""
+    data = bytes(content)
+    sampled = data[::stride][:cap]
+    return {
+        "in_bytes": len(data),
+        "out_bytes": len(sampled),
+        "thumb_hex": sampled.hex(),
+    }
+
+
+def resize_media(media: DataFrame, stride: int = 4, cap: int = 64) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads (the image-thumbnail
+    shape): one output row per media row with the downsampled payload
+    as hex. Narrow mapInPandas stage — no shuffle, executor-side only;
+    the stride/cap keep output bounded regardless of input size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs = pdf["content"].map(lambda c: fake_resize(c, stride, cap))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "in_bytes": rs.map(lambda d: d["in_bytes"]),
+                    "out_bytes": rs.map(lambda d: d["out_bytes"]),
+                    "thumb_hex": rs.map(lambda d: d["thumb_hex"]),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(fn, RESIZE_SCHEMA)

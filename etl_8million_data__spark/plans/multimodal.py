@@ -64,3 +64,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+@register(
+    "multimodal_resize_thumbnail",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    s AS (
+      SELECT media_id, n,
+             least(64, (n + 3) // 4) AS n_out, hx
+      FROM m)
+    SELECT media_id,
+           CAST(n AS BIGINT) AS in_bytes,
+           CAST(n_out AS BIGINT) AS out_bytes,
+           lower(array_to_string(
+             list_transform(range(n_out), i -> substr(hx, CAST(i*8 + 1 AS INTEGER), 2)),
+             '')) AS thumb_hex
+    FROM s
+    """,
+    tags=("multimodal", "pandas-udf", "resize", "extension"),
+)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> deterministic fake resize (every 4th byte,
+    capped at 64) via Arrow-batched mapInPandas — the image-thumbnail
+    plumbing with a REAL oracle: the strided byte sample is re-expressed
+    in SQL as hex-string slicing, so schema, batch shape, and the binary
+    round-trip are all value-checked. A real resizer replaces
+    fake_resize behind the same (media_id, content) -> RESIZE_SCHEMA
+    contract."""
+    from etl_8million_data__spark.operators.multimodal import resize_media
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_media(media)

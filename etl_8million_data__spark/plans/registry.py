@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal + remaining similarity
     "multimodal_feature_extract",
     "multimodal_frame_sample",
+    "multimodal_resize_thumbnail",
     "similarity_near_dup_embeddings",
     "embedding_norm_stats_per_label",
     # TPC-H shapes (the structurally hardest ten; the remaining eight
