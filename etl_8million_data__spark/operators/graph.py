@@ -75,3 +75,93 @@ def connected_components(
             "raise max_iter or use a large-star/small-star variant"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _canonical(pairs: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b; self-loops dropped."""
+    return (
+        pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of graph diameter, unlike min-label
+    propagation's O(diameter).  Use this form when near-dup graphs can
+    chain (templated/boilerplate corpora produce long A~B~C~… paths);
+    `connected_components` stays the cheaper choice for clique-shaped
+    graphs.
+
+    Per round: large-star hangs every larger neighbor of u onto u's
+    minimum (one groupBy-min + one join), small-star re-hangs smaller
+    neighbors the same way on the larger-endpoint orientation.  Edges
+    converge to stars rooted at each component's minimum id; the label
+    read-off is then one aggregate.  Returns (node, component) with
+    component = min reachable id — identical output contract to
+    `connected_components`.
+    """
+    e0 = _canonical(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ).localCheckpoint(eager=True)
+    cur = e0
+    n_edges = cur.count()
+    if n_edges > 0:
+        converged = False
+        for _ in range(max_iter):
+            # large-star over full adjacency: m(u) = min(u, N(u));
+            # every neighbor v > u re-attaches to m(u).
+            both = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            m_ls = both.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+            ls = (
+                both.filter(F.col("b") > F.col("a"))
+                .join(m_ls, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            )
+            # small-star on the (hi -> lo) orientation: all neighbors of
+            # the larger endpoint (plus itself) re-attach to its minimum.
+            d = _canonical(ls).select(F.col("b").alias("u"), F.col("a").alias("v"))
+            m_ss = d.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                d.join(m_ss, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(m_ss.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+            nxt = _canonical(ss).localCheckpoint(eager=True)
+            n_nxt = nxt.count()
+            if n_nxt == n_edges and nxt.exceptAll(cur).limit(1).count() == 0:
+                cur = nxt
+                converged = True
+                break
+            cur, n_edges = nxt, n_nxt
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not converge within "
+                f"max_iter={max_iter} rounds"
+            )
+    # Star read-off: every node's component is min(self, neighbors).
+    nbr_min = (
+        cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(F.col("a").alias("node"), "nmin")
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(nbr_min, "node", "left")
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce("nmin", F.col("node"))).alias("component"),
+        )
+    )

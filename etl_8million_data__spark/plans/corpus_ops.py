@@ -760,3 +760,46 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_chars"),
     )
+
+
+@register(
+    "dedup_cluster_components_star",
+    oracle=f"""
+    WITH RECURSIVE shingled AS ({_SHINGLED}), sig AS ({_SIG}),
+    bands AS ({_BANDS}), pairs AS ({_PAIRS}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    tags=("dedup", "graph", "large-star", "extension", "scale-path"),
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large-star/small-star
+    (operators/graph.connected_components_star) — the O(log n)-round
+    form that survives chain-shaped similarity graphs (templated
+    corpora), where min-label propagation needs diameter-many rounds.
+    Same component contract (min reachable doc_id) and same
+    recursive-CTE oracle as dedup_cluster_components, so the driver
+    checks both algorithms against identical ground truth."""
+    from etl_8million_data__spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    comp = connected_components_star(
+        d.select("doc_id"), pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return d.select("doc_id").join(
+        comp, d.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     # flagship + LLM-pipeline corpus operators, never driver-checked
     "corpus_e2e_curation",
     "dedup_cluster_components",
+    "dedup_cluster_components_star",
     "corpus_benchmark_contamination",
     "corpus_pack_token_budget",
     "corpus_train_split",

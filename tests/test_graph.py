@@ -52,3 +52,41 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
     # and a sufficient budget still converges on the same graph
     got = connected_components(ndf, edf, max_iter=10)
     assert {r.component for r in got.collect()} == {0}
+
+
+def _cc_star(spark, nodes, edges):
+    from etl_8million_data__spark.operators.graph import connected_components_star
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    edf = spark.createDataFrame(edges or [(None, None)], "src bigint, dst bigint")
+    if not edges:
+        edf = edf.filter("src IS NOT NULL")
+    got = connected_components_star(ndf, edf)
+    return {r.node: r.component for r in got.collect()}
+
+
+def test_star_long_chain_beyond_label_propagation_budget(spark):
+    """A 100-node path has diameter 99 — min-label at default max_iter
+    would need 99 rounds; large-star/small-star converges in O(log n)."""
+    n = 100
+    nodes = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    comp = _cc_star(spark, nodes, edges)
+    assert all(comp[i] == 0 for i in range(n))
+
+
+def test_star_matches_min_label_on_mixed_topology(spark):
+    nodes = list(range(20)) + [50, 51]
+    edges = (
+        [(0, 1), (1, 2), (2, 3)]          # path
+        + [(4, 5), (5, 6), (4, 6)]        # triangle
+        + [(9, 8), (8, 7)]                # reversed path
+        + [(10, 11), (12, 11), (13, 10)]  # small tree
+        + [(14, 19), (19, 15), (15, 18), (18, 16), (16, 17)]  # zigzag
+    )
+    assert _cc_star(spark, nodes, edges) == _cc(spark, nodes, edges)
+
+
+def test_star_no_edges_and_isolated(spark):
+    comp = _cc_star(spark, [2, 9], [])
+    assert comp == {2: 2, 9: 9}
