@@ -141,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "dedup_exact_substring_spans",
     "dedup_semantic_keepers",
+    "corpus_content_defined_chunks",
+    "embedding_label_centroids",
     "skew_salted_event_type_totals",
     "json_quarantine_split",
     "data_quality_expectations",

@@ -443,3 +443,43 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(u.i AS INTEGER) AS dim,
+           count(*) AS n_vectors,
+           CAST(sum(CAST(round(embedding[u.i + 1]::DOUBLE * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_micro,
+           CAST(sum(CAST(round(embedding[u.i + 1]::DOUBLE * 1000000)
+                         AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)) AS mean
+    FROM embeddings, unnest(range(len(embedding))) AS u(i)
+    GROUP BY label, u.i
+    """,
+    tags=("similarity", "embedding", "centroid", "extension"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the relational mean-vector computation that
+    seeds k-means-style coarse quantizers (the data-driven IVF path)
+    and powers per-class drift monitoring.  Components are
+    micro-rounded to exact integers before summing, so the
+    cross-row aggregation is order-insensitive and bit-identical to
+    the oracle.  posexplode -> groupBy(label, dim): map-side partial
+    aggregation shrinks the shuffle to |labels| x dims rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .select("label", F.col("dim").cast("int").alias("dim"), micro.alias("micro"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+            (
+                F.sum("micro").cast("double") / (1_000_000.0 * F.count(F.lit(1)))
+            ).alias("mean"),
+        )
+    )

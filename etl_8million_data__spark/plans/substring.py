@@ -5,6 +5,7 @@ relational plan.  Extension beyond the reference (SURVEY.md §7.2(4))."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.operators.substring import duplicated_span_coverage
@@ -57,3 +58,88 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram_md5, doc_id, pos) tuples ever shuffle; hot grams collapse in
     map-side partial aggregation (see operators/substring.py)."""
     return duplicated_span_coverage(load_table(spark, sf_dir, "documents"), k=_K)
+
+
+@register(
+    "corpus_content_defined_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, u.i + 1 AS p, t[u.i + 1] AS tok,
+             CASE WHEN substr(md5(t[u.i + 1]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+      FROM toks, unnest(range(len(t))) AS u(i)),
+    ch AS (
+      SELECT doc_id, p, tok,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(min(p) AS BIGINT) AS start_pos,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+      FROM ch GROUP BY doc_id, chunk_id)
+    SELECT doc_id, chunk_id, start_pos, n_tokens, chunk_md5,
+           CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS shared
+    FROM chunks
+    """,
+    tags=("dedup", "chunking", "cdc", "extension", "scale-path"),
+)
+def corpus_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rolling-boundary style): a token
+    starts a new chunk when its md5 begins with '0' (p = 1/16, ~16-token
+    expected chunks), so chunk boundaries survive insertions/deletions —
+    the property that makes CDC the storage-dedup chunker.  Output is
+    one row per (doc, chunk) with its fingerprint and the corpus-wide
+    count of documents/chunks sharing that fingerprint (`shared` > 1 =
+    dedupable chunk).
+
+    Scale: boundary flags and the running chunk counter are one
+    doc-partitioned window; chunk assembly is a (doc, chunk) groupBy
+    sharing that partitioning; only the final fingerprint-count window
+    shuffles by chunk_md5 — each carries fixed-width rows, never full
+    text beyond the chunk being assembled."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks_staged = d.select("doc_id", tokens_col().alias("toks"))
+    pos = toks_staged.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("p"),
+        "tok",
+        F.when(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 1) == "0", 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = pos.withColumn("chunk_id", F.sum("b").over(wcum))
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+        ),
+        " ",
+    )
+    chunks = ch.groupBy("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id")).agg(
+        F.min("p").cast("bigint").alias("start_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(F.encode(joined, "UTF-8")).alias("chunk_md5"),
+    )
+    wshared = Window.partitionBy("chunk_md5")
+    return chunks.withColumn(
+        "shared", F.count(F.lit(1)).over(wshared).cast("bigint")
+    )
+
+
+def tokens_col():
+    """Staged token-array column (see operators/text.tokens)."""
+    from etl_8million_data__spark.operators.text import tokens as _tokens
+
+    return _tokens(F.col("text"))
