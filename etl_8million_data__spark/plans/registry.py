@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_asof_latest_order",
     "events_click_attribution_range_join",
     "events_rollup_daily_from_hourly",
+    "events_ohlc_hourly",
     # multimodal + remaining similarity
     "multimodal_feature_extract",
     "multimodal_frame_sample",

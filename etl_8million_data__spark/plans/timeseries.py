@@ -299,3 +299,68 @@ def events_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFra
     from etl_8million_data__spark.operators.rollup import hourly_rollup, reaggregate_daily
 
     return reaggregate_daily(hourly_rollup(load_table(spark, sf_dir, "events")))
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             event_type, ts, event_id,
+             {sql_cents('value')} AS vc
+      FROM events),
+    r AS (
+      SELECT hour_start, event_type, vc,
+             row_number() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT hour_start, event_type,
+           max(CASE WHEN rn_a = 1 THEN vc END) / 100.0 AS open,
+           max(vc) / 100.0 AS high,
+           min(vc) / 100.0 AS low,
+           max(CASE WHEN rn_d = 1 THEN vc END) / 100.0 AS close,
+           count(*) AS n_events,
+           CAST(sum(vc) AS BIGINT) / 100.0 AS total_value
+    FROM r
+    GROUP BY hour_start, event_type
+    """,
+    tags=("timeseries", "ohlc", "resample", "extension"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the finance resample the
+    reference's stock domain implies (quote history -> bars).  Open and
+    close are the first/last value by the total order (ts, event_id),
+    so ties are deterministic in both engines; prices go through
+    integer cents, making every aggregate bit-exact.  One window + one
+    aggregate sharing the same (hour, type) partitioning — a single
+    exchange; at 100 TB the key space is hours x types, so partials
+    collapse map-side."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.window("ts", "1 hour").getField("start").alias("hour_start"),
+        "event_type",
+        "ts",
+        "event_id",
+        cents("value").alias("vc"),
+    )
+    asc = Window.partitionBy("hour_start", "event_type").orderBy("ts", "event_id")
+    desc = Window.partitionBy("hour_start", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = b.select(
+        "hour_start",
+        "event_type",
+        "vc",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return r.groupBy("hour_start", "event_type").agg(
+        (F.max(F.when(F.col("rn_a") == 1, F.col("vc"))) / 100.0).alias("open"),
+        (F.max("vc") / 100.0).alias("high"),
+        (F.min("vc") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rn_d") == 1, F.col("vc"))) / 100.0).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("vc").cast("bigint") / 100.0).alias("total_value"),
+    )
