@@ -45,3 +45,54 @@ def test_within_doc_repetition_counts(spark):
     assert got[0]["dup_positions"] == 2
     assert got[0]["dup_tokens"] == 16  # disjoint spans: 8 + 8
     assert got[1]["dup_tokens"] == 0
+
+
+# --- property-based check vs a brute-force Python model -----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30).map(" ".join)
+
+
+def _model(texts, k=8):
+    """Brute-force reference: gram multiset over the whole corpus,
+    duplicated grams -> per-doc covered-position set."""
+    grams: dict[str, int] = {}
+    per_doc = []
+    for t in texts:
+        toks = t.split(" ") if t else [""]
+        spans = []
+        for i in range(max(0, len(toks) - k + 1)):
+            g = " ".join(toks[i : i + k])
+            grams[g] = grams.get(g, 0) + 1
+            spans.append((i + 1, g))
+        per_doc.append((len(toks), spans))
+    out = {}
+    for doc_id, (n, spans) in enumerate(per_doc):
+        covered: set[int] = set()
+        positions = 0
+        for s, g in spans:
+            if grams[g] >= 2:
+                positions += 1
+                covered.update(range(s, s + k))
+        out[doc_id] = (n, positions, len(covered))
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_span_coverage_matches_brute_force(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_positions"], r["dup_tokens"])
+        for r in duplicated_span_coverage(df, k=8).collect()
+    }
+    assert got == _model(texts)
