@@ -1,0 +1,103 @@
+"""Incremental near-dup filtering against a persisted LSH band index —
+the operational form of corpus dedup at 100 TB: each ingest batch
+computes MinHash signatures ONLY for its own documents and equi-joins
+the compact (band, band_key) index of everything already accepted,
+instead of re-running dedup over the whole corpus (the batch-vs-corpus
+analog of the reference's anti-join skip-existing increment,
+details.py:82-101).
+
+Index layout: parquet rows (doc_id, band, band_key) — ~40 bytes per
+band per accepted doc, i.e. ~4 B rows per billion docs at 4 bands.  The
+probe is an equi-join on (band, band_key), so AQE can split hot buckets
+and the index can be bucketed/partitioned by band_key prefix at scale.
+Candidate-level filtering (any shared band) is deliberately
+recall-biased: a new doc is dropped on any band collision with the
+accepted corpus; Jaccard verification would require keeping shingle
+sets, trading index size for precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.dedup import (
+    doc_shingle_frame,
+    lsh_band_frame,
+    minhash_min_frame,
+)
+
+INDEX_SCHEMA = "doc_id long, band int, band_key string"
+
+
+def _batch_bands(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    sh = doc_shingle_frame(new_docs, text_col, id_col, k)
+    return lsh_band_frame(
+        minhash_min_frame(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
+    )
+
+
+def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(index_path)
+    except Exception:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Filter ``new_docs`` against the persisted band index, extend the
+    index with the survivors, and return the kept documents.
+
+    A new document is dropped when (a) any of its bands collides with
+    the accepted corpus index, or (b) it collides with a smaller-id
+    document inside the same batch (deterministic keep-smallest, as in
+    the batch LSH pair query).  Documents with fewer than ``k`` tokens
+    produce no bands and are always kept.  The index append contains
+    only the survivors' bands, so re-presenting the same content later
+    keeps colliding with the canonical copy.
+    """
+    spark = new_docs.sparkSession
+    bands_new = _batch_bands(
+        new_docs, text_col, id_col, k, num_hashes, bands
+    ).localCheckpoint(eager=True)
+
+    idx = _read_index(spark, index_path)
+    vs_corpus = (
+        bands_new.join(
+            idx.select("band", "band_key").distinct(), ["band", "band_key"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    # within-batch collisions: keep the smallest id per (band, band_key)
+    w_min = (
+        bands_new.groupBy("band", "band_key")
+        .agg(F.min(id_col).alias("_min_id"))
+    )
+    vs_batch = (
+        bands_new.join(w_min, ["band", "band_key"])
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=True)
+
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    kept_bands = bands_new.join(dropped, id_col, "left_anti")
+    kept_bands.write.mode("append").parquet(index_path)
+    return kept

@@ -1,0 +1,47 @@
+"""Batch-vs-index incremental near-dup filtering
+(operators/incremental_dedup.py): first batch seeds the index, later
+batches drop collisions with accepted content, short docs always pass."""
+
+from __future__ import annotations
+
+from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+_LONG_A = "the quick brown fox jumps over the lazy dog again and again"
+_LONG_A_NEAR = "the quick brown fox jumps over the lazy dog again and again!"
+_LONG_B = "completely different content talking about spark shuffles and joins"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_first_batch_keeps_canonical_and_drops_batch_dup(spark, tmp_path):
+    idx = str(tmp_path / "band_index")
+    batch1 = _docs(spark, [(1, _LONG_A), (2, _LONG_A_NEAR), (3, _LONG_B)])
+    kept = dedup_increment(batch1, idx)
+    # 2 is a near-dup of 1 (same leading shingles -> shared band); 1 wins
+    assert _ids(kept) == [1, 3]
+
+
+def test_second_batch_filtered_against_index(spark, tmp_path):
+    idx = str(tmp_path / "band_index")
+    dedup_increment(_docs(spark, [(1, _LONG_A), (3, _LONG_B)]), idx)
+    batch2 = _docs(
+        spark,
+        [
+            (10, _LONG_A),  # exact dup of accepted 1 -> dropped
+            (11, "a brand new document with entirely novel words in it today"),
+            (12, "hi"),  # < k tokens: no bands, always kept
+        ],
+    )
+    kept = dedup_increment(batch2, idx)
+    assert _ids(kept) == [11, 12]
+    # replaying the same content yet again still collides with the index
+    kept_again = dedup_increment(
+        _docs(spark, [(20, _LONG_A), (21, _LONG_B)]), idx
+    )
+    assert _ids(kept_again) == []

@@ -33,6 +33,12 @@ AUDIT = {
     "window_rank_zoo_per_customer": ["Window"],
     "corpus_e2e_curation": ["BroadcastHashJoin", "HashAggregate", "Window"],
     "corpus_domain_quota_sample": ["Window"],
+    "dedup_exact_substring_spans": ["HashAggregate", "LeftSemi", "Window"],
+    "dedup_semantic_keepers": ["LeftAnti", "HashAggregate"],
+    "corpus_content_defined_chunks": ["Window", "HashAggregate"],
+    "corpus_shard_assignment": ["Window"],
+    "embedding_label_centroids": ["HashAggregate", "Generate"],
+    "events_ohlc_hourly": ["Window", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
