@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.functions.exact import cents, sql_cents
-from etl_8million_data__spark.operators.asof import asof_join_backward
+from etl_8million_data__spark.operators.asof import (
+    asof_join_backward,
+    asof_join_backward_sorted,
+)
 from etl_8million_data__spark.plans.registry import register
 
 
@@ -219,12 +222,16 @@ def events_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each event picks the customer's latest
-    order at event time (user_id ≡ custkey in the fixtures)."""
+    order at event time (user_id ≡ custkey in the fixtures).  Uses the
+    merge-sorted formulation (union + running last): one sort per user
+    partition, no event×order fan-out — the plan that survives
+    high-frequency build sides at 100 TB.  The generic ranking form
+    (asof_join_backward) is equivalence-tested against it."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
-    return asof_join_backward(
+    return asof_join_backward_sorted(
         e,
         o,
         by=["user_id"],
