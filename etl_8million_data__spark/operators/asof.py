@@ -113,3 +113,62 @@ def asof_join_backward_sorted(
             *[F.col("_m").getField(c).alias(c) for c in rcols],
         )
     )
+
+
+def interval_count_backward(
+    probes: DataFrame,
+    events: DataFrame,
+    by: list[str],
+    probe_ts: str,
+    event_ts: str,
+    probe_id: str,
+    window_expr: str = "INTERVAL 1 HOUR",
+    out_col: str = "n_in_window",
+) -> DataFrame:
+    """Count, for every probe row, the same-key event rows with
+    ``probe_ts - window <= event_ts < probe_ts`` — the attribution /
+    range-join aggregate — WITHOUT the per-key probe×event fan-out.
+
+    Merge-sort formulation: count(events < t) is a running sum over the
+    per-key (ts)-sorted union, so each probe becomes two signed bound
+    rows (+count at t, -count at t - window) and the window count is
+    their difference.  Cost per key partition: 2|P|+|E| rows and one
+    sort, vs |P|×|E| joined rows in the naive range join — the plan
+    that survives hot users at 100 TB.  At equal timestamps bound rows
+    sort BEFORE event rows, which yields exactly the half-open
+    ``[t - window, t)`` semantics of the equi+range-filter form.
+    """
+    hi = probes.select(
+        *by,
+        F.col(probe_ts).alias("_ts"),
+        F.lit(0).alias("_is_event"),
+        F.col(probe_id).alias("_pid"),
+        F.lit(1).alias("_sign"),
+    )
+    lo = probes.select(
+        *by,
+        (F.col(probe_ts) - F.expr(window_expr)).alias("_ts"),
+        F.lit(0).alias("_is_event"),
+        F.col(probe_id).alias("_pid"),
+        F.lit(-1).alias("_sign"),
+    )
+    ev = events.select(
+        *by,
+        F.col(event_ts).alias("_ts"),
+        F.lit(1).alias("_is_event"),
+        F.lit(None).cast(probes.schema[probe_id].dataType).alias("_pid"),
+        F.lit(0).alias("_sign"),
+    )
+    u = hi.unionByName(lo).unionByName(ev)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_ts").asc(), F.col("_is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.sum("_is_event").over(w)
+    return (
+        u.select(*by, "_is_event", "_pid", "_sign", cnt.alias("_cnt"))
+        .filter(F.col("_is_event") == 0)
+        .groupBy(F.col("_pid").alias(probe_id), *by)
+        .agg(F.sum(F.col("_sign") * F.col("_cnt")).cast("bigint").alias(out_col))
+    )

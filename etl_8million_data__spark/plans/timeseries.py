@@ -259,30 +259,33 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_click_attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join (attribution shape): for every purchase,
-    count the same user's clicks in the preceding hour. Equi key
-    (user_id) + time-range predicate — Spark plans the equi part as the
-    join key and evaluates the range as a post-join filter, so it
-    shuffles on user_id only; purchases with no clicks survive via the
-    left join. The streaming twin is the watermarked stream-stream join
-    (streaming/jobs.py click_purchase_pairs_stream)."""
+    count the same user's clicks in the preceding hour.  Uses the
+    merge-sorted running-count formulation
+    (operators/asof.interval_count_backward): each purchase becomes two
+    signed bound rows and the window count is a running-sum difference
+    — 2|P|+|C| rows per user partition instead of the equi+range-filter
+    join's |P|×|C| fan-out on hot users.  Purchases with no clicks
+    still appear (their bounds always exist).  The streaming twin is
+    the watermarked stream-stream join (streaming/jobs.py
+    click_purchase_pairs_stream)."""
+    from etl_8million_data__spark.operators.asof import interval_count_backward
+
     e = load_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("purchase_ts"),
     )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
-    )
-    joined = p.join(
+    c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    return interval_count_backward(
+        p,
         c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("click_ts") < F.col("purchase_ts")),
-        "left",
-    )
-    return joined.groupBy("purchase_id", "user_id").agg(
-        F.count("click_ts").alias("n_clicks_1h")
+        by=["user_id"],
+        probe_ts="purchase_ts",
+        event_ts="click_ts",
+        probe_id="purchase_id",
+        window_expr="INTERVAL 1 HOUR",
+        out_col="n_clicks_1h",
     )
 
 
