@@ -238,15 +238,28 @@ def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     Deterministic md5-derived integer hyperplanes keep both engines
     bit-identical. Recall vs the all-pairs form is asserted in
     tests/test_similarity.py."""
+    from etl_8million_data__spark.operators.similarity import norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
-    e = emb.select("vec_id", "embedding")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms once per VECTOR, not per pair: the per-pair cosine is the
+    # dominant interpreted-fold cost on dense candidate sets (3x fewer
+    # folds; same values — the oracle precomputes n2 identically)
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
+    )
     out = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cosine"),
+        )
     )
     return out.filter(F.col("cosine") >= 0.4)
 
@@ -426,19 +439,32 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: candidate generation is the bucketed SRP join (only
     (id, table, bucket) shuffles — no all-pairs stage anywhere), cosine
-    is verified only on candidates, and the final anti join is
-    co-partitioned on vec_id.  The fixture embeddings are
-    near-orthogonal, so the 0.4 threshold is the meaningful tail (as in
-    similarity_near_dup_embeddings)."""
+    is verified only on candidates (vector norms computed once per
+    vector, not per pair), and the final anti join is co-partitioned on
+    vec_id.  The fixture embeddings are near-orthogonal, so the 0.4
+    threshold is the meaningful tail (as in
+    similarity_near_dup_embeddings).  Parameter note for real corpora:
+    planes_per_table must grow ~log2(n / target_bucket_size) — fixed
+    4-bit tables stop cutting once n >> 16, and at practical semantic
+    thresholds (cos >= 0.9) higher bit-counts keep recall high while
+    restoring the sub-quadratic candidate volume."""
+    from etl_8million_data__spark.operators.similarity import norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
-    e = emb.select("vec_id", "embedding")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms once per VECTOR (oracle precomputes n2 the same way); the
+    # per-pair cosine fold is the dominant cost on dense candidate sets
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
+    )
     dropped = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.4)
+        .filter(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.4)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
