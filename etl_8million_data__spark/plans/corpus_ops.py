@@ -803,3 +803,58 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
     )
+
+
+@register(
+    "corpus_mixture_epochs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             -- source weight in quarter-units: 2,5,8,11 -> 0.5..2.75 epochs
+             2 + (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 * 3
+               AS w_qu,
+             ((doc_id * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
+      FROM documents),
+    e AS (
+      SELECT doc_id, source,
+             CAST(w_qu // 4 + CASE WHEN bucket < (w_qu % 4) * 250 THEN 1 ELSE 0 END
+                  AS BIGINT) AS epochs
+      FROM w)
+    SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch
+    FROM e, unnest(range(1, epochs + 1)) AS u(epoch)
+    """,
+    tags=("corpus", "mixture", "training", "extension", "scale-path"),
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling with fractional epochs — the source
+    weighting step of every pretraining data recipe: a source with
+    weight 2.75 repeats each document 2 times and a deterministic 75%
+    of them a 3rd time.  Weights derive from md5(source) (quarter-unit
+    grid 0.5..2.75) so the query is self-contained; the fractional
+    accept is the portable multiplicative doc_id hash against an exact
+    integer threshold — no float compare, no rand(), stable under
+    retries and engine choice.  Narrow map + explode, no shuffle at
+    all; output order is (doc_id, epoch)-keyed for reproducible
+    training-order assembly downstream (corpus_shard_assignment)."""
+    from etl_8million_data__spark.operators.text import hex_char_val
+
+    d = load_table(spark, sf_dir, "documents")
+    w_qu = 2 + (hex_char_val(F.substring(F.md5(F.encode("source", "UTF-8")), 1, 1)) % 4) * 3
+    bucket = ((F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
+    e = d.select(
+        "doc_id",
+        "source",
+        (
+            (w_qu / 4).cast("bigint")
+            + F.when(bucket < (w_qu % 4) * 250, 1).otherwise(0)
+        ).alias("epochs"),
+    )
+    return (
+        e.filter(F.col("epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
+    )

@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_train_split",
     "corpus_stratified_sample",
     "corpus_shard_assignment",
+    "corpus_mixture_epochs",
     "pii_redaction_contacts",
     "corpus_salient_terms_tfidf",
     # custom / robustness / behavioral / corpus
