@@ -437,15 +437,16 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _e2e_oracle() -> str:
+def _surv_ctes() -> str:
+    """The WITH-clause body computing curated survivors (shared by the
+    curation summary and the training-order capstone)."""
     from etl_8million_data__spark.plans.text import _LANG_MARKERS, _sql_count_in
 
     en = _sql_count_in(_LANG_MARKERS["en"])
     de = _sql_count_in(_LANG_MARKERS["de"])
     es = _sql_count_in(_LANG_MARKERS["es"])
     fr = _sql_count_in(_LANG_MARKERS["fr"])
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, source, n_chars, {_TOKS} AS toks, md5({_NORM}) AS fp
       FROM documents),
     scored AS (
@@ -483,7 +484,12 @@ def _e2e_oracle() -> str:
       SELECT e.doc_id, e.source, e.n_chars FROM exact e
       WHERE e.source <> 'src0'
         AND e.doc_id NOT IN (SELECT doc_id FROM near)
-        AND e.doc_id NOT IN (SELECT doc_id FROM bad))
+        AND e.doc_id NOT IN (SELECT doc_id FROM bad))"""
+
+
+def _e2e_oracle() -> str:
+    return f"""
+    WITH {_surv_ctes()}
     SELECT CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train'
                 WHEN {_SPLIT_BUCKET} < 950 THEN 'val'
                 ELSE 'test' END AS split,
@@ -528,6 +534,27 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg is 3 rows. No Python anywhere; every filter/judgment is exact
     integer or md5-string arithmetic so DuckDB reproduces it
     bit-for-bit."""
+    surv = _survivors(spark, sf_dir)
+    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    return (
+        surv.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct(F.col("source")).alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated survivor documents ``(doc_id, source, n_chars)`` —
+    stages 1-5 of corpus_e2e_curation (language gate, quality gate,
+    exact dedup, verified near-dup drop, decontamination).  Mirrors
+    the ``surv`` CTE of :func:`_surv_ctes` exactly."""
     from pyspark.sql import Window
 
     from etl_8million_data__spark.operators.dedup import (
@@ -599,23 +626,11 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_cont") * 20 > F.col("n_grams"))
         .select("doc_id")
     )
-    surv = (
+    return (
         exact.filter(F.col("source") != "src0")
         .join(near_drops, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-    )
-    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
-    split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
-    return (
-        surv.withColumn("split", split)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.count_distinct(F.col("source")).alias("n_sources"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
+        .select("doc_id", "source", "n_chars")
     )
 
 
@@ -857,4 +872,103 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
         )
         .select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
+    )
+
+
+def _training_order_oracle() -> str:
+    return f"""
+    WITH {_surv_ctes()},
+    train AS (
+      SELECT doc_id, source FROM surv WHERE {_SPLIT_BUCKET} < 900),
+    wq AS (
+      SELECT doc_id, source,
+             2 + (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 * 3
+               AS w_qu,
+             ((doc_id * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
+      FROM train),
+    ep AS (
+      SELECT doc_id, source,
+             CAST(w_qu // 4 + CASE WHEN bucket < (w_qu % 4) * 250 THEN 1 ELSE 0 END
+                  AS BIGINT) AS epochs
+      FROM wq),
+    copies AS (
+      SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch,
+             ((doc_id * 131 + u.epoch) * 2654435761 + 104729) % 4294967296 AS mix
+      FROM ep, unnest(range(1, epochs + 1)) AS u(epoch))
+    SELECT doc_id, source, epoch,
+           CAST(mix % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY mix % 8
+                                   ORDER BY mix, doc_id, epoch) AS BIGINT) AS pos
+    FROM copies
+    """
+
+
+@register(
+    "corpus_e2e_training_order",
+    oracle=_training_order_oracle(),
+    tags=("corpus", "training", "mixture", "shard", "flagship", "extension"),
+)
+def corpus_e2e_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: curated corpus -> reproducible training order, as one
+    declarative plan composing three verified stages:
+
+      1. curation survivors (stages 1-5 of corpus_e2e_curation via the
+         shared _survivors builder), restricted to the train split;
+      2. mixture weighting with fractional epochs (the
+         corpus_mixture_epochs scheme — weight 2.75 = 2 copies + a
+         deterministic 75% third copy);
+      3. shard assignment over the resulting copies: every (doc, epoch)
+         copy hashes to a shard with an in-shard position, so N
+         dataloader workers each read one shard sequentially and the
+         global training order is fully reproducible with NO central
+         shuffler.
+
+    Scale shape: curation as audited in corpus_e2e_curation; mixture is
+    a zero-shuffle map + explode; sharding is one exchange keyed by
+    shard with windows bounded by shard size. Everything is integer /
+    md5 arithmetic — the whole corpus -> training-order path is
+    bit-reproducible in DuckDB."""
+    surv = _survivors(spark, sf_dir)
+    bucket = ((F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
+    train = surv.filter(bucket < 900).select("doc_id", "source")
+    from etl_8million_data__spark.operators.text import hex_char_val
+
+    w_qu = 2 + (hex_char_val(F.substring(F.md5(F.encode("source", "UTF-8")), 1, 1)) % 4) * 3
+    ep = train.select(
+        "doc_id",
+        "source",
+        (
+            (w_qu / 4).cast("bigint")
+            + F.when(bucket < (w_qu % 4) * 250, 1).otherwise(0)
+        ).alias("epochs"),
+    )
+    copies = (
+        ep.filter(F.col("epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("epoch").cast("bigint").alias("epoch"),
+            (
+                (
+                    (F.col("doc_id") * 131 + F.col("epoch")) * F.lit(2654435761)
+                    + F.lit(104729)
+                )
+                % F.lit(4294967296)
+            ).alias("mix"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("mix") % 8).orderBy("mix", "doc_id", "epoch")
+    return copies.select(
+        "doc_id",
+        "source",
+        "epoch",
+        (F.col("mix") % 8).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q21_suppliers_kept_waiting",
     # flagship + LLM-pipeline corpus operators, never driver-checked
     "corpus_e2e_curation",
+    "corpus_e2e_training_order",
     "dedup_cluster_components",
     "dedup_cluster_components_star",
     "corpus_benchmark_contamination",
