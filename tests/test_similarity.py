@@ -76,3 +76,24 @@ def test_ivf_results_within_probed_cells(spark, sf_dir):
     for r in approx:
         if (r.query_id, r.vec_id) in exact:
             assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-12
+
+
+def test_semantic_keepers_vs_allpairs_truth(spark, sf_dir):
+    """The SemDeDup keep-set must (a) never drop a vector without a
+    true smaller-id near neighbor (LSH candidates under-approximate
+    pairs, so LSH drops ⊆ true drops), and (b) find most true drops."""
+    qs = all_queries()
+    all_ids = {
+        r.vec_id
+        for r in qs["dedup_semantic_keepers"].build(spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).select("vec_id").collect()
+    }
+    kept = {r.vec_id for r in qs["dedup_semantic_keepers"].build(spark, sf_dir).collect()}
+    true_pairs = qs["similarity_near_dup_embeddings"].build(spark, sf_dir).collect()
+    true_drops = {r.vec_b for r in true_pairs}
+    lsh_drops = all_ids - kept
+    assert lsh_drops <= true_drops  # precision: only real near-dups dropped
+    assert true_drops, "fixture should contain near-dup pairs"
+    recall = len(lsh_drops) / len(true_drops)
+    assert recall >= 0.5, f"semantic-dedup drop recall {recall:.2f}"
