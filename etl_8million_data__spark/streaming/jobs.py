@@ -231,3 +231,31 @@ def stream_upsert_versioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_increment(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus ingest with incremental near-dup filtering:
+    each micro-batch probes the persisted LSH band index
+    (operators/incremental_dedup.dedup_increment — signatures computed
+    for the batch only, never the corpus), appends the surviving
+    documents to ``out_path``, and extends the index with their bands.
+    foreachBatch because the filter needs a batch-side parquet read
+    (the index) plus two writes — the same exactly-once pattern as the
+    upsert sink; checkpointing makes replays skip completed batches."""
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_increment(batch_df, index_path)
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

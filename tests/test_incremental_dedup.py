@@ -45,3 +45,33 @@ def test_second_batch_filtered_against_index(spark, tmp_path):
         _docs(spark, [(20, _LONG_A), (21, _LONG_B)]), idx
     )
     assert _ids(kept_again) == []
+
+
+def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
+    """File-stream ingest: batch 2's near-dup of batch 1 content is
+    filtered by the persisted index; survivors accumulate in out."""
+    from etl_8million_data__spark.streaming.jobs import stream_dedup_increment
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    _docs(spark, [(1, _LONG_A), (2, _LONG_B)]).write.mode("overwrite").parquet(
+        str(src / "batch1")
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "batch1")
+    )
+    stream_dedup_increment(stream, idx, out, ckpt).awaitTermination()
+
+    _docs(spark, [(10, _LONG_A), (11, "fresh unseen words compose this novel document")]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch2"))
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "batch2"))
+    stream_dedup_increment(stream2, idx, out, str(tmp_path / "ckpt2")).awaitTermination()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]
