@@ -14,7 +14,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_8million_data__spark.catalog import load_table
-from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs
+from etl_8million_data__spark.operators.dedup import (
+    minhash_lsh_candidate_pairs,
+    spread,
+)
 from etl_8million_data__spark.operators.graph import connected_components
 from etl_8million_data__spark.operators.text import tokens, word_shingles
 from etl_8million_data__spark.plans.dedup import _BANDS, _PAIRS, _SHINGLED, _SIG
@@ -971,4 +974,65 @@ def corpus_e2e_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         (F.col("mix") % 8).cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[u.i : u.i + 2], ' ')) AS gk
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)),
+    f AS (SELECT gk, min(doc_id) AS first_doc FROM g GROUP BY gk)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novel_frac
+    FROM g JOIN f USING (gk)
+    GROUP BY g.doc_id
+    """,
+    tags=("corpus", "novelty", "dedup", "extension", "scale-path"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the fraction of a document's distinct
+    3-grams whose FIRST corpus occurrence (minimum doc_id) is this
+    document — the freshness signal dedup-aware samplers weight by
+    (late boilerplate scores near 0, original content near 1).  Docs
+    with fewer than 3 tokens have no grams and are omitted.
+
+    Scale: grams are md5-hashed before any exchange; first-occurrence
+    is a groupBy-min (map-side partials absorb hot grams) and the
+    attribution join is co-partitioned on the same key."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("_toks"), 3)).alias("gram"),
+        )
+        .select("doc_id", F.md5(F.encode("gram", "UTF-8")).alias("gk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    f = g.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(f, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novel_frac"),
+        )
     )

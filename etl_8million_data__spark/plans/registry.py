@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_substring_spans",
     "dedup_semantic_keepers",
     "corpus_content_defined_chunks",
+    "corpus_ngram_novelty",
     "embedding_label_centroids",
     "skew_salted_event_type_totals",
     "json_quarantine_split",
