@@ -66,20 +66,13 @@ def token_gram_positions(
     return toks_df.select(id_col, "n_tokens"), grams
 
 
-def duplicated_span_coverage(
+def duplicated_spans(
     docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-document coverage of corpus-duplicated k-token substrings.
-
-    Returns ``(doc_id, n_tokens, dup_positions, dup_tokens, dup_frac)``
-    for EVERY document: ``dup_positions`` is how many gram start
-    positions belong to a duplicated gram (>= 2 occurrences anywhere in
-    the corpus, including within the same document), ``dup_tokens`` is
-    the token count covered by the union of those [s, s+k-1] spans
-    (overlaps merged by a per-document interval-union window), and
-    ``dup_frac`` = dup_tokens / n_tokens is the trainable-data loss if
-    duplicated spans were cut.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(base, spans)``: ``base`` = ``(doc_id, n_tokens)``,
+    ``spans`` = the ``[s, e]`` token intervals (1-based, inclusive)
+    occupied by corpus-duplicated k-grams.  Shared by the coverage
+    measure and the span-cutting action."""
     base, grams = token_gram_positions(docs, k, id_col, text_col)
     # The gram stage (tokenize + md5 per position) is the dominant CPU
     # cost and feeds BOTH the duplicate-key aggregate and the span side
@@ -97,6 +90,96 @@ def duplicated_span_coverage(
         grams.join(dup_keys, "gk", "left_semi")
         .select(id_col, "s", (F.col("s") + (k - 1)).alias("e"))
     )
+    return base, spans
+
+
+def cut_duplicated_spans(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The dedup ACTION to `duplicated_span_coverage`'s measure: remove
+    every token covered by a corpus-duplicated k-gram span and
+    fingerprint the surviving text.
+
+    Returns ``(doc_id, n_tokens, n_kept, cleaned_md5)`` for every
+    document (docs without duplicated spans keep all tokens).  Coverage
+    is decided by the signed-boundary running sum — each span emits
+    (+1 at s, -1 at e+1) and a token at position p is covered when the
+    running sum over boundaries-before-tokens is positive — the same
+    no-fan-out trick as the interval_count_backward range aggregate, so
+    overlapping spans cost 2 rows each instead of a per-token interval
+    join.  One doc-keyed sort covers boundary merge + reconstruction
+    order; the cleaned text never leaves the executors (only its md5
+    and counts return)."""
+    base, spans = duplicated_spans(docs, k, id_col, text_col)
+    bounds = spans.select(
+        id_col, F.col("s").alias("p"), F.lit(0).alias("_is_tok"), F.lit(1).alias("_d"),
+        F.lit(None).cast("string").alias("tok"),
+    ).unionByName(
+        spans.select(
+            id_col,
+            (F.col("e") + 1).alias("p"),
+            F.lit(0).alias("_is_tok"),
+            F.lit(-1).alias("_d"),
+            F.lit(None).cast("string").alias("tok"),
+        )
+    )
+    toks = (
+        spread(docs, id_col)
+        .select(id_col, tokens(F.col(text_col)).alias("toks"))
+        .select(
+            id_col,
+            F.posexplode("toks").alias("pos0", "tok"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("p"),
+            F.lit(1).alias("_is_tok"),
+            F.lit(0).alias("_d"),
+            "tok",
+        )
+    )
+    u = toks.unionByName(bounds)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("p", "_is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = u.select(
+        id_col, "p", "_is_tok", "tok", F.sum("_d").over(w).alias("_depth")
+    ).filter(F.col("_is_tok") == 1)
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_depth") <= 0, F.struct("p", "tok")).otherwise(None)
+                )
+            ),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_depth") <= 0, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.encode(cleaned, "UTF-8")).alias("cleaned_md5"),
+    )
+
+
+def duplicated_span_coverage(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document coverage of corpus-duplicated k-token substrings.
+
+    Returns ``(doc_id, n_tokens, dup_positions, dup_tokens, dup_frac)``
+    for EVERY document: ``dup_positions`` is how many gram start
+    positions belong to a duplicated gram (>= 2 occurrences anywhere in
+    the corpus, including within the same document), ``dup_tokens`` is
+    the token count covered by the union of those [s, s+k-1] spans
+    (overlaps merged by a per-document interval-union window), and
+    ``dup_frac`` = dup_tokens / n_tokens is the trainable-data loss if
+    duplicated spans were cut.
+    """
+    base, spans = duplicated_spans(docs, k, id_col, text_col)
     prev = (
         Window.partitionBy(id_col)
         .orderBy("s")

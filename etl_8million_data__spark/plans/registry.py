@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_user_trend_applyinpandas",
     "dedup_ngram_jaccard_pairs",
     "dedup_exact_substring_spans",
+    "dedup_cut_substring_spans",
     "dedup_semantic_keepers",
     "corpus_content_defined_chunks",
     "corpus_ngram_novelty",

@@ -143,3 +143,50 @@ def tokens_col():
     from etl_8million_data__spark.operators.text import tokens as _tokens
 
     return _tokens(F.col("text"))
+
+
+@register(
+    "dedup_cut_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, u.i AS s,
+             md5(array_to_string(t[u.i:u.i+{_K - 1}], ' ')) AS gk
+      FROM toks, unnest(range(1, len(t) - {_K - 2})) AS u(i)
+      WHERE len(t) >= {_K}),
+    dupk AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.s, g.s + {_K - 1} AS e FROM g JOIN dupk USING (gk)),
+    bounds AS (
+      SELECT doc_id, s AS p, 0 AS is_tok, 1 AS dd, NULL AS tok FROM d
+      UNION ALL
+      SELECT doc_id, e + 1 AS p, 0 AS is_tok, -1 AS dd, NULL AS tok FROM d),
+    tokrows AS (
+      SELECT doc_id, u.i + 1 AS p, 1 AS is_tok, 0 AS dd, t[u.i + 1] AS tok
+      FROM toks, unnest(range(len(t))) AS u(i)),
+    marked AS (
+      SELECT doc_id, p, is_tok, tok,
+             sum(dd) OVER (PARTITION BY doc_id ORDER BY p, is_tok
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      FROM (SELECT * FROM tokrows UNION ALL SELECT * FROM bounds))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN depth <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (depth <= 0), ''))
+             AS cleaned_md5
+    FROM marked
+    WHERE is_tok = 1
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "substring", "spans", "action", "extension", "scale-path"),
+)
+def dedup_cut_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION form of dedup_exact_substring_spans: remove every
+    token covered by a corpus-duplicated 8-gram span and fingerprint
+    the surviving text (Lee et al. 2022 cut semantics).  Coverage is a
+    signed-boundary running sum — overlapping spans cost 2 rows each,
+    never a per-token interval join — and the cleaned text stays on
+    executors (only counts + md5 return)."""
+    from etl_8million_data__spark.operators.substring import cut_duplicated_spans
+
+    return cut_duplicated_spans(load_table(spark, sf_dir, "documents"), k=_K)

@@ -96,3 +96,25 @@ def test_span_coverage_matches_brute_force(spark, texts):
         for r in duplicated_span_coverage(df, k=8).collect()
     }
     assert got == _model(texts)
+
+
+def test_cut_consistent_with_coverage(spark):
+    from etl_8million_data__spark.operators.substring import cut_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [f"unique1 unique2 {shared} tail1 tail2", f"other1 {shared} other2", "short doc"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cov = {r["doc_id"]: r for r in duplicated_span_coverage(df, k=8).collect()}
+    cut = {r["doc_id"]: r for r in cut_duplicated_spans(df, k=8).collect()}
+    import hashlib
+
+    for i in range(len(texts)):
+        # tokens removed by the cut == tokens covered per the measure
+        assert cov[i]["n_tokens"] - cut[i]["n_kept"] == cov[i]["dup_tokens"]
+    # doc 0 keeps exactly its non-shared tokens, in order
+    expect0 = "unique1 unique2 tail1 tail2"
+    assert cut[0]["cleaned_md5"] == hashlib.md5(expect0.encode()).hexdigest()
+    # untouched doc: cleaned text is the full normalized text
+    assert cut[2]["cleaned_md5"] == hashlib.md5(b"short doc").hexdigest()
