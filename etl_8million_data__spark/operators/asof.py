@@ -138,6 +138,10 @@ def interval_count_backward(
     sort BEFORE event rows, which yields exactly the half-open
     ``[t - window, t)`` semantics of the equi+range-filter form.
     """
+    # null keys never match in the equi+range-filter form; drop them
+    # here too so the window never groups nulls together
+    probes = probes.na.drop(subset=by)
+    events = events.na.drop(subset=by)
     hi = probes.select(
         *by,
         F.col(probe_ts).alias("_ts"),

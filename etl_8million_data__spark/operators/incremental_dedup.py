@@ -45,9 +45,14 @@ def _batch_bands(
 
 
 def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(index_path)
-    except Exception:
+    except AnalysisException:
+        # first batch: index doesn't exist yet. Any OTHER failure
+        # (corrupt files, permissions) must propagate — silently
+        # treating a broken index as empty would re-admit duplicates.
         return spark.createDataFrame([], INDEX_SCHEMA)
 
 
