@@ -138,3 +138,96 @@ def sketch_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("est_distinct"),
         F.col("_k").alias("k_used"),
     )
+
+
+_CM_BUCKET_SQL = """list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(4), i -> CAST(
+                   strpos('0123456789abcdef',
+                          md5(CAST(r.r AS VARCHAR) || '|' || token)[i+1:i+1]) - 1
+                   AS BIGINT))),
+               (a, x) -> a * 16 + x) % 64"""
+
+
+@register(
+    "sketch_count_min_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS token
+      FROM documents),
+    occ AS (
+      SELECT token, r.r AS r, {_CM_BUCKET_SQL} AS bucket
+      FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r),
+    sketch AS (
+      SELECT r, bucket, count(*) AS cnt FROM occ GROUP BY r, bucket),
+    keys AS (
+      SELECT DISTINCT token, r.r AS r, {_CM_BUCKET_SQL} AS bucket
+      FROM (SELECT DISTINCT token FROM tok) tok
+      CROSS JOIN (SELECT unnest(range(4)) AS r) r),
+    est AS (
+      SELECT k.token, min(s.cnt) AS cm_estimate
+      FROM keys k JOIN sketch s ON s.r = k.r AND s.bucket = k.bucket
+      GROUP BY k.token),
+    exact AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token)
+    SELECT e.token, e.exact_count,
+           CAST(x.cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(x.cm_estimate - e.exact_count AS BIGINT) AS overcount,
+           x.cm_estimate >= e.exact_count AS never_undercounts
+    FROM exact e JOIN est x ON x.token = e.token
+    ORDER BY e.exact_count DESC, e.token LIMIT 25
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "approx", "extension"),
+)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the corpus vocabulary —
+    depth 4 x width 64, md5-derived buckets, so the WHOLE sketch (not
+    just an error bound) is bit-identical in DuckDB: estimates
+    hash-compare exactly, and the CM guarantee (never undercounts) is
+    emitted as a checked column.
+
+    Scale story: the sketch is 256 cells regardless of corpus size —
+    the groupBy(r, bucket) collapses map-side to 256 partials per task,
+    and the per-token estimate join broadcasts those 256 rows; vs an
+    exact top-k, the shuffle drops from |vocabulary| to O(1).  (The
+    exact side here exists only to certify the estimates.)"""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    def bucket(r: int) -> F.Column:
+        return hex_prefix_int(
+            F.md5(F.encode(F.concat(F.lit(f"{r}|"), F.col("token")), "UTF-8")), 4
+        ) % 64
+
+    rows4 = F.array(
+        *[F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket")) for r in range(4)]
+    )
+    occ = tok.select("token", F.explode(rows4).alias("rb")).select(
+        "token", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    sketch = occ.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = (
+        tok.distinct()
+        .select("token", F.explode(rows4).alias("rb"))
+        .select("token", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_count")).cast("bigint").alias("overcount"),
+            (F.col("cm_estimate") >= F.col("exact_count")).alias("never_undercounts"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(25)
+    )

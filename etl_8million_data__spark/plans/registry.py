@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_quarantine_split",
     "data_quality_expectations",
     "sketch_kmv_distinct_customers",
+    "sketch_count_min_heavy_hitters",
     "funnel_signup_click_purchase",
     "cohort_weekly_retention",
     "events_markov_transitions",
