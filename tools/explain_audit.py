@@ -39,6 +39,13 @@ AUDIT = {
     "corpus_shard_assignment": ["Window"],
     "embedding_label_centroids": ["HashAggregate", "Generate"],
     "events_ohlc_hourly": ["Window", "HashAggregate"],
+    "dedup_cut_substring_spans": ["Window", "HashAggregate"],
+    "corpus_ngram_novelty": ["HashAggregate"],
+    "corpus_mixture_epochs": ["Generate"],
+    "corpus_e2e_training_order": ["Window", "BroadcastHashJoin"],
+    "sketch_count_min_heavy_hitters": ["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"],
+    "events_click_attribution_range_join": ["Window", "HashAggregate"],
+    "events_asof_latest_order": ["Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
