@@ -431,3 +431,81 @@ def quantile_binning_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_cents").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "winsorized_value_stats_per_type",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, {sql_cents('value')} AS vc, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {sql_cents('value')}, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    th AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 10 + 1 THEN vc END) AS lo,
+             max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN vc END) AS hi
+      FROM r GROUP BY event_type)
+    SELECT r.event_type,
+           count(*) AS n,
+           min(th.lo) / 100.0 AS p10,
+           min(th.hi) / 100.0 AS p90,
+           CAST(sum(least(greatest(r.vc, th.lo), th.hi)) AS BIGINT) / (100.0 * count(*))
+             AS winsorized_mean,
+           CAST(sum(CASE WHEN r.vc < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN r.vc > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM r JOIN th ON th.event_type = r.event_type
+    GROUP BY r.event_type
+    """,
+    tags=("robust-stats", "percentile", "winsorize", "extension"),
+)
+def winsorized_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust (winsorized) statistics: clip each event value to
+    its type's discrete [p10, p90] before averaging.  Thresholds come
+    from explicit integer rank arithmetic ((n-1)//10 + 1 over the
+    (cents, event_id) total order) — no engine quantile semantics are
+    load-bearing — and clipping/summation stays in integer cents, so
+    the mean is bit-exact.  One shuffle by type serves the rank window,
+    the threshold aggregate, and the final aggregate; thresholds
+    broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        "event_type",
+        cents("value").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    r = r.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # F.floor, not "/": Spark column division is float division, so a
+    # bare (n-1)/10 + 1 is a non-integer the row_number never equals
+    lo_rank = F.floor((F.col("n") - 1) / 10) + 1
+    hi_rank = F.floor(((F.col("n") - 1) * 9) / 10) + 1
+    th = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("vc"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("vc"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("vc"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("lo") / 100.0).alias("p10"),
+            (F.min("hi") / 100.0).alias("p90"),
+            (F.sum(clipped).cast("bigint") / (100.0 * F.count(F.lit(1)))).alias(
+                "winsorized_mean"
+            ),
+            F.sum(F.when(F.col("vc") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("vc") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+    )

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_quality_expectations",
     "sketch_kmv_distinct_customers",
     "sketch_count_min_heavy_hitters",
+    "winsorized_value_stats_per_type",
     "funnel_signup_click_purchase",
     "cohort_weekly_retention",
     "events_markov_transitions",
