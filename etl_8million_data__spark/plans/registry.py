@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "dedup_exact_substring_spans",
     "dedup_cut_substring_spans",
+    "corpus_dedup_report_by_source",
     "dedup_semantic_keepers",
     "corpus_content_defined_chunks",
     "corpus_ngram_novelty",

@@ -190,3 +190,91 @@ def dedup_cut_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_8million_data__spark.operators.substring import cut_duplicated_spans
 
     return cut_duplicated_spans(load_table(spark, sf_dir, "documents"), k=_K)
+
+
+@register(
+    "corpus_dedup_report_by_source",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    ex AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+      FROM n GROUP BY source),
+    toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    g AS (
+      SELECT doc_id, u.i AS s,
+             md5(array_to_string(t[u.i:u.i+{_K - 1}], ' ')) AS gk
+      FROM toks, unnest(range(1, len(t) - {_K - 2})) AS u(i)
+      WHERE len(t) >= {_K}),
+    dupk AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.s, g.s + {_K - 1} AS e FROM g JOIN dupk USING (gk)),
+    cov AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM d),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, e - greatest(coalesce(prev_max, 0), s - 1))) AS BIGINT)
+               AS dup_tokens
+      FROM cov GROUP BY doc_id),
+    sp AS (
+      SELECT dd.source,
+             CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+             CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens
+      FROM base b
+      JOIN documents dd USING (doc_id)
+      LEFT JOIN per_doc p USING (doc_id)
+      GROUP BY dd.source)
+    SELECT ex.source, ex.n_docs, ex.n_exact_dups,
+           sp.dup_tokens AS span_dup_tokens, sp.n_tokens AS total_tokens,
+           CAST(sp.dup_tokens AS DOUBLE) / sp.n_tokens AS span_dup_frac
+    FROM ex JOIN sp USING (source)
+    """,
+    tags=("dedup", "report", "corpus", "extension"),
+)
+def corpus_dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup dashboard — the composition report a corpus
+    team reads before choosing cut thresholds: document count, exact
+    duplicates (fingerprint collisions), and the source's duplicated
+    8-gram span coverage.  The span fraction is a ratio of integer
+    token SUMS (sum(dup_tokens)/sum(n_tokens)), never an average of
+    per-doc doubles — order-insensitive and bit-exact across engines."""
+    from etl_8million_data__spark.operators.dedup import exact_fingerprint
+    from etl_8million_data__spark.operators.substring import duplicated_span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.select("source", exact_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+    )
+    cov = duplicated_span_coverage(d)
+    sp = (
+        cov.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("dup_tokens").cast("bigint").alias("span_dup_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return ex.join(sp, "source").select(
+        "source",
+        "n_docs",
+        "n_exact_dups",
+        "span_dup_tokens",
+        "total_tokens",
+        (F.col("span_dup_tokens").cast("double") / F.col("total_tokens")).alias(
+            "span_dup_frac"
+        ),
+    )
