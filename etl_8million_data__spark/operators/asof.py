@@ -68,6 +68,13 @@ def asof_join_backward_sorted(
     rcols = right_cols or [c for c in right.columns if c not in by]
     lt_type = left.schema[left_ts].dataType
     tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    # NULL timestamps never satisfy right_ts <= left_ts in the ranking
+    # form; here a NULL-ts build row would sort FIRST (asc = nulls
+    # first) and be carried by last(ignorenulls) as a bogus match, and a
+    # NULL-ts probe could pick one up instead of being dropped — so
+    # both are filtered before the union.
+    right = right.filter(F.col(right_ts).isNotNull())
+    left = left.filter(F.col(left_ts).isNotNull())
     r = right.na.drop(subset=by).select(
         *by,
         F.col(right_ts).cast(lt_type).alias("_ts"),
@@ -138,8 +145,18 @@ def interval_count_backward(
     sort BEFORE event rows, which yields exactly the half-open
     ``[t - window, t)`` semantics of the equi+range-filter form.
     """
-    # null keys never match in the equi+range-filter form; drop them
-    # here too so the window never groups nulls together
+    # null keys never match in the equi+range-filter form, but LEFT
+    # JOIN semantics keep the probe row with a 0 count — so null-key
+    # probes are set aside here and unioned back with 0 at the end
+    # (dropping them entirely would diverge from the left-join oracle);
+    # null-key events can never contribute to any count and are dropped
+    cond = None
+    for k in by:
+        isnull = F.col(k).isNull()
+        cond = isnull if cond is None else (cond | isnull)
+    null_probes = probes.filter(cond).select(
+        F.col(probe_id), *by, F.lit(0).cast("bigint").alias(out_col)
+    )
     probes = probes.na.drop(subset=by)
     events = events.na.drop(subset=by)
     hi = probes.select(
@@ -170,9 +187,10 @@ def interval_count_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cnt = F.sum("_is_event").over(w)
-    return (
+    counted = (
         u.select(*by, "_is_event", "_pid", "_sign", cnt.alias("_cnt"))
         .filter(F.col("_is_event") == 0)
         .groupBy(F.col("_pid").alias(probe_id), *by)
         .agg(F.sum(F.col("_sign") * F.col("_cnt")).cast("bigint").alias(out_col))
     )
+    return counted.unionByName(null_probes)

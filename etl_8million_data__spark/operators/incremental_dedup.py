@@ -27,7 +27,7 @@ from etl_8million_data__spark.operators.dedup import (
     minhash_min_frame,
 )
 
-INDEX_SCHEMA = "doc_id long, band int, band_key string"
+INDEX_SCHEMA = "doc_id long, band int, band_key string, _batch string"
 
 
 def _batch_bands(
@@ -48,12 +48,16 @@ def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(index_path)
+        idx = spark.read.parquet(index_path)
     except AnalysisException:
         # first batch: index doesn't exist yet. Any OTHER failure
         # (corrupt files, permissions) must propagate — silently
         # treating a broken index as empty would re-admit duplicates.
         return spark.createDataFrame([], INDEX_SCHEMA)
+    if "_batch" not in idx.columns:
+        # index written before batch tagging existed
+        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
+    return idx
 
 
 def dedup_increment(
@@ -64,6 +68,7 @@ def dedup_increment(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Filter ``new_docs`` against the persisted band index, extend the
     index with the survivors, and return the kept documents.
@@ -75,6 +80,16 @@ def dedup_increment(
     produce no bands and are always kept.  The index append contains
     only the survivors' bands, so re-presenting the same content later
     keeps colliding with the canonical copy.
+
+    ``batch_tag`` makes the call REPLAY-IDEMPOTENT for at-least-once
+    callers (streaming foreachBatch): the survivors' index rows are
+    tagged with it, and the probe excludes rows carrying the same tag —
+    so when a failed micro-batch is redelivered, its documents do not
+    collide with the bands their previous attempt already appended, and
+    the recomputed kept-set is identical.  A replay may append
+    duplicate same-tag rows to the index; that is harmless (the probe
+    is a distinct semi-join) and bounded by the number of actual
+    failures.  Batch callers can leave it None.
     """
     spark = new_docs.sparkSession
     bands_new = _batch_bands(
@@ -82,6 +97,8 @@ def dedup_increment(
     ).localCheckpoint(eager=True)
 
     idx = _read_index(spark, index_path)
+    if batch_tag is not None:
+        idx = idx.filter(~F.col("_batch").eqNullSafe(F.lit(batch_tag)))
     vs_corpus = (
         bands_new.join(
             idx.select("band", "band_key").distinct(), ["band", "band_key"], "left_semi"
@@ -103,6 +120,8 @@ def dedup_increment(
     dropped = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=True)
 
     kept = new_docs.join(dropped, id_col, "left_anti")
-    kept_bands = bands_new.join(dropped, id_col, "left_anti")
+    kept_bands = bands_new.join(dropped, id_col, "left_anti").withColumn(
+        "_batch", F.lit(batch_tag).cast("string")
+    )
     kept_bands.write.mode("append").parquet(index_path)
     return kept

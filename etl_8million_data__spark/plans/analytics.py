@@ -439,7 +439,7 @@ def quantile_binning_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT event_type, {sql_cents('value')} AS vc, event_id,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY {sql_cents('value')}, event_id) AS rn,
+                                ORDER BY {sql_cents('value')} NULLS LAST, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
       FROM events),
     th AS (
@@ -475,7 +475,12 @@ def winsorized_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFra
         cents("value").alias("vc"),
         "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    # asc_nulls_last + NULLS LAST in the oracle: Spark's default ASC is
+    # nulls-first, DuckDB's is nulls-last — the rank thresholds would
+    # diverge if value ever contained NULLs.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("vc").asc_nulls_last(), "event_id"
+    )
     r = r.select(
         "event_type",
         "vc",

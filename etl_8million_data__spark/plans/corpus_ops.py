@@ -28,8 +28,11 @@ _TOKS = f"string_split({_NORM}, ' ')"
 
 # Deterministic split hash: a Knuth-style multiplicative mix kept in
 # exact bigint range so Spark and DuckDB agree bit-for-bit. NOT Spark's
-# hash() / DuckDB's hash(), which differ by engine.
-_SPLIT_BUCKET = "((doc_id * 2654435761 + 104729) % 4294967296) % 1000"
+# hash() / DuckDB's hash(), which differ by engine. doc_id is reduced
+# mod 2^31 BEFORE the multiply: (2^31-1)*2654435761 < 2^63, so the
+# intermediate never wraps int64 in Spark (silent wrap) nor overflows
+# in DuckDB (hard error) — bit-reproducible out to billions of docs.
+_SPLIT_BUCKET = "(((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000"
 
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"\+?[0-9][0-9 -]{5,}[0-9]"
@@ -177,7 +180,7 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — unlike rand() — and stable under re-partitioning), then
     per-(lang, source, split) corpus accounting."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000
     split = (
         F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
     )
@@ -414,7 +417,7 @@ def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn AS (SELECT min(n_lang) AS min_n FROM cnt)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN cnt USING (lang) CROSS JOIN mn
-    WHERE ((d.doc_id * 2654435761 + 104729) % 4294967296) % 1000
+    WHERE (((d.doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000
           < (1000 * min_n) // n_lang
     """,
     tags=("corpus", "sampling", "extension"),
@@ -431,7 +434,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     mn = cnt.agg(F.min("n_lang").alias("min_n"))
-    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000
     return (
         d.join(F.broadcast(cnt), "lang")
         .crossJoin(F.broadcast(mn))
@@ -538,7 +541,7 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer or md5-string arithmetic so DuckDB reproduces it
     bit-for-bit."""
     surv = _survivors(spark, sf_dir)
-    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000
     split = F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
     return (
         surv.withColumn("split", split)
@@ -661,7 +664,7 @@ def corpus_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * 2654435761 + 104729) % 4294967296) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000
     w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id").asc())
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("_rn"))
@@ -738,7 +741,7 @@ def corpus_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id, n_chars,
-             ((doc_id * 2654435761 + 104729) % 4294967296) AS mix
+             (((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) AS mix
       FROM documents)
     SELECT doc_id,
            CAST(mix % 16 AS BIGINT) AS shard,
@@ -766,7 +769,7 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    mix = (F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)
+    mix = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)
     h = d.select("doc_id", "n_chars", mix.alias("mix"))
     w = Window.partitionBy(F.col("mix") % 16).orderBy("mix", "doc_id")
     return h.select(
@@ -831,7 +834,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
              -- source weight in quarter-units: 2,5,8,11 -> 0.5..2.75 epochs
              2 + (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 * 3
                AS w_qu,
-             ((doc_id * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
+             (((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
       FROM documents),
     e AS (
       SELECT doc_id, source,
@@ -858,7 +861,7 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w_qu = 2 + (hex_char_val(F.substring(F.md5(F.encode("source", "UTF-8")), 1, 1)) % 4) * 3
-    bucket = ((F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
     e = d.select(
         "doc_id",
         "source",
@@ -887,7 +890,7 @@ def _training_order_oracle() -> str:
       SELECT doc_id, source,
              2 + (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 * 3
                AS w_qu,
-             ((doc_id * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
+             (((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000 AS bucket
       FROM train),
     ep AS (
       SELECT doc_id, source,
@@ -896,7 +899,7 @@ def _training_order_oracle() -> str:
       FROM wq),
     copies AS (
       SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch,
-             ((doc_id * 131 + u.epoch) * 2654435761 + 104729) % 4294967296 AS mix
+             ((((doc_id % 2147483648) * 131 + u.epoch) % 2147483648) * 2654435761 + 104729) % 4294967296 AS mix
       FROM ep, unnest(range(1, epochs + 1)) AS u(epoch))
     SELECT doc_id, source, epoch,
            CAST(mix % 8 AS BIGINT) AS shard,
@@ -932,7 +935,7 @@ def corpus_e2e_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 arithmetic — the whole corpus -> training-order path is
     bit-reproducible in DuckDB."""
     surv = _survivors(spark, sf_dir)
-    bucket = ((F.col("doc_id") * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761) + F.lit(104729)) % F.lit(4294967296)) % 1000
     train = surv.filter(bucket < 900).select("doc_id", "source")
     from etl_8million_data__spark.operators.text import hex_char_val
 
@@ -958,7 +961,7 @@ def corpus_e2e_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch").cast("bigint").alias("epoch"),
             (
                 (
-                    (F.col("doc_id") * 131 + F.col("epoch")) * F.lit(2654435761)
+                    (((F.col("doc_id") % 2147483648) * 131 + F.col("epoch")) % 2147483648) * F.lit(2654435761)
                     + F.lit(104729)
                 )
                 % F.lit(4294967296)

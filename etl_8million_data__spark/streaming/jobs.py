@@ -233,6 +233,40 @@ def stream_upsert_versioned(
     )
 
 
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    scope: str,
+) -> None:
+    """One micro-batch of the streaming dedup ingest, written to be
+    IDEMPOTENT under foreachBatch's at-least-once redelivery:
+
+    - the band-index append is tagged with (scope, batch_id) and
+      ``dedup_increment`` excludes same-tag rows when probing, so a
+      replayed batch never collides with the bands its failed previous
+      attempt appended (which would silently drop the whole batch);
+    - the survivors land in a per-batch partition directory
+      ``out_path/ingest_batch=<tag>/`` written with mode=overwrite, so
+      a replay rewrites the same files instead of appending duplicates.
+      Readers see the union via normal partition discovery
+      (``spark.read.parquet(out_path)``).
+
+    Exposed at module level (not a closure) so the redelivery path is
+    directly testable."""
+    import hashlib
+
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    tag = f"{scope_h}-{batch_id}"
+    kept = dedup_increment(batch_df, index_path, batch_tag=f"{scope}#{batch_id}")
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"ingest_batch={tag}")
+    )
+
+
 def stream_dedup_increment(
     docs_stream: DataFrame,
     index_path: str,
@@ -242,16 +276,18 @@ def stream_dedup_increment(
     """Streaming corpus ingest with incremental near-dup filtering:
     each micro-batch probes the persisted LSH band index
     (operators/incremental_dedup.dedup_increment — signatures computed
-    for the batch only, never the corpus), appends the surviving
-    documents to ``out_path``, and extends the index with their bands.
-    foreachBatch because the filter needs a batch-side parquet read
-    (the index) plus two writes — the same exactly-once pattern as the
-    upsert sink; checkpointing makes replays skip completed batches."""
-    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+    for the batch only, never the corpus), writes the surviving
+    documents under ``out_path``, and extends the index with their
+    bands.  foreachBatch because the filter needs a batch-side parquet
+    read (the index) plus two writes; foreachBatch is only
+    at-least-once, so both writes are made replay-idempotent (batch-tag
+    exclusion on the index probe + per-batch overwrite partition on the
+    out path — see :func:`dedup_ingest_batch`), which together with the
+    checkpoint's completed-batch skipping gives exactly-once output."""
+    scope = os.path.abspath(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        kept = dedup_increment(batch_df, index_path)
-        kept.write.mode("append").parquet(out_path)
+        dedup_ingest_batch(batch_df, batch_id, index_path, out_path, scope)
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)

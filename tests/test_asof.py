@@ -85,3 +85,66 @@ def test_edges_tie_null_and_no_match(spark):
     }
     assert got_a == expected
     assert got_b == expected
+
+
+def test_null_timestamps_match_ranking_form(spark):
+    """NULL right_ts never satisfies right_ts <= left_ts in the ranking
+    form; the sorted form must not carry a null-ts build row forward as
+    a match, and a NULL left_ts probe must be dropped by both."""
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-05T00:00:00")),  # only null-ts right rows: no match
+            (2, 7, None),  # null probe ts: dropped
+            (3, 8, _ts("2024-01-05T00:00:00")),  # real match exists
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, None, 100, "null-ts"),
+            (8, None, 200, "null-ts"),
+            (8, _ts("2024-01-01T00:00:00"), 300, "real"),
+        ],
+        "user_id long, rts timestamp, rk long, payload string",
+    )
+    kw = dict(
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="rts",
+        left_id="event_id",
+        right_cols=["rk", "payload"],
+        right_tiebreak="rk",
+    )
+    a, b = _both(left, right, **kw)
+    expected = {3: (300, "real")}
+    assert {r.event_id: (r.rk, r.payload) for r in a.collect()} == expected
+    assert {r.event_id: (r.rk, r.payload) for r in b.collect()} == expected
+
+
+def test_interval_count_keeps_null_key_probes(spark):
+    """LEFT JOIN semantics: a probe with a NULL by-key matches nothing
+    but is KEPT with a 0 count (as the equi+range-filter left join
+    would), not silently dropped."""
+    from etl_8million_data__spark.operators.asof import interval_count_backward
+
+    probes = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01T01:30:00")),
+            (2, None, _ts("2024-01-01T01:30:00")),  # null key
+        ],
+        "purchase_id long, user_id long, ts timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01T01:00:00")),
+            (None, _ts("2024-01-01T01:00:00")),  # null-key event: never counted
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r.purchase_id: r.n_in_window
+        for r in interval_count_backward(
+            probes, events, ["user_id"], "ts", "ts", "purchase_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0}

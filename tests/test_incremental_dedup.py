@@ -75,3 +75,28 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
 
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 11]
+
+
+def test_redelivered_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (failure
+    after the index append but before checkpoint commit) must neither
+    lose the batch (self-collision with its own bands) nor duplicate it
+    in the out path."""
+    from etl_8million_data__spark.streaming.jobs import dedup_ingest_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    scope = str(tmp_path / "ckpt")
+
+    batch = _docs(spark, [(1, _LONG_A), (2, _LONG_B)])
+    dedup_ingest_batch(batch, 0, idx, out, scope)
+    # simulate redelivery of the SAME batch id: first attempt already
+    # appended doc 1/2's bands to the index
+    dedup_ingest_batch(batch, 0, idx, out, scope)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]  # not [] (lost) and not [1, 1, 2, 2] (duped)
+
+    # a genuinely NEW batch id with duplicate content still collides
+    dedup_ingest_batch(_docs(spark, [(10, _LONG_A), (11, "novel words entirely fresh here today")]), 1, idx, out, scope)
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 11]
