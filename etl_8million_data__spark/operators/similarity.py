@@ -31,6 +31,26 @@ def hyperplane_weights(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
     ]
 
 
+def adaptive_n_bits(
+    n: int, target_bucket: int = 32, min_bits: int = 4, max_bits: int = 16
+) -> int:
+    """Scale-adaptive SRP bit-width: the smallest ``b`` in
+    [min_bits, max_bits] with ``n <= target_bucket * 2^b`` — i.e.
+    planes grow ~log2(n / target_bucket) so expected bucket size stays
+    ~target_bucket as the corpus grows, keeping LSH candidate volume
+    sub-quadratic instead of degenerating toward n²/2^b at fixed b.
+
+    Pure integer comparisons (no float log2), so the DuckDB oracle can
+    embed the identical CASE chain and both engines agree bit-for-bit
+    at any corpus size. At max_bits=16 a table has 65,536 cells; for
+    corpora beyond ~2M vectors raise max_bits (cells should hold
+    roughly one shuffle partition each)."""
+    b = min_bits
+    while b < max_bits and n > target_bucket * (1 << b):
+        b += 1
+    return b
+
+
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 

@@ -65,37 +65,62 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id", "cosine", "rn")
 
 
-_W = hyperplane_weights(32, 64)
+# SRP-LSH parameters. The bit-width (planes per table) is NOT fixed:
+# both engines derive it from the corpus count with the same pure-
+# integer rule (operators/similarity.adaptive_n_bits ⇔ the _NB_SQL CASE
+# chain), so expected bucket size stays ~_TARGET_BUCKET as n grows and
+# the candidate volume stays sub-quadratic — the fixed-4-bit quantizer
+# was the one quadratic cliff in the 100-TB dedup path. The weight
+# matrix is sized for the max width; smaller widths use its prefix, so
+# growing the corpus never changes which hyperplane a given (table,
+# plane) index denotes.
+_TABLES = 8
+_TARGET_BUCKET = 32
+_MIN_BITS, _MAX_BITS = 4, 16
+_W = hyperplane_weights(_TABLES * _MAX_BITS, 64)
 _W_SQL = "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _W) + "]"
 
-_N_BITS = 4
 _NPROBE = 3
+
+# count -> bit-width, bit-identical to adaptive_n_bits (integer
+# comparisons only; no float log2 whose last-ulp could differ by engine)
+_NB_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN cnt <= {_TARGET_BUCKET * (1 << b)} THEN {b}"
+        for b in range(_MIN_BITS, _MAX_BITS)
+    )
+    + f" ELSE {_MAX_BITS} END"
+)
+_PARAMS = f"pr AS (SELECT {_NB_SQL} AS nb FROM (SELECT count(*) AS cnt FROM embeddings))"
 
 # DuckDB mirror of the SRP inverted file: projections -> sign-bit cell
 # -> multiprobe (flip the lowest-|projection| bits). Shares the weight
-# matrix and fold order with operators/similarity.projections, so the
-# *approximate* result is bit-identical across engines.
+# matrix, fold order, and adaptive bit-width rule with
+# operators/similarity, so the *approximate* result is bit-identical
+# across engines at any corpus size.
 _IVF_CELLS = f"""
     w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
     e AS (
       SELECT vec_id, embedding,
              {{dot_self}} AS n2
       FROM embeddings),
     pe AS (
-      SELECT vec_id, embedding, n2,
-             list_transform(range({_N_BITS}), j ->
+      SELECT vec_id, embedding, n2, pr.nb AS nb,
+             list_transform(range(pr.nb), j ->
                list_reduce(list_prepend(0.0, list_transform(range(64),
                  i -> W[j+1][i+1] * embedding[i+1]::DOUBLE)), (a, x) -> a + x)
              ) AS projs
-      FROM e, w),
+      FROM e, w, pr),
     ce AS (
-      SELECT vec_id, embedding, n2, projs,
-             list_reduce(list_prepend(0, list_transform(range({_N_BITS}), j ->
+      SELECT vec_id, embedding, n2, nb, projs,
+             list_reduce(list_prepend(0, list_transform(range(nb), j ->
                CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)), (a, x) -> a + x
              ) AS cell
       FROM pe),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2, projs AS qprojs,
+      SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2, nb, projs AS qprojs,
              cell AS qcell
       FROM ce WHERE vec_id % 100 = 0),
     probes AS (
@@ -103,7 +128,7 @@ _IVF_CELLS = f"""
              unnest(list_prepend(qcell,
                list_transform(
                  list_slice(
-                   list_sort(list_transform(range({_N_BITS}), j ->
+                   list_sort(list_transform(range(nb), j ->
                      {{{{'a': abs(qprojs[j+1]), 'j': j}}}})),
                    1, {_NPROBE - 1}),
                  s -> xor(qcell, 1 << struct_extract(s, 'j'))))) AS cell
@@ -134,17 +159,24 @@ _IVF_CELLS = f"""
 )
 def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over an SRP inverted file: every corpus vector lands in one
-    of 2^4 deterministic sign-bit cells (data-driven quantizer — no
+    of 2^nb deterministic sign-bit cells (data-driven quantizer — no
     label leakage), each query multiprobes its own cell plus the 2
-    lowest-confidence bit-flips, exact cosine only inside the ~19% of
-    the corpus probed. Deterministic end-to-end, so even the
-    approximation is oracle-checked exactly; recall vs brute force is
-    the driver-visible similarity_knn_ivf_recall query."""
+    lowest-confidence bit-flips, exact cosine only inside the probed
+    nprobe/2^nb of the corpus. The bit-width nb is derived from the
+    corpus count (adaptive_n_bits — the oracle embeds the identical
+    integer rule), so the candidate fraction FALLS as the corpus grows
+    instead of saturating at a fixed 16 cells. Deterministic
+    end-to-end, so even the approximation is oracle-checked exactly;
+    recall vs brute force is the driver-visible
+    similarity_knn_ivf_recall query."""
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits
+
     emb = load_table(spark, sf_dir, "embeddings")
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_ivf(emb, queries, _W, k=10, nprobe=_NPROBE, n_bits=_N_BITS).select(
+    return knn_ivf(emb, queries, _W, k=10, nprobe=_NPROBE, n_bits=nb).select(
         "query_id", "vec_id", "cosine", "rn"
     )
 
@@ -206,18 +238,19 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_lsh_near_dup_pairs",
     oracle=f"""
     WITH w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
     e AS (
       SELECT vec_id, embedding,
              {_dot('embedding', 'embedding')} AS n2
       FROM embeddings),
     sig AS (
       SELECT e.vec_id, t.t AS tbl,
-             list_reduce(list_prepend(0, list_transform(range(4), j ->
+             list_reduce(list_prepend(0, list_transform(range(pr.nb), j ->
                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
-                      i -> W[t.t*4 + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      i -> W[t.t*pr.nb + j + 1][i+1] * embedding[i+1]::DOUBLE)),
                       (a, x) -> a + x) > 0
                     THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
-      FROM e, w, (SELECT unnest(range(8)) AS t) t),
+      FROM e, w, pr, (SELECT unnest(range({_TABLES})) AS t) t),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM sig a JOIN sig b
@@ -233,15 +266,19 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs — the sub-quadratic scale
-    path for embedding dedup (8 tables × 4-bit sign buckets; only
-    (id, table, bucket) shuffles; cosine verified only for candidates).
-    Deterministic md5-derived integer hyperplanes keep both engines
-    bit-identical. Recall vs the all-pairs form is asserted in
+    path for embedding dedup (8 tables × count-adaptive sign buckets;
+    only (id, table, bucket) shuffles; cosine verified only for
+    candidates). The per-table bit-width grows ~log2(n/target_bucket)
+    with the corpus (adaptive_n_bits; the oracle embeds the identical
+    integer rule), so candidate volume stays sub-quadratic at any
+    scale. Deterministic md5-derived integer hyperplanes keep both
+    engines bit-identical. Recall vs the all-pairs form is asserted in
     tests/test_similarity.py."""
-    from etl_8million_data__spark.operators.similarity import norm2
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    pairs = lsh_candidate_pairs(emb, _W, tables=_TABLES, planes_per_table=nb)
     # norms once per VECTOR, not per pair: the per-pair cosine is the
     # dominant interpreted-fold cost on dense candidate sets (3x fewer
     # folds; same values — the oracle precomputes n2 identically)
@@ -402,18 +439,19 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_keepers",
     oracle=f"""
     WITH w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
     e AS (
       SELECT vec_id, label, embedding,
              {_dot('embedding', 'embedding')} AS n2
       FROM embeddings),
     sig AS (
       SELECT e.vec_id, t.t AS tbl,
-             list_reduce(list_prepend(0, list_transform(range(4), j ->
+             list_reduce(list_prepend(0, list_transform(range(pr.nb), j ->
                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
-                      i -> W[t.t*4 + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      i -> W[t.t*pr.nb + j + 1][i+1] * embedding[i+1]::DOUBLE)),
                       (a, x) -> a + x) > 0
                     THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
-      FROM e, w, (SELECT unnest(range(8)) AS t) t),
+      FROM e, w, pr, (SELECT unnest(range({_TABLES})) AS t) t),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM sig a JOIN sig b
@@ -443,15 +481,16 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, not per pair), and the final anti join is co-partitioned on
     vec_id.  The fixture embeddings are near-orthogonal, so the 0.4
     threshold is the meaningful tail (as in
-    similarity_near_dup_embeddings).  Parameter note for real corpora:
-    planes_per_table must grow ~log2(n / target_bucket_size) — fixed
-    4-bit tables stop cutting once n >> 16, and at practical semantic
-    thresholds (cos >= 0.9) higher bit-counts keep recall high while
-    restoring the sub-quadratic candidate volume."""
-    from etl_8million_data__spark.operators.similarity import norm2
+    similarity_near_dup_embeddings).  The per-table bit-width is
+    count-adaptive (adaptive_n_bits, ~log2(n/target_bucket); identical
+    integer rule embedded in the oracle), so buckets keep ~constant
+    expected occupancy and the candidate stage stays sub-quadratic as
+    the corpus grows — no fixed-cell-count cliff."""
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits, norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = lsh_candidate_pairs(emb, _W, tables=8, planes_per_table=4)
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    pairs = lsh_candidate_pairs(emb, _W, tables=_TABLES, planes_per_table=nb)
     # norms once per VECTOR (oracle precomputes n2 the same way); the
     # per-pair cosine fold is the dominant cost on dense candidate sets
     e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))

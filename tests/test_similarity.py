@@ -97,3 +97,50 @@ def test_semantic_keepers_vs_allpairs_truth(spark, sf_dir):
     assert true_drops, "fixture should contain near-dup pairs"
     recall = len(lsh_drops) / len(true_drops)
     assert recall >= 0.5, f"semantic-dedup drop recall {recall:.2f}"
+
+
+def test_adaptive_bits_candidate_fraction_falls_with_n(spark):
+    """The scale property the fixed 4-bit quantizer lacked: with the
+    count-adaptive bit-width, the LSH candidate-pair FRACTION must fall
+    as the corpus grows (sub-quadratic candidates), instead of
+    saturating once n >> 2^bits."""
+    import numpy as np
+
+    from etl_8million_data__spark.operators.similarity import (
+        adaptive_n_bits,
+        hyperplane_weights,
+        lsh_candidate_pairs,
+    )
+
+    dim, tables = 16, 8
+
+    def frac(n: int) -> tuple[int, float]:
+        rng = np.random.RandomState(7)
+        vecs = rng.standard_normal((n, dim)).astype(float)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        nb = adaptive_n_bits(n)
+        w = hyperplane_weights(tables * nb, dim)
+        n_pairs = lsh_candidate_pairs(
+            df, w, tables=tables, planes_per_table=nb
+        ).count()
+        return nb, n_pairs / (n * (n - 1) / 2)
+
+    nb_small, frac_small = frac(200)
+    nb_large, frac_large = frac(3200)
+    assert nb_small == 4 and nb_large == 7  # the rule actually widened
+    # ~1-(1-2^-nb)^8 for random signs: ~0.40 at 4 bits, ~0.06 at 7
+    assert frac_large < frac_small / 2, (frac_small, frac_large)
+
+
+def test_adaptive_bits_rule_is_monotone_and_bounded():
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits
+
+    assert adaptive_n_bits(0) == 4
+    assert adaptive_n_bits(512) == 4
+    assert adaptive_n_bits(513) == 5
+    assert adaptive_n_bits(10**9) == 16  # capped
+    widths = [adaptive_n_bits(n) for n in range(1, 100000, 997)]
+    assert widths == sorted(widths)
