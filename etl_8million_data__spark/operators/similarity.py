@@ -31,6 +31,28 @@ def hyperplane_weights(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
     ]
 
 
+class CorrectnessBaselineScaleError(RuntimeError):
+    """An all-pairs / full-broadcast correctness baseline was invoked on
+    an input too large for its quadratic plan."""
+
+
+def assert_baseline_scale(df: DataFrame, max_rows: int, what: str, twin: str) -> None:
+    """Size-guard for correctness-baseline queries whose plans are
+    deliberately quadratic (all-pairs join / full-table broadcast).
+    They exist to validate the sub-quadratic scale paths on small
+    fixtures; on a large input the broadcast alone OOMs long after the
+    plan was submitted — this fails FAST with a pointer to the twin
+    instead. The count is one cheap metadata-friendly job before the
+    quadratic stage is ever scheduled."""
+    n = df.count()
+    if n > max_rows:
+        raise CorrectnessBaselineScaleError(
+            f"{what} is a correctness baseline with O(n^2) cost, guarded at "
+            f"{max_rows} rows; input has {n}. Use its sub-quadratic twin "
+            f"{twin} at this scale."
+        )
+
+
 def adaptive_n_bits(
     n: int, target_bucket: int = 32, min_bits: int = 4, max_bits: int = 16
 ) -> int:

@@ -53,12 +53,19 @@ def _dot(a: str, b: str) -> str:
           FROM scored)
     WHERE rn <= 10
     """,
-    tags=("similarity", "knn", "extension"),
+    tags=("similarity", "knn", "extension", "correctness-baseline"),
 )
 def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for every 100th vector as query — the
-    correctness baseline for ANN. One corpus scan; queries broadcast."""
+    correctness baseline for ANN. One corpus scan; queries broadcast.
+    Size-guarded: scoring is |Q|x|N| = n^2/100, so inputs beyond the
+    guard must use similarity_knn_ivf (the recall-gated scale path)."""
+    from etl_8million_data__spark.operators.similarity import assert_baseline_scale
+
     emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "similarity_knn_bruteforce", "similarity_knn_ivf"
+    )
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -313,7 +320,7 @@ def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
     """,
-    tags=("similarity", "dedup", "extension"),
+    tags=("similarity", "dedup", "extension", "correctness-baseline"),
 )
 def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4; the
@@ -322,11 +329,21 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     All-pairs here (correctness form); the scale path is the same
     predicate after LSH blocking — similarity_lsh_near_dup_pairs.
     Norms are computed once per vector (not per pair), and the left
-    side is spread across cores before the O(n²) join."""
+    side is spread across cores before the O(n²) join. Size-guarded:
+    the plan broadcasts the FULL table and scores n²/2 pairs, so large
+    inputs fail fast with a pointer to the LSH twin instead of OOMing
+    mid-broadcast."""
     from etl_8million_data__spark.operators.dedup import spread
-    from etl_8million_data__spark.operators.similarity import dot, norm2
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        dot,
+        norm2,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 20_000, "similarity_near_dup_embeddings", "similarity_lsh_near_dup_pairs"
+    )
     e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
     a = spread(e, "vec_id").select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")

@@ -144,3 +144,21 @@ def test_adaptive_bits_rule_is_monotone_and_bounded():
     assert adaptive_n_bits(10**9) == 16  # capped
     widths = [adaptive_n_bits(n) for n in range(1, 100000, 997)]
     assert widths == sorted(widths)
+
+
+def test_baseline_scale_guard_trips(spark):
+    """The all-pairs correctness baselines must refuse oversized inputs
+    fast (before the quadratic stage is scheduled) with a pointer to
+    their sub-quadratic twin."""
+    import pytest
+
+    from etl_8million_data__spark.operators.similarity import (
+        CorrectnessBaselineScaleError,
+        assert_baseline_scale,
+    )
+
+    big = spark.range(30_000).withColumnRenamed("id", "vec_id")
+    with pytest.raises(CorrectnessBaselineScaleError, match="sub-quadratic twin"):
+        assert_baseline_scale(big, 20_000, "similarity_near_dup_embeddings",
+                              "similarity_lsh_near_dup_pairs")
+    assert_baseline_scale(big.limit(10), 20_000, "x", "y")  # small passes
