@@ -45,12 +45,35 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_media(content: bytes, media_type: str) -> dict:
-    """Real decode hook — image/audio libs are not available here.
+def _pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    STUB: raises for real codecs; tests and the feature pipeline use
-    :func:`fake_decode` instead.
-    """
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(content: bytes, media_type: str) -> dict:
+    """Real decode hook with an import-guarded escape hatch: when
+    Pillow is installed, ``image/*`` payloads decode for real (width /
+    height / channels / format from the actual codec); otherwise — and
+    for non-image media — raises ``NotImplementedError`` so callers
+    fall back to :func:`fake_decode`, the deterministic byte-derived
+    stand-in that keeps tests and oracles reproducible in codec-less
+    environments (this container ships no media libraries)."""
+    Image = _pil()
+    if Image is not None and (media_type or "").startswith("image/"):
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            return {
+                "n_bytes": len(content),
+                "format": im.format,
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+            }
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; use fake_decode"
     )
@@ -101,6 +124,41 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(fn, FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, format string, width int, height int, channels int"
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Real-codec twin of :func:`extract_features`: decodes image
+    payloads through :func:`decode_media` (Pillow) inside the same
+    Arrow-batched mapInPandas shape — payloads stay executor-side, the
+    import happens inside the task (workers need the lib, the driver
+    plan does not). Raises on codec-less environments; the oracle-gated
+    queries keep using the deterministic fake path."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(bytes(c), mt)
+                for c, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "format": [f["format"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "content", "media_type").mapInPandas(
+        fn, REAL_FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes int, frame_md5 string"

@@ -142,12 +142,26 @@ def write_jdbc_skip_existing(
     Not a concurrent-writer-safe upsert: like the reference, the guard
     is read-then-insert. Last-writer-wins merge semantics live in
     operators/upsert.py on the canonical store.
+
+    First-write-safe (ensure_table parity, details.py:191-204): when
+    the table doesn't exist yet, every row is fresh and the append
+    creates it. Only a missing-table error is treated that way — any
+    other read failure propagates (silently treating a broken read as
+    empty would re-insert the whole universe).
     """
-    keys = existing_keys(df.sparkSession, url, table, key_cols, driver=driver, options=options)
-    fresh = df.join(keys, on=key_cols, how="left_anti")
-    # localCheckpoint would be overkill: the anti-join re-reads only the
-    # key projection if the plan is re-executed by the writer.
-    n = fresh.count()
+    try:
+        keys = existing_keys(
+            df.sparkSession, url, table, key_cols, driver=driver, options=options
+        )
+        fresh = df.join(keys, on=key_cols, how="left_anti")
+        # localCheckpoint would be overkill: the anti-join re-reads only
+        # the key projection if the plan is re-executed by the writer.
+        n = fresh.count()
+    except Exception as e:  # first write: table not created yet
+        msg = str(e).lower()
+        if "not exist" not in msg and "doesn't exist" not in msg:
+            raise
+        fresh, n = df, df.count()
     if n:
         write_jdbc_append(
             fresh, url, table,

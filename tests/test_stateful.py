@@ -32,7 +32,11 @@ def test_user_ema_tws_matches_batch(spark, sf_dir):
     still covers the operator's semantics)."""
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="declared as the 'stateful' extra in pyproject.toml; this "
+        "container has no protobuf and no network to fetch it",
+    )
     from etl_8million_data__spark.streaming.tws import (
         ROCKSDB_PROVIDER,
         user_ema_tws_stream,
