@@ -1,0 +1,88 @@
+"""Range-partition boundary chooser from a deterministic sample — the
+100-TB form of equal-frequency bucketing (quantile_binning / the
+moving_avg_and_ntile boundary table): instead of ranking the full
+table, rank a bounded sample and read the boundary values off explicit
+integer ranks.
+
+This is what Spark's own RangePartitioner does (collect a bounded
+sample, pick split points), re-expressed relationally and
+DETERMINISTICALLY: the sample is a mod-threshold on the engine-portable
+multiplicative key hash (never ``rand()``/``TABLESAMPLE``), so the
+bounds — and any partition layout derived from them — are reproducible
+across runs, retries, and engines, and a DuckDB oracle can check them
+bit-for-bit.
+
+Scale shape: the sample filter is a narrow map pushed into the scan;
+the only full-order operation is a window over the SAMPLE, whose size
+the caller bounds via ``sample_permille`` (Spark's RangePartitioner
+samples ~20 rows per output partition — permille chosen so
+n * permille/1000 lands near that budget). The resulting bounds table
+(n_buckets - 1 rows) broadcasts; downstream either joins it for bucket
+ids or feeds ``repartitionByRange`` boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative mix, kept in exact bigint range on any engine
+# (same constants as plans/corpus_ops; key reduced mod 2^31 first so
+# the intermediate product never wraps int64)
+_MOD31, _MULT, _ADD, _MOD32 = 2147483648, 2654435761, 104729, 4294967296
+
+
+def portable_hash_permille(key: Column) -> Column:
+    """Deterministic 0..999 hash of an integer key, bit-identical in
+    Spark and DuckDB (see sql_hash_permille for the SQL twin)."""
+    return ((key % _MOD31) * _MULT + _ADD) % _MOD32 % 1000
+
+
+def sql_hash_permille(key_sql: str) -> str:
+    return f"((({key_sql} % {_MOD31}) * {_MULT} + {_ADD}) % {_MOD32}) % 1000"
+
+
+def sampled_range_bounds(
+    df: DataFrame,
+    value_col: Column | str,
+    key_col: str,
+    n_buckets: int,
+    sample_permille: int = 100,
+) -> DataFrame:
+    """Boundary values splitting ``value_col`` into ``n_buckets``
+    near-equal-frequency ranges, computed from the deterministic
+    ``sample_permille``/1000 key-hash sample.
+
+    Returns ``(bound_no int, bound_value)`` with ``n_buckets - 1`` rows:
+    bound b is the sample value at rank floor(n_sample * b / n_buckets)
+    under the (value, key) total order — explicit integer rank
+    arithmetic, no engine percentile semantics. Bounds whose rank
+    floors to 0 (sample smaller than n_buckets) are absent from the
+    result; such callers should lower n_buckets instead.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    s = df.filter(portable_hash_permille(F.col(key_col)) < sample_permille).select(
+        vc.alias("_v"), F.col(key_col).alias("_k")
+    )
+    # full order over the SAMPLE only — bounded by sample_permille, the
+    # same driver-memory contract as Spark's RangePartitioner sample
+    w = Window.orderBy("_v", "_k")
+    r = s.select(
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_buckets - 1))).alias("bound_no")
+    return (
+        r.select("_v", "_rn", "_n")
+        .select("_v", "_rn", "_n", b)
+        .filter(F.col("_rn") == F.floor(F.col("_n") * F.col("bound_no") / n_buckets))
+        .select(
+            F.col("bound_no").cast("int").alias("bound_no"),
+            F.col("_v").alias("bound_value"),
+        )
+    )

@@ -483,6 +483,44 @@ def quantile_binning_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_bounds_sampled_orders",
+    oracle=f"""
+    WITH s AS (
+      SELECT {sql_cents('o_totalprice')} AS vc, o_orderkey
+      FROM orders
+      WHERE (((o_orderkey % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000 < 100),
+    r AS (
+      SELECT vc, o_orderkey,
+             row_number() OVER (ORDER BY vc, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM s)
+    SELECT CAST(b.b AS INT) AS bound_no,
+           max(CASE WHEN rn = (n * b.b) // 8 THEN vc END) / 100.0 AS bound_value
+    FROM r, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS b) b
+    WHERE rn = (n * b.b) // 8
+    GROUP BY b.b
+    """,
+    tags=("partitioning", "sampling", "quantile", "extension", "scale-path"),
+)
+def range_bounds_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary chooser (operators/partitioning): the
+    7 octile split points of order value from a deterministic 10%
+    key-hash sample — what Spark's RangePartitioner computes from a
+    random sample, made reproducible (multiplicative key hash, explicit
+    integer ranks) so the partition layout derived from it is stable
+    across runs/retries/engines and exactly oracle-checkable. The only
+    full-order window runs over the bounded sample; the 7-row result
+    broadcasts into repartitionByRange / bucket-id joins downstream."""
+    from etl_8million_data__spark.operators.partitioning import sampled_range_bounds
+
+    o = _t(spark, sf_dir, "orders")
+    bounds = sampled_range_bounds(
+        o, cents("o_totalprice"), "o_orderkey", n_buckets=8, sample_permille=100
+    )
+    return bounds.select("bound_no", (F.col("bound_value") / 100.0).alias("bound_value"))
+
+
+@register(
     "winsorized_value_stats_per_type",
     oracle=f"""
     WITH r AS (

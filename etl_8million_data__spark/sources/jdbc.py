@@ -30,6 +30,15 @@ Scale design (100 TB / 1000-executor notes):
   incremental pattern — skip symbols already present, insert the rest
   (main-loop of details.py) — is `write_jdbc_skip_existing`: left-anti
   against `existing_keys`, then append.
+
+Dialect coverage note: tests exercise this adapter against embedded
+Derby (the only JDBC engine in the sandbox; bundled with Spark). The
+semantics asserted — ranged parallel reads, pruned key read-back,
+batched append, skip-existing, create-on-first-write — go through
+Spark's JdbcDialect layer and are dialect-independent, but a MySQL 8
+type-mapping quirk (the reference's actual store, details.py:200)
+would only surface against a live MySQL; point the tests at one via a
+real URL + driver jar when available.
 """
 
 from __future__ import annotations

@@ -46,6 +46,8 @@ AUDIT = {
     "sketch_count_min_heavy_hitters": ["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject"],
     "events_click_attribution_range_join": ["Window", "HashAggregate"],
     "events_asof_latest_order": ["Window"],
+    "moving_avg_and_ntile": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    "range_bounds_sampled_orders": ["PushedFilters", "Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
