@@ -1039,3 +1039,114 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novel_frac"),
         )
     )
+
+
+@register(
+    "corpus_lm_fluency_scores",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE (((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296) % 1000 < 100),
+    v AS (
+      SELECT count(DISTINCT w) AS V
+      FROM (SELECT unnest(toks) AS w FROM tr)),
+    trbg AS (
+      SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM trbg GROUP BY w1),
+    d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 2),
+    dbg AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+    scored AS (
+      SELECT dbg.doc_id,
+             (1000000 * (coalesce(c12.c12, 0) + 1))
+               // (coalesce(c1.c1, 0) + v.V) AS p_micro,
+             CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS novel
+      FROM dbg
+      LEFT JOIN c12 ON c12.w1 = dbg.w1 AND c12.w2 = dbg.w2
+      LEFT JOIN c1 ON c1.w1 = dbg.w1
+      CROSS JOIN v)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(sum(p_micro) AS DOUBLE) / (1000000.0 * count(*)) AS mean_prob,
+           CAST(sum(novel) AS BIGINT) AS novel_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "lm", "extension", "scale-path"),
+)
+def corpus_lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based fluency scoring (the CCNet/Gopher perplexity-filter
+    shape): train a token-bigram language model on a deterministic 10%
+    key-hash sample of the corpus, then score EVERY document by its
+    add-1-smoothed bigram probabilities under that model — low scores
+    flag disfluent/boilerplate/mis-tokenized text, high novel_bigrams
+    flags out-of-domain content.
+
+    Exactness: probabilities are exact count ratios, kept in integer
+    micro fixed-point (floor(1e6*(c12+1)/(c1+V))) and averaged
+    arithmetically — deliberately NO log/perplexity in the oracle-gated
+    form, because log's last-ulp differs across engines; a deployment
+    takes log of the same ratios downstream.  Every intermediate is
+    integer, so the result is bit-identical in DuckDB.
+
+    Scale shape: the model is two hash aggregates over the SAMPLE's
+    bigram stream (bounded by sample_permille); scoring is two
+    equi-joins of the corpus bigram stream against the model keyed on
+    token(s) — shuffle joins that AQE converts to broadcast when the
+    model fits, with skew-join splitting for stopword-headed keys — and
+    one final doc_id aggregate.  No all-pairs stage, no collect."""
+    from etl_8million_data__spark.operators.partitioning import (
+        portable_hash_permille,
+    )
+
+    d0 = load_table(spark, sf_dir, "documents")
+    docs = d0.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        n = F.size("toks")
+        return df.filter(n >= 2).select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n - 1),
+                    F.slice(F.col("toks"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+
+    train = docs.filter(portable_hash_permille(F.col("doc_id")) < 100)
+    vdf = train.select(F.explode("toks").alias("w")).agg(
+        F.count_distinct("w").alias("V")
+    )
+    trbg = bigrams(train).localCheckpoint(eager=True)
+    c12 = trbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = trbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    scored = (
+        bigrams(docs)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + V)"
+            ).alias("p_micro"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("novel"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_micro").cast("bigint").alias("sum_p_micro"),
+        (F.sum("p_micro").cast("double") / (1000000.0 * F.count(F.lit(1)))).alias(
+            "mean_prob"
+        ),
+        F.sum("novel").cast("bigint").alias("novel_bigrams"),
+    )

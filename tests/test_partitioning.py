@@ -52,3 +52,25 @@ def test_sample_is_deterministic(spark):
     # ~10% of the table, not wildly off (hash uniformity)
     n = o.count()
     assert 0.07 * n < a < 0.13 * n
+
+
+def test_lm_fluency_train_docs_have_no_novel_bigrams(spark):
+    """Every train-sample doc contributed its own bigrams to the model,
+    so its novel_bigrams must be exactly 0; out-of-sample docs in the
+    synthetic fixture should show some novelty. Scores are valid
+    probabilities."""
+    from etl_8million_data__spark.plans import all_queries
+
+    scores = all_queries()["corpus_lm_fluency_scores"].build(spark, SF)
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    j = scores.join(docs, "doc_id").withColumn(
+        "in_train", portable_hash_permille(F.col("doc_id")) < 100
+    )
+    rows = j.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.mean_prob <= 1.0
+        if r.in_train:
+            assert r.novel_bigrams == 0, r
+    out = [r for r in rows if not r.in_train]
+    assert out and sum(r.novel_bigrams for r in out) > 0
