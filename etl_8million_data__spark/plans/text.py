@@ -167,3 +167,76 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * 31 + hex_prefix_int(md5_utf8(t), 6)) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             (1000000 * {_sql_count_in(_LANG_MARKERS["en"])}) // len(toks)
+               AS stop_micro,
+             (1000000 * length(regexp_replace(norm, '[^a-z]', '', 'g')))
+               // length(norm) AS alpha_micro
+      FROM (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) BETWEEN 5 AND 100000),
+    g AS (SELECT unnest(range(13)) AS t)
+    SELECT CAST(g.t AS INT) AS thr_no,
+           g.t * 50000 / 1000000.0 AS stop_thr,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(sum(alpha_micro) AS BIGINT) AS sum_alpha_micro,
+           CAST(sum(alpha_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_alpha
+    FROM m JOIN g ON m.stop_micro <= g.t * 50000
+    GROUP BY g.t
+    """,
+    tags=("text", "quality", "calibration", "extension"),
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration curve: for a grid of stopword-ratio cutoffs
+    (0.00 .. 0.60 in 0.05 steps, length gate fixed), how many documents
+    and tokens survive and how clean (alpha ratio) the survivors are —
+    the table a corpus curator reads to pick the threshold that meets a
+    token budget. Per-doc ratios are floored to integer micro units
+    BEFORE the cross-row sums, so aggregation is order-insensitive and
+    bit-identical to the oracle. Shape: one narrow metric projection,
+    a broadcast 13-row grid join (inner — thresholds keeping nothing
+    simply don't appear), one map-side-combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n = F.size(toks)
+    stop_micro = F.floor(
+        (1000000 * _count_in(toks, _LANG_MARKERS["en"])) / n
+    ).cast("bigint")
+    alpha_micro = F.floor(
+        (1000000 * F.length(F.regexp_replace(norm, "[^a-z]", ""))) / F.length(norm)
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_micro.alias("stop_micro"),
+        alpha_micro.alias("alpha_micro"),
+    ).filter(F.col("n_tokens").between(5, 100000))
+    grid = spark.range(13).select(F.col("id").cast("int").alias("t"))
+    return (
+        m.join(F.broadcast(grid), F.col("stop_micro") <= F.col("t") * 50000)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.sum("alpha_micro").cast("bigint").alias("sum_alpha_micro"),
+            (
+                F.sum("alpha_micro").cast("double")
+                / (1000000.0 * F.count(F.lit(1)))
+            ).alias("avg_alpha"),
+        )
+        .select(
+            F.col("t").alias("thr_no"),
+            (F.col("t") * 50000 / 1000000.0).alias("stop_thr"),
+            F.col("kept_docs").cast("bigint").alias("kept_docs"),
+            "kept_tokens",
+            "sum_alpha_micro",
+            "avg_alpha",
+        )
+    )
