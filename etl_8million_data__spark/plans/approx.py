@@ -231,3 +231,50 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(25)
     )
+
+
+@register(
+    "sketch_hll_sharded_union",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           true AS merge_consistent,
+           true AS within_bound
+    FROM events
+    """,
+    tags=("sketch", "hll", "mergeable", "approx", "extension", "scale-path"),
+)
+def sketch_hll_sharded_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-mergeable distinct counting — the pattern that makes
+    distinct counts tractable at 100 TB: build a Datasketches HLL
+    sketch PER SHARD (here per event_type; in production per partition
+    / per day), persist the binary sketches, and answer global
+    questions by unioning sketches instead of rescanning raw data.
+
+    HLL registers are max-merged, so the union of per-shard sketches
+    is REGISTER-IDENTICAL to a single-pass sketch over the whole table
+    (order-independent max) — ``merge_consistent`` asserts the two
+    estimates agree exactly, proving the incremental/sharded path loses
+    nothing vs the monolithic one. ``within_bound`` gates the estimate
+    against the exact count (generous 10%+5 for lgK=12's ~1.6% rse).
+    The oracle recomputes the exact side and expects both assertions
+    true — the driver verifies an approximate, mergeable pipeline
+    exactly (same self-certifying pattern as approx_distinct_users_hll)."""
+    e = load_table(spark, sf_dir, "events")
+    shards = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged_est")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct_est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return direct.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (F.col("_merged_est") == F.col("_direct_est")).alias("merge_consistent"),
+        (
+            F.abs(F.col("_merged_est") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10 + F.lit(5)
+        ).alias("within_bound"),
+    )

@@ -47,3 +47,31 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     exact = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("p50")).collect()[0].p50
     assert abs(pcts[0] - exact) / exact < 0.02
     assert pcts[0] <= pcts[1] <= pcts[2]
+
+
+def test_hll_sharded_union_equals_single_pass(spark, sf_dir):
+    """HLL registers max-merge: unioning per-shard sketches must give
+    the SAME estimate as one sketch over the whole table, regardless of
+    how the data was sharded — the property that lets 100-TB pipelines
+    store per-partition sketches and never rescan."""
+    from etl_8million_data__spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+
+    for shard_key in ("event_type", F.col("event_id") % 7):
+        merged = (
+            e.groupBy(shard_key)
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()[0]
+            .est
+        )
+        assert merged == direct
+
+    row = __import__("etl_8million_data__spark.plans", fromlist=["all_queries"]).all_queries()[
+        "sketch_hll_sharded_union"
+    ].build(spark, sf_dir).collect()[0]
+    assert row.merge_consistent and row.within_bound
