@@ -42,6 +42,60 @@ def sql_hash_permille(key_sql: str) -> str:
     return f"((({key_sql} % {_MOD31}) * {_MULT} + {_ADD}) % {_MOD32}) % 1000"
 
 
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_col: Column | str,
+    tiebreak_col: str,
+    bucket_expr: Column,
+    descending: bool = False,
+    out_col: str = "tile",
+) -> DataFrame:
+    """ntile(k) over a GLOBAL order without a single-partition window:
+    ``bucket_expr`` must be a monotone function of ``order_col`` (range
+    buckets); cumulative bucket counts form a tiny boundary table that
+    broadcasts back, the global rank is offset + per-bucket row_number,
+    and the tile id is integer arithmetic on (rank, n) — bit-identical
+    to ``ntile(k) OVER (ORDER BY order_col [DESC], tiebreak)``: the
+    first n%k tiles hold n//k+1 rows.
+
+    Every data-sized window here partitions on the bucket key; the only
+    single-partition work is the cumulative sum over the aggregated
+    boundary table (rows = number of distinct buckets). Returns the
+    input columns plus ``out_col``."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    staged = df.withColumn("_b", bucket_expr)
+    hist = staged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy(F.col("_b").desc() if descending else F.col("_b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bounds = hist.select(
+        "_b", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    total = hist.agg(F.sum("_n").cast("bigint").alias("_nt"))
+    local_w = Window.partitionBy("_b").orderBy(
+        oc.desc() if descending else oc.asc(), F.col(tiebreak_col)
+    )
+    ranked = (
+        staged.withColumn("_lr", F.row_number().over(local_w))
+        .join(F.broadcast(bounds), "_b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rk", F.col("_off") + F.col("_lr"))
+    )
+    # first n%k tiles have n div k + 1 rows; when n < k the WHEN branch
+    # covers every row, so the ELSE's div-by-zero is never evaluated
+    # (CASE short-circuits per row, ANSI-safe)
+    tile = F.expr(
+        f"CASE WHEN _rk <= (_nt % {k}) * (_nt div {k} + 1)"
+        f"     THEN (_rk - 1) div (_nt div {k} + 1) + 1"
+        f"     ELSE (_nt % {k}) + (_rk - 1 - (_nt % {k}) * (_nt div {k} + 1)) div (_nt div {k}) + 1"
+        " END"
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "_b", "_n", "_off", "_nt", "_lr", "_rk"
+    )
+
+
 def sampled_range_bounds(
     df: DataFrame,
     value_col: Column | str,

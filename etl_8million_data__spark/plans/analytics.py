@@ -206,6 +206,8 @@ def moving_avg_and_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width buckets would come from a sampled quantile sketch
     instead, but the plan shape (boundary broadcast + co-partitioned
     rank) is the scalable one."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     frame = (
         Window.partitionBy("o_custkey")
@@ -220,43 +222,18 @@ def moving_avg_and_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * F.count(F.lit(1)).over(frame))
         ).alias("moving_avg_3"),
         "o_totalprice",
-        F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("_b"),
     )
-    hist = staged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-    # cumulative offsets over the ~dozens-row boundary table (DESC
-    # buckets first, matching the price DESC sort) — single-partition
-    # by construction but bounded by the bucket count, never the data
-    wcum = Window.orderBy(F.col("_b").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bounds = hist.select(
-        "_b", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
-    )
-    total = hist.agg(F.sum("_n").cast("bigint").alias("_nt"))
-    local_w = Window.partitionBy("_b").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    ranked = (
-        staged.withColumn("_lr", F.row_number().over(local_w))
-        .join(F.broadcast(bounds), "_b")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_rk", F.col("_off") + F.col("_lr"))
-    )
-    # ntile(4): first n%4 tiles have n div 4 + 1 rows. When n < 4 the
-    # WHEN branch covers every row, so the ELSE's div-by-zero is never
-    # evaluated (CASE short-circuits per row, ANSI-safe).
-    tile = F.expr(
-        "CASE WHEN _rk <= (_nt % 4) * (_nt div 4 + 1)"
-        "     THEN (_rk - 1) div (_nt div 4 + 1) + 1"
-        "     ELSE (_nt % 4) + (_rk - 1 - (_nt % 4) * (_nt div 4 + 1)) div (_nt div 4) + 1"
-        " END"
-    )
-    return ranked.select(
-        "o_custkey",
+    # bucket key floor(price/25000) DESC is monotone in the sort key
+    # (price DESC), which is all global_ntile requires
+    return global_ntile(
+        staged,
+        4,
+        "o_totalprice",
         "o_orderkey",
-        "moving_avg_3",
-        tile.cast("int").alias("price_quartile"),
-    )
+        F.floor(F.col("o_totalprice") / 25000).cast("bigint"),
+        descending=True,
+        out_col="price_quartile",
+    ).select("o_custkey", "o_orderkey", "moving_avg_3", "price_quartile")
 
 
 @register(

@@ -74,3 +74,35 @@ def test_lm_fluency_train_docs_have_no_novel_bigrams(spark):
             assert r.novel_bigrams == 0, r
     out = [r for r in rows if not r.in_train]
     assert out and sum(r.novel_bigrams for r in out) > 0
+
+
+def test_global_ntile_matches_spark_ntile(spark):
+    """global_ntile (boundary-table form) must equal ntile() OVER a
+    global order exactly — sizes with every n%k residue, heavy ties
+    spanning bucket boundaries, single-row buckets, asc and desc."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+    rng_vals = [0, 1, 5, 5, 5, 7, 12, 12, 13, 25, 25, 25, 25, 40, 99]
+    for n in (1, 2, 3, 4, 5, 7, 8, 11, 15):
+        rows = [(i, rng_vals[i % len(rng_vals)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        for k in (2, 4, 5):
+            for desc in (False, True):
+                order = SF.col("v").desc() if desc else SF.col("v").asc()
+                expected = {
+                    (r.id): r.t
+                    for r in df.select(
+                        "id", SF.ntile(k).over(W.orderBy(order, "id")).alias("t")
+                    ).collect()
+                }
+                got = {
+                    r.id: r.tile
+                    for r in global_ntile(
+                        df, k, "v", "id",
+                        SF.floor(SF.col("v") / 10).cast("bigint"),
+                        descending=desc,
+                    ).collect()
+                }
+                assert got == expected, (n, k, desc, got, expected)
