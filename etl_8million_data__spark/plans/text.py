@@ -240,3 +240,77 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_alpha",
         )
     )
+
+
+def quality_profile_metrics(docs: DataFrame) -> DataFrame:
+    """Narrow per-doc metric projection shared by the batch query
+    corpus_quality_profile_by_source and its streaming twin
+    (streaming/jobs.doc_quality_profile_stream): token count plus
+    stopword/alpha ratios floored to integer micro units so the
+    downstream aggregation is order-insensitive (batch == stream ==
+    oracle, bit-for-bit)."""
+    toks = tokens(F.col("text"))
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n = F.size(toks)
+    return docs.filter(n >= 1).select(
+        "source",
+        n.alias("n_tokens"),
+        F.floor((1000000 * _count_in(toks, _LANG_MARKERS["en"])) / n)
+        .cast("bigint")
+        .alias("stop_micro"),
+        F.floor(
+            (1000000 * F.length(F.regexp_replace(norm, "[^a-z]", "")))
+            / F.length(norm)
+        )
+        .cast("bigint")
+        .alias("alpha_micro"),
+    )
+
+
+def quality_profile_agg(metrics: DataFrame) -> DataFrame:
+    """Per-source aggregate over quality_profile_metrics — runs
+    identically on a batch frame and (in complete mode) on a stream."""
+    return metrics.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("stop_micro").cast("double") / (1000000.0 * F.count(F.lit(1)))).alias(
+            "avg_stopword_ratio"
+        ),
+        (F.sum("alpha_micro").cast("double") / (1000000.0 * F.count(F.lit(1)))).alias(
+            "avg_alpha_ratio"
+        ),
+    )
+
+
+@register(
+    "corpus_quality_profile_by_source",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, len(toks) AS n_tokens,
+             (1000000 * {_sql_count_in(_LANG_MARKERS["en"])}) // len(toks)
+               AS stop_micro,
+             (1000000 * length(regexp_replace(norm, '[^a-z]', '', 'g')))
+               // length(norm) AS alpha_micro
+      FROM (SELECT source, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 1)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(stop_micro) AS DOUBLE) / (1000000.0 * count(*))
+             AS avg_stopword_ratio,
+           CAST(sum(alpha_micro) AS DOUBLE) / (1000000.0 * count(*))
+             AS avg_alpha_ratio
+    FROM m GROUP BY source
+    """,
+    tags=("text", "quality", "monitoring", "extension"),
+)
+def corpus_quality_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard — the table an ingest operator
+    watches for quality drift per crawl source: doc counts, token mass,
+    mean stopword/alpha ratios. One narrow metric projection + one
+    map-side-combined aggregate keyed by source; micro-int ratios make
+    the means order-insensitive, so the STREAMING twin
+    (streaming/jobs.doc_quality_profile_stream) produces bit-identical
+    rows from the same documents replayed as a stream."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_profile_agg(quality_profile_metrics(d))

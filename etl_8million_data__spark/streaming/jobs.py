@@ -233,6 +233,23 @@ def stream_upsert_versioned(
     )
 
 
+def doc_quality_profile_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of corpus_quality_profile_by_source: per-source
+    quality dashboard over a document stream (crawl-ingest
+    observability — watch stopword/alpha drift per source as batches
+    land). A global stateful aggregation (no event-time column on
+    documents), so run it in complete/update mode; state is bounded by
+    the number of sources. The per-doc metrics are micro-int floored
+    BEFORE aggregation, so the final rows are bit-identical to the
+    batch query over the same replayed data."""
+    from etl_8million_data__spark.plans.text import (
+        quality_profile_agg,
+        quality_profile_metrics,
+    )
+
+    return quality_profile_agg(quality_profile_metrics(docs_stream))
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -134,3 +134,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, ckpt):
     cols = ["purchase_id", "click_id", "user_id"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_doc_quality_profile_stream_matches_batch(spark, sf_dir, ckpt):
+    """Replaying documents as a stream must reproduce the batch
+    per-source quality profile bit-for-bit (micro-int metrics make the
+    aggregation order-insensitive)."""
+    import os
+
+    from etl_8million_data__spark.streaming.jobs import doc_quality_profile_stream
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp()
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+
+    got = run_available_now(
+        doc_quality_profile_stream(stream), "t_docquality", "complete", ckpt
+    )
+    want = all_queries()["corpus_quality_profile_by_source"].build(spark, sf_dir)
+    cols = ["source", "n_docs", "total_tokens", "avg_stopword_ratio", "avg_alpha_ratio"]
+    assert _rows(got, cols) == _rows(want, cols)
