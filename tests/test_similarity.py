@@ -162,3 +162,49 @@ def test_baseline_scale_guard_trips(spark):
         assert_baseline_scale(big, 20_000, "similarity_near_dup_embeddings",
                               "similarity_lsh_near_dup_pairs")
     assert_baseline_scale(big.limit(10), 20_000, "x", "y")  # small passes
+
+
+def test_adaptive_bits_oracle_parity_at_wider_width(spark, tmp_path):
+    """The fixtures only exercise nb=4; this doubles the corpus to 1000
+    vectors (-> nb=5 under the shared rule) and re-checks Spark vs the
+    DuckDB oracle bit-for-bit, proving the count-adaptive SQL (dynamic
+    range(pr.nb), W[t*pr.nb + j + 1] indexing) tracks the engine at a
+    width the committed fixtures never reach."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import TABLES, load_table
+    from etl_8million_data__spark.plans import all_queries
+    from tests.oracle import compare
+
+    src = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(os.path.join(src, f"{t}.parquet"), sf / f"{t}.parquet")
+    e = load_table(spark, src, "embeddings")
+    doubled = e.unionByName(
+        e.select((F.col("vec_id") + 500).alias("vec_id"), "embedding", "label")
+    )
+    stage = str(sf / "_stage")
+    doubled.coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, sf / "embeddings.parquet")
+    shutil.rmtree(stage)
+
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits
+
+    assert adaptive_n_bits(1000) == 5  # the width actually widened
+
+    qs = all_queries()
+    for name in (
+        "similarity_knn_ivf",
+        "similarity_lsh_near_dup_pairs",
+        "dedup_semantic_keepers",
+    ):
+        ok, msg = compare(qs[name].build(spark, str(sf)), qs[name].oracle, str(sf))
+        assert ok, f"{name} at nb=5: {msg}"
