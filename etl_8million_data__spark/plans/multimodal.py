@@ -99,3 +99,59 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return resize_media(media)
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             md5(substr(text, CAST(u.frame_no*256 + 1 AS INTEGER), 256)) AS frame_md5
+      FROM documents,
+           unnest(range(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)))
+             AS u(frame_no)),
+    s AS (
+      SELECT frame_md5, count(DISTINCT media_id) AS n_media
+      FROM f GROUP BY frame_md5)
+    SELECT f.media_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN s.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_frames,
+           CAST(sum(CASE WHEN s.n_media >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_ratio
+    FROM f JOIN s ON s.frame_md5 = f.frame_md5
+    GROUP BY f.media_id
+    """,
+    tags=("multimodal", "dedup", "extension", "scale-path"),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup across media — the cross-video content-dedup
+    primitive: chunk every binary payload into frames (sample_frames,
+    the 1->N mapInPandas stage), hash each frame, count how many
+    distinct media share each hash, and report per-media how much of
+    its content is duplicated elsewhere (re-encoded uploads, clip
+    reuse, intro/outro boilerplate).
+
+    Scale shape: frames shuffle on their md5 — a uniformly distributed
+    key, so no skew; the share table joins back co-partitioned on the
+    same key; the final aggregate keys on media_id. Never compares
+    payload bytes pairwise — identical frames meet in the hash bucket."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    f = sample_frames(media).select("media_id", "frame_md5")
+    s = f.groupBy("frame_md5").agg(
+        F.count_distinct("media_id").alias("n_media")
+    )
+    shared = F.when(F.col("n_media") >= 2, 1).otherwise(0)
+    return (
+        f.join(s, "frame_md5")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(shared).cast("bigint").alias("shared_frames"),
+            (F.sum(shared).cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+        )
+    )
