@@ -298,3 +298,108 @@ def knn_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic relational k-means assignment — the learned coarse
+    quantizer for a data-driven IVF (the SRP cells' complement: SRP is
+    data-independent; k-means cells adapt to the corpus density).
+
+    Everything is engine-portable and reproducible:
+    - seeds: for each j < k, the vector whose md5(vec_id || '#' || j)
+      is smallest — k independent deterministic pseudo-random picks,
+      no rand();
+    - centroids are stored as integer MICRO components (mean = integer
+      division of micro sums), so cross-row aggregation order never
+      changes a centroid bit;
+    - distances are the shared-fold sum of squared differences against
+      micro/1e6 doubles — bit-identical in any engine replaying the
+      same fold;
+    - ties (equal distance) break on centroid id.
+
+    ``iters`` assignment rounds (Lloyd iterations with the FIXED
+    iteration count that keeps the result oracle-checkable). Returns
+    (vec_id, cell, dist_micro). Scale shape per round: one broadcast of
+    k micro-centroid arrays, one narrow argmin pass, one (j, dim)
+    aggregate — no all-pairs stage; at 100 TB raise k and sample the
+    training pass, exactly like a production IVF build."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x"),
+    )
+    grid = spark.range(k).select(F.col("id").cast("int").alias("j"))
+    seeds = (
+        x.select("vec_id")
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "j",
+            "vec_id",
+            F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"), F.lit("#"), F.col("j").cast("string")
+                )
+            ).alias("h"),
+        )
+        .groupBy("j")
+        .agg(F.min_by("vec_id", "h").alias("vec_id"))
+    )
+    cents = seeds.join(x, "vec_id").select(
+        "j",
+        F.transform("x", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
+    )
+    assign = None
+    for it in range(iters):
+        c = cents.select("j", F.transform("cm", lambda m: m / 1_000_000).alias("c"))
+        dist = F.aggregate(
+            F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "j")
+        assign = (
+            x.crossJoin(F.broadcast(c))
+            .select("vec_id", "x", "j", dist.alias("dist"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "x", "j", "dist")
+        )
+        if it < iters - 1:
+            cents = (
+                assign.select("j", F.posexplode("x").alias("dim", "v"))
+                .groupBy("j", "dim")
+                .agg(
+                    F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .groupBy("j")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                # Spark `div` truncates toward zero —
+                                # and so does DuckDB's INTEGER `//`
+                                # (verified empirically on negative
+                                # micro sums: -109999//70 = -1571, not
+                                # floor's -1572), so the mean centroids
+                                # agree bit-for-bit on both engines.
+                                F.struct("dim", F.expr("s div n").alias("m"))
+                            )
+                        ),
+                        lambda t: t["m"],
+                    ).alias("cm")
+                )
+            )
+    return assign.select(
+        "vec_id",
+        F.col("j").alias("cell"),
+        F.floor(F.col("dist") * 1_000_000).cast("bigint").alias("dist_micro"),
+    )

@@ -565,3 +565,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean"),
         )
     )
+
+
+def _km_dist(xref: str, cref: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0, list_transform(range(64), "
+        f"i -> ({xref}[i+1] - {cref}[i+1] / 1000000.0)"
+        f" * ({xref}[i+1] - {cref}[i+1] / 1000000.0))), (a, b) -> a + b)"
+    )
+
+
+@register(
+    "similarity_kmeans_cells",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    grid AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+    sh AS (SELECT grid.j, x.vec_id,
+                  md5(x.vec_id::VARCHAR || '#' || grid.j::VARCHAR) AS h
+           FROM x, grid),
+    seeds AS (SELECT j, arg_min(vec_id, h) AS vec_id FROM sh GROUP BY j),
+    c0 AS (SELECT s.j,
+                  list_transform(x.x, v -> CAST(round(v * 1000000) AS BIGINT)) AS cm
+           FROM seeds s JOIN x ON x.vec_id = s.vec_id),
+    d1 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
+           FROM x, c0 c),
+    a1 AS (SELECT vec_id, x, j, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+             FROM d1) WHERE rn = 1),
+    m1 AS (SELECT a1.j, u.i AS dim,
+                  sum(CAST(round(a1.x[u.i+1] * 1000000) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM a1, unnest(range(64)) AS u(i)
+           GROUP BY a1.j, u.i),
+    c1 AS (SELECT j, list(s // n ORDER BY dim) AS cm FROM m1 GROUP BY j),
+    d2 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
+           FROM x, c1 c),
+    a2 AS (SELECT vec_id, j, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT vec_id, CAST(j AS INT) AS cell,
+           CAST(floor(dist * 1000000) AS BIGINT) AS dist_micro
+    FROM a2
+    """,
+    tags=("similarity", "kmeans", "ivf", "extension", "scale-path"),
+)
+def similarity_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned coarse quantizer (operators/similarity.kmeans_cells):
+    deterministic k-means with k=8, 2 assignment rounds — the
+    data-driven IVF cells that adapt to corpus density where the SRP
+    cells cannot (SRP hyperplanes are data-independent). md5-picked
+    seeds, micro-integer centroids (order-insensitive means), shared
+    distance folds, distance/id tie-breaks: the whole training loop is
+    bit-reproducible, so even the ITERATIVE quantizer is hash-checked
+    against DuckDB. Per round: broadcast k centroid arrays, one narrow
+    argmin pass, one (cell, dim) aggregate — no all-pairs stage."""
+    from etl_8million_data__spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cells(emb, k=8, iters=2)

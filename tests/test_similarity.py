@@ -208,3 +208,29 @@ def test_adaptive_bits_oracle_parity_at_wider_width(spark, tmp_path):
     ):
         ok, msg = compare(qs[name].build(spark, str(sf)), qs[name].oracle, str(sf))
         assert ok, f"{name} at nb=5: {msg}"
+
+
+def test_kmeans_iterations_reduce_distance(spark, sf_dir):
+    """Lloyd's algorithm property: total within-cell squared distance
+    must not increase with more assignment rounds, every vector gets
+    exactly one cell, and multiple cells are actually used."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    totals = []
+    for iters in (1, 2, 3):
+        cells = kmeans_cells(emb, k=8, iters=iters)
+        agg = cells.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist_micro").alias("td"),
+            F.count_distinct("cell").alias("nc"),
+        ).collect()[0]
+        assert agg.n == n
+        assert agg.nc >= 4
+        totals.append(agg.td)
+    assert totals[1] <= totals[0]
+    assert totals[2] <= totals[1]
