@@ -329,6 +329,26 @@ def kmeans_cells(
     k micro-centroid arrays, one narrow argmin pass, one (j, dim)
     aggregate — no all-pairs stage; at 100 TB raise k and sample the
     training pass, exactly like a production IVF build."""
+    assign, _ = kmeans_fit(emb, k, iters, id_col, vec_col)
+    return assign.select(
+        "vec_id",
+        F.col("j").alias("cell"),
+        F.floor(F.col("dist") * 1_000_000).cast("bigint").alias("dist_micro"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the deterministic k-means loop (see :func:`kmeans_cells`)
+    and return BOTH the final assignment frame (vec_id, x, j, dist) and
+    the centroid frame the assignment was made against (j, cm micro
+    ints) — the pieces an IVF search needs (route queries by centroid,
+    scan only the routed cells)."""
     from pyspark.sql import Window
 
     spark = emb.sparkSession
@@ -357,7 +377,9 @@ def kmeans_cells(
         F.transform("x", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
     assign = None
+    fit_cents = cents
     for it in range(iters):
+        fit_cents = cents
         c = cents.select("j", F.transform("cm", lambda m: m / 1_000_000).alias("c"))
         dist = F.aggregate(
             F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
@@ -398,8 +420,64 @@ def kmeans_cells(
                     ).alias("cm")
                 )
             )
-    return assign.select(
-        "vec_id",
-        F.col("j").alias("cell"),
-        F.floor(F.col("dist") * 1_000_000).cast("bigint").alias("dist_micro"),
+    return assign, fit_cents
+
+
+def knn_ivf_kmeans(
+    emb: DataFrame,
+    k_cells: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 100,
+) -> DataFrame:
+    """ANN over the LEARNED inverted file: kmeans_fit partitions the
+    corpus into k_cells density-adapted cells; each query (vec_id %
+    query_mod == 0) routes to its ``nprobe`` nearest centroids and
+    exact cosine runs only inside those cells. Everything inherits
+    kmeans_fit's determinism, so the approximate result itself is
+    oracle-checkable; recall vs brute force is asserted in tests.
+
+    Scale shape: centroids broadcast twice (assignment + routing); the
+    only data-sized exchanges are the argmin window keyed by vec_id and
+    the cell-keyed scoring join that AQE can skew-split."""
+    assign, cents = kmeans_fit(emb, k_cells, iters, id_col, vec_col)
+    corpus = assign.select(
+        "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x")).alias("_n2")
     )
+    c = cents.select(
+        F.col("j").alias("cell"), F.transform("cm", lambda m: m / 1_000_000).alias("c")
+    )
+    q = assign.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("_qvec"),
+        norm2(F.col("x")).alias("_qn2"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "_qvec", "_qn2", "cell", qdist.alias("qd"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "_qn2", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("_qvec"), F.col("x")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

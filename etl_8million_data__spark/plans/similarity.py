@@ -575,10 +575,13 @@ def _km_dist(xref: str, cref: str) -> str:
     )
 
 
-@register(
-    "similarity_kmeans_cells",
-    oracle=f"""
-    WITH x AS (
+# Shared k-means CTE chain (k=8, 2 assignment rounds): seeds by md5
+# arg_min, micro-int centroids, shared distance fold, dist/j
+# tie-breaks. a2 is the final assignment (with vectors); c1 the
+# centroids it was made against. DuckDB integer `//` truncates toward
+# zero like Spark's `div` — verified on negative micro sums.
+_KM_CTES = f"""
+    x AS (
       SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
       FROM embeddings),
     grid AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
@@ -603,10 +606,17 @@ def _km_dist(xref: str, cref: str) -> str:
     c1 AS (SELECT j, list(s // n ORDER BY dim) AS cm FROM m1 GROUP BY j),
     d2 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
            FROM x, c1 c),
-    a2 AS (SELECT vec_id, j, dist FROM (
+    a2 AS (SELECT vec_id, x, j, dist FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, j) AS rn
              FROM d2) WHERE rn = 1)
+"""
+
+
+@register(
+    "similarity_kmeans_cells",
+    oracle=f"""
+    WITH {_KM_CTES}
     SELECT vec_id, CAST(j AS INT) AS cell,
            CAST(floor(dist * 1000000) AS BIGINT) AS dist_micro
     FROM a2
@@ -627,3 +637,54 @@ def similarity_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_cells(emb, k=8, iters=2)
+
+
+@register(
+    "similarity_knn_ivf_kmeans",
+    oracle=f"""
+    WITH {_KM_CTES},
+    cor AS (SELECT a2.vec_id, a2.j AS cell, a2.x,
+                   {_dot('a2.x', 'a2.x')} AS n2
+            FROM a2),
+    cq AS (SELECT c1.j AS cell,
+                  list_transform(c1.cm, m -> m / 1000000.0) AS c
+           FROM c1),
+    q AS (SELECT vec_id AS query_id, x AS qx, n2 AS qn2
+          FROM cor WHERE vec_id % 100 = 0),
+    qd AS (SELECT q.query_id, q.qx, q.qn2, cq.cell,
+                  list_reduce(list_prepend(0.0, list_transform(range(64),
+                    i -> (q.qx[i+1] - cq.c[i+1]) * (q.qx[i+1] - cq.c[i+1]))),
+                    (a, b) -> a + b) AS qd
+           FROM q, cq),
+    probes AS (SELECT query_id, qx, qn2, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY qd, cell) AS rn
+                 FROM qd) WHERE rn <= 2),
+    scored AS (SELECT p.query_id, cor.vec_id,
+                      {_dot('p.qx', 'cor.x')} / (sqrt(p.qn2) * sqrt(cor.n2))
+                        AS cosine
+               FROM probes p JOIN cor
+                 ON cor.cell = p.cell AND cor.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "ivf", "kmeans", "extension", "approx", "scale-path"),
+)
+def similarity_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the LEARNED inverted file: the k-means cells
+    (similarity_kmeans_cells) replace the data-independent SRP cells —
+    on clustered real-world embeddings density-adapted cells cut the
+    candidate set where fixed hyperplanes cannot. Each query routes to
+    its 2 nearest centroids; exact cosine runs only inside those
+    cells. The whole path (training loop included) is deterministic,
+    so the approximate result is hash-checked against DuckDB; recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    from etl_8million_data__spark.operators.similarity import knn_ivf_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf_kmeans(emb, k_cells=8, iters=2, k=10, nprobe=2).select(
+        "query_id", "vec_id", "cosine", "rn"
+    )

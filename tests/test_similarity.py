@@ -234,3 +234,24 @@ def test_kmeans_iterations_reduce_distance(spark, sf_dir):
         totals.append(agg.td)
     assert totals[1] <= totals[0]
     assert totals[2] <= totals[1]
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """The learned-IVF ANN must return full k everywhere and clear the
+    chance floor (2 of 8 cells probed ~= 25% of a near-orthogonal
+    corpus; density adaptation should do at least as well)."""
+    qs = all_queries()
+    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    approx = qs["similarity_knn_ivf_kmeans"].build(spark, sf_dir).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx_sets) == set(exact_sets)
+    assert all(len(v) == 10 for v in approx_sets.values())
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.2, f"avg recall {avg}"
