@@ -1,11 +1,12 @@
 """Similarity-search extension queries over the embeddings table.
 
 Every query here carries an exact DuckDB oracle: brute-force kNN via
-identical fold-order cosine (operators/similarity.py); the IVF variant
-via a deterministic signed-random-projection inverted file that DuckDB
-reproduces exactly (plus a recall@k query vs brute force); SRP-bucketed
-near-dup pairs; and int8 quantization with explicit sign*floor(+0.5)
-rounding so both engines agree bit-for-bit.
+identical fold-order cosine (operators/similarity.py); TWO inverted-
+file ANN variants — signed-random-projection cells with count-adaptive
+bit-width, and a learned k-means quantizer whose deterministic training
+loop is itself oracle-checked — each with recall gates; SRP-bucketed
+near-dup pairs; SemDeDup-style keep-sets; and int8 quantization with
+explicit sign*floor(+0.5) rounding so both engines agree bit-for-bit.
 """
 
 from __future__ import annotations
