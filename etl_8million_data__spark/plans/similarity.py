@@ -689,3 +689,90 @@ def similarity_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_kmeans(emb, k_cells=8, iters=2, k=10, nprobe=2).select(
         "query_id", "vec_id", "cosine", "rn"
     )
+
+
+_Q8 = """
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+      FROM embeddings
+"""
+
+_IDOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS BIGINT) * CAST({b}[i+1] AS BIGINT))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "similarity_knn_int8",
+    oracle=f"""
+    WITH s AS ({_Q8}),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(xd, v ->
+               CAST(CAST(sign(v) AS DOUBLE)
+                    * floor(abs(v) / scale * 127 + 0.5) AS INTEGER)) AS q
+      FROM s WHERE scale > 0),
+    n8 AS (SELECT vec_id, q, {_IDOT.format(a='q', b='q')} AS nq FROM q8),
+    qs AS (SELECT vec_id AS query_id, q AS qq, nq AS qnq
+           FROM n8 WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT qs.query_id, n8.vec_id,
+             CAST({_IDOT.format(a='qs.qq', b='n8.q')} AS DOUBLE)
+               / (sqrt(CAST(qs.qnq AS DOUBLE)) * sqrt(CAST(n8.nq AS DOUBLE)))
+               AS q_cosine
+      FROM qs JOIN n8 ON n8.vec_id <> qs.query_id)
+    SELECT query_id, vec_id, q_cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY q_cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "quantization", "int8", "extension", "scale-path"),
+)
+def similarity_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over int8-QUANTIZED vectors — the bandwidth-efficient search
+    path (4x smaller vectors, SIMD-able integer dot products downstream;
+    per-vector scales cancel in the cosine, so ranking needs only the
+    integer dots and integer norms). Every score is exact integer
+    arithmetic until one final division of exact values — no float
+    fold-order anywhere — so the oracle matches bit-for-bit trivially.
+    Quantization noise vs the float top-10 is gated by a recall test.
+    Scale shape: the quantized query side broadcasts; one corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    s = emb.select("vec_id", xd.alias("xd"), scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q = F.transform(
+        F.col("xd"),
+        lambda v: (
+            F.signum(v) * F.floor(F.abs(v) / F.col("scale") * 127 + F.lit(0.5))
+        ).cast("int"),
+    )
+    q8 = s.select("vec_id", q.alias("q"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n8 = q8.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("nq"))
+    qs = n8.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qnq"),
+    )
+    scored = n8.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (
+            idot(F.col("qq"), F.col("q")).cast("double")
+            / (F.sqrt(F.col("qnq").cast("double")) * F.sqrt(F.col("nq").cast("double")))
+        ).alias("q_cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
