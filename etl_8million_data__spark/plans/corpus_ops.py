@@ -1150,3 +1150,93 @@ def corpus_lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("novel").cast("bigint").alias("novel_bigrams"),
     )
+
+
+@register(
+    "corpus_split_drift",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN {_SPLIT_BUCKET} < 900 THEN 'train' ELSE 'heldout' END
+               AS split,
+             least(CAST((10 * length(regexp_replace({_NORM}, '[^a-z]', '', 'g')))
+                        // length({_NORM}) AS INT), 9) AS decile
+      FROM documents),
+    h AS (
+      SELECT split, decile, count(*) AS n
+      FROM m GROUP BY split, decile),
+    tot AS (SELECT split, sum(n) AS nt FROM h GROUP BY split),
+    g AS (SELECT CAST(unnest(range(10)) AS INT) AS decile),
+    p AS (
+      SELECT g.decile,
+             coalesce(max(CASE WHEN h.split = 'train' THEN h.n END), 0) AS n_train,
+             coalesce(max(CASE WHEN h.split = 'heldout' THEN h.n END), 0) AS n_heldout
+      FROM g LEFT JOIN h ON h.decile = g.decile
+      GROUP BY g.decile),
+    t AS (SELECT max(CASE WHEN split = 'train' THEN nt END) AS t_train,
+                 max(CASE WHEN split = 'heldout' THEN nt END) AS t_heldout
+          FROM tot)
+    SELECT p.decile,
+           CAST(p.n_train AS BIGINT) AS n_train,
+           CAST(p.n_heldout AS BIGINT) AS n_heldout,
+           CAST(p.n_train AS DOUBLE) / t.t_train AS frac_train,
+           CAST(p.n_heldout AS DOUBLE) / t.t_heldout AS frac_heldout,
+           abs(CAST(p.n_train AS DOUBLE) / t.t_train
+               - CAST(p.n_heldout AS DOUBLE) / t.t_heldout) AS abs_drift
+    FROM p CROSS JOIN t
+    """,
+    tags=("corpus", "drift", "split", "monitoring", "extension"),
+)
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-drift monitor: compare the alpha-ratio DECILE distribution
+    of the train split against the heldout split (val+test) — the
+    sanity check that the deterministic hash split didn't correlate
+    with a quality axis (and, run over two ingest snapshots, the drift
+    alarm for a changing crawl mix). Deciles are exact integer
+    arithmetic (10*clean_chars // chars, capped at 9); proportions are
+    single divisions of exact counts, so the per-decile abs-drift is
+    bit-identical in DuckDB. Two hash aggregates + a broadcast 10-row
+    grid — one corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    bucket = (
+        ((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296
+    ) % 1000
+    decile = F.least(
+        F.floor(
+            (10 * F.length(F.regexp_replace(norm, "[^a-z]", ""))) / F.length(norm)
+        ).cast("int"),
+        F.lit(9),
+    )
+    m = d.select(
+        F.when(bucket < 900, "train").otherwise("heldout").alias("split"),
+        decile.alias("decile"),
+    )
+    h = m.groupBy("split", "decile").agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("split").agg(F.sum("n").alias("nt"))
+    grid = spark.range(10).select(F.col("id").cast("int").alias("decile"))
+    p = (
+        grid.join(h, "decile", "left")
+        .groupBy("decile")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("split") == "train", F.col("n"))), F.lit(0)
+            ).alias("n_train"),
+            F.coalesce(
+                F.max(F.when(F.col("split") == "heldout", F.col("n"))), F.lit(0)
+            ).alias("n_heldout"),
+        )
+    )
+    t = tot.agg(
+        F.max(F.when(F.col("split") == "train", F.col("nt"))).alias("t_train"),
+        F.max(F.when(F.col("split") == "heldout", F.col("nt"))).alias("t_heldout"),
+    )
+    ft = F.col("n_train").cast("double") / F.col("t_train")
+    fh = F.col("n_heldout").cast("double") / F.col("t_heldout")
+    return p.crossJoin(F.broadcast(t)).select(
+        "decile",
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_heldout").cast("bigint").alias("n_heldout"),
+        ft.alias("frac_train"),
+        fh.alias("frac_heldout"),
+        F.abs(ft - fh).alias("abs_drift"),
+    )
