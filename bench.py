@@ -55,6 +55,12 @@ HEADLINE = [
     "tpch_q13_customer_order_distribution",  # outer join + double agg
     "tpch_q9_profit_by_nation_year",  # 6-way star join + agg
     "tpch_q18_large_volume_orders",  # agg-filter semi join
+    # round-3 families
+    "similarity_kmeans_cells",  # learned coarse quantizer (iterative k-means)
+    "similarity_knn_int8",  # quantized integer-dot kNN
+    "corpus_lm_fluency_scores",  # bigram-LM quality scoring
+    "multimodal_frame_dedup",  # frame-hash cross-media dedup
+    "moving_avg_and_ntile",  # boundary-table global ntile (no 1-partition window)
 ]
 
 
