@@ -250,15 +250,18 @@ def sketch_hll_sharded_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     / per day), persist the binary sketches, and answer global
     questions by unioning sketches instead of rescanning raw data.
 
-    HLL registers are max-merged, so the union of per-shard sketches
-    is REGISTER-IDENTICAL to a single-pass sketch over the whole table
-    (order-independent max) — ``merge_consistent`` asserts the two
-    estimates agree exactly, proving the incremental/sharded path loses
-    nothing vs the monolithic one. ``within_bound`` gates the estimate
-    against the exact count (generous 10%+5 for lgK=12's ~1.6% rse).
-    The oracle recomputes the exact side and expects both assertions
-    true — the driver verifies an approximate, mergeable pipeline
-    exactly (same self-certifying pattern as approx_distinct_users_hll)."""
+    In the dense regime HLL registers max-merge, but Datasketches
+    sketches start SPARSE and the union path promotes representations
+    differently than a single-pass build — so the two estimates are
+    close, not bit-equal (observed: 1488 vs 1494 on 1500 exact).
+    ``merge_consistent`` therefore gates |merged - direct| within
+    2%+5 of the exact count — the sharded path loses nothing
+    material vs the monolithic one — and ``within_bound`` gates the
+    merged estimate against the exact count (10%+5, generous for
+    lgK=12's ~1.6% rse). The oracle recomputes the exact side and
+    expects both assertions true — the driver verifies an approximate,
+    mergeable pipeline exactly (same self-certifying pattern as
+    approx_distinct_users_hll)."""
     e = load_table(spark, sf_dir, "events")
     shards = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -272,7 +275,10 @@ def sketch_hll_sharded_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return direct.crossJoin(F.broadcast(merged)).select(
         "exact_users",
-        (F.col("_merged_est") == F.col("_direct_est")).alias("merge_consistent"),
+        (
+            F.abs(F.col("_merged_est") - F.col("_direct_est"))
+            <= F.col("exact_users") * 0.02 + F.lit(5)
+        ).alias("merge_consistent"),
         (
             F.abs(F.col("_merged_est") - F.col("exact_users"))
             <= F.col("exact_users") * 0.10 + F.lit(5)

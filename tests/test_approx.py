@@ -49,29 +49,34 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     assert pcts[0] <= pcts[1] <= pcts[2]
 
 
-def test_hll_sharded_union_equals_single_pass(spark, sf_dir):
-    """HLL registers max-merge: unioning per-shard sketches must give
-    the SAME estimate as one sketch over the whole table, regardless of
-    how the data was sharded — the property that lets 100-TB pipelines
-    store per-partition sketches and never rescan."""
+def test_hll_sharded_union_close_to_single_pass(spark):
+    """Unioning per-shard sketches must track a single-pass sketch
+    regardless of how the data was sharded — the property that lets
+    100-TB pipelines store per-partition sketches and never rescan.
+    NOT bit-equality: Datasketches sketches start sparse and the union
+    path promotes representations differently than a single-pass build
+    (observed 1488 vs 1494 on 1500 exact at sf0.1), so the contract is
+    closeness within the sketch's error envelope."""
     from etl_8million_data__spark.catalog import load_table
 
-    e = load_table(spark, sf_dir, "events")
-    direct = e.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
-    ).collect()[0].est
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        e = load_table(spark, sf, "events")
+        exact = e.agg(F.count_distinct("user_id").alias("x")).collect()[0].x
+        direct = e.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+        ).collect()[0].est
 
-    for shard_key in ("event_type", F.col("event_id") % 7):
-        merged = (
-            e.groupBy(shard_key)
-            .agg(F.hll_sketch_agg("user_id").alias("sk"))
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-            .collect()[0]
-            .est
-        )
-        assert merged == direct
+        for shard_key in ("event_type", F.col("event_id") % 7):
+            merged = (
+                e.groupBy(shard_key)
+                .agg(F.hll_sketch_agg("user_id").alias("sk"))
+                .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+                .collect()[0]
+                .est
+            )
+            assert abs(merged - direct) <= exact * 0.02 + 5, (sf, merged, direct)
 
-    row = __import__("etl_8million_data__spark.plans", fromlist=["all_queries"]).all_queries()[
-        "sketch_hll_sharded_union"
-    ].build(spark, sf_dir).collect()[0]
-    assert row.merge_consistent and row.within_bound
+        row = __import__(
+            "etl_8million_data__spark.plans", fromlist=["all_queries"]
+        ).all_queries()["sketch_hll_sharded_union"].build(spark, sf).collect()[0]
+        assert row.merge_consistent and row.within_bound, sf
