@@ -48,14 +48,20 @@ def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
-        idx = spark.read.parquet(index_path)
+        # mergeSchema: an index directory can mix pre-batch-tagging files
+        # (no _batch column) with tagged appends.  Without it Spark picks
+        # the schema of an arbitrary footer — if that file is legacy, the
+        # _batch column silently vanishes, the same-tag probe exclusion
+        # becomes a no-op, and a redelivered micro-batch collides with
+        # its own previous append (the exact bug tagging prevents).
+        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
     except AnalysisException:
         # first batch: index doesn't exist yet. Any OTHER failure
         # (corrupt files, permissions) must propagate — silently
         # treating a broken index as empty would re-admit duplicates.
         return spark.createDataFrame([], INDEX_SCHEMA)
     if "_batch" not in idx.columns:
-        # index written before batch tagging existed
+        # index written entirely before batch tagging existed
         idx = idx.withColumn("_batch", F.lit(None).cast("string"))
     return idx
 

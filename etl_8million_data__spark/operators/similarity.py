@@ -132,13 +132,25 @@ def lsh_bucket_array(
     weights: list[list[int]],
     tables: int = 8,
     planes_per_table: int = 4,
+    stride: int | None = None,
 ) -> Column:
     """Signed-random-projection LSH: per table, an integer bucket whose
     bits are the signs of ``planes_per_table`` hyperplane projections.
     Vectors within cos θ share a table-bucket with prob (1-θ/π)^planes;
     multiple tables trade candidate volume for recall. Returns an array
     of ``tables`` bucket ints (a narrow map stage — only (id, table,
-    bucket) ever reaches the shuffle)."""
+    bucket) ever reaches the shuffle).
+
+    ``stride`` is the weight-row stride between tables: plane j of
+    table t reads ``weights[t*stride + j]``. Pass the MAXIMUM bit-width
+    (and size ``weights`` for it) when ``planes_per_table`` is
+    count-adaptive — then growing the corpus widens each table with NEW
+    planes instead of shifting which hyperplane every (table, plane)
+    index denotes, so persisted buckets stay comparable across corpus
+    growth. Defaults to ``planes_per_table`` (densely packed weights)."""
+    stride = planes_per_table if stride is None else stride
+    if stride < planes_per_table:
+        raise ValueError(f"stride={stride} < planes_per_table={planes_per_table}")
 
     def proj(p: int) -> Column:
         w = F.array(*[F.lit(x) for x in weights[p]])
@@ -152,7 +164,7 @@ def lsh_bucket_array(
     for t in range(tables):
         b: Column = F.lit(0)
         for j in range(planes_per_table):
-            b = b + F.when(proj(t * planes_per_table + j) > 0, F.lit(1 << j)).otherwise(
+            b = b + F.when(proj(t * stride + j) > 0, F.lit(1 << j)).otherwise(
                 F.lit(0)
             )
         buckets.append(b)
@@ -166,12 +178,13 @@ def lsh_candidate_pairs(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stride: int | None = None,
 ) -> DataFrame:
     """Distinct (vec_a < vec_b) pairs sharing any table-bucket."""
     sig = emb.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(
-            lsh_bucket_array(F.col(vec_col), weights, tables, planes_per_table)
+            lsh_bucket_array(F.col(vec_col), weights, tables, planes_per_table, stride)
         ).alias("tbl", "bucket"),
     ).localCheckpoint(eager=True)
     a = sig.alias("a")

@@ -1160,7 +1160,8 @@ def corpus_lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS split,
              least(CAST((10 * length(regexp_replace({_NORM}, '[^a-z]', '', 'g')))
                         // length({_NORM}) AS INT), 9) AS decile
-      FROM documents),
+      FROM documents
+      WHERE length({_NORM}) > 0),
     h AS (
       SELECT split, decile, count(*) AS n
       FROM m GROUP BY split, decile),
@@ -1207,7 +1208,10 @@ def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
         F.lit(9),
     )
-    m = d.select(
+    m = d.filter(F.length(norm) > 0).select(
+        # emptiness guard: a whitespace-only doc would divide by
+        # length(norm)=0 — a crash under ANSI mode here, a silent NULL
+        # decile in DuckDB. Excluded identically on both sides.
         F.when(bucket < 900, "train").otherwise("heldout").alias("split"),
         decile.alias("decile"),
     )

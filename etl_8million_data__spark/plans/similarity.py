@@ -79,9 +79,11 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chain), so expected bucket size stays ~_TARGET_BUCKET as n grows and
 # the candidate volume stays sub-quadratic — the fixed-4-bit quantizer
 # was the one quadratic cliff in the 100-TB dedup path. The weight
-# matrix is sized for the max width; smaller widths use its prefix, so
-# growing the corpus never changes which hyperplane a given (table,
-# plane) index denotes.
+# matrix is sized for the max width and tables are indexed at the FIXED
+# stride _MAX_BITS (plane j of table t is row t*_MAX_BITS + j, on both
+# engines), so growing the corpus only APPENDS planes to each table —
+# it never changes which hyperplane a given (table, plane) index
+# denotes, and persisted buckets stay comparable across corpus growth.
 _TABLES = 8
 _TARGET_BUCKET = 32
 _MIN_BITS, _MAX_BITS = 4, 16
@@ -255,7 +257,7 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, t.t AS tbl,
              list_reduce(list_prepend(0, list_transform(range(pr.nb), j ->
                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
-                      i -> W[t.t*pr.nb + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      i -> W[t.t*{_MAX_BITS} + j + 1][i+1] * embedding[i+1]::DOUBLE)),
                       (a, x) -> a + x) > 0
                     THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
       FROM e, w, pr, (SELECT unnest(range({_TABLES})) AS t) t),
@@ -286,7 +288,9 @@ def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
-    pairs = lsh_candidate_pairs(emb, _W, tables=_TABLES, planes_per_table=nb)
+    pairs = lsh_candidate_pairs(
+        emb, _W, tables=_TABLES, planes_per_table=nb, stride=_MAX_BITS
+    )
     # norms once per VECTOR, not per pair: the per-pair cosine is the
     # dominant interpreted-fold cost on dense candidate sets (3x fewer
     # folds; same values — the oracle precomputes n2 identically)
@@ -466,7 +470,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, t.t AS tbl,
              list_reduce(list_prepend(0, list_transform(range(pr.nb), j ->
                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
-                      i -> W[t.t*pr.nb + j + 1][i+1] * embedding[i+1]::DOUBLE)),
+                      i -> W[t.t*{_MAX_BITS} + j + 1][i+1] * embedding[i+1]::DOUBLE)),
                       (a, x) -> a + x) > 0
                     THEN 1 << j ELSE 0 END)), (a, x) -> a + x) AS bucket
       FROM e, w, pr, (SELECT unnest(range({_TABLES})) AS t) t),
@@ -508,7 +512,9 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
-    pairs = lsh_candidate_pairs(emb, _W, tables=_TABLES, planes_per_table=nb)
+    pairs = lsh_candidate_pairs(
+        emb, _W, tables=_TABLES, planes_per_table=nb, stride=_MAX_BITS
+    )
     # norms once per VECTOR (oracle precomputes n2 the same way); the
     # per-pair cosine fold is the dominant cost on dense candidate sets
     e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))

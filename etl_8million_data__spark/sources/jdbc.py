@@ -47,6 +47,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"  # bundled with Spark
 
+# SQLStates meaning "table/view does not exist", per dialect:
+# Derby 42X05, MySQL/SQLServer 42S02, Postgres 42P01, DB2 42704.
+_TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42S02", "42P01", "42704"})
+
+
+def _is_table_missing(exc: Exception) -> bool:
+    """True iff the Java cause chain carries a table-not-found SQLState.
+
+    Message-substring matching is unsafe ("Schema X does not exist",
+    missing functions, …); the SQLState on the underlying
+    java.sql.SQLException is the dialect's own classification.
+    """
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state in _TABLE_MISSING_SQLSTATES:
+            return True
+        je = je.getCause()
+    return False
+
 
 def _options(url: str, table: str, driver: str | None, extra: dict | None) -> dict:
     opts = {"url": url, "dbtable": table}
@@ -159,18 +182,24 @@ def write_jdbc_skip_existing(
     empty would re-insert the whole universe).
     """
     try:
+        # JDBC schema resolution happens at load() — a missing table
+        # fails HERE, before any anti-join/count work, so the catch is
+        # scoped to this call alone.
         keys = existing_keys(
             df.sparkSession, url, table, key_cols, driver=driver, options=options
         )
+    except Exception as e:  # first write: table not created yet
+        if not _is_table_missing(e):
+            # Classified by the dialect's SQLState, not message text —
+            # "Schema … does not exist" or a network failure must NOT be
+            # treated as an empty table (would re-insert every row).
+            raise
+        fresh, n = df, df.count()
+    else:
         fresh = df.join(keys, on=key_cols, how="left_anti")
         # localCheckpoint would be overkill: the anti-join re-reads only
         # the key projection if the plan is re-executed by the writer.
         n = fresh.count()
-    except Exception as e:  # first write: table not created yet
-        msg = str(e).lower()
-        if "not exist" not in msg and "doesn't exist" not in msg:
-            raise
-        fresh, n = df, df.count()
     if n:
         write_jdbc_append(
             fresh, url, table,

@@ -47,6 +47,36 @@ def test_second_batch_filtered_against_index(spark, tmp_path):
     assert _ids(kept_again) == []
 
 
+def test_mixed_legacy_and_tagged_index_keeps_batch_column(spark, tmp_path):
+    """An index directory mixing pre-batch-tagging files (no _batch
+    column) with tagged appends must still read the _batch column
+    (mergeSchema) — otherwise the same-tag probe exclusion silently
+    becomes a no-op and a redelivered batch self-collides."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.incremental_dedup import _read_index
+
+    idx = str(tmp_path / "band_index")
+    # legacy write: untagged schema (pre-_batch layout)
+    legacy = spark.createDataFrame(
+        [(99, 0, "legacyband")], "doc_id long, band int, band_key string"
+    )
+    legacy.write.mode("append").parquet(idx)
+    # tagged append from a later deploy
+    dedup_increment(_docs(spark, [(1, _LONG_A)]), idx, batch_tag="b0")
+
+    got = _read_index(spark, idx)
+    assert "_batch" in got.columns
+    tags = {r["_batch"] for r in got.select("_batch").distinct().collect()}
+    assert "b0" in tags and None in tags  # both file generations visible
+
+    # the same-tag exclusion still works against the mixed directory:
+    # replaying tag b0 with the same content must keep the doc (its own
+    # bands are excluded), not self-collide
+    replay = dedup_increment(_docs(spark, [(1, _LONG_A)]), idx, batch_tag="b0")
+    assert _ids(replay) == [1]
+
+
 def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     """File-stream ingest: batch 2's near-dup of batch 1 content is
     filtered by the persisted index; survivors accumulate in out."""
