@@ -277,9 +277,11 @@ def knn_ivf(
 
     Scale shape: the candidate cut is nprobe / 2^n_bits of the corpus;
     at 100 TB raise n_bits so cells hold ~1 shuffle partition each —
-    cell assignment stays a narrow map over the scan, the probe table
-    (|Q| x nprobe rows) is broadcast, and the only join is an equi-join
-    on the cell id that AQE can split when a cell runs hot. Entirely
+    cell assignment stays a narrow map over the scan, and the only join
+    is an UNHINTED equi-join on the cell id: AQE broadcasts the probe
+    table (|Q| x nprobe rows) when it is genuinely small and falls back
+    to a skew-splittable shuffle when |Q| grows with the corpus, so
+    there is no broadcast memory cliff either way. Entirely
     deterministic (integer hyperplanes, fixed fold order), so the whole
     approximate result — not just its recall — is oracle-checkable."""
     e = emb.select(
@@ -299,7 +301,13 @@ def knn_ivf(
         ).alias("cell"),
     )
     scored = (
-        e.join(F.broadcast(qp), "cell")
+        # NO broadcast hint on qp: the query side can grow with the
+        # corpus (callers often derive it from the corpus itself), and a
+        # hinted broadcast of a corpus-proportional frame is a driver/
+        # executor memory cliff at scale. The equi-join on cell lets AQE
+        # pick broadcast when |Q| is genuinely small and shuffle
+        # (skew-splittable) otherwise.
+        e.join(qp, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -482,7 +490,9 @@ def knn_ivf_kmeans(
         .select("query_id", "_qvec", "_qn2", "cell")
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cell")
+        # probes grows with |Q| (corpus-derived here): no broadcast
+        # hint — AQE chooses, so there is no memory cliff as |Q| grows
+        corpus.join(probes, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

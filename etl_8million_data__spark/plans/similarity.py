@@ -713,40 +713,83 @@ _IDOT = (
 @register(
     "similarity_knn_int8",
     oracle=f"""
-    WITH s AS ({_Q8}),
+    WITH w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
+    s AS ({_Q8}),
     q8 AS (
-      SELECT vec_id,
+      SELECT vec_id, xd,
              list_transform(xd, v ->
                CAST(CAST(sign(v) AS DOUBLE)
                     * floor(abs(v) / scale * 127 + 0.5) AS INTEGER)) AS q
       FROM s WHERE scale > 0),
-    n8 AS (SELECT vec_id, q, {_IDOT.format(a='q', b='q')} AS nq FROM q8),
-    qs AS (SELECT vec_id AS query_id, q AS qq, nq AS qnq
-           FROM n8 WHERE vec_id % 100 = 0),
+    pe AS (
+      SELECT vec_id, q, pr.nb AS nb,
+             list_transform(range(pr.nb), j ->
+               list_reduce(list_prepend(0.0, list_transform(range(64),
+                 i -> W[j+1][i+1] * xd[i+1])), (a, x) -> a + x)
+             ) AS projs
+      FROM q8, w, pr),
+    ce AS (
+      SELECT vec_id, q, {_IDOT.format(a='q', b='q')} AS nq, nb, projs,
+             list_reduce(list_prepend(0, list_transform(range(nb), j ->
+               CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)), (a, x) -> a + x
+             ) AS cell
+      FROM pe),
+    qs AS (
+      SELECT vec_id AS query_id, q AS qq, nq AS qnq, nb,
+             projs AS qprojs, cell AS qcell
+      FROM ce WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, qq, qnq,
+             unnest(list_prepend(qcell,
+               list_transform(
+                 list_slice(
+                   list_sort(list_transform(range(nb), j ->
+                     {{'a': abs(qprojs[j+1]), 'j': j}})),
+                   1, {_NPROBE - 1}),
+                 s -> xor(qcell, 1 << struct_extract(s, 'j'))))) AS cell
+      FROM qs),
     scored AS (
-      SELECT qs.query_id, n8.vec_id,
-             CAST({_IDOT.format(a='qs.qq', b='n8.q')} AS DOUBLE)
-               / (sqrt(CAST(qs.qnq AS DOUBLE)) * sqrt(CAST(n8.nq AS DOUBLE)))
+      SELECT p.query_id, c.vec_id,
+             CAST({_IDOT.format(a='p.qq', b='c.q')} AS DOUBLE)
+               / (sqrt(CAST(p.qnq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE)))
                AS q_cosine
-      FROM qs JOIN n8 ON n8.vec_id <> qs.query_id)
+      FROM probes p JOIN ce c ON c.cell = p.cell AND c.vec_id <> p.query_id)
     SELECT query_id, vec_id, q_cosine, rn
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY q_cosine DESC, vec_id) AS rn
           FROM scored)
     WHERE rn <= 10
     """,
-    tags=("similarity", "knn", "quantization", "int8", "extension", "scale-path"),
+    tags=("similarity", "knn", "quantization", "int8", "ivf", "extension", "scale-path"),
 )
 def similarity_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN over int8-QUANTIZED vectors — the bandwidth-efficient search
-    path (4x smaller vectors, SIMD-able integer dot products downstream;
-    per-vector scales cancel in the cosine, so ranking needs only the
-    integer dots and integer norms). Every score is exact integer
-    arithmetic until one final division of exact values — no float
-    fold-order anywhere — so the oracle matches bit-for-bit trivially.
-    Quantization noise vs the float top-10 is gated by a recall test.
-    Scale shape: the quantized query side broadcasts; one corpus scan."""
+    """kNN over int8-QUANTIZED vectors, ROUTED through the SRP inverted
+    file — the production ANN composition: the coarse quantizer (sign-
+    bit cells over the float vector, count-adaptive bit-width) picks
+    nprobe cells per query, and only inside those cells are the
+    bandwidth-efficient int8 scores computed (4x smaller vectors,
+    SIMD-able integer dot products downstream; per-vector scales cancel
+    in the cosine, so ranking needs only integer dots and integer
+    norms). Every score is exact integer arithmetic until one final
+    division of exact values, and the routing is deterministic, so the
+    whole approximate result is oracle-checked bit-for-bit.
+    Quantization noise vs the float-scored IVF top-10 is gated by a
+    recall test (same routing on both sides isolates the int8 effect).
+    Scale shape: cell assignment is a narrow map over one corpus scan,
+    candidates are cut to ~nprobe/2^nb of the corpus, and the
+    probe-to-cell join is a plain equi-join — NO broadcast of the
+    corpus-growing query side (AQE picks the strategy), so there is no
+    driver/executor memory cliff as |Q| grows with the corpus."""
+    from etl_8million_data__spark.operators.similarity import (
+        adaptive_n_bits,
+        projections,
+        srp_cell,
+        srp_probe_cells,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
     xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
     s = emb.select("vec_id", xd.alias("xd"), scale.alias("scale")).filter(
@@ -758,25 +801,47 @@ def similarity_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.signum(v) * F.floor(F.abs(v) / F.col("scale") * 127 + F.lit(0.5))
         ).cast("int"),
     )
-    q8 = s.select("vec_id", q.alias("q"))
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    n8 = q8.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("nq"))
-    qs = n8.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nq").alias("qnq"),
-    )
-    scored = n8.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
+    # one narrow map: quantized vector, integer norm, SRP projections
+    # (routing happens on the FLOAT vector — quantization noise must
+    # not move a vector across a cell boundary relative to the float
+    # IVF, or the recall comparison would conflate routing and scoring)
+    pe = s.select("vec_id", q.alias("q"), projections(F.col("xd"), _W, nb).alias("projs"))
+    ce = pe.select(
         "vec_id",
-        (
-            idot(F.col("qq"), F.col("q")).cast("double")
-            / (F.sqrt(F.col("qnq").cast("double")) * F.sqrt(F.col("nq").cast("double")))
-        ).alias("q_cosine"),
+        "q",
+        idot(F.col("q"), F.col("q")).alias("nq"),
+        srp_cell(F.col("projs"), nb).alias("cell"),
+        "projs",
+    )
+    probes = (
+        ce.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nq").alias("qnq"),
+            F.explode(srp_probe_cells(F.col("projs"), nb, _NPROBE)).alias("cell"),
+        )
+    )
+    scored = (
+        ce.drop("projs")
+        .join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                idot(F.col("qq"), F.col("q")).cast("double")
+                / (
+                    F.sqrt(F.col("qnq").cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                )
+            ).alias("q_cosine"),
+        )
     )
     from pyspark.sql import Window
 

@@ -55,3 +55,43 @@ def test_ntile_has_no_data_sized_single_partition_window(spark):
     sections = plan.split("Exchange SinglePartition")
     for before in sections[:-1]:
         assert "HashAggregate" in before, "SinglePartition exchange over raw data"
+
+
+def _broadcast_hint_sides(df) -> list[str]:
+    """String form of every subtree under a broadcast ResolvedHint in
+    the ANALYZED plan (the optimizer consumes hints, so the analyzed
+    plan is where an `F.broadcast(...)` call is still visible)."""
+    sides = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint":
+            sides.append(node.child().toString())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().analyzed())
+    return sides
+
+
+@pytest.mark.parametrize("name", ["similarity_knn_ivf", "similarity_knn_int8"])
+def test_ann_plans_never_hint_broadcast_of_corpus_frames(spark, name):
+    """The scale-path ANN query sides grow with the corpus (queries ARE
+    corpus vectors), so a broadcast HINT there is a memory cliff at
+    100 TB — the probe-to-cell equi-join must stay unhinted and let AQE
+    choose. Regression gate for the de-broadcast of knn_ivf/knn_int8.
+    (similarity_knn_ivf_recall is exempt: it composes the brute-force
+    baseline, whose broadcast sits behind assert_baseline_scale.)"""
+    sides = _broadcast_hint_sides(all_queries()[name].build(spark, SF))
+    assert sides == [], f"{name}: broadcast hint over {sides[:1]}"
+
+
+def test_kmeans_ann_broadcasts_only_bounded_frames(spark):
+    """knn_ivf_kmeans may broadcast only frames bounded by k (centroid
+    aggregates) or a constant grid — never the corpus scan or the
+    corpus-growing probe table."""
+    sides = _broadcast_hint_sides(
+        all_queries()["similarity_knn_ivf_kmeans"].build(spark, SF)
+    )
+    for s in sides:
+        assert "Aggregate" in s or "Range" in s, f"unbounded broadcast side: {s[:200]}"

@@ -257,19 +257,21 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert avg >= 0.2, f"avg recall {avg}"
 
 
-def test_int8_knn_recall_vs_float(spark, sf_dir):
-    """Quantization noise check: the int8 top-10 must strongly overlap
-    the exact float top-10 (scales cancel in the cosine, so int8 only
-    loses sub-1/127 resolution per component)."""
+def test_int8_knn_recall_vs_float_ivf(spark, sf_dir):
+    """Quantization noise check, routing held fixed: int8-over-IVF and
+    float-over-IVF share the SAME SRP cells and probe sequence (routing
+    is on the float vector on both paths), so any top-10 difference is
+    purely int8 scoring noise — which is sub-1/127 per component and
+    must leave the lists strongly overlapping."""
     qs = all_queries()
-    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    fl = qs["similarity_knn_ivf"].build(spark, sf_dir).collect()
     q8 = qs["similarity_knn_int8"].build(spark, sf_dir).collect()
     es, asets = {}, {}
-    for r in exact:
+    for r in fl:
         es.setdefault(r.query_id, set()).add(r.vec_id)
     for r in q8:
         asets.setdefault(r.query_id, set()).add(r.vec_id)
     assert set(asets) == set(es)
     recalls = [len(asets[q] & es[q]) / len(es[q]) for q in es]
     avg = sum(recalls) / len(recalls)
-    assert avg >= 0.6, f"int8 recall {avg}"
+    assert avg >= 0.8, f"int8-vs-float-IVF recall {avg}"
