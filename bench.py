@@ -79,20 +79,25 @@ def main() -> None:
         "overwrite"
     ).save()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
         # best-of-2: a single sample conflates the query's cost with
         # transient host contention / first-touch planning; the min of
-        # two runs is the reproducible number.
-        best = None
+        # two runs is the reproducible number. The per-query SPREAD
+        # (max - min) is reported alongside so a swing in a round-over-
+        # round comparison is attributable to plan vs host noise at a
+        # glance: spread ~ delta means noise, spread << delta means a
+        # real plan change.
+        samples = []
         for _ in range(2):
             df = queries[name].build(spark, SF_DIR)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -103,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

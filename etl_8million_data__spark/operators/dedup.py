@@ -178,12 +178,21 @@ def jaccard_verified_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates filtered by exact shingle-set Jaccard >= threshold.
     Joins shingle sets only for the candidate pairs (the LSH output),
-    never all-pairs — this is what keeps it sub-quadratic at scale."""
+    never all-pairs — this is what keeps it sub-quadratic at scale.
+
+    Pass ``shingles`` (a doc_shingle_frame-shaped (id, shingles) frame,
+    already materialized by the caller) to share one tokenization with
+    surrounding stages instead of re-tokenizing the corpus here."""
     # shingle sets feed the LSH pipeline AND both pair sides: compute once
-    sh = doc_shingle_frame(df, text_col, id_col, k).localCheckpoint(eager=True)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingle_frame(df, text_col, id_col, k).localCheckpoint(eager=True)
+    )
     pairs = minhash_lsh_candidate_pairs(df, text_col, id_col, k, shingles=sh)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))

@@ -571,15 +571,30 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_8million_data__spark.plans.text import _LANG_MARKERS
 
     d = load_table(spark, sf_dir, "documents")
+    # ONE tokenization for the whole pipeline: the token array (plus the
+    # exact-dedup fingerprint) is computed in a single spread map stage
+    # and checkpointed; the language marks, the near-dup shingle sets,
+    # and the contamination grams all derive from it. Previously each of
+    # the three stages re-tokenized the corpus from parquet — at 100 TB
+    # that is two full redundant scans plus re-splitting every document.
+    tokf = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            exact_fingerprint(F.col("text")).alias("fp"),
+            tokens(F.col("text")).alias("_toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # Marker counts RELATIONALLY (explode -> codegen conditional sums),
     # not via list_filter: higher-order array functions are
     # CodegenFallback and evaluate interpreted per row (~2.5 s vs
     # ~0.5 s on this stage; same trap simhash escaped). Equivalent to
     # the oracle's len(list_filter(...)): split('') yields [''] so every
     # doc emits >= 1 token row.
-    tok = spread(d, "doc_id").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("_t")
-    )
+    tok = tokf.select("doc_id", F.explode("_toks").alias("_t"))
 
     def _marks(words: tuple[str, ...]) -> Column:
         return F.sum(F.when(F.col("_t").isin(*words), 1).otherwise(0))
@@ -592,9 +607,7 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         _marks(_LANG_MARKERS["fr"]).alias("s_fr"),
     )
     gated = (
-        d.select(
-            "doc_id", "source", "n_chars", exact_fingerprint(F.col("text")).alias("fp")
-        )
+        tokf.select("doc_id", "source", "n_chars", "fp")
         .join(marks, "doc_id")
         .filter(
             F.col("n").between(5, 100000)
@@ -608,19 +621,27 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = gated.withColumn(
         "_min_id", F.min("doc_id").over(Window.partitionBy("fp"))
     ).filter(F.col("doc_id") == F.col("_min_id"))
+    # shared shingle sets (doc_shingle_frame semantics, derived from the
+    # checkpointed token frame instead of a fresh tokenization);
+    # materialized because jaccard_verified_pairs reads it three times
+    # (LSH pipeline + both pair sides) and the word_shingles transform
+    # is interpreted per evaluation
+    sh = (
+        tokf.filter(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("_toks"), 3)).alias("shingles"),
+        )
+        .localCheckpoint(eager=True)
+    )
     near_drops = (
-        jaccard_verified_pairs(d, threshold=0.5)
+        jaccard_verified_pairs(d, threshold=0.5, shingles=sh)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    grams = (
-        spread(d, "doc_id")
-        .select("doc_id", "source", tokens(F.col("text")).alias("_toks"))
-        .select(
-            "doc_id", "source", F.explode(word_shingles(F.col("_toks"), 3)).alias("gram")
-        )
-        .distinct()
-    )
+    grams = tokf.select(
+        "doc_id", "source", F.explode(word_shingles(F.col("_toks"), 3)).alias("gram")
+    ).distinct()
     probe = (
         grams.filter(F.col("source") == "src0").select(F.col("gram").alias("pgram")).distinct()
     )

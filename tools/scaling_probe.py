@@ -44,6 +44,101 @@ PROBE = [
 ]
 
 
+def skew_probe() -> str:
+    """Adversarial-skew evidence for the LSH band join
+    (operators/dedup.py:minhash_lsh_candidate_pairs): ONE boilerplate
+    string duplicated across 20% of a 10k-doc corpus makes every
+    duplicate share all 4 band keys — a hot bucket whose join output is
+    ~4 x C(2000, 2) ≈ 8M rows, the worst case for the band self-join.
+
+    At 100 TB the band frame is far beyond broadcast range, so the real
+    physical shape is a shuffled join; this probe forces it locally
+    (autoBroadcastJoinThreshold=-1) and scales the AQE skew-split
+    thresholds down to fixture size — the cluster defaults (256 MB) are
+    absolute byte counts, but the RATIO behavior (a partition
+    skewedPartitionFactor x the median gets split to advisory size) is
+    exactly what runs at scale. Asserts the join completes and no
+    output partition holds more than 4x the median partition's rows —
+    i.e. "AQE splits the hot bucket" is measured, not assumed."""
+    import statistics
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("lsh-skew-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.dedup import (
+        doc_shingle_frame,
+        lsh_band_frame,
+        minhash_min_frame,
+    )
+
+    n = 10_000
+    boiler = (
+        "the same boilerplate sentence repeated verbatim across a fifth "
+        "of the corpus again and again"
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler))
+        .otherwise(
+            F.concat(
+                F.lit("unique document number "),
+                F.col("id").cast("string"),
+                F.lit(" with entirely distinct words "),
+                (F.col("id") * 7919).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    band = lsh_band_frame(
+        minhash_min_frame(doc_shingle_frame(docs, "text", "doc_id", 3)), "doc_id"
+    ).localCheckpoint(eager=True)
+    a, b = band.alias("a"), band.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    t0 = time.time()
+    pid = (
+        joined.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    dt = time.time() - t0
+    counts = sorted(r["count"] for r in pid)
+    total, mx = sum(counts), max(counts)
+    med = statistics.median(counts)
+    ratio = mx / med
+    line = (
+        f"| LSH band join, 20% boilerplate corpus (n={n}) | {total:,} pairs | "
+        f"{len(counts)} partitions | max/median = {ratio:.2f}x | {dt:.1f}s |"
+    )
+    print(line)
+    assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f} > 4"
+    assert mx < total / 2, f"one partition holds the majority ({mx}/{total})"
+    spark.stop()
+    return line
+
+
 def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +155,9 @@ def main() -> None:
         ratio = times[2] / times[1] if times[1] > 0 else float("nan")
         rows.append((name, *times, ratio))
         print(f"{name}: " + " ".join(f"{t:.2f}s" for t in times) + f" ratio10x={ratio:.1f}")
+    spark.stop()
+
+    skew_line = skew_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -75,9 +173,25 @@ def main() -> None:
         )
         for name, t1, t2, t3, r in rows:
             f.write(f"| {name} | {t1:.2f}s | {t2:.2f}s | {t3:.2f}s | {r:.1f}x |\n")
+        f.write(
+            "\n## Adversarial skew: LSH band join hot bucket\n\n"
+            "One boilerplate string duplicated across 20% of a 10k-doc corpus\n"
+            "gives every duplicate identical band keys — the worst-case hot\n"
+            "bucket for the band self-join (~8M candidate pairs in 4 keys).\n"
+            "Shuffled-join shape forced (no broadcast, as at 100 TB); AQE\n"
+            "skew-split thresholds scaled to fixture size (cluster defaults\n"
+            "are absolute bytes; the split RATIO semantics are what scale).\n"
+            "Gate: completes AND max output partition <= 4x the median — the\n"
+            "\"AQE splits the hot bucket\" claim, measured.\n\n"
+            "| probe | output | partitions | straggler ratio | time |\n"
+            "|---|---|---|---|---|\n"
+            f"{skew_line}\n"
+        )
     print("wrote SCALING.md")
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        skew_probe()
+    else:
+        main()
