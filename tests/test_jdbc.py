@@ -102,3 +102,29 @@ def test_jdbc_filter_pushdown_plan(spark, derby_url):
     back = read_jdbc(spark, derby_url, "payloads", driver=DERBY_EMBEDDED_DRIVER)
     plan = back.filter(F.col("symbol") == "ACME")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "symbol" in plan
+
+
+@pytest.mark.skipif(
+    "MYSQL_JDBC_URL" not in __import__("os").environ,
+    reason="no live MySQL in the sandbox; set MYSQL_JDBC_URL "
+    "(e.g. jdbc:mysql://host:3306/db?user=u&password=p) and put the "
+    "Connector/J jar on spark.jars to run the dialect smoke",
+)
+def test_jdbc_mysql_dialect_smoke(spark, tmp_path):
+    """Same bronze lifecycle as the Derby tests, against the reference's
+    actual store dialect (details.py:177-238 targets MySQL 8): append,
+    pruned key read-back, skip-existing increment, and the SQLState
+    42S02 first-write path. Env-guarded — the sandbox has no MySQL; on
+    a deployment with one this verifies the type mapping end-to-end."""
+    import os
+    import uuid
+
+    url = os.environ["MYSQL_JDBC_URL"]
+    table = f"payloads_smoke_{uuid.uuid4().hex[:8]}"
+    seed = _payload_rows(spark, [("ACME", '{"info":{}}', None)])
+    # first write goes through the SQLState-classified missing-table path
+    assert write_jdbc_skip_existing(seed, url, table, ["symbol"], num_partitions=1) == 1
+    inc = _payload_rows(spark, [("ACME", "{}", None), ("BETA", "{}", None)])
+    assert write_jdbc_skip_existing(inc, url, table, ["symbol"], num_partitions=1) == 1
+    keys = existing_keys(spark, url, table, ["symbol"])
+    assert sorted(r["symbol"] for r in keys.collect()) == ["ACME", "BETA"]
