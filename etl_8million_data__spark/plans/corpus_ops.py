@@ -1265,3 +1265,185 @@ def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.alias("frac_heldout"),
         F.abs(ft - fh).alias("abs_drift"),
     )
+
+
+# Shared SQL: per-doc cluster membership from the LSH similarity graph
+# (transitive closure of the band-collision pair set; singletons map to
+# themselves). Reused by the quality-keeper and soft-dedup queries.
+_MEMBERSHIP = f"""
+    WITH RECURSIVE shingled AS ({_SHINGLED}), sig AS ({_SIG}),
+    bands AS ({_BANDS}), pairs AS ({_PAIRS}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src),
+    membership AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             len({_TOKS}) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+"""
+
+
+def _cluster_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component, n_tokens) for every document: LSH candidate
+    pairs -> connected components (min-label propagation), singletons =
+    their own component. One tokenization feeds both the shingle/LSH
+    path (inside minhash_lsh_candidate_pairs) and the n_tokens quality
+    signal."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    comp = connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        toks.join(comp, toks.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_tokens",
+        )
+    )
+
+
+@register(
+    "dedup_cluster_quality_keepers",
+    oracle=f"""
+    {_MEMBERSHIP}
+    SELECT component, doc_id AS keeper_doc_id, n_tokens AS keeper_n_tokens,
+           cluster_size
+    FROM (
+      SELECT doc_id, component, n_tokens,
+             count(*) OVER (PARTITION BY component) AS cluster_size,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM membership)
+    WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "quality", "extension"),
+)
+def dedup_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: near-dup clusters (LSH pairs ->
+    connected components) keep their HIGHEST-QUALITY member, not the
+    min-id one — the production dedup policy (drop boilerplate copies,
+    keep the longest/cleanest variant). Quality = exact token count;
+    tie-break on doc_id keeps the pick total-ordered. Per-cluster argmax
+    is one row_number window partitioned by component — cluster sizes
+    are tiny cliques, so no skewed window at 100 TB."""
+    m = _cluster_membership(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    cs = Window.partitionBy("component")
+    return (
+        m.withColumn("cluster_size", F.count(F.lit(1)).over(cs))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_tokens").alias("keeper_n_tokens"),
+            "cluster_size",
+        )
+    )
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    oracle=f"""
+    {_MEMBERSHIP}
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           1.0 / count(*) OVER (PARTITION BY component) AS sample_weight
+    FROM membership
+    """,
+    tags=("dedup", "sampling", "extension"),
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, every document
+    gets sampling weight 1/cluster_size so each duplicate *cluster*
+    contributes one document's worth of probability mass to training
+    (the soft-dedup/RHO-style alternative to hard removal — keeps rare
+    in-cluster variation available while removing the frequency bias).
+    The weight is a single division of an exact integer — IEEE-identical
+    in both engines."""
+    m = _cluster_membership(spark, sf_dir)
+    from pyspark.sql import Window
+
+    cs = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return m.select(
+        "doc_id",
+        "component",
+        cs.alias("cluster_size"),
+        (F.lit(1.0) / cs).alias("sample_weight"),
+    )
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SPLIT_BUCKET} AS bucket, {_TOKS} AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 900 THEN 'train' ELSE 'heldout' END AS split,
+             unnest(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 3),
+    tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    he AS (SELECT doc_id, gram FROM g WHERE split = 'heldout')
+    SELECT he.doc_id,
+           count(*) AS n_grams,
+           CAST(count(tr.gram) AS BIGINT) AS n_leaked,
+           count(tr.gram) * 1.0 / count(*) AS leak_ratio
+    FROM he LEFT JOIN tr ON he.gram = tr.gram
+    GROUP BY he.doc_id
+    """,
+    tags=("corpus", "split", "contamination", "extension"),
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->eval leakage audit AFTER the deterministic split: for each
+    heldout document, the fraction of its distinct word-3-grams that
+    also appear in any train document. Complements
+    corpus_benchmark_contamination (external benchmark) with the
+    internal split-boundary check — near-dup pairs that straddle the
+    hash split are exactly what this surfaces. The gram-gram join is
+    co-partitioned by gram (the standard decontamination shuffle); no
+    broadcast of anything corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296 % 1000
+    t = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.when(bucket < 900, "train").otherwise("heldout").alias("split"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    g = t.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(word_shingles(F.col("toks"), 3))).alias("gram"),
+    )
+    tr = g.filter(F.col("split") == "train").select("gram").distinct()
+    he = g.filter(F.col("split") == "heldout").select("doc_id", "gram")
+    hit = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    return (
+        he.join(tr.withColumn("_hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            hit.cast("bigint").alias("n_leaked"),
+            (hit * 1.0 / F.count(F.lit(1))).alias("leak_ratio"),
+        )
+    )

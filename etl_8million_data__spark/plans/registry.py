@@ -85,70 +85,38 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # oracle-representation fixes from round 1 (were hash-fail)
-    "json_variant_semistructured",
-    "grouping_sets_region_year",
-    "dedup_simhash",
-    # IVF gains a real oracle this round
+    # NEW in round 4 (first external evidence)
+    "dedup_cluster_quality_keepers",
+    "corpus_soft_dedup_weights",
+    "corpus_split_leakage",
+    # plans reworked after round 3 (int8-over-IVF routing, de-broadcast,
+    # single-tokenization curation, shared shingle frame) — re-verify
+    "similarity_knn_int8",
     "similarity_knn_ivf",
     "similarity_knn_ivf_recall",
-    # reference-parity pipelines (the queries a reference user hits first)
-    "pipeline_financials_unpivot",
-    "pipeline_summary_enrichment",
-    "pipeline_quotes_snapshot",
-    # event-time family
-    "events_tumbling_hourly",
-    "events_sliding_halfhour",
-    "events_session_windows",
-    "events_hourly_gapfill",
-    "events_user_ema",
-    "events_asof_latest_order",
-    "events_click_attribution_range_join",
-    "events_rollup_daily_from_hourly",
-    "events_ohlc_hourly",
-    # multimodal + remaining similarity
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_thumbnail",
-    "similarity_near_dup_embeddings",
-    "embedding_norm_stats_per_label",
-    # TPC-H shapes (the structurally hardest ten; the remaining eight
-    # rotate into the window next round — all 18 are pytest-oracle-green
-    # at sf0.01 already, so the swap trades low-risk evidence for
-    # first-ever evidence on the flagship corpus operators below)
-    "tpch_q4_late_shipment_orders",
-    "tpch_q18_large_volume_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_dominant_part_suppliers",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q10_returned_item_top_customers",
-    "tpch_q13_customer_order_distribution",
-    "tpch_q14_promo_revenue_ratio",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    # flagship + LLM-pipeline corpus operators, never driver-checked
+    "similarity_knn_ivf_kmeans",
     "corpus_e2e_curation",
     "corpus_e2e_training_order",
-    "dedup_cluster_components",
-    "dedup_cluster_components_star",
-    "corpus_benchmark_contamination",
-    "corpus_pack_token_budget",
-    "corpus_train_split",
-    "corpus_stratified_sample",
-    "corpus_shard_assignment",
-    "corpus_mixture_epochs",
-    "pii_redaction_contacts",
-    "corpus_salient_terms_tfidf",
-    # custom / robustness / behavioral / corpus
-    "events_user_trend_applyinpandas",
     "dedup_ngram_jaccard_pairs",
-    "dedup_exact_substring_spans",
-    "dedup_cut_substring_spans",
-    "corpus_dedup_report_by_source",
-    "dedup_semantic_keepers",
+    # never driver-sampled before round 4 (local-green at 2 SFs; this
+    # block + the ones above fill the driver's 50-query window so every
+    # registered query finally has external evidence)
+    "similarity_kmeans_cells",
+    "embedding_int8_quantize",
+    "multimodal_frame_dedup",
+    "corpus_lm_fluency_scores",
+    "corpus_split_drift",
+    "corpus_quality_profile_by_source",
+    "text_quality_threshold_sweep",
+    "corpus_domain_quota_sample",
+    "corpus_packed_sequences",
     "corpus_content_defined_chunks",
     "corpus_ngram_novelty",
     "embedding_label_centroids",
+    "range_bounds_sampled_orders",
+    "sketch_hll_sharded_union",
+    "approx_distinct_users_hll",
+    "approx_percentile_prices",
     "skew_salted_event_type_totals",
     "json_quarantine_split",
     "data_quality_expectations",
@@ -170,6 +138,52 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_late_lines_priority_counts",
     "tpch_q15_top_supplier_by_quarter_revenue",
     "tpch_q16_supplier_count_by_part_attrs",
+    # already driver-green in earlier rounds, rotate behind
+    "json_variant_semistructured",
+    "grouping_sets_region_year",
+    "dedup_simhash",
+    "pipeline_financials_unpivot",
+    "pipeline_summary_enrichment",
+    "pipeline_quotes_snapshot",
+    "events_tumbling_hourly",
+    "events_sliding_halfhour",
+    "events_session_windows",
+    "events_hourly_gapfill",
+    "events_user_ema",
+    "events_asof_latest_order",
+    "events_click_attribution_range_join",
+    "events_rollup_daily_from_hourly",
+    "events_ohlc_hourly",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbnail",
+    "similarity_near_dup_embeddings",
+    "embedding_norm_stats_per_label",
+    "tpch_q4_late_shipment_orders",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_item_top_customers",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_revenue_ratio",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "corpus_benchmark_contamination",
+    "corpus_pack_token_budget",
+    "corpus_train_split",
+    "corpus_stratified_sample",
+    "corpus_shard_assignment",
+    "corpus_mixture_epochs",
+    "pii_redaction_contacts",
+    "corpus_salient_terms_tfidf",
+    "events_user_trend_applyinpandas",
+    "dedup_exact_substring_spans",
+    "dedup_cut_substring_spans",
+    "corpus_dedup_report_by_source",
+    "dedup_semantic_keepers",
 )
 
 

@@ -1,0 +1,88 @@
+"""Persisted ANN inverted file (operators/incremental_ann.py): a probe
+against the cell-partitioned index returns exactly what a fresh
+in-memory knn_ivf build would; appends are skip-existing and land in
+cell partitions; the probe's scan is restricted to probed cells."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.incremental_ann import (
+    append_vectors,
+    build_index,
+    probe_index,
+)
+from etl_8million_data__spark.operators.similarity import (
+    adaptive_n_bits,
+    hyperplane_weights,
+    knn_ivf,
+)
+
+_DIM = 8
+_W = hyperplane_weights(16, _DIM)
+
+
+def _emb(spark, sf_dir):
+    # project fixtures down to _DIM components so the test stays fast
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, _DIM).alias("embedding")
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rn)
+        for r in df.select("query_id", "vec_id", "cosine", "rn").collect()
+    )
+
+
+def test_probe_matches_fresh_ivf_build(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx = str(tmp_path / "ann_index")
+    build_index(emb, idx, _W, n_bits)
+    q = _queries(emb)
+    got = probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3)
+    want = knn_ivf(emb, q, _W, k=5, nprobe=3, n_bits=n_bits)
+    assert _rows(got) == _rows(want)
+    # the index is genuinely partitioned by cell (DPP-prunable layout)
+    assert any(d.startswith("cell=") for d in os.listdir(idx))
+
+
+def test_append_is_skip_existing_and_probe_sees_new_vectors(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx = str(tmp_path / "ann_index")
+    seed = emb.filter(F.col("vec_id") < 100)
+    build_index(seed, idx, _W, n_bits)
+
+    # re-presenting already-indexed vectors appends nothing
+    assert append_vectors(seed, idx, _W, n_bits, batch_tag="b1") == 0
+
+    # a batch mixing old and new appends only the new ones
+    batch = emb.filter(F.col("vec_id") < 150)
+    n_new = batch.join(seed.select("vec_id"), "vec_id", "left_anti").count()
+    assert append_vectors(batch, idx, _W, n_bits, batch_tag="b2") == n_new
+
+    # after the append, a probe is identical to a fresh build over the
+    # union — index persistence is an I/O optimization, not a semantic fork
+    q = _queries(emb).limit(3)
+    got = probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3)
+    want = knn_ivf(batch, q, _W, k=5, nprobe=3, n_bits=n_bits)
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_empty_index_returns_no_rows(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    got = probe_index(spark, str(tmp_path / "missing_index"), q, _W, 4, k=5, nprobe=2)
+    assert got.count() == 0
