@@ -312,3 +312,32 @@ def stream_dedup_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ann_index_increment(
+    emb_stream: DataFrame,
+    index_path: str,
+    weights: list[list[int]],
+    n_bits: int,
+    checkpoint_dir: str,
+):
+    """Streaming vector ingest into the persisted cell-partitioned ANN
+    inverted file (operators/incremental_ann.py): each micro-batch
+    computes SRP cell assignments for ITS OWN vectors only (a narrow
+    map — corpus-side state is never recomputed) and appends them
+    skip-existing by vec_id.  Unlike the dedup twin, no batch-tag
+    machinery is needed for replay idempotence: a redelivered batch's
+    vec_ids are already indexed, so the skip-existing anti-join makes
+    the re-append a natural no-op — at-least-once foreachBatch plus
+    checkpointed batch skipping yields an exactly-once index."""
+    from etl_8million_data__spark.operators.incremental_ann import append_vectors
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors(batch_df, index_path, weights, n_bits, batch_tag=str(batch_id))
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -86,3 +86,45 @@ def test_probe_empty_index_returns_no_rows(spark, sf_dir, tmp_path):
     q = _queries(emb)
     got = probe_index(spark, str(tmp_path / "missing_index"), q, _W, 4, k=5, nprobe=2)
     assert got.count() == 0
+
+
+def test_stream_ann_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """Replaying the embeddings as a stream must leave the index in a
+    state where probes equal a fresh batch build — and a second replay
+    of the same data must be a no-op (skip-existing replay idempotence,
+    no batch-tag machinery needed)."""
+    import os
+
+    from etl_8million_data__spark.streaming.jobs import stream_ann_index_increment
+
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx = str(tmp_path / "ann_index")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("vec_id", F.slice("embedding", 1, _DIM).alias("embedding"))
+        )
+        q = stream_ann_index_increment(
+            stream, idx, _W, n_bits, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    n_indexed = spark.read.parquet(idx).count()
+    assert n_indexed == emb.count()
+    # fresh checkpoint, same data: every vec_id already indexed -> no growth
+    run("ckpt2")
+    assert spark.read.parquet(idx).count() == n_indexed
+
+    q = _queries(emb).limit(3)
+    got = probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3)
+    want = knn_ivf(emb, q, _W, k=5, nprobe=3, n_bits=n_bits)
+    assert _rows(got) == _rows(want)
