@@ -1447,3 +1447,74 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit * 1.0 / F.count(F.lit(1))).alias("leak_ratio"),
         )
     )
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    h AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT d.doc_id, g.bucket, coalesce(a.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = g.bucket)
+    SELECT doc_id,
+           array_to_string(list(v ORDER BY bucket), ',') AS fh_csv,
+           CAST(sum(v * v) AS BIGINT) AS norm2_int
+    FROM dense GROUP BY doc_id
+    """,
+    tags=("text", "embedding", "hashing", "extension"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via signed feature hashing
+    (hashing trick): each token hashes to one of 16 buckets
+    (md5 hex char 1) with a ±1 sign (md5 hex char 2 parity); a doc's
+    vector is the per-bucket signed occurrence sum. Gives every
+    document a fixed-dim integer vector with no vocabulary, no model,
+    and no driver state — the cheap embedding that feeds the existing
+    kNN / LSH / centroid machinery when no learned encoder is
+    available. Shape at scale: explode -> one hash aggregate keyed
+    (doc_id, bucket) -> per-doc map assembly; integers end to end, so
+    the vector (CSV form) and its squared norm hash identically in both
+    engines."""
+    from etl_8million_data__spark.operators.text import hex_char_val, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    h = md5_utf8(F.col("token"))
+    bucket = hex_char_val(F.substring(h, 1, 1)).cast("int")
+    sgn = F.when(hex_char_val(F.substring(h, 2, 1)) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    agg = (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    dense = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0).cast("bigint")),
+    )
+    return dense.select(
+        "doc_id",
+        F.array_join(F.transform(feats, lambda v: v.cast("string")), ",").alias(
+            "fh_csv"
+        ),
+        F.aggregate(
+            feats, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("norm2_int"),
+    )

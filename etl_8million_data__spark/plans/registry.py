@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_quality_keepers",
     "corpus_soft_dedup_weights",
     "corpus_split_leakage",
+    "text_feature_hashing",
     # plans reworked after round 3 (int8-over-IVF routing, de-broadcast,
     # single-tokenization curation, shared shingle frame) — re-verify
     "similarity_knn_int8",
