@@ -83,15 +83,17 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        # best-of-2: a single sample conflates the query's cost with
-        # transient host contention / first-touch planning; the min of
-        # two runs is the reproducible number. The per-query SPREAD
-        # (max - min) is reported alongside so a swing in a round-over-
-        # round comparison is attributable to plan vs host noise at a
-        # glance: spread ~ delta means noise, spread << delta means a
-        # real plan change.
+        # best-of-3: a single sample conflates the query's cost with
+        # transient host contention / first-touch planning / JIT warmup
+        # (measured: cold first samples run 2-6x the converged time;
+        # by sample 3 every query is steady-state). The min is the
+        # reproducible number. The per-query SPREAD (max - min) is
+        # reported alongside so a swing in a round-over-round
+        # comparison is attributable to plan vs host noise at a glance:
+        # spread ~ delta means noise, spread << delta means a real
+        # plan change.
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             df = queries[name].build(spark, SF_DIR)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
