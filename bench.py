@@ -61,6 +61,10 @@ HEADLINE = [
     "corpus_lm_fluency_scores",  # bigram-LM quality scoring
     "multimodal_frame_dedup",  # frame-hash cross-media dedup
     "moving_avg_and_ntile",  # boundary-table global ntile (no 1-partition window)
+    # round-4 families
+    "dedup_cluster_quality_keepers",  # cluster argmax keeper selection
+    "corpus_split_leakage",  # train->heldout gram leakage audit
+    "text_feature_hashing",  # model-free hashed BoW embeddings
 ]
 
 

@@ -77,3 +77,70 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits_per_dim: int = 8,
+) -> None:
+    """Write ``df`` Z-ORDERED on ``zorder_cols``: each dimension is
+    bucketized into 2^bits_per_dim near-equal-frequency ranks (bounds
+    from the deterministic key-hash sample — no global sort, no
+    collect), the per-dimension ranks are Morton bit-interleaved into
+    one locality code, and the data is range-partitioned + sorted on
+    that code.
+
+    Why: single-key clustering (``clustered_write``) makes row-group
+    min/max tight on ONE column and useless on every other; the Morton
+    interleave makes every z-dimension's min/max tight-ish in EVERY row
+    group simultaneously, so selective predicates on ANY of the
+    z-columns prune files/row groups (multi-dimensional data skipping —
+    the standard lakehouse layout optimization). All plan-side: the
+    bucket lookup is a broadcast bounds array + array-filter count per
+    row, the interleave is integer bit arithmetic in codegen.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.partitioning import sampled_range_bounds
+
+    if not zorder_cols:
+        raise ValueError("zorder_cols must be non-empty")
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = 1 << bits_per_dim
+
+    out = df
+    rank_cols = []
+    for c in zorder_cols:
+        bounds = (
+            sampled_range_bounds(df, c, c, n_buckets)
+            .agg(F.array_sort(F.collect_list("bound_value")).alias("_bounds"))
+        )
+        rc = f"_zr_{c}"
+        # bucket = number of bounds <= value: 0..n_buckets-1, computed
+        # against the broadcast 1-row bounds array (no driver collect)
+        out = out.crossJoin(F.broadcast(bounds)).withColumn(
+            rc,
+            F.size(F.filter(F.col("_bounds"), lambda b: b <= F.col(c))).cast("long"),
+        ).drop("_bounds")
+        rank_cols.append(rc)
+
+    # Morton interleave: bit j of dimension d lands at position
+    # j * n_dims + d — equal bit budget per dimension.
+    ndims = len(rank_cols)
+    z = F.lit(0).cast("long")
+    for d, rc in enumerate(rank_cols):
+        for j in range(bits_per_dim):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(rc), j).bitwiseAND(F.lit(1)), j * ndims + d
+            )
+    out = out.withColumn("_zcode", z).drop(*rank_cols)
+    (
+        out.repartitionByRange(n, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
