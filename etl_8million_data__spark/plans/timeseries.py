@@ -374,3 +374,74 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("vc").cast("bigint") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "events_scd2_type_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg_no
+      FROM ordered),
+    g AS (
+      SELECT user_id, seg_no, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM seg GROUP BY user_id, seg_no)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM g
+    """,
+    tags=("timeseries", "scd2", "temporal", "extension"),
+)
+def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval build from a
+    change log: per user, consecutive repeats of event_type collapse
+    into one validity interval [valid_from, valid_to) with valid_to =
+    next interval's start and NULL marking the current row — the
+    standard islands-and-gaps construction (change flag via lag ->
+    running-sum segment number -> per-segment min/count -> lead for the
+    interval end). Every window is partitioned by user_id with a
+    (ts, event_id) total order: no global windows, no skewed single
+    partition, deterministic under replay — this is how a temporal
+    dimension table is maintained relationally at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    seg = e.withColumn("_chg", chg).withColumn(
+        "seg_no",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = seg.groupBy("user_id", "seg_no").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
