@@ -95,3 +95,56 @@ def test_kmeans_ann_broadcasts_only_bounded_frames(spark):
     )
     for s in sides:
         assert "Aggregate" in s or "Range" in s, f"unbounded broadcast side: {s[:200]}"
+
+
+def test_feature_hashing_single_exchange(spark):
+    """text_feature_hashing's spread repartition must satisfy both
+    downstream aggregates: exactly ONE exchange in the whole plan (a
+    second would mean an aggregate stopped reusing the doc_id
+    partitioning)."""
+    plan = _formatted_plan(all_queries()["text_feature_hashing"].build(spark, SF))
+    assert plan.count("+- Exchange") == 1, plan
+
+
+def test_split_leakage_gram_join_is_unhinted(spark):
+    """corpus_split_leakage's train-gram side grows with the corpus:
+    the join must carry NO broadcast hint (planner/AQE may still pick
+    broadcast at fixture scale — that is their call, not a pinned
+    memory cliff)."""
+    df = all_queries()["corpus_split_leakage"].build(spark, SF)
+    assert _broadcast_hint_sides(df) == []
+
+
+def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
+    """probe_index must plan dynamic partition pruning on the persisted
+    index's cell partition column — the property that makes the probe
+    read nprobe/2^n_bits of the index files instead of all of them."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index,
+        probe_index,
+    )
+    from etl_8million_data__spark.operators.similarity import hyperplane_weights
+
+    W = hyperplane_weights(16, 8)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    idx = str(tmp_path / "annidx")
+    build_index(emb, idx, W, 4)
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        .limit(4)
+    )
+    df = probe_index(spark, idx, q, W, 4, k=3, nprobe=2)
+    extended = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    assert "dynamicpruning" in extended, "index probe lost dynamic partition pruning"
