@@ -1518,3 +1518,76 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
         ).alias("norm2_int"),
     )
+
+
+@register(
+    "corpus_bigram_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 2),
+    bg AS (
+      SELECT unnest(list_transform(range(len(toks) - 1),
+                    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+      FROM t),
+    uni AS (
+      SELECT unnest({_TOKS}) AS token FROM documents),
+    nb AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+    nu AS (SELECT token, count(*) AS n_tok FROM uni GROUP BY token),
+    tot AS (SELECT count(*) AS n_total FROM uni)
+    SELECT bigram, n_ab, a.n_tok AS n_first, b.n_tok AS n_second,
+           n_ab * n_total * 1.0 / (a.n_tok * b.n_tok) AS pmi_ratio
+    FROM nb
+    JOIN nu a ON a.token = string_split(bigram, ' ')[1]
+    JOIN nu b ON b.token = string_split(bigram, ' ')[2]
+    CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY pmi_ratio DESC, bigram LIMIT 100
+    """,
+    tags=("text", "corpus", "collocation", "extension"),
+)
+def corpus_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-100 adjacent-token bigrams by a
+    PMI-style lift ratio n_ab * N / (n_a * n_b) — the phrase-detection
+    signal a tokenizer/vocab build runs over the corpus. The ratio is a
+    SINGLE division of exact integers (log-free, like the tfidf
+    salience), so the ranking hashes identically in both engines; a
+    min-support gate (n_ab >= 5) keeps the output statistical, and the
+    final top-k is a TakeOrderedAndProject with a total-order
+    tie-break. Shape at scale: two token-keyed hash aggregates + an
+    unhinted join of bigram counts against unigram counts (vocabulary-
+    sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokf = spread(d, "doc_id").select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = tokf.filter(n >= 2).select(F.explode(bigrams).alias("bigram"))
+    uni = tokf.select(F.explode("toks").alias("token"))
+    nb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    nu = uni.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    first = F.split(F.col("bigram"), " ").getItem(0)
+    second = F.split(F.col("bigram"), " ").getItem(1)
+    a = nu.select(F.col("token").alias("_ta"), F.col("n_tok").alias("n_first"))
+    b = nu.select(F.col("token").alias("_tb"), F.col("n_tok").alias("n_second"))
+    return (
+        nb.filter(F.col("n_ab") >= 5)
+        .join(a, first == F.col("_ta"))
+        .join(b, second == F.col("_tb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_ab",
+            "n_first",
+            "n_second",
+            (
+                F.col("n_ab") * F.col("n_total") * 1.0
+                / (F.col("n_first") * F.col("n_second"))
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("bigram"))
+        .limit(100)
+    )
