@@ -1449,6 +1449,38 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, feats array<bigint>) — the 16-dim signed feature-hash
+    vector per document (see :func:`text_feature_hashing`). Exposed so
+    downstream similarity queries can search documents by content with
+    no model: the array plugs straight into the kNN / LSH / IVF
+    operators."""
+    from etl_8million_data__spark.operators.text import hex_char_val, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    h = md5_utf8(F.col("token"))
+    bucket = hex_char_val(F.substring(h, 1, 1)).cast("int")
+    sgn = F.when(hex_char_val(F.substring(h, 2, 1)) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    agg = (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    dense = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0).cast("bigint")),
+    )
+    return dense.select("doc_id", feats.alias("feats"))
+
+
 @register(
     "text_feature_hashing",
     oracle=f"""
@@ -1486,36 +1518,14 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, bucket) -> per-doc map assembly; integers end to end, so
     the vector (CSV form) and its squared norm hash identically in both
     engines."""
-    from etl_8million_data__spark.operators.text import hex_char_val, md5_utf8
-
-    d = load_table(spark, sf_dir, "documents")
-    tok = spread(d, "doc_id").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
-    h = md5_utf8(F.col("token"))
-    bucket = hex_char_val(F.substring(h, 1, 1)).cast("int")
-    sgn = F.when(hex_char_val(F.substring(h, 2, 1)) % 2 == 0, F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    agg = (
-        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.sum("sgn").alias("v"))
-    )
-    dense = agg.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
-    )
-    feats = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0).cast("bigint")),
-    )
-    return dense.select(
+    vecs = hashed_doc_vectors(spark, sf_dir)
+    return vecs.select(
         "doc_id",
-        F.array_join(F.transform(feats, lambda v: v.cast("string")), ",").alias(
-            "fh_csv"
-        ),
+        F.array_join(
+            F.transform(F.col("feats"), lambda v: v.cast("string")), ","
+        ).alias("fh_csv"),
         F.aggregate(
-            feats, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+            F.col("feats"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
         ).alias("norm2_int"),
     )
 
@@ -1590,4 +1600,78 @@ def corpus_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi_ratio"), F.asc("bigram"))
         .limit(100)
+    )
+
+
+@register(
+    "similarity_doc_knn_hashed",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    h AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT d.doc_id, g.bucket, coalesce(a.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = g.bucket),
+    vecs AS (
+      SELECT doc_id, list(v ORDER BY bucket) AS fv, sum(v * v) AS n2
+      FROM dense GROUP BY doc_id),
+    e AS (SELECT doc_id, fv, n2 FROM vecs WHERE n2 > 0),
+    q AS (SELECT doc_id AS query_id, fv AS qv, n2 AS qn2
+          FROM e WHERE doc_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, e.doc_id,
+             list_reduce(list_prepend(0.0, list_transform(range(16),
+               i -> q.qv[i+1]::DOUBLE * e.fv[i+1]::DOUBLE)), (acc, x) -> acc + x)
+               / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM q JOIN e ON e.doc_id <> q.query_id)
+    SELECT query_id, doc_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "text", "knn", "extension", "correctness-baseline"),
+)
+def similarity_doc_knn_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document search with NO model: exact cosine top-3 neighbors per
+    query document over the 16-dim hashed-BoW vectors — the composed
+    text -> vector -> kNN path entirely inside the engine (feature
+    hashing feeds the same kNN operator the embeddings table uses).
+    Size-guarded correctness baseline: the scoring join is
+    |Q|x|N| = n^2/25; beyond the guard, route the same vectors through
+    knn_ivf / the persisted ANN index (pytest asserts recall@3 of the
+    IVF twin on these vectors). Zero vectors (sign-cancelled docs) are
+    excluded on both sides — cosine is undefined there."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    vecs = hashed_doc_vectors(spark, sf_dir)
+    assert_baseline_scale(
+        vecs, 200_000, "similarity_doc_knn_hashed", "knn_ivf over hashed_doc_vectors"
+    )
+    nz = vecs.filter(
+        F.aggregate(F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v)
+        > 0
+    )
+    q = nz.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
+    )
+    return knn_bruteforce(
+        nz, q, k=3, id_col="doc_id", vec_col="feats"
+    ).select(
+        F.col("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "cosine",
+        "rn",
     )
