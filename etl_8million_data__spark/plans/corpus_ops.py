@@ -1675,3 +1675,38 @@ def similarity_doc_knn_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rn",
     )
+
+
+@register(
+    "corpus_soft_dedup_draw",
+    oracle=f"""
+    {_MEMBERSHIP}
+    SELECT doc_id, component, cluster_size
+    FROM (
+      SELECT doc_id, component,
+             count(*) OVER (PARTITION BY component) AS cluster_size
+      FROM membership)
+    WHERE (((doc_id % 2147483648) * 2654435761 + 104729) % 4294967296)
+          % cluster_size = 0
+    """,
+    tags=("dedup", "sampling", "extension"),
+)
+def corpus_soft_dedup_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic DRAW from the soft-dedup distribution: doc d
+    survives iff mix_hash(doc_id) % cluster_size == 0 — acceptance
+    probability exactly 1/cluster_size with NO floats, no rand(), and
+    no per-cluster coordination (each row decides locally from its own
+    id and its cluster's size), so each duplicate cluster contributes
+    ~one document per epoch while singletons always survive. Re-keying
+    the hash (salt the multiplier) yields independent epoch draws. The
+    integer acceptance predicate is bit-identical in both engines."""
+    m = _cluster_membership(spark, sf_dir)
+    from pyspark.sql import Window
+
+    cs = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    mix = ((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296
+    return (
+        m.select("doc_id", "component", cs.alias("cluster_size"))
+        .filter(mix % F.col("cluster_size") == 0)
+        .select("doc_id", "component", "cluster_size")
+    )

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_scd2_type_intervals",
     "corpus_bigram_collocations",
     "similarity_doc_knn_hashed",
+    "corpus_soft_dedup_draw",
     # plans reworked after round 3 (int8-over-IVF routing, de-broadcast,
     # single-tokenization curation, shared shingle frame) — re-verify
     "similarity_knn_int8",
