@@ -102,7 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_knn_ivf_kmeans",
     "corpus_e2e_curation",
     "corpus_e2e_training_order",
-    "dedup_ngram_jaccard_pairs",
     # never driver-sampled before round 4 (local-green at 2 SFs; this
     # block + the ones above fill the driver's 50-query window so every
     # registered query finally has external evidence)
@@ -143,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_late_lines_priority_counts",
     "tpch_q15_top_supplier_by_quarter_revenue",
     "tpch_q16_supplier_count_by_part_attrs",
+    "dedup_ngram_jaccard_pairs",
     # already driver-green in earlier rounds, rotate behind
     "json_variant_semistructured",
     "grouping_sets_region_year",
