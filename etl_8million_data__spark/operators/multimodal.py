@@ -226,3 +226,36 @@ def resize_media(media: DataFrame, stride: int = 4, cap: int = 64) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, dhash long, n_bytes int"
+
+
+def perceptual_hash(media: DataFrame, n_bits: int = 48) -> DataFrame:
+    """dHash-style perceptual fingerprint per media payload: sample
+    ``n_bits + 1`` bytes at a payload-length stride and set bit i when
+    sample i is brighter than sample i+1 — the gradient hash that is
+    stable under re-encoding/minor edits, unlike the exact frame md5.
+    Arrow-batched mapInPandas over (media_id, content); with a real
+    codec the same kernel would hash the decoded luminance plane — the
+    byte-domain stand-in keeps the fingerprint deterministic and
+    oracle-reproducible in codec-less environments. 48 bits so the
+    fingerprint (and every band key derived from it) stays inside a
+    signed 64-bit integer in any engine."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n = len(b)
+                h = 0
+                if n >= 1:
+                    stride = max(n // (n_bits + 1), 1)
+                    for i in range(n_bits):
+                        if b[(i * stride) % n] > b[((i + 1) * stride) % n]:
+                            h |= 1 << i
+                out.append((mid, h, n))
+            yield pd.DataFrame(out, columns=["media_id", "dhash", "n_bytes"])
+
+    return media.select("media_id", "content").mapInPandas(fn, PHASH_SCHEMA)

@@ -155,3 +155,79 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(shared).cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
         )
     )
+
+
+@register(
+    "multimodal_perceptual_near_dup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS n,
+             greatest(length(text) // 49, 1) AS stride
+      FROM documents WHERE length(text) >= 1),
+    h AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(range(48), i ->
+               CASE WHEN ord(substr(text, CAST((i*stride) % n + 1 AS INTEGER), 1)) >
+                         ord(substr(text, CAST(((i+1)*stride) % n + 1 AS INTEGER), 1))
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS dhash
+      FROM m),
+    b AS (
+      SELECT media_id, dhash, j.j AS band,
+             (dhash >> (j.j*12)) & 4095 AS band_key
+      FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) j)
+    SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b,
+           bit_count(xor(a.dhash, b2.dhash)) AS hamming
+    FROM b a JOIN b b2 ON a.band = b2.band AND a.band_key = b2.band_key
+                      AND a.media_id < b2.media_id
+    WHERE bit_count(xor(a.dhash, b2.dhash)) <= 6
+    """,
+    tags=("multimodal", "dedup", "perceptual", "extension", "scale-path"),
+)
+def multimodal_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs across media: 48-bit gradient dHash
+    per payload (operators/multimodal.perceptual_hash — the fingerprint
+    that survives re-encoding, where the exact frame md5 of
+    multimodal_frame_dedup does not), then the simhash-style banded
+    blocking: 4 x 12-bit bands, candidates = any shared band, verified
+    at hamming distance <= 6 via bit_count(xor). Scale shape: the hash
+    is a narrow Arrow-batched map; only (media_id, band, band_key) ever
+    shuffles; the hamming verify runs on candidate pairs only — never
+    all pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.multimodal import perceptual_hash
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    h = perceptual_hash(media).filter(F.col("n_bytes") >= 1).localCheckpoint(eager=True)
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("dhash", j * 12).bitwiseAND(F.lit(4095)).alias(
+                        "band_key"
+                    ),
+                )
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select("media_id", "dhash", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    a, bb = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
