@@ -1710,3 +1710,52 @@ def corpus_soft_dedup_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(mix % F.col("cluster_size") == 0)
         .select("doc_id", "component", "cluster_size")
     )
+
+
+@register(
+    "corpus_sliding_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (
+      SELECT doc_id, n, CAST(u.i AS BIGINT) AS chunk_no, u.i * 64 AS start_tok,
+             toks[u.i * 64 + 1 : u.i * 64 + 128] AS chunk
+      FROM s, unnest(range((n - 1) // 64 + 1)) AS u(i))
+    SELECT doc_id, chunk_no, start_tok,
+           len(chunk) AS n_tok_chunk,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+    tags=("corpus", "chunking", "extension"),
+)
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the retrieval/pretraining
+    chunker: 128-token windows every 64 tokens (50% overlap), each
+    chunk carrying its document offset and content fingerprint so
+    downstream dedup/packing/retrieval can address spans stably. The
+    complement of corpus_content_defined_chunks (hash-boundary CDC):
+    fixed geometry, insertion-UNstable but offset-addressable. Pure
+    narrow work per document (sequence -> explode -> slice) — the only
+    shuffle is the initial spread."""
+    d = load_table(spark, sf_dir, "documents")
+    t = spread(d, "doc_id").select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    c = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(64)).cast("int"))
+        ).alias("chunk_no"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        (F.col("chunk_no") * 64).cast("bigint").alias("start_tok"),
+        F.slice(F.col("toks"), F.col("chunk_no") * 64 + 1, 128).alias("chunk"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_no",
+        "start_tok",
+        F.size("chunk").alias("n_tok_chunk"),
+        F.md5(F.encode(F.array_join(F.col("chunk"), " "), "UTF-8")).alias("chunk_md5"),
+    )
