@@ -67,7 +67,9 @@ def build_index(
     ).partitionBy("cell").parquet(index_path)
 
 
-def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession, index_path: str, schema: str | None = None
+) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
@@ -75,7 +77,7 @@ def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
     except AnalysisException:
         # first batch: index doesn't exist yet; any other failure
         # (corrupt files, permissions) must propagate.
-        return spark.createDataFrame([], INDEX_SCHEMA)
+        return spark.createDataFrame([], schema or INDEX_SCHEMA)
 
 
 def append_vectors(
@@ -153,3 +155,148 @@ def probe_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# --- int8-coded index variant: the production composition (coarse SRP
+# routing + bandwidth-efficient integer scoring) persisted. Codes are
+# 4x smaller than float vectors and the probe's scoring join moves only
+# (vec_id, q, nq) — per-vector scales cancel in the cosine ranking, so
+# they are not even stored.
+
+INT8_INDEX_SCHEMA = "vec_id long, q array<int>, nq long, _batch string, cell int"
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int8_cell_frame(
+    emb: DataFrame,
+    weights: list[list[int]],
+    n_bits: int,
+    id_col: str,
+    vec_col: str,
+    batch_tag: str | None,
+) -> DataFrame:
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    s = emb.select(
+        F.col(id_col).alias("vec_id"), xd.alias("_xd"), scale.alias("_scale")
+    ).filter(F.col("_scale") > 0)
+    q = F.transform(
+        F.col("_xd"),
+        lambda v: (
+            F.signum(v) * F.floor(F.abs(v) / F.col("_scale") * 127 + F.lit(0.5))
+        ).cast("int"),
+    )
+    return s.select(
+        "vec_id",
+        q.alias("q"),
+        _idot(q, q).alias("nq"),
+        F.lit(batch_tag).cast("string").alias("_batch"),
+        # routing on the FLOAT vector (quantization noise must not move
+        # a vector across a cell boundary)
+        srp_cell(projections(F.col("_xd"), weights, n_bits), n_bits).alias("cell"),
+    )
+
+
+def build_index_int8(
+    emb: DataFrame,
+    index_path: str,
+    weights: list[list[int]],
+    n_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = "seed",
+) -> None:
+    """Materialize the int8-coded inverted file (cell-partitioned).
+    Zero-scale (all-zero) vectors are excluded — they have no cosine."""
+    _int8_cell_frame(emb, weights, n_bits, id_col, vec_col, batch_tag).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(index_path)
+
+
+def append_vectors_int8(
+    new_emb: DataFrame,
+    index_path: str,
+    weights: list[list[int]],
+    n_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = None,
+) -> int:
+    """Skip-existing append of int8 codes (same contract as
+    :func:`append_vectors`)."""
+    spark = new_emb.sparkSession
+    existing = _read_index(spark, index_path, INT8_INDEX_SCHEMA).select("vec_id")
+    fresh = (
+        _int8_cell_frame(new_emb, weights, n_bits, id_col, vec_col, batch_tag)
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cell").parquet(index_path)
+    return n
+
+
+def score_int8(index: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Rank int8 candidates: integer dot / sqrt of integer norms — the
+    per-vector scales cancel, so the ranking needs only the stored
+    codes. ``probes``: (query_id, qq array<int>, qnq long, cell)."""
+    scored = (
+        index.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _idot(F.col("qq"), F.col("q")).cast("double")
+                / (F.sqrt(F.col("qnq").cast("double")) * F.sqrt(F.col("nq").cast("double")))
+            ).alias("q_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def probe_index_int8(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    weights: list[list[int]],
+    n_bits: int,
+    k: int = 10,
+    nprobe: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """int8-over-IVF probe against the persisted index: queries are
+    quantized with their own scale (which cancels in the ranking),
+    routed by their FLOAT projections to ``nprobe`` cells, and scored
+    with pure integer dots inside the DPP-pruned cell partitions."""
+    idx = _read_index(spark, index_path, INT8_INDEX_SCHEMA)
+    xd = F.transform(F.col(query_vec_col), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    s = queries.select(
+        F.col(query_id_col).alias("query_id"), xd.alias("_xd"), scale.alias("_scale")
+    ).filter(F.col("_scale") > 0)
+    qq = F.transform(
+        F.col("_xd"),
+        lambda v: (
+            F.signum(v) * F.floor(F.abs(v) / F.col("_scale") * 127 + F.lit(0.5))
+        ).cast("int"),
+    )
+    probes = s.select(
+        "query_id",
+        qq.alias("qq"),
+        _idot(qq, qq).alias("qnq"),
+        F.explode(
+            srp_probe_cells(projections(F.col("_xd"), weights, n_bits), n_bits, nprobe)
+        ).alias("cell"),
+    )
+    return score_int8(idx, probes, k)

@@ -128,3 +128,65 @@ def test_stream_ann_index_matches_batch_build(spark, sf_dir, tmp_path):
     got = probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3)
     want = knn_ivf(emb, q, _W, k=5, nprobe=3, n_bits=n_bits)
     assert _rows(got) == _rows(want)
+
+
+def test_int8_index_probe_matches_in_memory_composition(spark, sf_dir, tmp_path):
+    """The persisted int8-coded index must be a pure I/O optimization:
+    probing it returns exactly the same ranking as running the
+    identical quantize -> route -> integer-score composition on an
+    in-memory frame (score_int8 over _int8_cell_frame)."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        _int8_cell_frame,
+        append_vectors_int8,
+        build_index_int8,
+        probe_index_int8,
+        score_int8,
+    )
+    from etl_8million_data__spark.operators.similarity import (
+        projections,
+        srp_probe_cells,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx = str(tmp_path / "int8_index")
+    build_index_int8(emb, idx, _W, n_bits)
+
+    q = _queries(emb)
+    got = probe_index_int8(spark, idx, q, _W, n_bits, k=5, nprobe=3)
+
+    mem = _int8_cell_frame(emb, _W, n_bits, "vec_id", "embedding", None).drop("_batch")
+    xd = F.transform(F.col("query_vec"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v)))
+    s = q.select("query_id", xd.alias("_xd"), scale.alias("_scale")).filter(
+        F.col("_scale") > 0
+    )
+    qq = F.transform(
+        F.col("_xd"),
+        lambda v: (
+            F.signum(v) * F.floor(F.abs(v) / F.col("_scale") * 127 + F.lit(0.5))
+        ).cast("int"),
+    )
+    from etl_8million_data__spark.operators.incremental_ann import _idot
+
+    probes = s.select(
+        "query_id",
+        qq.alias("qq"),
+        _idot(qq, qq).alias("qnq"),
+        F.explode(
+            srp_probe_cells(projections(F.col("_xd"), _W, n_bits), n_bits, 3)
+        ).alias("cell"),
+    )
+    want = score_int8(mem, probes, 5)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.q_cosine, 9), r.rn)
+            for r in df.select("query_id", "vec_id", "q_cosine", "rn").collect()
+        )
+
+    assert rows(got) == rows(want)
+    assert rows(got)  # non-trivial
+
+    # skip-existing append contract holds for the int8 layout too
+    assert append_vectors_int8(emb, idx, _W, n_bits, batch_tag="b1") == 0
