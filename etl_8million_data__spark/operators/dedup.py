@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_8million_data__spark.operators.text import (
@@ -240,3 +240,83 @@ def simhash32_frame(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ],
     )
     return scores.select(id_col, sim.alias("simhash"))
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    family) — the lossless alternative to MinHash-LSH: every pair with
+    shingle-set Jaccard >= t is returned, none missed.
+
+    Order all shingles by ascending global document frequency (rarest
+    first, ties on the shingle string); a document of set size n only
+    needs its first ``n - ceil(t*n) + 1`` shingles as its PREFIX — two
+    documents with J >= t MUST share a prefix shingle (if a pair misses
+    A's whole prefix, their overlap is < t*n_a <= t*union). Candidates
+    = pairs sharing any prefix shingle (rare shingles -> small blocks);
+    verification counts common shingles only for candidates and keeps
+    the pair via the pure-integer predicate
+    ``common * (num + den) >= num * (n_a + n_b)``  (<=> J >= num/den).
+
+    Scale shape: the df-rank window partitions by document (bounded by
+    set size); prefix blocks are keyed by the RAREST shingles, so block
+    sizes are the small end of the df distribution (boilerplate grams
+    never become blocking keys); verification joins fan out only
+    |candidates| x set size. Threshold is a rational num/den so the
+    gate is integer-exact in any engine."""
+    t_num, t_den = threshold_num, threshold_den
+    sh = doc_shingle_frame(docs, text_col, id_col, k)
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
+    sz = sh.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("n")
+    ).localCheckpoint(eager=True)
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "g")
+    ranked = (
+        ex.join(dfreq, "g")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+    )
+    # prefix length n - ceil(t*n) + 1, with ceil(t*n) = (t_num*n + t_den - 1) div t_den
+    ceil_tn = F.floor((F.col("n") * t_num + t_den - 1) / t_den).cast("int")
+    prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1).select("_id", "g")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ea = ex.select(F.col("_id").alias("doc_a"), F.col("g"))
+    eb = ex.select(F.col("_id").alias("doc_b"), F.col("g"))
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sz.select(F.col("_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("common") * (t_num + t_den) >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("n_a") + F.col("n_b") - F.col("common")).alias("union_size"),
+            (
+                F.col("common") * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )

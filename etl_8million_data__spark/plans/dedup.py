@@ -153,3 +153,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return simhash32_frame(d, "doc_id", "text")
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+           na.n + nb.n - common AS union_size,
+           common * 1.0 / (na.n + nb.n - common) AS jaccard
+    FROM common
+    JOIN sz na ON na.doc_id = doc_a
+    JOIN sz nb ON nb.doc_id = doc_b
+    WHERE common * 3 >= na.n + nb.n
+    """,
+    tags=("dedup", "similarity-join", "extension", "scale-path"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join (Jaccard >= 1/2 on word-3-
+    shingle sets) via prefix filtering — the LOSSLESS complement to the
+    probabilistic MinHash-LSH path: every qualifying pair is returned,
+    none missed. Candidates are generated only from each document's
+    rarest-shingle prefix (n - ceil(n/2) + 1 shingles under the global
+    ascending-df order), so blocking keys are the SMALL end of the df
+    distribution and boilerplate grams never form hot blocks; exact
+    common-shingle counting runs only on candidates. The oracle is the
+    naive definition itself (all gram-sharing pairs, full Jaccard) —
+    hash-equality proves the pruned plan computes exactly the textbook
+    result. Threshold gate is the pure-integer predicate
+    3*common >= n_a + n_b."""
+    from etl_8million_data__spark.operators.dedup import prefix_filter_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, threshold_num=1, threshold_den=2)

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_soft_dedup_draw",
     "multimodal_perceptual_near_dup",
     "corpus_sliding_chunks",
+    "dedup_prefix_filter_pairs",
     # plans reworked after round 3 (int8-over-IVF routing, de-broadcast,
     # single-tokenization curation, shared shingle frame) — re-verify
     "similarity_knn_int8",

@@ -130,3 +130,46 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     dedup_ingest_batch(_docs(spark, [(10, _LONG_A), (11, "novel words entirely fresh here today")]), 1, idx, out, scope)
     got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 11]
+
+
+def test_prefix_filter_is_lossless_superset_of_lsh_verified(spark, sf_dir):
+    """prefix filtering is EXACT: its pair set must contain every pair
+    the probabilistic LSH+verify path finds at the same threshold (LSH
+    can miss pairs; prefix filtering cannot), and every returned pair
+    must genuinely satisfy J >= 1/2."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.dedup import (
+        jaccard_verified_pairs,
+        prefix_filter_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): (r.common, r.union_size)
+        for r in prefix_filter_pairs(d, 1, 2).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in jaccard_verified_pairs(d, threshold=0.5).collect()}
+    assert lsh <= set(exact), "exact join missed pairs the LSH path found"
+    for (a, b), (common, union) in exact.items():
+        assert 2 * common >= union, (a, b, common, union)
+
+
+def test_prefix_filter_boundary_pair(spark):
+    """A pair at exactly J = 1/2 must be kept; just below must not.
+    Sets: A = {g1..g4}, B shares exactly 2 of 4 (J = 2/6 < 1/2 -> out);
+    C shares 4 of 4 with A plus 0 extra on a doc of equal size
+    (J = 1 -> in); D shares 3 of 4, |D| = 2... constructed via texts
+    whose 3-shingle sets are controlled word runs."""
+    from etl_8million_data__spark.operators.dedup import prefix_filter_pairs
+
+    # doc 1: tokens a b c d e  -> shingles {abc, bcd, cde}  (n=3)
+    # doc 2: same text         -> identical set, J=1        (kept)
+    # doc 3: tokens a b c x y  -> shingles {abc, bcx, cxy}: shares 1 of 3
+    #        union = 5, J = 1/5 < 1/2                        (dropped)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_filter_pairs(docs, 1, 2).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
