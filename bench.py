@@ -65,6 +65,9 @@ HEADLINE = [
     "dedup_cluster_quality_keepers",  # cluster argmax keeper selection
     "corpus_split_leakage",  # train->heldout gram leakage audit
     "text_feature_hashing",  # model-free hashed BoW embeddings
+    "dedup_prefix_filter_pairs",  # exact similarity join (prefix filtering)
+    "multimodal_perceptual_near_dup",  # gradient dHash + banded hamming
+    "events_scd2_type_intervals",  # islands-and-gaps temporal intervals
 ]
 
 

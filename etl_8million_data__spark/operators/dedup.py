@@ -264,10 +264,26 @@ def prefix_filter_pairs(
     the pair via the pure-integer predicate
     ``common * (num + den) >= num * (n_a + n_b)``  (<=> J >= num/den).
 
+    Two further LOSSLESS prunes from the PPJoin literature run inside
+    the candidate join itself: the LENGTH filter (J >= t forces
+    t_num*n_b <= t_den*n_a for n_a <= n_b — wildly different set sizes
+    can never qualify) and the POSITION filter (a match on prefix
+    positions p_a, p_b bounds the best possible overlap by
+    1 + min(n_a - p_a, n_b - p_b); if even that bound misses the
+    required overlap ceil(t/(1+t)·(n_a+n_b)), the pair is pruned before
+    it ever reaches verification). Both are pure integer predicates.
+
     Scale shape: the df-rank window partitions by document (bounded by
     set size); prefix blocks are keyed by the RAREST shingles, so block
     sizes are the small end of the df distribution (boilerplate grams
-    never become blocking keys); verification joins fan out only
+    never become blocking keys; max block = 10 docs on the sf0.1
+    fixtures), and the length+position filters cut candidates 3.3x
+    (409k -> 125k measured at sf0.1, 977 -> 27 at sf0.01 against 25
+    true pairs). Candidate volume is corpus-dependent: the synthetic
+    fixtures draw shingles from a FIXED vocabulary, so every gram's df
+    grows linearly with the corpus and pair density quadratically —
+    real corpora grow their vocabulary with size, which is the regime
+    prefix filtering is designed for. Verification joins fan out only
     |candidates| x set size. Threshold is a rational num/den so the
     gate is integer-exact in any engine."""
     t_num, t_den = threshold_num, threshold_den
@@ -285,10 +301,31 @@ def prefix_filter_pairs(
     )
     # prefix length n - ceil(t*n) + 1, with ceil(t*n) = (t_num*n + t_den - 1) div t_den
     ceil_tn = F.floor((F.col("n") * t_num + t_den - 1) / t_den).cast("int")
-    prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1).select("_id", "g")
+    prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1).select(
+        "_id", "g", "_rn", "n"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap α = ceil(t/(1+t) * (n_a + n_b)) as exact integers
+    alpha = F.floor(
+        (
+            (F.col("a.n") + F.col("b.n")) * t_num + (t_num + t_den) - 1
+        )
+        / (t_num + t_den)
+    )
+    overlap_bound = 1 + F.least(
+        F.col("a.n") - F.col("a._rn"), F.col("b.n") - F.col("b._rn")
+    )
     cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a._id") < F.col("b._id"))
+            # length filter: smaller set must be >= t * larger set
+            & (F.col("a.n") * t_num <= F.col("b.n") * t_den)
+            & (F.col("b.n") * t_num <= F.col("a.n") * t_den)
+            # position filter: best-case overlap from here must reach α
+            & (overlap_bound >= alpha),
+        )
         .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -41,6 +41,7 @@ PROBE = [
     "histogram_order_totalprice",
     "moving_avg_and_ntile",
     "range_bounds_sampled_orders",
+    "events_scd2_type_intervals",
 ]
 
 # Queries over the extension tables: documents grows 10x and embeddings
@@ -58,6 +59,11 @@ CORPUS_PROBE = [
     ("corpus_lm_fluency_scores", 10),
     ("similarity_knn_ivf", 4),
     ("similarity_knn_int8", 4),
+    ("dedup_prefix_filter_pairs", 10),
+    ("multimodal_perceptual_near_dup", 10),
+    ("corpus_sliding_chunks", 10),
+    ("corpus_bigram_collocations", 10),
+    ("similarity_doc_knn_hashed", 10),
 ]
 
 
@@ -212,6 +218,15 @@ def main() -> None:
             "edge against each query's own data ratio. Time ratios at or\n"
             "below the data ratio mean the dedup/ANN/curation plans scale\n"
             "no worse than linearly in corpus size.\n\n"
+            "Caveat for the all-pairs similarity joins\n"
+            "(dedup_prefix_filter_pairs): the synthetic corpus draws\n"
+            "shingles from a FIXED vocabulary, so every gram's df grows\n"
+            "linearly with the corpus and the candidate-pair density\n"
+            "quadratically (qualifying OUTPUT pairs grow 25 -> 256 on 10x\n"
+            "docs too). Real corpora grow vocabulary with size — the\n"
+            "regime prefix filtering targets; blocks here stay bounded\n"
+            "(max 10 docs/gram measured) and the PPJoin length+position\n"
+            "filters cut candidates 3.3x (409k -> 125k at sf0.1).\n\n"
             "| query | sf0.01 | sf0.1 | data growth | time ratio |\n"
             "|---|---|---|---|---|\n"
         )
