@@ -1759,3 +1759,262 @@ def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tok_chunk"),
         F.md5(F.encode(F.array_join(F.col("chunk"), " "), "UTF-8")).alias("chunk_md5"),
     )
+
+
+# Hybrid retrieval: the two channels ranked with the identical
+# (score DESC, id) total order the kNN baselines use, fused with pure
+# integers.  Lexical = exact cosine over the 16-dim hashed-BoW vectors
+# (text channel, no model); semantic = exact cosine over the embedding
+# column; both restricted to the ids present in BOTH modalities.
+_HYBRID_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(len({a})), "
+    "i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "search_hybrid_rank_fusion",
+    oracle=f"""
+    WITH cids AS (
+      SELECT d.doc_id
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      JOIN (SELECT DISTINCT vec_id FROM embeddings) v ON v.vec_id = d.doc_id),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+    h AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT c.doc_id, g.bucket, coalesce(a.v, 0) AS v
+      FROM cids c CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.bucket = g.bucket),
+    lvecs AS (
+      SELECT doc_id, list(v ORDER BY bucket) AS fv, sum(v * v) AS n2
+      FROM dense GROUP BY doc_id),
+    le AS (SELECT doc_id, fv, n2 FROM lvecs WHERE n2 > 0),
+    lq AS (SELECT doc_id AS query_id, fv AS qv, n2 AS qn2
+           FROM le WHERE doc_id % 25 = 0),
+    lex_scored AS (
+      SELECT q.query_id, e.doc_id,
+             {_HYBRID_DOT.format(a='q.qv', b='e.fv')}
+               / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM lq q JOIN le e ON e.doc_id <> q.query_id),
+    lex AS (
+      SELECT query_id, doc_id, rn AS rn_lex
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM lex_scored)
+      WHERE rn <= 10),
+    se AS (
+      SELECT vec_id, embedding,
+             {_HYBRID_DOT.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cids)),
+    sq AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+           FROM se WHERE vec_id % 25 = 0),
+    sem_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {_HYBRID_DOT.format(a='q.qvec', b='e.embedding')}
+               / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM sq q JOIN se e ON e.vec_id <> q.query_id),
+    sem AS (
+      SELECT query_id, doc_id, rn AS rn_sem
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM sem_scored)
+      WHERE rn <= 10),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(11 - l.rn_lex, 0)
+                  + coalesce(11 - s.rn_sem, 0) AS BIGINT) AS borda,
+             l.rn_lex, s.rn_sem
+      FROM lex l FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+    SELECT query_id, doc_id, borda, rn_lex, rn_sem, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY borda DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "search", "fusion", "extension", "correctness-baseline"),
+)
+def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search with rank fusion: every 25th document (that has an
+    embedding) queries BOTH retrieval channels — lexical top-10 by
+    exact cosine over the 16-dim hashed-BoW vectors and semantic top-10
+    by exact cosine over the embedding column — and the lists are fused
+    with integer Borda scores (list-membership contributes 11 - rank;
+    RRF's 1/(k+rank) would fuse float sums whose addition order differs
+    by engine, Borda fuses exactly).  Final answer: top-5 fused ids per
+    query with a (borda DESC, doc_id) total order.  The fusion join is
+    keyed (query_id, doc_id) over two |Q|x10 rank lists — trivially
+    small no matter the corpus; the expensive parts are the two
+    retrieval channels, which here are the SIZE-GUARDED brute-force
+    correctness baselines.  At scale both channels route through the
+    persisted ANN index / knn_ivf (same vectors, recall-gated) and the
+    fusion stage is unchanged — that is the point of fusing on ranks,
+    not scores: channels can swap exact for approximate independently.
+    Zero lexical vectors (sign-cancelled docs) are excluded from the
+    lexical channel only; the full-outer fusion keeps their semantic
+    evidence."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
+        docs.select("doc_id").distinct(), "doc_id"
+    )
+
+    lvecs = hashed_doc_vectors(spark, sf_dir).join(cids, "doc_id")
+    n2i = F.aggregate(
+        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
+    )
+    le = lvecs.filter(n2i > 0)
+    assert_baseline_scale(
+        le,
+        200_000,
+        "search_hybrid_rank_fusion",
+        "persisted ANN index / knn_ivf on each channel, fusion unchanged",
+    )
+    lq = le.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
+    )
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
+    )
+
+    se = emb.join(cids.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    sq = se.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = knn_bruteforce(se, sq, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_sem")
+    )
+
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    borda = (
+        F.coalesce(F.lit(11) - F.col("rn_lex"), F.lit(0))
+        + F.coalesce(F.lit(11) - F.col("rn_sem"), F.lit(0))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("borda"), F.asc("doc_id"))
+    return (
+        fused.select("query_id", "doc_id", borda.alias("borda"), "rn_lex", "rn_sem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "search_phrase_positions",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 3),
+    post AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i + 1] AS token
+      FROM t, unnest(range(len(toks))) AS u(i)),
+    tri AS (
+      SELECT array_to_string(toks[u.i + 1 : u.i + 3], ' ') AS phrase
+      FROM t, unnest(range(len(toks) - 2)) AS u(i)),
+    topq AS (SELECT phrase, count(*) AS n FROM tri GROUP BY phrase
+             ORDER BY n DESC, phrase LIMIT 3),
+    q AS (SELECT phrase, string_split(phrase, ' ') AS w FROM topq),
+    m AS (
+      SELECT q.phrase, p1.doc_id, p1.pos
+      FROM q
+      JOIN post p1 ON p1.token = q.w[1]
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                  AND p2.token = q.w[2]
+      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+                  AND p3.token = q.w[3])
+    SELECT phrase, doc_id, count(*) AS n_occ, min(pos) AS first_pos
+    FROM m GROUP BY phrase, doc_id
+    """,
+    tags=("search", "inverted-index", "phrase", "extension"),
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over a POSITIONAL INVERTED INDEX — the retrieval
+    primitive exact-phrase queries need: postings are (token, doc_id,
+    pos) rows from one posexplode, and a phrase matches where the
+    postings of its words align at consecutive positions (p2.pos =
+    p1.pos + 1, p3.pos = p1.pos + 2), i.e. the classic positional-index
+    intersection, NOT a substring rescan of every document.  The query
+    workload here is self-contained: the corpus's top-3 trigram phrases
+    (count DESC, phrase tie-break).  Per (phrase, doc) the result
+    carries occurrence count and first position — the inputs snippet
+    generation and proximity ranking need.  Shape at scale: the phrase
+    table is tiny and broadcast; postings are filtered to the query
+    words BEFORE any join (so each join input is sum of df(w), not the
+    corpus); the alignment joins are equi on (doc_id, pos±k) and
+    co-partition by doc_id; overlapping matches count on both engines
+    identically.  A real deployment would persist `post` partitioned by
+    token — the engine-side plan is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    post = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    post = post.localCheckpoint(eager=True)
+
+    tri = t.select(F.explode(word_shingles(F.col("toks"), 3)).alias("phrase"))
+    topq = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(3)
+    )
+    q = topq.select(
+        "phrase",
+        F.split(F.col("phrase"), " ").getItem(0).alias("w1"),
+        F.split(F.col("phrase"), " ").getItem(1).alias("w2"),
+        F.split(F.col("phrase"), " ").getItem(2).alias("w3"),
+    )
+
+    allw = q.select(
+        F.explode(F.array("w1", "w2", "w3")).alias("token")
+    ).distinct()
+    post = post.join(F.broadcast(allw), "token", "left_semi")
+
+    p1 = post.join(F.broadcast(q), post["token"] == q["w1"]).select(
+        "phrase", "w2", "w3", "doc_id", "pos"
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("_d2"), F.col("pos").alias("_p2"),
+        F.col("token").alias("_t2"),
+    )
+    p3 = post.select(
+        F.col("doc_id").alias("_d3"), F.col("pos").alias("_p3"),
+        F.col("token").alias("_t3"),
+    )
+    m = (
+        p1.join(
+            p2,
+            (F.col("_d2") == F.col("doc_id"))
+            & (F.col("_p2") == F.col("pos") + 1)
+            & (F.col("_t2") == F.col("w2")),
+        )
+        .join(
+            p3,
+            (F.col("_d3") == F.col("doc_id"))
+            & (F.col("_p3") == F.col("pos") + 2)
+            & (F.col("_t3") == F.col("w3")),
+        )
+        .select("phrase", "doc_id", "pos")
+    )
+    return m.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos")
+    )

@@ -192,3 +192,78 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return prefix_filter_pairs(d, threshold_num=1, threshold_den=2)
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    pairs AS ({_PAIRS}),
+    nt AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             levenshtein(na.norm, nb.norm) AS edit_dist,
+             length(na.norm) AS len_a, length(nb.norm) AS len_b
+      FROM pairs p
+      JOIN nt na ON na.doc_id = p.doc_a
+      JOIN nt nb ON nb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, edit_dist, len_a, len_b,
+           edit_dist * 1.0 / greatest(len_a, len_b) AS rel_dist
+    FROM verified
+    WHERE edit_dist <= 64 AND edit_dist * 5 <= greatest(len_a, len_b)
+    """,
+    tags=("dedup", "fuzzy", "edit-distance", "extension"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with an EDIT-DISTANCE verify stage: LSH candidate
+    pairs whose normalized texts are within Levenshtein distance 64 AND
+    within 20% relative distance (pure-integer gate
+    5*dist <= max(len)).  This is the character-level complement of the
+    shingle-set Jaccard verifier — it catches small in-place edits
+    (typo fixes, number bumps, template fills) that shift every
+    surrounding shingle, and its distance is a true metric on strings.
+    Shape at scale: the quadratic-looking DP runs ONLY on LSH
+    candidates (sub-quadratic volume), and Spark's thresholded
+    ``levenshtein(l, r, 64)`` abandons each pair after the banded DP
+    proves distance > 64 — O(threshold * min_len) per pair, not
+    O(len_a * len_b); texts reach the verify join by two id-keyed
+    shuffles of (id, norm) projections, never the full doc row.  The
+    relative gate divides exact integers once, so both engines agree
+    bit-for-bit."""
+    from etl_8million_data__spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    nt = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    na = nt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("norm").alias("_na"),
+        F.length("norm").alias("len_a"),
+    )
+    nb = nt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("norm").alias("_nb"),
+        F.length("norm").alias("len_b"),
+    )
+    lev = F.levenshtein(F.col("_na"), F.col("_nb"), 64)
+    mx = F.greatest(F.col("len_a"), F.col("len_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_dist"),
+            "len_a",
+            "len_b",
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") * 5 <= mx))
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            "len_a",
+            "len_b",
+            (F.col("edit_dist") * 1.0 / mx).alias("rel_dist"),
+        )
+    )

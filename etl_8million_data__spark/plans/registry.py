@@ -86,6 +86,9 @@ def _load() -> None:
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 4 (first external evidence)
+    "search_hybrid_rank_fusion",
+    "dedup_edit_distance_verify",
+    "search_phrase_positions",
     "dedup_cluster_quality_keepers",
     "corpus_soft_dedup_weights",
     "corpus_split_leakage",
