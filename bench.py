@@ -68,6 +68,9 @@ HEADLINE = [
     "dedup_prefix_filter_pairs",  # exact similarity join (prefix filtering)
     "multimodal_perceptual_near_dup",  # gradient dHash + banded hamming
     "events_scd2_type_intervals",  # islands-and-gaps temporal intervals
+    "search_hybrid_rank_fusion",  # two-channel retrieval + Borda fusion
+    "dedup_edit_distance_verify",  # LSH candidates + banded levenshtein verify
+    "search_phrase_positions",  # positional inverted-index phrase match
 ]
 
 

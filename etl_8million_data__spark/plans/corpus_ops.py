@@ -1880,7 +1880,11 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2i = F.aggregate(
         F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
     )
-    le = lvecs.filter(n2i > 0)
+    # one (id, 16-int vector) row per doc — materialize each channel's
+    # corpus frame once; unchecked, the hashing/intersection pipeline
+    # re-derives for the corpus side, the query side, and the size
+    # guard (24 parquet scans in the unchecked plan, 0 after).
+    le = lvecs.filter(n2i > 0).localCheckpoint(eager=True)
     assert_baseline_scale(
         le,
         200_000,
@@ -1894,7 +1898,9 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
     )
 
-    se = emb.join(cids.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    se = emb.join(
+        cids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
     sq = se.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1983,6 +1989,11 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("phrase"), " ").getItem(1).alias("w2"),
         F.split(F.col("phrase"), " ").getItem(2).alias("w3"),
     )
+    # 3 rows after the limit — materialize once so the corpus-wide
+    # trigram count doesn't re-run for every consumer (q feeds the
+    # word semi-filter AND the p1 probe; unchecked, each broadcast
+    # rebuilds the whole count pipeline).
+    q = q.localCheckpoint(eager=True)
 
     allw = q.select(
         F.explode(F.array("w1", "w2", "w3")).alias("token")

@@ -64,6 +64,9 @@ CORPUS_PROBE = [
     ("corpus_sliding_chunks", 10),
     ("corpus_bigram_collocations", 10),
     ("similarity_doc_knn_hashed", 10),
+    ("search_hybrid_rank_fusion", 4),
+    ("dedup_edit_distance_verify", 10),
+    ("search_phrase_positions", 10),
 ]
 
 
