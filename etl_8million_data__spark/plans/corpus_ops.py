@@ -2029,3 +2029,135 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-vocabulary induction (operators/bpe.py).  The oracle
+# unrolls the training loop: one (pairs -> top-rule -> fold-apply) CTE
+# block per merge round, with the SAME greedy left-to-right fold the
+# Spark operator uses (a string replace() would diverge on runs like
+# 'a a a a').
+
+_BPE_MERGES = 8
+
+
+def _bpe_fold_sql(seq: str, pair: str) -> str:
+    """DuckDB mirror of operators/bpe.apply_merge (state 'out<US>prev')."""
+    return f"""trim(replace(
+      list_reduce(
+        list_prepend(chr(31), string_split({seq}, ' ')),
+        (acc, x) -> CASE
+          WHEN {pair} IS NOT NULL
+               AND split_part(acc, chr(31), 2) = string_split({pair}, ' ')[1]
+               AND x = string_split({pair}, ' ')[2]
+            THEN split_part(acc, chr(31), 1) || ' ' || replace({pair}, ' ', '')
+                 || chr(31)
+          ELSE split_part(acc, chr(31), 1)
+               || CASE WHEN split_part(acc, chr(31), 2) = '' THEN ''
+                       ELSE ' ' || split_part(acc, chr(31), 2) END
+               || chr(31) || x
+        END),
+      chr(31), ' '))"""
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    parts = [
+        f"""v0 AS (
+      SELECT token, cnt,
+             trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS seq
+      FROM (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token))"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+      SELECT sub.s[u.i + 1] || ' ' || sub.s[u.i + 2] AS pair, sub.cnt
+      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM v{r - 1}) sub,
+           unnest(range(len(sub.s) - 1)) AS u(i))"""
+        )
+        parts.append(
+            f"""r{r} AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM p{r}
+      GROUP BY pair ORDER BY c DESC, pair LIMIT 1)"""
+        )
+        # the rule joins in as a plain column (DuckDB forbids
+        # subqueries inside lambdas); LEFT JOIN ON TRUE keeps the
+        # vocabulary intact when a round has no pair left (NULL rule
+        # -> identity fold), mirroring the Spark crossJoin of the
+        # always-one-row aggregated rule.
+        parts.append(
+            f"""v{r} AS (
+      SELECT token, cnt,
+             {_bpe_fold_sql('seq', f'rp{r}.pair')} AS seq
+      FROM v{r - 1} LEFT JOIN (SELECT pair FROM r{r}) rp{r} ON TRUE)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_BPE_MERGE_UNION = "\n    UNION ALL ".join(
+    f"SELECT {r} AS merge_no, pair, replace(pair, ' ', '') AS merged, "
+    f"c AS weight FROM r{r}"
+    for r in range(1, _BPE_MERGES + 1)
+)
+
+
+def _doc_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        spread(d, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=f"""
+    {_bpe_ctes(_BPE_MERGES)}
+    SELECT * FROM ({_BPE_MERGE_UNION})
+    """,
+    tags=("corpus", "tokenizer", "bpe", "extension"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round for round inside the engine: the
+    ordered merge table (merge_no, 'a b', 'ab', weighted count) learned
+    by 8 rounds of merge-the-most-frequent-adjacent-symbol-pair over
+    the corpus word vocabulary weighted by occurrence counts (word-
+    level BPE a la Sennrich et al.) — the artifact a tokenizer build
+    ships.  Every round is exact: the winner is the (count DESC, pair
+    ASC) argmax via min(struct(-c, pair)), and merge application is the
+    greedy left-to-right fold (operators/bpe.apply_merge) that the
+    oracle's unrolled CTE chain mirrors token for token.  Shape at
+    scale: rounds cost one VOCABULARY-sized aggregation each (the
+    corpus is touched once, for the word counts); the per-round rule is
+    one broadcast row; the driver loop carries only the round index —
+    the same control-not-data shape as the k-means training loop."""
+    from etl_8million_data__spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_doc_token_vocab(spark, sf_dir), _BPE_MERGES)
+    return merges
+
+
+@register(
+    "corpus_bpe_segmentation",
+    oracle=f"""
+    {_bpe_ctes(_BPE_MERGES)}
+    SELECT token, cnt, seq, len(string_split(seq, ' ')) AS n_symbols
+    FROM v{_BPE_MERGES}
+    """,
+    tags=("corpus", "tokenizer", "bpe", "extension"),
+)
+def corpus_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE vocabulary APPLIED: every corpus word with its
+    final symbol segmentation and symbol count after the 8 trained
+    merges — the lookup table a tokenizer uses at encode time (and the
+    compression evidence: sum(cnt * n_symbols) vs sum(cnt * chars) is
+    the corpus token-length saving).  Exercises all 8 greedy folds end
+    to end, so any divergence in merge order OR application surfaces
+    here even when the merge table itself matches."""
+    from etl_8million_data__spark.operators.bpe import bpe_train
+
+    _, segmented = bpe_train(_doc_token_vocab(spark, sf_dir), _BPE_MERGES)
+    return segmented

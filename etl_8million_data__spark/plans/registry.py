@@ -86,6 +86,8 @@ def _load() -> None:
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 4 (first external evidence)
+    "corpus_bpe_merges",
+    "corpus_bpe_segmentation",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
