@@ -357,3 +357,94 @@ def prefix_filter_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT directed containment join: every ordered pair (inner,
+    outer) with shingle-set containment |inner ∩ outer| / |inner| >=
+    t — the doc-in-doc detector.  Jaccard misses near-SUPERSETS (a
+    quoted paragraph inside a long article, a doc re-issued with a
+    boilerplate wrapper: the union grows with the outer doc, so J
+    collapses while containment stays ~1); this is the asymmetric
+    complement of :func:`prefix_filter_pairs`.
+
+    Prefix filtering adapts to the asymmetry: overlap >= ceil(t*n_in)
+    forces at least one shared shingle inside the INNER doc's
+    ``n_in - ceil(t*n_in) + 1`` rarest-shingle prefix (else overlap <=
+    ceil(t*n_in) - 1), so only the inner side is prefixed; the outer
+    side keeps its full ranked postings because containment puts no
+    lower bound on the outer size — there is NO length filter in the
+    containment join, which is exactly why it catches what the
+    Jaccard join's length filter (correctly) prunes.  The position
+    filter still applies per match: best-case remaining overlap
+    1 + min(n_in - p_in, n_out - p_out) must reach ceil(t*n_in).
+    Verification counts common shingles for candidates only and keeps
+    pairs via the pure-integer gate ``common * t_den >= t_num * n_in``.
+
+    Scale shape: blocking keys are the inner docs' RAREST shingles
+    (small df blocks); the outer side contributes df(g) postings per
+    prefix gram.  Mutual containment (both directions emitted) flags
+    near-equal pairs; one-directional rows are the true doc-in-doc
+    hits."""
+    t_num, t_den = threshold_num, threshold_den
+    sh = doc_shingle_frame(docs, text_col, id_col, k)
+    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
+    sz = sh.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("n")
+    ).localCheckpoint(eager=True)
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "g")
+    ranked = (
+        ex.join(dfreq, "g")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+        .localCheckpoint(eager=True)
+    )
+    ceil_tn = F.floor((F.col("n") * t_num + t_den - 1) / t_den).cast("int")
+    prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1)
+    a, b = prefix.alias("a"), ranked.alias("b")
+    alpha = F.floor((F.col("a.n") * t_num + t_den - 1) / t_den)
+    overlap_bound = 1 + F.least(
+        F.col("a.n") - F.col("a._rn"), F.col("b.n") - F.col("b._rn")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a._id") != F.col("b._id"))
+            & (overlap_bound >= alpha),
+        )
+        .select(F.col("a._id").alias("inner_doc"), F.col("b._id").alias("outer_doc"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ea = ex.select(F.col("_id").alias("inner_doc"), F.col("g"))
+    eb = ex.select(F.col("_id").alias("outer_doc"), F.col("g"))
+    common = (
+        cand.join(ea, "inner_doc")
+        .join(eb, ["outer_doc", "g"])
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ni = sz.select(F.col("_id").alias("inner_doc"), F.col("n").alias("n_inner"))
+    no = sz.select(F.col("_id").alias("outer_doc"), F.col("n").alias("n_outer"))
+    return (
+        common.join(ni, "inner_doc")
+        .join(no, "outer_doc")
+        .filter(F.col("common") * t_den >= t_num * F.col("n_inner"))
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "common",
+            "n_inner",
+            "n_outer",
+            (F.col("common") * 1.0 / F.col("n_inner")).alias("containment"),
+        )
+    )

@@ -267,3 +267,42 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("edit_dist") * 1.0 / mx).alias("rel_dist"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    common AS (
+      SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+             CAST(count(*) AS BIGINT) AS common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT inner_doc, outer_doc, common,
+           ni.n AS n_inner, no_.n AS n_outer,
+           common * 1.0 / ni.n AS containment
+    FROM common
+    JOIN sz ni ON ni.doc_id = inner_doc
+    JOIN sz no_ ON no_.doc_id = outer_doc
+    WHERE common * 5 >= 4 * ni.n
+    """,
+    tags=("dedup", "containment", "similarity-join", "extension", "scale-path"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment join (|inner ∩ outer| / |inner| >=
+    4/5 on word-3-shingle sets) — the doc-in-doc detector Jaccard
+    structurally misses: a paragraph quoted inside a long article
+    keeps containment ~1 while its Jaccard collapses with the union.
+    Inner docs are prefixed by their rarest shingles (asymmetric
+    prefix filter: overlap >= ceil(t*n_in) forces a prefix hit); the
+    outer side keeps full ranked postings because containment puts no
+    lower bound on outer size — deliberately NO length filter, which
+    is exactly what lets supersets through.  The oracle is the naive
+    all-gram-sharing-pairs definition, so hash equality proves the
+    pruned plan computes the textbook result."""
+    from etl_8million_data__spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold_num=4, threshold_den=5)

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in round 4 (first external evidence)
     "corpus_bpe_merges",
     "corpus_bpe_segmentation",
+    "dedup_containment_pairs",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

@@ -67,6 +67,7 @@ CORPUS_PROBE = [
     ("search_hybrid_rank_fusion", 4),
     ("dedup_edit_distance_verify", 10),
     ("search_phrase_positions", 10),
+    ("dedup_containment_pairs", 10),
 ]
 
 
