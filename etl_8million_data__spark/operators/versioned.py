@@ -263,3 +263,43 @@ def table_changes(
         .filter(F.col("_change_type").isNotNull())
         .select("_change_type", *out_keys, *out_vals)
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_by: list[str] | None = None,
+    batch_id: int | None = None,
+    query_id: str | None = None,
+) -> int:
+    """Targeted row erasure (GDPR/CCPA delete) as a snapshot commit:
+    the new snapshot contains every current row EXCEPT those matching
+    ``predicate`` (a boolean Column over the table's schema).  Rows
+    where the predicate evaluates NULL are KEPT — a delete must only
+    remove rows provably matching the request, mirroring SQL DELETE
+    semantics.
+
+    Erasure is LOGICAL immediately (every new reader resolves the
+    manifest to the new snapshot) and PHYSICAL once
+    ``vacuum(path, keep_last=1)`` drops the older snapshot directories
+    that still contain the rows — the same two-step contract as
+    Delta/Iceberg, where time travel and instant hard-erasure are
+    fundamentally at odds; callers with a deletion SLA schedule the
+    vacuum.  Returns the new version.  The rewrite cost is one scan +
+    write of the CURRENT snapshot only; with ``partition_by`` on the
+    predicate's column, unaffected partitions could be hard-linked
+    rather than rewritten — kept simple here because snapshots are
+    already directory-immutable."""
+    kept = read(spark, path).filter(
+        F.coalesce(~predicate, F.lit(True))
+    )
+    return commit(
+        spark,
+        kept,
+        path,
+        op="delete",
+        partition_by=partition_by,
+        batch_id=batch_id,
+        query_id=query_id,
+    )

@@ -153,3 +153,35 @@ def test_vacuum_retention_protects_recent_versions(spark, table):
     # retention 0 (explicit eager mode) drops the old ones
     assert V.vacuum(table, keep_last=1, retention_s=0) == [1, 2]
     assert not os.path.exists(os.path.join(table, "v00001"))
+
+
+def test_delete_where_erasure_contract(spark, table):
+    from pyspark.sql import functions as F
+
+    V.commit(
+        spark,
+        _rows(spark, [("a", 1, 1), ("b", 2, 1), ("c", None, 1)]),
+        table,
+    )
+    v2 = V.delete_where(spark, table, F.col("k") == "a")
+    assert v2 == 2
+    # logical erasure: gone for new readers...
+    left = {r.k for r in V.read(spark, table).collect()}
+    assert left == {"b", "c"}
+    # ...NULL-predicate rows kept (SQL DELETE semantics: v is NULL for
+    # 'c', so v > 0 is NULL -> not provably matching -> keep)
+    V.delete_where(spark, table, F.col("v") > 0)
+    assert {r.k for r in V.read(spark, table).collect()} == {"c"}
+    # CDC sees the delete
+    ch = {
+        (r.k, r._change_type)
+        for r in V.table_changes(spark, table, ["k"], 1, 2).collect()
+    }
+    assert ("a", "delete") in ch
+    # time travel still exposes the deleted row until vacuum...
+    assert {r.k for r in V.read(spark, table, version=1).collect()} == {"a", "b", "c"}
+    # ...and vacuum completes PHYSICAL erasure
+    removed = V.vacuum(table, keep_last=1)
+    assert removed
+    with pytest.raises(Exception):
+        V.read(spark, table, version=1).collect()
