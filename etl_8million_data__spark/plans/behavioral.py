@@ -183,3 +183,90 @@ def events_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dev * dev > 9 * spread)
         .select("event_type", "event_id", F.col("v").alias("value_cents"))
     )
+
+
+@register(
+    "events_frequent_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT user_id, p2 || '>' || p1 || '>' || event_type AS path
+      FROM seq WHERE p2 IS NOT NULL)
+    SELECT path, count(*) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+    tags=("behavioral", "sequence", "extension"),
+)
+def events_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-sequence mining, order-3: the top-20 consecutive
+    event-type paths a>b>c across all user timelines, with occurrence
+    and distinct-user support — the path-analysis complement of the
+    first-order Markov transition counts (where common journeys hide
+    inside pairwise edges).  One user-keyed window (two lags share it),
+    then a |types|^3-bounded aggregate and a TakeOrderedAndProject
+    top-k with a total-order tie-break; (ts, event_id) ordering makes
+    ties deterministic in both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    path = F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type"))
+    return (
+        seq.select("user_id", path.alias("path"))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             {sql_cents('c_acctbal')} // 100000 AS acctbal_band
+      FROM customer)
+    SELECT c_nationkey, c_mktsegment, acctbal_band,
+           count(*) AS group_size,
+           (count(*) < 5) AS below_k
+    FROM q GROUP BY 1, 2, 3
+    """,
+    tags=("privacy", "audit", "extension"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, $1000 account-balance band): every equivalence
+    class with its size and a below-k flag (k = 5) — the groups a
+    release would have to suppress or generalize further, the
+    standard privacy gate before sharing curated data.  The balance
+    band divides EXACT integer cents; Spark's double-divide + cast and
+    DuckDB's integer ``//`` BOTH truncate toward zero (negative
+    balances included — TPC-H acctbal goes to -999.99), so class
+    membership is engine-portable; one hash aggregate on the
+    quasi-identifier key, nothing else."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (cents(F.col("c_acctbal")) / 100000).cast("long")
+    q = c.select(
+        "c_nationkey", "c_mktsegment", band.alias("acctbal_band")
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy("c_nationkey", "c_mktsegment", "acctbal_band").agg(
+        n.alias("group_size"), (n < 5).alias("below_k")
+    )

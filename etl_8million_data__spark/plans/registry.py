@@ -89,6 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_bpe_merges",
     "corpus_bpe_segmentation",
     "dedup_containment_pairs",
+    "events_frequent_paths",
+    "privacy_k_anonymity",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
