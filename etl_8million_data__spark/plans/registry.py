@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",
     "events_frequent_paths",
     "privacy_k_anonymity",
+    "events_concurrent_sessions",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

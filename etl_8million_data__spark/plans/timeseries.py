@@ -445,3 +445,125 @@ def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    iv AS (
+      SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, event_type, sid)
+    SELECT a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b,
+           a.s AS start_a, a.e AS end_a, b.s AS start_b, b.e AS end_b,
+           epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+             AS overlap_us
+    FROM iv a
+    JOIN iv b ON b.user_id = a.user_id
+             AND a.event_type < b.event_type
+             AND a.s <= b.e AND b.s <= a.e
+    """,
+    tags=("timeseries", "interval-join", "extension", "scale-path"),
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN — the time-range join Spark has no native
+    operator for, done scalably via time-bucket binning: sessionize
+    each (user, event_type) timeline (2-hour gap islands), then find
+    every pair of DIFFERENT-type sessions of the same user whose time
+    spans overlap — concurrent-activity detection.  A naive same-user
+    interval self-join fans out |sessions_u|² per user; instead each
+    interval explodes into the 1-hour buckets it spans and the join is
+    EQUI on (user_id, bucket) with the overlap predicate inline — the
+    standard partitioned-binning interval join, whose fan-out is
+    span/bucket rows per interval and whose shuffle is uniformly
+    keyed.  A pair overlapping several shared buckets collapses via
+    distinct on the interval endpoints themselves.  Overlap durations
+    are exact integer microseconds (timestampdiff ⇔ epoch_us on the
+    same TIMESTAMP_NTZ instants — no epoch extraction, so no session-
+    timezone dependence); touching intervals (overlap_us = 0) count as
+    concurrent, matching the closed-interval oracle predicate."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 2 HOUR")),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = e.select(
+        "user_id", "event_type", "ts", new_s.alias("new_session")
+    ).select(
+        "user_id", "event_type", "ts", F.sum("new_session").over(wrun).alias("sid")
+    )
+    iv = numbered.groupBy("user_id", "event_type", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    binned = iv.select(
+        "user_id",
+        "event_type",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = binned.select(
+        "user_id",
+        "bucket",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+    )
+    b = binned.select(
+        "user_id",
+        "bucket",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .drop("bucket")
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        "type_a",
+        "type_b",
+        "start_a",
+        "end_a",
+        "start_b",
+        "end_b",
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(start_a, start_b),"
+            " least(end_a, end_b))"
+        ).alias("overlap_us"),
+    )

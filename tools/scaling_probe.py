@@ -42,6 +42,9 @@ PROBE = [
     "moving_avg_and_ntile",
     "range_bounds_sampled_orders",
     "events_scd2_type_intervals",
+    "events_concurrent_sessions",
+    "events_frequent_paths",
+    "privacy_k_anonymity",
 ]
 
 # Queries over the extension tables: documents grows 10x and embeddings
