@@ -56,3 +56,47 @@ def test_bpe_train_invariants(spark):
         # segmentation is a partition of the original characters
         assert r.seq.replace(" ", "") == r.token
         assert 1 <= r.n_symbols <= len(r.token)
+
+
+def _py_greedy_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge application."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def test_apply_merge_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    syms = st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "x", "yz"]), min_size=1, max_size=12
+    )
+    pair = st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("x", "yz")])
+
+    @given(st.lists(st.tuples(syms, pair), min_size=1, max_size=8))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(cases):
+        rows = [
+            (" ".join(s), f"{a} {b}", " ".join(_py_greedy_merge(s, a, b)))
+            for s, (a, b) in cases
+        ]
+        df = spark.createDataFrame(rows, "seq string, pair string, want string")
+        got = df.select(
+            "want", apply_merge(F.col("seq"), F.col("pair")).alias("got")
+        ).collect()
+        for r in got:
+            assert r.got == r.want
+
+    check()

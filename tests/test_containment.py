@@ -45,3 +45,47 @@ def test_jaccard_join_misses_the_superset_pair(spark):
     # to exist.
     assert (2, 1) not in jac and (1, 2) not in jac
     assert (1, 4) in jac  # identical pair still found
+
+
+def test_containment_lossless_vs_naive_random_corpus(spark):
+    """Pruned plan == naive definition on a randomized corpus (fixed
+    seed): prefix filtering + position filter drop NO qualifying pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        n = rng.randint(3, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # inject guaranteed containments: doc 100+i = doc i plus a suffix
+    for i in range(5):
+        docs.append((100 + i, docs[i][1] + " " + " ".join(rng.choice(vocab) for _ in range(3))))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pruned = {
+        (r.inner_doc, r.outer_doc, r.common)
+        for r in containment_pairs(d, 4, 5).collect()
+    }
+
+    from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+
+    sh = doc_shingle_frame(d, "text", "doc_id", 3)
+    ex = sh.select(F.col("doc_id").alias("_id"), F.explode("shingles").alias("g"))
+    sz = sh.select(F.col("doc_id").alias("_id"), F.size("shingles").alias("n"))
+    naive = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("i"), F.col("b._id").alias("o"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sz.select(F.col("_id").alias("i"), F.col("n")), "i")
+        .filter(F.col("common") * 5 >= 4 * F.col("n"))
+    )
+    expect = {(r.i, r.o, r.common) for r in naive.collect()}
+    assert pruned == expect
+    assert len(expect) >= 5  # the injected containments are in there
