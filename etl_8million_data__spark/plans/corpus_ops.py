@@ -2161,3 +2161,55 @@ def corpus_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, segmented = bpe_train(_doc_token_vocab(spark, sf_dir), _BPE_MERGES)
     return segmented
+
+
+@register(
+    "corpus_bpe_token_counts",
+    oracle=f"""
+    {_bpe_ctes(_BPE_MERGES)},
+    segw AS (
+      SELECT token, len(string_split(seq, ' ')) AS n_sym
+      FROM v{_BPE_MERGES}),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    SELECT t.doc_id,
+           count(*) AS n_words,
+           CAST(sum(s.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(t.token)) AS BIGINT) AS n_chars,
+           sum(s.n_sym) * 1.0 / sum(length(t.token)) AS bpe_per_char
+    FROM tok t JOIN segw s ON s.token = t.token
+    GROUP BY t.doc_id
+    """,
+    tags=("corpus", "tokenizer", "bpe", "extension"),
+)
+def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts UNDER THE LEARNED TOKENIZER: each
+    document's word count, BPE-token count after the 8 trained merges,
+    character count, and BPE-tokens-per-character — the numbers a
+    packing/budgeting stage actually needs (whitespace token counts
+    misprice documents once a subword tokenizer is in play; sequence
+    lengths are billed in BPE units).  Composes the trained
+    segmentation (a VOCABULARY-sized table, broadcast) with the doc
+    postings via one token-keyed join + per-doc aggregate; training
+    cost is amortized across every document because word-level BPE
+    segments types, not occurrences.  The per-char ratio is one exact
+    division of integer sums."""
+    from etl_8million_data__spark.operators.bpe import bpe_train
+
+    _, seg = bpe_train(_doc_token_vocab(spark, sf_dir), _BPE_MERGES)
+    segw = seg.select("token", F.col("n_symbols").alias("n_sym"))
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(segw), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("token")).alias("n_chars"),
+            (
+                F.sum("n_sym") * 1.0 / F.sum(F.length("token"))
+            ).alias("bpe_per_char"),
+        )
+    )

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in round 4 (first external evidence)
     "corpus_bpe_merges",
     "corpus_bpe_segmentation",
+    "corpus_bpe_token_counts",
     "dedup_containment_pairs",
     "events_frequent_paths",
     "privacy_k_anonymity",
