@@ -301,7 +301,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower bound on outer size — deliberately NO length filter, which
     is exactly what lets supersets through.  The oracle is the naive
     all-gram-sharing-pairs definition, so hash equality proves the
-    pruned plan computes the textbook result."""
+    pruned plan computes the textbook result.  Scaling-probe caveat
+    (same regime as dedup_prefix_filter_pairs): the synthetic fixtures
+    draw shingles from a FIXED vocabulary, so gram df — and with it
+    candidate volume — densifies quadratically with corpus size
+    (9.3x time on 10x docs at sf0.1); real corpora grow their
+    vocabulary with size, which is the regime prefix filtering is
+    designed for."""
     from etl_8million_data__spark.operators.dedup import containment_pairs
 
     d = load_table(spark, sf_dir, "documents")
