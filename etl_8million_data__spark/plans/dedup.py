@@ -312,3 +312,51 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, threshold_num=4, threshold_den=5)
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    e AS ({_PAIRS}),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM e
+      UNION ALL SELECT doc_b, doc_a FROM e),
+    deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM e e1
+      JOIN e e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      JOIN e e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tc AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+    SELECT d.u AS node, d.degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN coalesce(tc.n_triangles, 0) * 2.0
+                     / (d.degree * (d.degree - 1)) END AS clustering
+    FROM deg d LEFT JOIN tc ON tc.node = d.u
+    """,
+    tags=("dedup", "graph", "extension", "scale-path"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the near-dup
+    candidate graph (LSH band pairs as edges) — the graph-shape audit
+    of a dedup run: high-clustering knots are boilerplate families
+    (safe to collapse to one keeper), low-clustering chains are
+    transitive drift (risky to collapse — the classic near-dup chain
+    A~B~C where A!~C).  Counted via DEGREE-ORDERED ORIENTATION: every
+    edge points to its higher-(degree, id) endpoint, so wedge fan-out
+    is bounded by out-degree O(sqrt(|E|)) even around hub documents —
+    the standard distributed-triangle technique; the oracle counts the
+    same triangles from the naive id-ordered enumeration.  Each
+    triangle is attributed to all three corners; the coefficient is
+    one exact division, NULL for degree-1 nodes."""
+    from etl_8million_data__spark.operators.graph import triangle_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    return triangle_counts(pairs)

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_frequent_paths",
     "privacy_k_anonymity",
     "events_concurrent_sessions",
+    "dedup_graph_triangles",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
