@@ -578,3 +578,62 @@ def winsorized_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("n_clipped_high"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS n_orders,
+             CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT custkey, last_order, n_orders, total_cents,
+             ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY total_cents DESC, custkey) AS m_score
+      FROM base)
+    SELECT custkey, last_order, n_orders, total_cents,
+           r_score, f_score, m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+    FROM scored
+    """,
+    tags=("analytics", "segmentation", "extension"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the standard customer-value grid: per
+    customer recency (last order date), frequency (order count), and
+    monetary (exact integer cents), each scored into quintiles by
+    ntile(5) under a (metric DESC, custkey) TOTAL order so bucket
+    boundaries are deterministic in both engines (ntile's
+    equal-buckets-remainder-to-first rule is shared), concatenated
+    into the familiar '111'..'555' segment label.  Caveat the plan
+    documents honestly: ntile over a global ORDER BY is a single-
+    partition window — fine for a customer dimension (|customers| ≪
+    |facts|), but for a data-sized frame use the broadcast boundary
+    table technique of moving_avg_and_ntile instead."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("total_cents"), F.asc("custkey")))
+    scored = base.select(
+        "custkey", "last_order", "n_orders", "total_cents",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

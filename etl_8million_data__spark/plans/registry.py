@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "events_concurrent_sessions",
     "dedup_graph_triangles",
+    "customer_rfm_segments",
+    "corpus_bpe_token_counts",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
