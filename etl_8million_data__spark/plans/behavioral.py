@@ -270,3 +270,61 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("c_nationkey", "c_mktsegment", "acctbal_band").agg(
         n.alias("group_size"), (n < 5).alias("below_k")
     )
+
+
+@register(
+    "events_value_outliers_mad",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, {sql_cents('value')} AS v FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY 1),
+    dev AS (
+      SELECT c.event_type, c.event_id, c.v, m.med, abs(c.v - m.med) AS d
+      FROM c JOIN med m ON m.event_type = c.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type, d.event_id, d.v AS value_cents,
+           0.6745 * (d.v - d.med) / m.mad AS robust_z
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE m.mad > 0 AND abs(0.6745 * (d.v - d.med) / m.mad) > 3.5
+    """,
+    tags=("behavioral", "robust-stats", "outlier", "extension"),
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    0.6745·(x − median)/MAD (Iglewicz–Hoaglin, |Mz| > 3.5) — the
+    median/MAD twin of events_value_outliers_zscore: mean/std move
+    WITH the outliers they are supposed to flag (masking), the median
+    and MAD do not, so this detector survives heavy-tailed value
+    distributions where the z-score's threshold silently loosens.
+    Exactness: values are integer cents, both engines interpolate the
+    median with the same (n−1)·p rule, deviations are exact halves,
+    and the final score is a single multiply-divide — bit-identical.
+    Types whose MAD is 0 (a majority-constant value) are excluded on
+    both sides rather than divided by zero.  Shape at scale: two
+    type-keyed aggregates + broadcast joins of the |types|-sized
+    median/MAD tables against the fact scan."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select("event_type", "event_id", cents("value").alias("v"))
+    med = c.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v", "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad")
+    )
+    rz = 0.6745 * (F.col("v") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_type",
+            "event_id",
+            F.col("v").alias("value_cents"),
+            rz.alias("robust_z"),
+        )
+    )

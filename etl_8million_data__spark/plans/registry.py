@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_graph_triangles",
     "customer_rfm_segments",
     "corpus_bpe_token_counts",
+    "events_value_outliers_mad",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
