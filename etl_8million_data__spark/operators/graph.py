@@ -221,3 +221,70 @@ def triangle_counts(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
             n_tri * 2.0 / (F.col("deg") * (F.col("deg") - 1)),
         ).alias("clustering"),
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    n_iter: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    scale: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Edge-weighted PageRank as ``n_iter`` unrolled relational power
+    iterations in EXACT integer fixed-point: ranks live in
+    ``scale``-units and every per-edge contribution is the truncated
+    integer division ``(d_num * r_u * w_uv) div (d_den * w_out_u)``,
+    so both engines (Spark ``div``, DuckDB ``//`` — both truncate
+    toward zero on non-negative operands) produce bit-identical ranks
+    with no float accumulation anywhere.  Mass lost to truncation and
+    to dangling nodes is simply dropped (ranks are comparable, not a
+    probability distribution) — the standard simplification when
+    PageRank is used as a RANKING signal.
+
+    Each iteration is one join of the rank vector against the edge
+    list + one dst-keyed aggregation — the canonical distributed
+    PageRank step; the loop is driver-side CONTROL only.  Overflow
+    headroom: d_num * scale * max_edge_weight must stay inside int64
+    (85 * 1e9 * w: safe for weights to ~1e8)."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ew = e.join(out_w, "src").localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (1 * scale) // n  # uniform start, truncated like the oracle
+    teleport = ((d_den - d_num) * scale // d_den) // n
+    r = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(r.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(({d_num} * rank) * w) div ({d_den} * w_out)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.withColumnRenamed("rank", "rank_fixed")

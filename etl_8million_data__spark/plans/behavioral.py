@@ -328,3 +328,86 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz.alias("robust_z"),
         )
     )
+
+
+def _pagerank_ctes(n_iter: int, d_num: int = 85, d_den: int = 100,
+                   scale: int = 1_000_000_000) -> str:
+    parts = [
+        """ed AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM (SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events)
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2)""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))""",
+        """ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM ed GROUP BY src)""",
+        """ew AS (SELECT e.src, e.dst, e.w, o.w_out FROM ed e JOIN ow o USING (src))""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        f"""r0 AS (
+      SELECT node, CAST({scale} // n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn)""",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT ew.dst AS node,
+             CAST(sum((({d_num} * r.rank) * ew.w) // ({d_den} * ew.w_out))
+                  AS BIGINT) AS inflow
+      FROM ew JOIN r{k - 1} r ON r.node = ew.src GROUP BY 1)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+      SELECT nodes.node,
+             CAST(((CAST({d_den - d_num} AS BIGINT) * {scale}) // {d_den}) // nn.n
+                  + coalesce(c{k}.inflow, 0) AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = nodes.node)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "events_type_pagerank",
+    oracle=f"""
+    {_pagerank_ctes(3)}
+    SELECT node, rank AS rank_fixed FROM r3
+    """,
+    tags=("behavioral", "graph", "pagerank", "iterative", "extension"),
+)
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank over the event-type transition graph
+    (edges = Markov transition counts), 3 power iterations in EXACT
+    integer fixed-point: per-edge flow is the truncated division
+    (85·r·w) div (100·w_out) in 1e-9 rank units, so Spark's ``div``
+    and DuckDB's ``//`` (both truncate toward zero) yield
+    bit-identical ranks with zero float accumulation — the oracle
+    unrolls the full power iteration CTE-per-round, the same
+    exactly-checked-iterative-loop contract as the k-means trainer
+    and the BPE merges.  Each round is one rank⋈edge join + one
+    dst-keyed aggregation (the canonical distributed PageRank step);
+    the driver loop carries only the round index.  The graph here is
+    |types|-sized, but the plan is the one you'd run node-partitioned
+    at web scale; truncation/dangling mass is dropped (ranks are a
+    RANKING signal, not a distribution)."""
+    from pyspark.sql.window import Window
+
+    from etl_8million_data__spark.operators.graph import pagerank_weighted
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_weighted(edges, n_iter=3).select(
+        "node", F.col("rank_fixed")
+    )

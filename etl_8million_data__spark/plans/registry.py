@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "corpus_bpe_token_counts",
     "events_value_outliers_mad",
+    "events_type_pagerank",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

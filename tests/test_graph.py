@@ -90,3 +90,45 @@ def test_star_matches_min_label_on_mixed_topology(spark):
 def test_star_no_edges_and_isolated(spark):
     comp = _cc_star(spark, [2, 9], [])
     assert comp == {2: 2, 9: 9}
+
+
+def test_pagerank_matches_python_reference(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_8million_data__spark.operators.graph import pagerank_weighted
+
+    edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1), ("d", "a", 5)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: r.rank_fixed for r in pagerank_weighted(df, n_iter=3).collect()}
+
+    # pure-python mirror of the integer fixed-point iteration
+    scale, d_num, d_den = 1_000_000_000, 85, 100
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    out_w = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0) + w
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    teleport = ((d_den - d_num) * scale // d_den) // n
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            inflow[v] += ((d_num * r[u]) * w) // (d_den * out_w[u])
+        r = {v: teleport + inflow[v] for v in nodes}
+    assert got == r
+    # dangling node 'd' keeps only teleport mass
+    assert got["d"] == teleport
+
+
+def test_triangle_counts_reference(spark):
+    from etl_8million_data__spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = {r.node: (r.degree, r.n_triangles, r.clustering)
+            for r in triangle_counts(df).collect()}
+    for v in (1, 2, 3):
+        assert rows[v][:2] == (3, 3) and rows[v][2] == 1.0
+    assert rows[4][:2] == (4, 3) and rows[4][2] == 0.5
+    assert rows[5] == (1, 0, None)
