@@ -148,3 +148,33 @@ def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
         )
     )
     assert "dynamicpruning" in extended, "index probe lost dynamic partition pruning"
+
+
+@pytest.mark.parametrize(
+    ("name", "expects", "forbidden"),
+    [
+        # interval join must stay equi-keyed binned — a NestedLoop /
+        # cartesian over sessions would be the naive fan-out regression
+        # (the bucket equi-join is planner-chosen: broadcast at fixture
+        # scale, SMJ/shuffled-hash under AQE at scale — either is fine)
+        ("events_concurrent_sessions", ["HashJoin", "Window"],
+         ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+        # MAD detector: per-type stats joined by broadcast, never the
+        # fact side
+        ("events_value_outliers_mad", ["BroadcastHashJoin"], ["CartesianProduct"]),
+        # triangle counting: pure equi joins, no nested loop around hubs
+        ("dedup_graph_triangles", ["HashAggregate"],
+         ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+        # phrase search: postings semi-filtered (broadcast) before joins
+        ("search_phrase_positions", ["BroadcastHashJoin"], ["CartesianProduct"]),
+        # frequent paths: one user-keyed window, total-order top-k
+        ("events_frequent_paths", ["Window", "TakeOrderedAndProject"],
+         ["CartesianProduct"]),
+    ],
+)
+def test_round4_plan_shapes(spark, name, expects, forbidden):
+    plan = _formatted_plan(all_queries()[name].build(spark, SF))
+    missing = [e for e in expects if e not in plan]
+    present = [f for f in forbidden if f in plan]
+    assert not missing, f"{name}: plan lost {missing}"
+    assert not present, f"{name}: plan regressed to {present}"
