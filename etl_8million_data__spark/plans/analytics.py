@@ -637,3 +637,74 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    np AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM basket GROUP BY pk),
+    tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, n_ab, na.n_p AS n_a, nb.n_p AS n_b,
+             n_ab * 1.0 / na.n_p AS confidence_a_to_b,
+             n_ab * t.n_orders * 1.0 / (na.n_p * nb.n_p) AS lift
+      FROM pairs
+      JOIN np na ON na.pk = part_a
+      JOIN np nb ON nb.pk = part_b
+      CROSS JOIN tot t
+      WHERE n_ab >= 2)
+    SELECT * FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+    tags=("analytics", "association-rules", "extension"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top-50 part
+    pairs by LIFT n_ab·N/(n_a·n_b) with per-pair support and
+    confidence — the classic co-purchase mining shape.  Lift and
+    confidence are each ONE division of exact integer counts (log-free,
+    like the PMI collocations), so the ranking hashes identically in
+    both engines; a min-support gate (n_ab >= 2) keeps rules
+    statistical and the final top-k is TakeOrderedAndProject under a
+    total order.  Shape at scale: the pair generation self-joins
+    baskets on the order key, so fan-out is Σ|basket|² — bounded by
+    the (small, bounded) basket size, NOT corpus-quadratic — and the
+    count join against part supports is vocabulary-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    np_ = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    tot = basket.agg(F.count_distinct("ok").alias("n_orders"))
+    a = basket.select("ok", F.col("pk").alias("part_a"))
+    b = basket.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    na = np_.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a"))
+    nb = np_.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (F.col("n_ab") * 1.0 / F.col("n_a")).alias("confidence_a_to_b"),
+            (
+                F.col("n_ab") * F.col("n_orders") * 1.0
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )

@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_bpe_token_counts",
     "events_value_outliers_mad",
     "events_type_pagerank",
+    "orders_market_basket",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
