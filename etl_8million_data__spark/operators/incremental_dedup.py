@@ -131,3 +131,111 @@ def dedup_increment(
     )
     kept_bands.write.mode("append").parquet(index_path)
     return kept
+
+
+MEDIA_INDEX_SCHEMA = "media_id long, band int, band_key long, dhash long, _batch string"
+
+
+def media_dedup_increment(
+    new_media: DataFrame,
+    index_path: str,
+    id_col: str = "media_id",
+    bands: int = 4,
+    band_bits: int = 12,
+    max_hamming: int = 6,
+    batch_tag: str | None = None,
+) -> DataFrame:
+    """Incremental PERCEPTUAL near-dup filtering for media payloads —
+    the media twin of :func:`dedup_increment`: each ingest batch
+    dHashes only its own payloads and probes a persisted band index of
+    everything already accepted, instead of re-hashing the corpus.
+
+    Improvement over the text index that the cheap fingerprint makes
+    possible: index rows carry the full 48-bit dhash (one bigint), so
+    a band collision is VERIFIED by exact hamming distance
+    (bit_count(xor) <= ``max_hamming``) before a document is dropped —
+    the text version must drop on raw band collision because storing
+    shingle sets would blow up the index.  A new payload is dropped
+    when it hamming-matches (a) any accepted payload sharing a band, or
+    (b) a smaller-id payload of its own batch sharing a band
+    (deterministic keep-smallest).  ``batch_tag`` gives the same
+    replay-idempotence contract as the text operator: redelivered
+    micro-batches exclude their own previous append from the probe.
+
+    Index cost: bands+? rows x ~48 bytes per accepted payload; the
+    probe is an equi-join on (band, band_key) with a bigint xor verify
+    — AQE-splittable, partitionable by band_key prefix at scale."""
+    from etl_8million_data__spark.operators.multimodal import perceptual_hash
+
+    spark = new_media.sparkSession
+    ph = perceptual_hash(new_media).select(
+        F.col("media_id").alias(id_col) if id_col != "media_id" else F.col("media_id"),
+        "dhash",
+    )
+    mask = (1 << band_bits) - 1
+    band_rows = ph.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(bands)])
+        ).alias("band"),
+    ).select(
+        id_col,
+        "dhash",
+        "band",
+        F.expr(f"shiftright(dhash, band * {band_bits}) & {mask}")
+        .cast("long")
+        .alias("band_key"),
+    )
+    bands_new = band_rows.localCheckpoint(eager=True)
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+    except AnalysisException:
+        idx = spark.createDataFrame([], MEDIA_INDEX_SCHEMA)
+    if "_batch" not in idx.columns:
+        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
+    if batch_tag is not None:
+        idx = idx.filter(~F.col("_batch").eqNullSafe(F.lit(batch_tag)))
+
+    ham = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.col("_idx_dhash"))
+    )
+    vs_corpus = (
+        bands_new.join(
+            idx.select(
+                "band", "band_key", F.col("dhash").alias("_idx_dhash")
+            ).distinct(),
+            ["band", "band_key"],
+        )
+        .filter(ham <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    a = bands_new.select(
+        F.col(id_col).alias("_ida"), "band", "band_key",
+        F.col("dhash").alias("_dha"),
+    )
+    b = bands_new.select(
+        F.col(id_col).alias("_idb"), "band", "band_key",
+        F.col("dhash").alias("_dhb"),
+    )
+    vs_batch = (
+        a.join(b, ["band", "band_key"])
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.bit_count(F.col("_dha").bitwiseXOR(F.col("_dhb"))) <= max_hamming)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    dropped = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=True)
+
+    kept = new_media.join(dropped, id_col, "left_anti")
+    kept_bands = bands_new.join(dropped, id_col, "left_anti").withColumn(
+        "_batch", F.lit(batch_tag).cast("string")
+    )
+    kept_bands.write.mode("append").parquet(index_path)
+    return kept

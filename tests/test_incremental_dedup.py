@@ -173,3 +173,62 @@ def test_prefix_filter_boundary_pair(spark):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_filter_pairs(docs, 1, 2).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0
+
+
+# --- media (perceptual) incremental dedup ---------------------------------
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def _mids(df):
+    return sorted(r.media_id for r in df.select("media_id").collect())
+
+
+def _payload(seed: int, flip: int | None = None) -> bytes:
+    b = bytearray(((seed * 7 + i * 13) % 251) for i in range(256))
+    if flip is not None:
+        b[flip] = (b[flip] + 128) % 251
+    return bytes(b)
+
+
+def test_media_increment_first_batch_and_probe(spark, tmp_path):
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        media_dedup_increment,
+    )
+
+    idx = str(tmp_path / "media_index")
+    b1 = _media(spark, [(1, _payload(1)), (2, _payload(1, flip=9)), (3, _payload(99))])
+    kept = media_dedup_increment(b1, idx)
+    # 2 is a re-encode-style near-dup of 1 (few-bit dhash delta); 1 wins
+    assert _mids(kept) == [1, 3]
+    # second batch: exact re-upload dropped, novel payload kept
+    b2 = _media(spark, [(10, _payload(1)), (11, _payload(500))])
+    assert _mids(media_dedup_increment(b2, idx)) == [11]
+
+
+def test_media_increment_replay_idempotent(spark, tmp_path):
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        media_dedup_increment,
+    )
+
+    idx = str(tmp_path / "media_index")
+    media_dedup_increment(_media(spark, [(1, _payload(1))]), idx, batch_tag="b0")
+    batch = _media(spark, [(5, _payload(7)), (6, _payload(7, flip=3))])
+    k1 = _mids(media_dedup_increment(batch, idx, batch_tag="b1"))
+    # redelivery of the same tagged batch must not self-collide
+    k2 = _mids(media_dedup_increment(batch, idx, batch_tag="b1"))
+    assert k1 == k2 == [5]
+
+
+def test_media_increment_band_collision_without_match_kept(spark, tmp_path):
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        media_dedup_increment,
+    )
+
+    idx = str(tmp_path / "media_index")
+    media_dedup_increment(_media(spark, [(1, _payload(1))]), idx)
+    # a genuinely different payload is kept even if some 12-bit band
+    # happens to collide: the hamming verify gates the drop
+    kept = media_dedup_increment(_media(spark, [(2, _payload(42))]), idx)
+    assert _mids(kept) == [2]

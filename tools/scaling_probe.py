@@ -45,6 +45,9 @@ PROBE = [
     "events_concurrent_sessions",
     "events_frequent_paths",
     "privacy_k_anonymity",
+    "events_value_outliers_mad",
+    "customer_rfm_segments",
+    "orders_market_basket",
 ]
 
 # Queries over the extension tables: documents grows 10x and embeddings
@@ -71,6 +74,7 @@ CORPUS_PROBE = [
     ("dedup_edit_distance_verify", 10),
     ("search_phrase_positions", 10),
     ("dedup_containment_pairs", 10),
+    ("dedup_graph_triangles", 10),
 ]
 
 
