@@ -341,3 +341,57 @@ def stream_ann_index_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def media_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    scope: str,
+) -> None:
+    """One micro-batch of the streaming MEDIA ingest — the perceptual
+    twin of :func:`dedup_ingest_batch` with the identical idempotence
+    contract: batch-tagged index append + same-tag probe exclusion,
+    and per-batch overwrite partitions for the survivors."""
+    import hashlib
+
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        media_dedup_increment,
+    )
+
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    tag = f"{scope_h}-{batch_id}"
+    kept = media_dedup_increment(
+        batch_df, index_path, batch_tag=f"{scope}#{batch_id}"
+    )
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"ingest_batch={tag}")
+    )
+
+
+def stream_media_dedup_increment(
+    media_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming media ingest with incremental PERCEPTUAL dedup: each
+    micro-batch dHashes its own payloads, probes the persisted band
+    index with exact hamming verification
+    (operators/incremental_dedup.media_dedup_increment), writes the
+    surviving payloads under ``out_path``, and extends the index.
+    Exactly-once output through the same three mechanisms as the text
+    twin: checkpoint completed-batch skipping + batch-tag probe
+    exclusion + per-batch overwrite partitions."""
+    scope = os.path.abspath(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        media_ingest_batch(batch_df, batch_id, index_path, out_path, scope)
+
+    return (
+        media_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -232,3 +232,29 @@ def test_media_increment_band_collision_without_match_kept(spark, tmp_path):
     # happens to collide: the hamming verify gates the drop
     kept = media_dedup_increment(_media(spark, [(2, _payload(42))]), idx)
     assert _mids(kept) == [2]
+
+
+def test_streaming_media_ingest_dedups_across_batches(spark, tmp_path):
+    from etl_8million_data__spark.streaming.jobs import stream_media_dedup_increment
+
+    src = tmp_path / "min"
+    src.mkdir()
+    idx = str(tmp_path / "midx")
+    out = str(tmp_path / "mout")
+    schema = "media_id long, content binary"
+
+    _media(spark, [(1, _payload(1)), (2, _payload(99))]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    s1 = spark.readStream.schema(schema).parquet(str(src / "b1"))
+    stream_media_dedup_increment(s1, idx, out, str(tmp_path / "mc1")).awaitTermination()
+
+    # batch 2: near-dup of accepted 1 (few-bit dhash delta) + novel
+    _media(spark, [(10, _payload(1, flip=9)), (11, _payload(500))]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+    s2 = spark.readStream.schema(schema).parquet(str(src / "b2"))
+    stream_media_dedup_increment(s2, idx, out, str(tmp_path / "mc2")).awaitTermination()
+
+    got = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]
