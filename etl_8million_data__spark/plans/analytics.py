@@ -642,8 +642,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_market_basket",
     oracle="""
-    WITH basket AS (
+    WITH basket0 AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    bsz AS (SELECT ok FROM basket0 GROUP BY ok HAVING count(*) <= 64),
+    basket AS (SELECT b.ok, b.pk FROM basket0 b JOIN bsz USING (ok)),
     np AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM basket GROUP BY pk),
     tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
     pairs AS (
@@ -674,12 +676,24 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical and the final top-k is TakeOrderedAndProject under a
     total order.  Shape at scale: the pair generation self-joins
     baskets on the order key, so fan-out is Σ|basket|² — bounded by
-    the (small, bounded) basket size, NOT corpus-quadratic — and the
-    count join against part supports is vocabulary-sized."""
+    the basket-size cap, NOT corpus-quadratic — and the count join
+    against part supports is vocabulary-sized.  The cap (baskets with
+    more than 64 distinct parts are EXCLUDED, on both engines) is the
+    robustness gate every production association miner carries: one
+    degenerate mega-basket would otherwise contribute |basket|^2 pairs
+    and a straggler partition at 100 TB, while telling you nothing
+    statistical (everything co-occurs with everything in it)."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
+    basket0 = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    bsz = (
+        basket0.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= 64)
+        .select("ok")
+    )
+    basket = basket0.join(bsz, "ok")
     np_ = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
     tot = basket.agg(F.count_distinct("ok").alias("n_orders"))
     a = basket.select("ok", F.col("pk").alias("part_a"))
