@@ -71,6 +71,9 @@ HEADLINE = [
     "search_hybrid_rank_fusion",  # two-channel retrieval + Borda fusion
     "dedup_edit_distance_verify",  # LSH candidates + banded levenshtein verify
     "search_phrase_positions",  # positional inverted-index phrase match
+    "multimodal_e2e_curation",  # flagship: media curation pipeline in one plan
+    "dedup_graph_triangles",  # degree-oriented triangle counting
+    "events_concurrent_sessions",  # binned interval overlap join
 ]
 
 

@@ -231,3 +231,157 @@ def multimodal_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+@register(
+    "multimodal_e2e_curation",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+      FROM documents),
+    q AS (SELECT * FROM m WHERE n >= 64),
+    ex AS (SELECT media_id, md5(text) AS dg FROM q),
+    keep1 AS (SELECT min(media_id) AS media_id FROM ex GROUP BY dg),
+    s1 AS (SELECT q.* FROM q JOIN keep1 USING (media_id)),
+    h AS (
+      SELECT media_id, text, n,
+             CAST(list_sum(list_transform(range(48), i ->
+               CASE WHEN ord(substr(text,
+                      CAST((i*greatest(n // 49, 1)) % n + 1 AS INTEGER), 1)) >
+                         ord(substr(text,
+                      CAST(((i+1)*greatest(n // 49, 1)) % n + 1 AS INTEGER), 1))
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS dhash
+      FROM s1),
+    b AS (
+      SELECT media_id, dhash, j.j AS band,
+             (dhash >> (j.j*12)) & 4095 AS band_key
+      FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+    drop2 AS (
+      SELECT DISTINCT b2.media_id
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.band_key = b2.band_key
+                        AND a.media_id < b2.media_id
+      WHERE bit_count(xor(a.dhash, b2.dhash)) <= 6),
+    s2 AS (
+      SELECT s1.* FROM s1 LEFT JOIN drop2 d USING (media_id)
+      WHERE d.media_id IS NULL),
+    f AS (
+      SELECT s2.media_id,
+             md5(substr(s2.text, CAST(u.frame_no*256 + 1 AS INTEGER), 256))
+               AS frame_md5
+      FROM s2,
+           unnest(range(CAST(ceil(s2.n / 256.0) AS BIGINT))) AS u(frame_no)),
+    sh AS (SELECT frame_md5, count(DISTINCT media_id) AS n_media
+           FROM f GROUP BY frame_md5),
+    per AS (
+      SELECT f.media_id,
+             count(*) AS n_frames,
+             CAST(sum(CASE WHEN sh.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_frames
+      FROM f JOIN sh USING (frame_md5) GROUP BY f.media_id)
+    SELECT s2.media_id,
+           CAST(s2.n AS BIGINT) AS n_bytes,
+           s2.n % 640 AS fake_width,
+           (s2.n % 3) + 1 AS fake_channels,
+           per.n_frames, per.shared_frames,
+           per.shared_frames * 1.0 / per.n_frames AS shared_ratio
+    FROM s2 JOIN per USING (media_id)
+    """,
+    tags=("multimodal", "e2e", "curation", "extension", "scale-path"),
+)
+def multimodal_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA counterpart of corpus_e2e_curation — the whole
+    multimodal curation pass as one declarative plan producing the
+    curated-manifest table:
+
+    1. quality gate (payload >= 64 bytes — stand-in for decode
+       validity, same position a real codec check occupies);
+    2. EXACT dedup: md5 of the full payload, keep the smallest id per
+       digest (re-uploads collapse);
+    3. PERCEPTUAL dedup: 48-bit gradient dHash, 4x12-bit banded
+       blocking, hamming <= 6 verify, deterministic keep-smallest —
+       drops re-encodes the exact pass cannot see;
+    4. per-survivor frame stats: 256-byte frame hashes shared across
+       surviving media (clip-reuse evidence, reported not gated);
+    5. manifest: id, size, fake decode attrs, frame counts,
+       shared-frame ratio.
+
+    Every stage is the already-audited operator (md5 hash-groupBy,
+    banded LSH equi-joins, frame-hash shuffle on a uniform key); the
+    composition adds NO new shuffle shape — the plan is a linear chain
+    of hash aggregates and equi-joins, each keyed as its standalone
+    twin.  Payload bytes cross the wire exactly twice (dHash map,
+    frame chunking); everything downstream moves (id, hash) pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.multimodal import (
+        perceptual_hash,
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    q = media.filter(F.octet_length("content") >= 64)
+    ex = q.select("media_id", F.md5("content").alias("dg"))
+    keep1 = ex.groupBy("dg").agg(F.min("media_id").alias("media_id")).select(
+        "media_id"
+    )
+    s1 = q.join(keep1, "media_id")
+
+    h = perceptual_hash(s1).localCheckpoint(eager=True)
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("dhash", j * 12)
+                    .bitwiseAND(F.lit(4095))
+                    .alias("band_key"),
+                )
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select(
+        "media_id", "dhash",
+        F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"),
+    )
+    a, bb = bands.alias("a"), bands.alias("b")
+    drop2 = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id"))
+            & (
+                F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))) <= 6
+            ),
+        )
+        .select(F.col("b.media_id").alias("media_id"))
+        .distinct()
+    )
+    s2 = s1.join(drop2, "media_id", "left_anti").localCheckpoint(eager=True)
+
+    f = sample_frames(s2).select("media_id", "frame_md5")
+    sh = f.groupBy("frame_md5").agg(F.count_distinct("media_id").alias("n_media"))
+    shared = F.when(F.col("n_media") >= 2, 1).otherwise(0)
+    per = (
+        f.join(sh, "frame_md5")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(shared).cast("bigint").alias("shared_frames"),
+        )
+    )
+    n = F.octet_length("content")
+    return (
+        s2.join(per, "media_id")
+        .select(
+            "media_id",
+            n.cast("bigint").alias("n_bytes"),
+            (n % 640).alias("fake_width"),
+            ((n % 3) + 1).alias("fake_channels"),
+            "n_frames",
+            "shared_frames",
+            (F.col("shared_frames") * 1.0 / F.col("n_frames")).alias("shared_ratio"),
+        )
+    )

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_value_outliers_mad",
     "events_type_pagerank",
     "orders_market_basket",
+    "multimodal_e2e_curation",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

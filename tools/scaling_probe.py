@@ -75,6 +75,7 @@ CORPUS_PROBE = [
     ("search_phrase_positions", 10),
     ("dedup_containment_pairs", 10),
     ("dedup_graph_triangles", 10),
+    ("multimodal_e2e_curation", 10),
 ]
 
 
