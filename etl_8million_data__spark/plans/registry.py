@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_type_pagerank",
     "orders_market_basket",
     "multimodal_e2e_curation",
+    "events_hourly_cusum_drift",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

@@ -567,3 +567,99 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " least(end_a, end_b))"
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "events_hourly_cusum_drift",
+    oracle="""
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total
+      FROM hr GROUP BY 1),
+    ordered AS (
+      SELECT hr.event_type, t.n, t.total, list(hr.x ORDER BY hr.h) AS xs
+      FROM hr JOIN tot t USING (event_type)
+      GROUP BY hr.event_type, t.n, t.total),
+    folded AS (
+      SELECT event_type, n, total,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], 
+                 list_transform(xs, x -> [x, CAST(0 AS BIGINT)])),
+               (acc, e) -> [
+                 greatest(CAST(0 AS BIGINT), acc[1] + e[1] * n - total),
+                 greatest(acc[2],
+                   greatest(CAST(0 AS BIGINT), acc[1] + e[1] * n - total))
+               ]) AS st
+      FROM ordered)
+    SELECT event_type, n AS n_hours, total AS total_events,
+           st[2] AS max_cusum_scaled,
+           st[2] * 1.0 / n AS max_cusum_events
+    FROM folded
+    """,
+    tags=("timeseries", "monitoring", "cusum", "extension"),
+)
+def events_hourly_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-drift detection via a CUSUM statistic over each event
+    type's hourly counts: S_i = max(0, S_{i-1} + (x_i − mean)) with
+    the peak S reported — the classic change-point monitor that
+    accumulates small sustained shifts a 3-sigma spike test never
+    sees.  EXACT integer arithmetic: deviations are scaled by the hour
+    count (n·x_i − total avoids the rational mean), the fold carries
+    (S, max S) as a 2-element bigint array in hour order — the same
+    pinned-accumulation-order technique as the EMA fold — and only the
+    final per-type statistic divides once for the events-unit
+    rendering.  Shape at scale: one hour-keyed aggregate, one
+    type-keyed aggregate, one bounded per-type ordered fold (array
+    length = hours in window)."""
+    hr = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = hr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("total")
+    )
+    ordered = (
+        hr.join(tot, "event_type")
+        .groupBy("event_type", "n", "total")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "x"))),
+                lambda s: s["x"],
+            ).alias("xs")
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    folded = ordered.select(
+        "event_type",
+        "n",
+        "total",
+        F.aggregate(
+            F.col("xs"),
+            F.array(zero, zero),
+            lambda acc, x: F.array(
+                F.greatest(
+                    zero, acc.getItem(0) + x * F.col("n") - F.col("total")
+                ),
+                F.greatest(
+                    acc.getItem(1),
+                    F.greatest(
+                        zero, acc.getItem(0) + x * F.col("n") - F.col("total")
+                    ),
+                ),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("total").alias("total_events"),
+        F.col("st").getItem(1).alias("max_cusum_scaled"),
+        (F.col("st").getItem(1) * 1.0 / F.col("n")).alias("max_cusum_events"),
+    )
