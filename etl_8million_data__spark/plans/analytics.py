@@ -687,6 +687,13 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket0 = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    return market_basket_rules(basket0)
+
+
+def market_basket_rules(basket0: DataFrame) -> DataFrame:
+    """Frame-level core of orders_market_basket over distinct
+    (ok, pk) basket membership rows (also driven by the mega-basket
+    robustness probe in tools/scaling_probe.py)."""
     bsz = (
         basket0.groupBy("ok")
         .agg(F.count(F.lit(1)).alias("_bn"))

@@ -495,9 +495,15 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     same TIMESTAMP_NTZ instants — no epoch extraction, so no session-
     timezone dependence); touching intervals (overlap_us = 0) count as
     concurrent, matching the closed-interval oracle predicate."""
+    e = load_table(spark, sf_dir, "events")
+    return concurrent_sessions_frame(e)
+
+
+def concurrent_sessions_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of events_concurrent_sessions (also driven by
+    the adversarial hot-user probe in tools/scaling_probe.py)."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     new_s = F.when(
         F.lag("ts").over(w).isNull()
