@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_market_basket",
     "multimodal_e2e_curation",
     "events_hourly_cusum_drift",
+    "similarity_knn_label_filtered",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",

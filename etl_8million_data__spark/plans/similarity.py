@@ -847,3 +847,81 @@ def similarity_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "similarity_knn_label_filtered",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec,
+                 n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2))
+               AS cosine
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id)
+    SELECT query_id, qlabel AS label, vec_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "knn", "filtered", "extension", "correctness-baseline"),
+)
+def similarity_knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — metadata-constrained kNN, the query
+    shape every production vector store must serve ("nearest neighbors
+    WHERE label = X"): exact cosine top-5 for every 100th vector among
+    corpus vectors OF THE QUERY'S OWN LABEL.  Expressed as a LABEL
+    EQUI-JOIN carrying the scoring expression, the filter composes
+    with the join instead of post-filtering a global top-k (which
+    silently under-fills k when the filter is selective — the classic
+    filtered-ANN failure mode).  Shape at scale: the join co-partitions
+    both sides by label, so each label's scoring block is
+    |Q_label| x |N_label| — for selective filters this beats global
+    ANN + post-filter outright; for broad filters route through the
+    IVF cells per label partition.  Size-guarded like every exact
+    baseline."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        cosine,
+        norm2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "similarity_knn_label_filtered",
+        "per-label-partition knn_ivf",
+    )
+    e = emb.select(
+        "vec_id", "label", "embedding", norm2(F.col("embedding")).alias("n2")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.join(q, (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            cosine(
+                F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("qlabel").alias("label"), "vec_id", "cosine", "rn")
+    )
