@@ -2213,3 +2213,173 @@ def corpus_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_per_char"),
         )
     )
+
+
+@register(
+    "search_late_interaction_maxsim",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 1),
+    ch AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_no,
+             toks[u.i * 8 + 1 : u.i * 8 + 16] AS ctoks
+      FROM t, unnest(range((len(toks) - 1) // 8 + 1)) AS u(i)),
+    tok AS (
+      SELECT doc_id, chunk_no, unnest(ctoks) AS token FROM ch),
+    h AS (
+      SELECT doc_id, chunk_no,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, chunk_no, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY 1, 2, 3),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT c.doc_id, c.chunk_no, g.bucket, coalesce(a.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id, chunk_no FROM ch) c
+      CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.chunk_no = c.chunk_no
+                     AND a.bucket = g.bucket),
+    cv AS (
+      SELECT doc_id, chunk_no, list(v ORDER BY bucket) AS fv,
+             sum(v * v) AS n2
+      FROM dense GROUP BY doc_id, chunk_no),
+    nz AS (SELECT * FROM cv WHERE n2 > 0),
+    qc AS (SELECT doc_id AS query_id, chunk_no AS qchunk, fv AS qv, n2 AS qn2
+           FROM nz WHERE doc_id % 100 = 0),
+    best AS (
+      SELECT q.query_id, q.qchunk, d.doc_id,
+             max({_HYBRID_DOT.format(a='q.qv', b='d.fv')}
+                 / (sqrt(q.qn2) * sqrt(d.n2))) AS mx
+      FROM qc q JOIN nz d ON d.doc_id <> q.query_id
+      GROUP BY 1, 2, 3),
+    score AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(mx ORDER BY qchunk)),
+                         (acc, x) -> acc + x) AS maxsim
+      FROM best GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, maxsim, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS rn
+          FROM score)
+    WHERE rn <= 3
+    """,
+    tags=("search", "late-interaction", "extension", "correctness-baseline"),
+)
+def search_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT-style MaxSim), model-free:
+    documents decompose into 16-token chunks at stride 8, every chunk
+    gets a 16-dim hashed-BoW vector, and a query document scores a
+    candidate as Σ over ITS chunks of the max chunk-cosine in the
+    candidate — matching at sub-document granularity, so a long doc
+    containing one strongly-matching passage ranks above a uniformly
+    lukewarm one (exactly what single-vector retrieval flattens out).
+    Top-3 per query (every 100th doc), ties by doc_id.
+
+    Exactness: per-chunk-pair cosines use the pinned fold; the max is
+    order-free; the SUM over query chunks is an ORDERED fold by
+    chunk_no (the EMA/CUSUM technique) so float addition order is
+    identical in both engines.  Zero-norm chunks (sign-cancelled) are
+    excluded on both sides.  Size-guarded correctness baseline: the
+    chunk-pair join is |Qchunks| x |Dchunks|; at scale the same
+    chunk vectors route through the hashed-BoW IVF cells and MaxSim
+    runs on candidates only — the scoring stages are unchanged, which
+    is the point of keeping them relational."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.similarity import assert_baseline_scale
+    from etl_8million_data__spark.operators.text import hex_char_val, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    n = F.size("toks")
+    ch = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(8)).cast("int"))
+        ).alias("chunk_no"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.slice(F.col("toks"), F.col("chunk_no") * 8 + 1, 16).alias("ctoks"),
+    )
+    tok = ch.select(
+        "doc_id", "chunk_no", F.explode("ctoks").alias("token")
+    )
+    hx = md5_utf8(F.col("token"))
+    bucket = hex_char_val(F.substring(hx, 1, 1)).cast("int")
+    sgn = F.when(hex_char_val(F.substring(hx, 2, 1)) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    agg = (
+        tok.select("doc_id", "chunk_no", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "chunk_no", "bucket")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    dense = agg.groupBy("doc_id", "chunk_no").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0).cast("bigint")),
+    )
+    n2i = F.aggregate(
+        F.col("fv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
+    )
+    nz = (
+        dense.select("doc_id", "chunk_no", feats.alias("fv"))
+        .withColumn("n2", n2i)
+        .filter(F.col("n2") > 0)
+        .localCheckpoint(eager=True)
+    )
+    assert_baseline_scale(
+        nz, 200_000, "search_late_interaction_maxsim",
+        "hashed-BoW IVF-routed chunk candidates, MaxSim on candidates only",
+    )
+    qc = nz.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("chunk_no").alias("qchunk"),
+        F.col("fv").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("fv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # unhinted: qc grows with the corpus (|N|/100 chunk rows), so the
+    # planner/AQE picks broadcast only while it genuinely fits
+    best = (
+        nz.join(qc, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "qchunk", "doc_id",
+            (dot / (F.sqrt("qn2") * F.sqrt("n2"))).alias("cos"),
+        )
+        .groupBy("query_id", "qchunk", "doc_id")
+        .agg(F.max("cos").alias("mx"))
+    )
+    score = best.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qchunk", "mx"))),
+                lambda s: s["mx"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "doc_id", "maxsim", "rn")
+    )

@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_e2e_curation",
     "events_hourly_cusum_drift",
     "similarity_knn_label_filtered",
+    "search_late_interaction_maxsim",
     "search_hybrid_rank_fusion",
     "dedup_edit_distance_verify",
     "search_phrase_positions",
