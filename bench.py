@@ -74,6 +74,8 @@ HEADLINE = [
     "multimodal_e2e_curation",  # flagship: media curation pipeline in one plan
     "dedup_graph_triangles",  # degree-oriented triangle counting
     "events_concurrent_sessions",  # binned interval overlap join
+    # round-5 families
+    "search_hybrid_rank_fusion_ivf",  # ANN-routed two-channel fusion
 ]
 
 

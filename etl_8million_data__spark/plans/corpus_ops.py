@@ -1921,6 +1921,217 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-routed hybrid fusion: same two channels and the same integer
+# Borda fusion as search_hybrid_rank_fusion, but each channel retrieves
+# through the SRP inverted file (the registered ANN scale path) instead
+# of the size-guarded brute-force baseline. The lexical channel indexes
+# the 16-dim hashed-BoW vectors with its own 16-dim hyperplane matrix;
+# the semantic channel reuses the embedding-space matrix from
+# plans/similarity. Both mirrors embed the identical count-adaptive
+# bit-width rule, so the approximate retrieval itself is oracle-exact.
+_W16 = None  # filled lazily below to keep import cost near the use site
+
+
+def _hybrid_w16() -> list[list[int]]:
+    global _W16
+    if _W16 is None:
+        from etl_8million_data__spark.operators.similarity import hyperplane_weights
+        from etl_8million_data__spark.plans.similarity import _MAX_BITS
+
+        _W16 = hyperplane_weights(_MAX_BITS, 16)
+    return _W16
+
+
+def _hybrid_ivf_oracle() -> str:
+    from etl_8million_data__spark.plans.similarity import _NB_SQL, _NPROBE, _W_SQL
+
+    w16_sql = "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]" for row in _hybrid_w16()
+    ) + "]"
+
+    def channel(pfx: str, rel: str, idc: str, vec: str, dim: int, w: str) -> str:
+        """One SRP-IVF retrieval channel: projections -> sign-bit cell
+        -> multiprobe -> exact cosine inside probed cells -> top-10."""
+        return f"""
+    {pfx}pr AS (SELECT {_NB_SQL} AS nb FROM (SELECT count(*) AS cnt FROM {rel})),
+    {pfx}p AS (
+      SELECT {idc}, {vec}, n2, {pfx}pr.nb AS nb,
+             list_transform(range({pfx}pr.nb), j ->
+               list_reduce(list_prepend(0.0, list_transform(range({dim}),
+                 i -> {w}w.W[j+1][i+1] * {vec}[i+1]::DOUBLE)), (a, x) -> a + x)
+             ) AS projs
+      FROM {rel}, {w}w, {pfx}pr),
+    {pfx}c AS (
+      SELECT {idc}, {vec}, n2, nb, projs,
+             list_reduce(list_prepend(0, list_transform(range(nb), j ->
+               CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)), (a, x) -> a + x
+             ) AS cell
+      FROM {pfx}p),
+    {pfx}q AS (
+      SELECT {idc} AS query_id, {vec} AS qvec, n2 AS qn2, nb,
+             projs AS qprojs, cell AS qcell
+      FROM {pfx}c WHERE {idc} % 25 = 0),
+    {pfx}probes AS (
+      SELECT query_id, qvec, qn2,
+             unnest(list_prepend(qcell,
+               list_transform(
+                 list_slice(
+                   list_sort(list_transform(range(nb), j ->
+                     {{'a': abs(qprojs[j+1]), 'j': j}})),
+                   1, {_NPROBE - 1}),
+                 s -> xor(qcell, 1 << struct_extract(s, 'j'))))) AS cell
+      FROM {pfx}q),
+    {pfx}scored AS (
+      SELECT p.query_id, c.{idc} AS doc_id,
+             {_HYBRID_DOT.format(a='p.qvec', b=f'c.{vec}')}
+               / (sqrt(p.qn2) * sqrt(c.n2)) AS cosine
+      FROM {pfx}probes p JOIN {pfx}c c
+        ON c.cell = p.cell AND c.{idc} <> p.query_id)"""
+
+    return f"""
+    WITH cids AS (
+      SELECT d.doc_id
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      JOIN (SELECT DISTINCT vec_id FROM embeddings) v ON v.vec_id = d.doc_id),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+    h AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT c.doc_id, g.bucket, coalesce(a.v, 0) AS v
+      FROM cids c CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.bucket = g.bucket),
+    lvecs AS (
+      SELECT doc_id, list(v ORDER BY bucket) AS fv, sum(v * v) AS n2
+      FROM dense GROUP BY doc_id),
+    le AS (SELECT doc_id, fv, n2 FROM lvecs WHERE n2 > 0),
+    lw(W) AS (SELECT {w16_sql}),
+    se AS (
+      SELECT vec_id, embedding,
+             {_HYBRID_DOT.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cids)),
+    sw(W) AS (SELECT {_W_SQL}),
+    {channel('l', 'le', 'doc_id', 'fv', 16, 'l')},
+    {channel('s', 'se', 'vec_id', 'embedding', 64, 's')},
+    lex AS (
+      SELECT query_id, doc_id, rn AS rn_lex
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM lscored)
+      WHERE rn <= 10),
+    sem AS (
+      SELECT query_id, doc_id, rn AS rn_sem
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM sscored)
+      WHERE rn <= 10),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(11 - l.rn_lex, 0)
+                  + coalesce(11 - s.rn_sem, 0) AS BIGINT) AS borda,
+             l.rn_lex, s.rn_sem
+      FROM lex l FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+    SELECT query_id, doc_id, borda, rn_lex, rn_sem, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY borda DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "search_hybrid_rank_fusion_ivf",
+    oracle=_hybrid_ivf_oracle(),
+    tags=("similarity", "search", "fusion", "ivf", "extension", "scale-path"),
+)
+def search_hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-routed twin of search_hybrid_rank_fusion — the executable
+    scale story its docstring promises: both retrieval channels go
+    through the SRP inverted file (operators/similarity.knn_ivf, the
+    recall-gated registered scale path) instead of the size-guarded
+    brute-force baselines, and the integer Borda fusion stage is
+    UNCHANGED.  That is the point of fusing on ranks, not scores:
+    channels swap exact for approximate independently, fusion never
+    knows.  The lexical channel indexes the 16-dim hashed-BoW vectors
+    under a dedicated 16-dim hyperplane matrix; the semantic channel
+    reuses the embedding-space matrix; each channel derives its SRP
+    bit-width from ITS OWN corpus count with the shared adaptive rule,
+    so candidate fractions fall as the corpus grows.  Everything stays
+    deterministic (integer hyperplanes, fixed fold order, total-order
+    tie-breaks), so the whole approximate pipeline — not just a recall
+    summary — is oracle-checked exactly; rank overlap vs the exact
+    baseline is gated in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits, knn_ivf
+    from etl_8million_data__spark.plans.similarity import (
+        _MAX_BITS,
+        _MIN_BITS,
+        _NPROBE,
+        _TARGET_BUCKET,
+        _W,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
+        docs.select("doc_id").distinct(), "doc_id"
+    )
+
+    n2i = F.aggregate(
+        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
+    )
+    # one (id, vector) frame per channel, materialized once: the corpus
+    # side feeds cell assignment, the query side, and the adaptive
+    # bit-width count (3 consumers -> 1 scan each).
+    le = (
+        hashed_doc_vectors(spark, sf_dir)
+        .join(cids, "doc_id")
+        .filter(n2i > 0)
+        .localCheckpoint(eager=True)
+    )
+    nb_lex = adaptive_n_bits(le.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    lq = le.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
+    )
+    lex = knn_ivf(
+        le, lq, _hybrid_w16(), k=10, nprobe=_NPROBE, n_bits=nb_lex,
+        id_col="doc_id", vec_col="feats",
+    ).select("query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex"))
+
+    se = emb.join(
+        cids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    nb_sem = adaptive_n_bits(se.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    sq = se.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = knn_ivf(se, sq, _W, k=10, nprobe=_NPROBE, n_bits=nb_sem).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_sem")
+    )
+
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    borda = (
+        F.coalesce(F.lit(11) - F.col("rn_lex"), F.lit(0))
+        + F.coalesce(F.lit(11) - F.col("rn_sem"), F.lit(0))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("borda"), F.asc("doc_id"))
+    return (
+        fused.select("query_id", "doc_id", borda.alias("borda"), "rn_lex", "rn_sem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
 @register(
     "search_phrase_positions",
     oracle=f"""

@@ -85,6 +85,33 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 5 (first external evidence)
+    "search_hybrid_rank_fusion_ivf",
+    # never driver-sampled through round 4 (cumulative driver record
+    # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
+    "approx_distinct_users_hll",
+    "approx_percentile_prices",
+    "skew_salted_event_type_totals",
+    "json_quarantine_split",
+    "data_quality_expectations",
+    "sketch_kmv_distinct_customers",
+    "sketch_count_min_heavy_hitters",
+    "winsorized_value_stats_per_type",
+    "funnel_signup_click_purchase",
+    "cohort_weekly_retention",
+    "events_markov_transitions",
+    "events_value_outliers_zscore",
+    "corpus_term_frequencies",
+    "text_repetition_ratio",
+    "corpus_token_first_positions",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_price_part_per_type_size",
+    "tpch_q7_nation_pair_volume",
+    "tpch_q8_nation_market_share",
+    "tpch_q11_nation_balance_concentration",
+    "tpch_q12_late_lines_priority_counts",
+    "tpch_q15_top_supplier_by_quarter_revenue",
+    "tpch_q16_supplier_count_by_part_attrs",
     # NEW in round 4 (first external evidence)
     "corpus_bpe_merges",
     "corpus_bpe_segmentation",

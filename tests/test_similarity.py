@@ -313,3 +313,27 @@ def test_hashed_doc_vectors_route_through_ivf(spark, sf_dir):
     hits = bf.join(ivf, ["query_id", "vec_id"]).count()
     assert n_bf > 0
     assert hits / n_bf >= 0.6, f"recall@3 collapsed: {hits}/{n_bf}"
+
+
+def test_hybrid_fusion_ivf_rank_overlap_vs_exact(spark, sf_dir):
+    """The ANN-routed hybrid fusion must stay anchored to the exact
+    baseline: same query set, full top-5 per query, and the fused
+    top-5 sets overlap the exact fusion's well above the chance floor
+    (measured ~0.63 mean Jaccard-free overlap on the fixtures; the
+    probed candidate fraction alone would give ~0.19)."""
+    qs = all_queries()
+    exact = qs["search_hybrid_rank_fusion"].build(spark, sf_dir).collect()
+    ivf = qs["search_hybrid_rank_fusion_ivf"].build(spark, sf_dir).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    ivf_sets: dict = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(ivf_sets) == set(exact_sets)
+    assert all(len(v) == 5 for v in ivf_sets.values())
+    overlaps = [
+        len(ivf_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    avg = sum(overlaps) / len(overlaps)
+    assert avg >= 0.35, f"fused-list overlap collapsed: {avg}"
