@@ -283,7 +283,11 @@ def prefix_filter_pairs(
     fixtures draw shingles from a FIXED vocabulary, so every gram's df
     grows linearly with the corpus and pair density quadratically —
     real corpora grow their vocabulary with size, which is the regime
-    prefix filtering is designed for. Verification joins fan out only
+    prefix filtering is designed for. MEASURED, not argued: on a
+    vocabulary-growing corpus (V = 5n, per-gram df ~flat) the same
+    operator shows 3.0x time on 10x docs with exactly-linear output
+    pair growth (tools/scaling_probe.py:vocab_growth_probe, SCALING.md)
+    vs 8.3x under the fixed-vocab fixtures. Verification joins fan out only
     |candidates| x set size. Threshold is a rational num/den so the
     gate is integer-exact in any engine."""
     t_num, t_den = threshold_num, threshold_den

@@ -307,7 +307,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume — densifies quadratically with corpus size
     (9.3x time on 10x docs at sf0.1); real corpora grow their
     vocabulary with size, which is the regime prefix filtering is
-    designed for."""
+    designed for — measured at 3.2x time / linear pair growth on a
+    vocabulary-growing corpus (tools/scaling_probe.py:
+    vocab_growth_probe, SCALING.md)."""
     from etl_8million_data__spark.operators.dedup import containment_pairs
 
     d = load_table(spark, sf_dir, "documents")

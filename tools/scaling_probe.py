@@ -301,6 +301,90 @@ def mega_basket_probe() -> str:
     return line
 
 
+def vocab_growth_probe() -> list[str]:
+    """Measures the fixture-regime claim for the EXACT similarity joins
+    (operators/dedup.py:prefix_filter_pairs, containment_pairs): the
+    sf-sweep shows 8-10x time on 10x docs, and the docstrings argue
+    that is an artifact of the synthetic fixtures drawing shingles from
+    a FIXED vocabulary (gram df grows linearly with the corpus, so
+    candidate-pair density grows quadratically), while real corpora
+    grow vocabulary with size — the regime prefix filtering targets.
+
+    This probe runs the SAME operators on a corpus whose vocabulary
+    grows linearly with the corpus (V = 5n, so per-gram df stays ~flat
+    as n grows; 5% of docs are near-dup copies of a partner so both
+    joins have real output), at n=2k and n=20k docs. Under this regime
+    candidate volume per doc is bounded, so the 10x-data time ratio
+    must stay near-linear — gated at <= 4x, against the 8.3x / 9.9x the
+    fixed-vocab fixtures show."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("vocab-growth-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    def corpus(n: int):
+        v = 5 * n  # vocabulary grows linearly with the corpus
+        i = F.col("id")
+        is_copy = i % 20 == 1
+        base_id = F.when(is_copy, i - 1).otherwise(i)
+
+        def tok(j: int):
+            fresh = F.concat(
+                F.lit("x"), ((i * 31 + F.lit(j)) % v).cast("string")
+            )
+            shared = F.concat(
+                F.lit("w"), ((base_id * 17 + F.lit(j) * 13) % v).cast("string")
+            )
+            if j >= 27:  # copies alter the last 3 words -> J ~ 0.8
+                return F.when(is_copy, fresh).otherwise(shared)
+            return shared
+
+        return spark.range(n).select(
+            i.alias("doc_id"),
+            F.concat_ws(" ", *[tok(j) for j in range(30)]).alias("text"),
+        )
+
+    lines = []
+    for op_name, op in (
+        ("prefix_filter_pairs", lambda d: prefix_filter_pairs(d, 1, 2)),
+        ("containment_pairs", lambda d: containment_pairs(d, 4, 5)),
+    ):
+        times, pair_counts = [], []
+        for n in (2_000, 20_000):
+            docs = corpus(n).localCheckpoint(eager=True)
+            op(docs).count()  # warm
+            t0 = time.time()
+            pairs = op(docs).count()
+            times.append(time.time() - t0)
+            pair_counts.append(pairs)
+        ratio = times[1] / times[0] if times[0] > 0 else float("nan")
+        line = (
+            f"| {op_name}, growing vocabulary (V=5n) | "
+            f"{pair_counts[0]:,} -> {pair_counts[1]:,} pairs | "
+            f"{times[0]:.1f}s -> {times[1]:.1f}s | 10x | {ratio:.1f}x |"
+        )
+        print(line)
+        assert pair_counts[1] > 0, f"{op_name}: no output pairs — probe corpus broken"
+        assert ratio <= 4.0, (
+            f"{op_name} superlinear under growing vocabulary: {ratio:.1f}x "
+            "on 10x docs — the fixture-regime diagnosis does not hold"
+        )
+        lines.append(line)
+    spark.stop()
+    return lines
+
+
 def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -337,6 +421,7 @@ def main() -> None:
     skew_line = skew_probe()
     interval_line = interval_hot_user_probe()
     basket_line = mega_basket_probe()
+    vocab_lines = vocab_growth_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -397,6 +482,19 @@ def main() -> None:
             "|---|---|---|---|---|\n"
             f"{interval_line}\n"
             f"{basket_line}\n"
+            "\n## Regime check: exact similarity joins under a growing vocabulary\n\n"
+            "The sf-sweep's 8-10x ratios for the exact similarity joins are a\n"
+            "fixture artifact: the synthetic corpus draws shingles from a FIXED\n"
+            "vocabulary, so per-gram df grows linearly with the corpus and\n"
+            "candidate-pair density quadratically. On a corpus whose vocabulary\n"
+            "grows linearly with size (V = 5n, per-gram df ~flat — the regime\n"
+            "real corpora live in and prefix filtering targets; 5% of docs are\n"
+            "true near-dup copies), the SAME operators are gated near-linear\n"
+            "(<= 4x on 10x docs, 2k -> 20k).\n\n"
+            "| probe | output pairs | warm time | data growth | time ratio |\n"
+            "|---|---|---|---|---|\n"
+            + "\n".join(vocab_lines)
+            + "\n"
         )
     print("wrote SCALING.md")
 
