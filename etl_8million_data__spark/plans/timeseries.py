@@ -501,7 +501,24 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def concurrent_sessions_frame(e: DataFrame) -> DataFrame:
     """Frame-level core of events_concurrent_sessions (also driven by
-    the adversarial hot-user probe in tools/scaling_probe.py)."""
+    the adversarial hot-user probe in tools/scaling_probe.py).
+
+    MULTI-RESOLUTION binning: a single-resolution hour grid makes an
+    interval's fan-out span-proportional at 24 rows/day — fine for the
+    realistic tail (a month-long fused session is ~720 rows, probed),
+    a cliff for pathological years-long intervals (10k+ rows each).
+    So intervals are split by span: SHORT intervals (< 2 days) explode
+    into hour buckets, LONG intervals into day buckets, and candidates
+    are the union of two equi-joins — short x short on (user, hour) and
+    any-long pairs on (user, day), where short intervals contribute
+    their <= 3 day rows to the day-keyed side. A years-long interval
+    now fans out 365 rows/year instead of 8,760, while dense same-day
+    short sessions keep the fine hour key that keeps their candidate
+    groups small. Both joins dedup via distinct on the interval
+    endpoints before the exact overlap predicate — the result set is
+    identical to single-resolution binning (and to the oracle's naive
+    self-join). The same construction extends upward (week/month
+    buckets) if spans ever warrant a third level."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -523,41 +540,64 @@ def concurrent_sessions_frame(e: DataFrame) -> DataFrame:
     iv = numbered.groupBy("user_id", "event_type", "sid").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    binned = iv.select(
-        "user_id",
-        "event_type",
-        "s",
-        "e",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", "s"),
-                F.date_trunc("hour", "e"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bucket"),
-    )
-    a = binned.select(
-        "user_id",
-        "bucket",
-        F.col("event_type").alias("type_a"),
-        F.col("s").alias("start_a"),
-        F.col("e").alias("end_a"),
-    )
-    b = binned.select(
-        "user_id",
-        "bucket",
-        F.col("event_type").alias("type_b"),
-        F.col("s").alias("start_b"),
-        F.col("e").alias("end_b"),
+    is_long = F.col("e") >= F.date_trunc("day", F.col("s")) + F.expr("INTERVAL 2 DAY")
+    iv = iv.select("user_id", "event_type", "s", "e", is_long.alias("is_long"))
+
+    def binned(df: DataFrame, unit: str) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_type",
+            "s",
+            "e",
+            "is_long",
+            F.explode(
+                F.sequence(
+                    F.date_trunc(unit, "s"),
+                    F.date_trunc(unit, "e"),
+                    F.expr(f"INTERVAL 1 {unit.upper()}"),
+                )
+            ).alias("bucket"),
+        )
+
+    def sides(df: DataFrame):
+        a = df.select(
+            "user_id",
+            "bucket",
+            F.col("is_long").alias("long_a"),
+            F.col("event_type").alias("type_a"),
+            F.col("s").alias("start_a"),
+            F.col("e").alias("end_a"),
+        )
+        b = df.select(
+            "user_id",
+            "bucket",
+            F.col("is_long").alias("long_b"),
+            F.col("event_type").alias("type_b"),
+            F.col("s").alias("start_b"),
+            F.col("e").alias("end_b"),
+        )
+        return a, b
+
+    # fine resolution: short intervals only, keyed on (user, hour)
+    ha, hb = sides(binned(iv.filter(~F.col("is_long")), "hour"))
+    cand_hour = ha.join(hb, ["user_id", "bucket"])
+    # coarse resolution: every interval contributes its day buckets
+    # (short ones add <= 3 rows), but only pairs touching a long
+    # interval are taken here — short x short already has the hour key
+    da, db = sides(binned(iv, "day"))
+    cand_day = da.join(db, ["user_id", "bucket"]).filter(
+        F.col("long_a") | F.col("long_b")
     )
     pairs = (
-        a.join(b, ["user_id", "bucket"])
+        cand_hour.unionByName(cand_day)
         .filter(
             (F.col("type_a") < F.col("type_b"))
             & (F.col("start_a") <= F.col("end_b"))
             & (F.col("start_b") <= F.col("end_a"))
         )
-        .drop("bucket")
+        .select(
+            "user_id", "type_a", "type_b", "start_a", "end_a", "start_b", "end_b"
+        )
         .distinct()
     )
     return pairs.select(

@@ -183,10 +183,17 @@ def interval_hot_user_probe() -> str:
     month-long interval, so the hot user contributes 8 intervals x
     ~720 hour-buckets each while normal users contribute a handful.
     The probe asserts (a) the binned join completes, (b) the fan-out
-    is the predicted Σ span-hours (binning is linear in covered time,
-    never |sessions|² per user), and (c) no output partition holds
-    more than 4x the median — the (user, hour-bucket) key spreads even
-    the hot user's rows across the shuffle."""
+    is linear in covered time, never |sessions|² per user, and (c) no
+    output partition holds more than 4x the median — the (user, bucket)
+    key spreads even the hot user's rows across the shuffle.
+
+    A second pathological user holds two YEARS-long continuously-active
+    types (100-min cadence over 730 days, ~21k extra events): under
+    single-resolution hour binning each of those intervals fanned out
+    to ~17,500 rows; the multi-resolution frame (hour buckets for
+    short intervals, day buckets for long ones) emits ~730 day rows
+    each, so the probe also gates the extreme-span tail the hour grid
+    could not."""
     import statistics
 
     from pyspark.sql import SparkSession
@@ -236,6 +243,19 @@ def interval_hot_user_probe() -> str:
         .alias("event_type"),
         (base + F.make_interval(mins=minutes)).alias("ts"),
     )
+    # pathological tail: one user, two event types, each continuously
+    # active for ~2 years (100-min cadence < the 2h session gap, so
+    # each type fuses into ONE 730-day interval)
+    path_n = 10_512  # per type: 730 days * 24 * 60 / 100
+    path = spark.range(path_n * 2).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit(999_999).alias("user_id"),
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("event_type"),
+        (base + F.make_interval(mins=(F.col("id") / 2).cast("long") * 100)).alias(
+            "ts"
+        ),
+    )
+    ev = ev.unionByName(path)
     df = concurrent_sessions_frame(ev)
     t0 = time.time()
     pid = (
@@ -247,7 +267,8 @@ def interval_hot_user_probe() -> str:
     med = statistics.median(counts) if counts else 0
     ratio = (mx / med) if med else 1.0
     line = (
-        f"| interval join, 20%-hot user (n={n}) | {total:,} overlap pairs | "
+        f"| interval join, 20%-hot user + 2yr-span user (n={n + path_n * 2}) | "
+        f"{total:,} overlap pairs | "
         f"{len(counts)} partitions | max/median = {ratio:.2f}x | {dt:.1f}s |"
     )
     print(line)
