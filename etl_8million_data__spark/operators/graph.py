@@ -244,6 +244,20 @@ def pagerank_weighted(
     probability distribution) — the standard simplification when
     PageRank is used as a RANKING signal.
 
+    Dangling-mass semantics, precisely: a sink node's rank enters no
+    contribution join, so each iteration maps total mass M to at most
+    teleport_total + (d_num/d_den)·M — a strict L1 contraction with
+    factor d (0.85), i.e. the iteration still converges geometrically
+    to a unique fixed point; the dropped mass only deflates the total
+    (per-node ranks are NOT renormalized to sum to 1, and sinks act as
+    pure absorbers rather than teleporting their mass back). This is
+    deliberate and SYMMETRIC: the DuckDB oracle replays the identical
+    recurrence, so the engines agree bit-for-bit. To get
+    distribution-style PageRank instead, redistribute each round's
+    dangling mass uniformly (one extra aggregate of sink ranks per
+    iteration) on BOTH engines — not done here because the ranking
+    order is what the corpus-curation consumers use.
+
     Each iteration is one join of the rank vector against the edge
     list + one dst-keyed aggregation — the canonical distributed
     PageRank step; the loop is driver-side CONTROL only.  Overflow

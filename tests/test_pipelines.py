@@ -222,3 +222,41 @@ def test_ingest_incremental_skip_existing(spark):
         n2 = ingest(spark, csv, store, fetch)
         assert n2 == 0
         assert spark.read.parquet(store).count() == 2
+
+
+def test_quote_price_coalesce_priority_property(spark):
+    """Pin the pyc-recovered coalesce priority for the price field
+    (lastPrice -> last_price -> regularMarketPrice -> currentPrice)
+    against adversarially-shuffled payloads, so the pyc-derived
+    semantics cannot silently drift: for EVERY subset of the four
+    source keys, in reverse-priority JSON key order (insertion order
+    must not matter), and additionally with the highest-priority
+    present key set to JSON null (coalesce must skip nulls and fall
+    through), the picked value is exactly the first non-null key in
+    the priority chain."""
+    import itertools
+
+    prio = ["lastPrice", "last_price", "regularMarketPrice", "currentPrice"]
+    vals = {k: float(100 * (i + 1)) for i, k in enumerate(prio)}
+    rows, expected = [], {}
+    rid = 0
+    for r in range(len(prio) + 1):
+        for subset in itertools.combinations(prio, r):
+            # adversarial insertion order: reverse priority
+            info = {k: vals[k] for k in reversed(subset)}
+            info["shortName"] = "x"
+            rows.append((f"s{rid}", json.dumps({"info": info})))
+            expected[f"s{rid}"] = next((vals[k] for k in prio if k in subset), None)
+            rid += 1
+            if subset:
+                # highest-priority present key nulled -> falls through
+                info2 = {k: (None if k == subset[0] else vals[k]) for k in reversed(subset)}
+                info2["shortName"] = "x"
+                rows.append((f"s{rid}", json.dumps({"info": info2})))
+                expected[f"s{rid}"] = next(
+                    (vals[k] for k in prio if k in subset[1:]), None
+                )
+                rid += 1
+    raw = spark.createDataFrame(rows, "symbol string, payload string")
+    got = {r.symbol: r.price for r in quote_snapshot(raw).collect()}
+    assert got == expected
