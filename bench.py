@@ -76,6 +76,7 @@ HEADLINE = [
     "events_concurrent_sessions",  # binned interval overlap join
     # round-5 families
     "search_hybrid_rank_fusion_ivf",  # ANN-routed two-channel fusion
+    "dedup_winnowing_pairs",  # MOSS winnowing local-overlap pairs
 ]
 
 

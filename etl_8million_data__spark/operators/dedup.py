@@ -452,3 +452,71 @@ def containment_pairs(
             (F.col("common") * 1.0 / F.col("n_inner")).alias("containment"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-token gram, then
+    in each window of ``w`` consecutive gram hashes select the minimum
+    (rightmost on ties). The selected (position, hash) set is a LOCAL
+    fingerprint with two guarantees the global rolling hash
+    (text_doc_fingerprint) lacks: any shared run of at least w+k-1
+    tokens yields at least one shared fingerprint (detection
+    guarantee), and density is ~2/(w+1) of the grams regardless of
+    document length — robust to insertions/reorderings that break
+    whole-document hashes.
+
+    Scale shape: everything is NARROW per-document array work (one
+    transform for gram hashes, one w-bounded fold per window, one
+    array_distinct) after the ``spread`` repartition — no shuffle, no
+    fan-out beyond the selected ~n/w rows per doc. Engine-portable by
+    construction: integer hash = first-6-hex-chars fold of md5 (the
+    operators/text.py contract), left-fold window minimum with a <=
+    tie rule (later position wins) that any engine replays exactly.
+
+    Returns (doc_id, pos, fp): pos = 0-based gram position of each
+    selected fingerprint. Docs with fewer than k+w-1 tokens (no full
+    window) emit nothing."""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    base = (
+        spread(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k + w - 1)
+    )
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: hex_prefix_int(
+            md5_utf8(F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")), 6
+        ),
+    )
+    hashed = base.select("doc_id", hs.alias("_hs"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_hs") - w),
+            lambda j: F.aggregate(
+                F.sequence(j + 1, j + w - 1),
+                F.struct(
+                    F.element_at("_hs", (j + 1).cast("int")).alias("fp"),
+                    j.cast("bigint").alias("pos"),
+                ),
+                lambda acc, u: F.when(
+                    F.element_at("_hs", (u + 1).cast("int")) <= acc["fp"],
+                    F.struct(
+                        F.element_at("_hs", (u + 1).cast("int")).alias("fp"),
+                        u.cast("bigint").alias("pos"),
+                    ),
+                ).otherwise(acc),
+            ),
+        )
+    )
+    return (
+        hashed.select("doc_id", F.explode(sel).alias("_s"))
+        .select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )

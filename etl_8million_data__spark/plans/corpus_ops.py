@@ -2594,3 +2594,69 @@ def search_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") <= 3)
         .select("query_id", "doc_id", "maxsim", "rn")
     )
+
+
+@register(
+    "corpus_group_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(6), c ->
+                 CAST(strpos('0123456789abcdef', md5(source)[c+1:c+1]) - 1
+                   AS BIGINT))),
+               (a, x) -> a * 16 + x) % 1000 AS bucket
+      FROM documents),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < 900 THEN 'train'
+                  WHEN bucket < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM b GROUP BY 1, 2)
+    SELECT s.source, s.split, s.n_docs, s.total_chars,
+           CAST(count(*) OVER (PARTITION BY s.source) AS BIGINT) AS n_splits_of_source
+    FROM s
+    """,
+    tags=("corpus", "split", "leakage", "extension"),
+)
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the split is decided by a
+    deterministic hash of the SOURCE (domain) key, so every document
+    of a source lands in the same split — the leakage-free complement
+    of corpus_train_split (doc-level hash) and the structural fix for
+    what corpus_split_leakage measures: near-duplicates overwhelmingly
+    cluster within a source, and a doc-level split scatters them
+    across train and heldout. The hash is the first-6-hex fold of
+    md5(source) (operators/text.py contract — engine-portable, unlike
+    rand() or either engine's native hash()), ~90/5/5 by bucket. The
+    output carries n_splits_of_source, which this construction pins to
+    1 for every source — the no-straddle audit is part of the
+    oracle-checked result, not a side assertion. One shuffle on
+    (source, split); the window is per-source, never data-sized."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hex_prefix_int(md5_utf8(F.col("source")), 6) % 1000
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    agg = (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_chars",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_splits_of_source"),
+    )

@@ -362,3 +362,124 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidate_pairs(d)
     return triangle_counts(pairs)
+
+
+# Winnowing oracle fragments: gram-hash list per doc (first-6-hex fold
+# of md5, the operators/text.py contract), then the rightmost-min of
+# each 5-hash window via a left fold with a <= tie rule — bit-identical
+# to operators/dedup.winnowing_fingerprints.
+_WINNOW_SEL = f"""
+  t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= 8),
+  g AS (
+    SELECT doc_id,
+           list_transform(range(len(toks) - 3), i ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(6), c ->
+                 CAST(strpos('0123456789abcdef',
+                      md5(array_to_string(toks[i+1:i+4], ' '))[c+1:c+1]) - 1
+                   AS BIGINT))),
+               (a, x) -> a * 16 + x)) AS hs
+    FROM t),
+  sel AS (
+    SELECT doc_id,
+           list_transform(range(len(hs) - 4), j ->
+             list_reduce(
+               list_transform(range(5), u -> [hs[j+u+1], CAST(j+u AS BIGINT)]),
+               (acc, e) -> CASE WHEN e[1] <= acc[1] THEN e ELSE acc END)) AS fps
+    FROM g)
+"""
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_SEL}
+    SELECT DISTINCT doc_id, u.e[2] AS pos, u.e[1] AS fp
+    FROM sel, unnest(sel.fps) AS u(e)
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "extension", "scale-path"),
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints per document: the minimum
+    gram hash of every 5-hash window over 4-token grams, rightmost on
+    ties — see operators/dedup.winnowing_fingerprints for the
+    guarantees (any shared >= 8-token run produces a shared
+    fingerprint; density ~2/(w+1) independent of doc length). Pure
+    narrow array work per doc; the oracle replays the identical hash
+    fold and window minimum."""
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=4, w=5)
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_SEL},
+    docfp AS (
+      SELECT DISTINCT doc_id, u.e[1] AS fp
+      FROM sel, unnest(sel.fps) AS u(e)),
+    fpdf AS (SELECT fp, count(*) AS df FROM docfp GROUP BY fp),
+    rare AS (
+      SELECT d.doc_id, d.fp FROM docfp d JOIN fpdf USING (fp)
+      WHERE fpdf.df <= 20),
+    nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           na.n AS n_a, nb.n AS n_b,
+           n_shared * 1.0 / least(na.n, nb.n) AS overlap
+    FROM shared
+    JOIN nfp na ON na.doc_id = doc_a
+    JOIN nfp nb ON nb.doc_id = doc_b
+    WHERE n_shared >= 3
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "similarity-join", "extension", "scale-path"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 3 winnowed fingerprints — the MOSS
+    match step: because winnowing guarantees a shared fingerprint for
+    any shared run of >= w+k-1 tokens, this finds LOCAL overlap
+    (quoted paragraphs, cloned passages) that whole-document and
+    set-Jaccard methods dilute. Fingerprints present in more than 20
+    documents are masked first (boilerplate — the standard MOSS
+    exclusion), so join blocks stay bounded: the pair join is keyed on
+    RARE fingerprints only, the same sub-quadratic shape as the LSH
+    band join, and the overlap fraction n_shared/min(|A|,|B|) is one
+    exact division."""
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(d, k=4, w=5)
+    docfp = fp.select("doc_id", "fp").distinct().localCheckpoint(eager=True)
+    fpdf = docfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = docfp.join(fpdf.filter(F.col("df") <= 20), "fp").select("doc_id", "fp")
+    nfp = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    na = nfp.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared") * 1.0 / F.least("n_a", "n_b")).alias("overlap"),
+        )
+    )

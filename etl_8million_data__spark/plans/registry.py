@@ -87,6 +87,9 @@ def _load() -> None:
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
+    "dedup_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "corpus_group_split",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

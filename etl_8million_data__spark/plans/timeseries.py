@@ -541,7 +541,12 @@ def concurrent_sessions_frame(e: DataFrame) -> DataFrame:
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
     is_long = F.col("e") >= F.date_trunc("day", F.col("s")) + F.expr("INTERVAL 2 DAY")
-    iv = iv.select("user_id", "event_type", "s", "e", is_long.alias("is_long"))
+    # one interval row per session, materialized once: three join inputs
+    # (short-hour a/b, long-day probe, all-day build) derive from it, and
+    # each would otherwise replay the sessionization windows
+    iv = iv.select(
+        "user_id", "event_type", "s", "e", is_long.alias("is_long")
+    ).localCheckpoint(eager=True)
 
     def binned(df: DataFrame, unit: str) -> DataFrame:
         return df.select(
@@ -578,25 +583,48 @@ def concurrent_sessions_frame(e: DataFrame) -> DataFrame:
         )
         return a, b
 
-    # fine resolution: short intervals only, keyed on (user, hour)
+    cols = ["user_id", "type_a", "type_b", "start_a", "end_a", "start_b", "end_b"]
+    # fine resolution: short intervals only, keyed on (user, hour); both
+    # orientations of a pair appear, keep the canonical one
     ha, hb = sides(binned(iv.filter(~F.col("is_long")), "hour"))
-    cand_hour = ha.join(hb, ["user_id", "bucket"])
-    # coarse resolution: every interval contributes its day buckets
-    # (short ones add <= 3 rows), but only pairs touching a long
-    # interval are taken here — short x short already has the hour key
-    da, db = sides(binned(iv, "day"))
-    cand_day = da.join(db, ["user_id", "bucket"]).filter(
-        F.col("long_a") | F.col("long_b")
+    cand_hour = (
+        ha.join(hb, ["user_id", "bucket"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(*cols)
+    )
+    # coarse resolution: the probe ('a') side is LONG intervals ONLY —
+    # pre-filtering the join input instead of post-filtering its output
+    # (a long_a|long_b residual after an all x all day join would build
+    # every same-day candidate first; with no long intervals this join
+    # is now empty and free). The build side is every interval's day
+    # buckets (short ones add <= 3 rows), so long x long and
+    # long x short pairs both surface; orientation is canonicalized
+    # afterwards because only one side carries the long rows.
+    da, _ = sides(binned(iv.filter(F.col("is_long")), "day"))
+    _, db = sides(binned(iv, "day"))
+    swap = F.col("type_a") > F.col("type_b")
+
+    def pick(a_col: str, b_col: str):
+        return F.when(swap, F.col(b_col)).otherwise(F.col(a_col))
+
+    cand_day = (
+        da.join(db, ["user_id", "bucket"])
+        .filter(F.col("type_a") != F.col("type_b"))
+        .select(
+            "user_id",
+            pick("type_a", "type_b").alias("type_a"),
+            pick("type_b", "type_a").alias("type_b"),
+            pick("start_a", "start_b").alias("start_a"),
+            pick("end_a", "end_b").alias("end_a"),
+            pick("start_b", "start_a").alias("start_b"),
+            pick("end_b", "end_a").alias("end_b"),
+        )
     )
     pairs = (
         cand_hour.unionByName(cand_day)
         .filter(
-            (F.col("type_a") < F.col("type_b"))
-            & (F.col("start_a") <= F.col("end_b"))
+            (F.col("start_a") <= F.col("end_b"))
             & (F.col("start_b") <= F.col("end_a"))
-        )
-        .select(
-            "user_id", "type_a", "type_b", "start_a", "end_a", "start_b", "end_b"
         )
         .distinct()
     )
