@@ -504,3 +504,72 @@ def knn_ivf_kmeans(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) Gram matrix by
+    POWER ITERATION — the spectral building block (PCA first component
+    / dominant eigenvector) done relationally, in the same exact
+    integer fixed-point discipline as kmeans_fit and
+    pagerank_weighted so the whole iterative result is oracle-checkable:
+
+    - the direction vector lives as ``scale``-unit integers (micro);
+    - per row, dot(x, v) uses the shared double fold, and each
+      per-dimension contribution floor(x_j * dot) is truncated to an
+      INTEGER before any cross-row aggregation, so the per-dimension
+      sums are order-independent and bit-identical in any engine;
+    - renormalization divides by max|s_j| with truncating integer
+      division (Spark ``div`` == DuckDB integer ``//``), guarded by
+      greatest(.., 1) against the all-zero corpus.
+
+    Scale shape per iteration: one broadcast of the 1-row direction,
+    one narrow map computing dots + contributions, one posexplode
+    aggregation to ``dim`` partial sums (map-side combine reduces each
+    partition to <= dim rows before the shuffle) — never an all-pairs
+    or data-sized-window stage; the driver loop is CONTROL only, like
+    the other iterative operators. Fixed ``iters`` keeps the result a
+    pure function of the input.
+
+    Returns (dim int, v_micro bigint): the unit-free direction in
+    micro units (canonical up to the deterministic v0 = all-ones
+    start; no random restarts, no sign ambiguity)."""
+    spark = emb.sparkSession
+    x = emb.select(
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x")
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(scale).cast("bigint") for _ in range(dim)]).alias("vm")
+    )
+    for _ in range(iters):
+        vd = v.select(F.transform("vm", lambda m: m / scale).alias("v"))
+        dot = F.aggregate(
+            F.zip_with("x", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+        )
+        contrib = x.crossJoin(F.broadcast(vd)).select(
+            F.posexplode(
+                F.transform("x", lambda xv: F.floor(xv * dot).cast("bigint"))
+            ).alias("dim", "c")
+        )
+        s = contrib.groupBy("dim").agg(F.sum("c").alias("s"))
+        mx = s.agg(F.greatest(F.max(F.abs("s")), F.lit(1)).alias("mx"))
+        v = (
+            s.crossJoin(F.broadcast(mx))
+            .select("dim", F.expr(f"(s * {scale}) div mx").alias("m"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda e: e["m"],
+                ).alias("vm")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.posexplode("vm").alias("dim", "v_micro")
+    ).select(F.col("dim").cast("int").alias("dim"), F.col("v_micro"))

@@ -925,3 +925,59 @@ def similarity_knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") <= 5)
         .select("query_id", F.col("qlabel").alias("label"), "vec_id", "cosine", "rn")
     )
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    """DuckDB mirror of operators/similarity.power_iteration_top_component:
+    per-row floor-to-integer contributions, per-dim integer sums,
+    truncating integer renormalization — unrolled ``iters`` times."""
+    parts = [
+        "e AS (SELECT list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings)",
+        "v0(vm) AS (SELECT list_transform(range(64), j -> CAST(1000000 AS BIGINT)))",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"v{it - 1}"
+        parts.append(f"""d{it} AS (
+      SELECT x,
+             list_reduce(list_prepend(0.0, list_transform(range(64),
+               j -> x[j+1] * ({prev}.vm[j+1] / 1000000.0))), (a, b) -> a + b) AS dot
+      FROM e, {prev})""")
+        parts.append(f"""s{it} AS (
+      SELECT u.j AS dim,
+             CAST(sum(CAST(floor(x[u.j+1] * dot) AS BIGINT)) AS BIGINT) AS s
+      FROM d{it}, unnest(range(64)) AS u(j) GROUP BY 1)""")
+        parts.append(
+            f"m{it} AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s{it})"
+        )
+        parts.append(
+            f"v{it}(vm) AS (SELECT list((s * 1000000) // mx ORDER BY dim) "
+            f"FROM s{it}, m{it})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(u.j AS INT) AS dim, v{iters}.vm[u.j+1] AS v_micro
+    FROM v{iters}, unnest(range(64)) AS u(j)
+    """
+    )
+
+
+@register(
+    "embedding_top_component",
+    oracle=_power_iter_oracle(3),
+    tags=("similarity", "embedding", "spectral", "iterative", "extension"),
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant Gram-matrix eigenvector of the embedding corpus by 3
+    power iterations in exact integer fixed-point (see
+    operators/similarity.power_iteration_top_component) — the spectral
+    complement of the k-means quantizer: PCA first component for
+    whitening / anisotropy diagnosis / 1-bit spectral hashing of an
+    embedding column. The entire iterative result — not a summary of
+    it — hash-matches the DuckDB replay, like the k-means, PageRank
+    and connected-components loops."""
+    from etl_8million_data__spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, iters=3)
