@@ -239,3 +239,101 @@ def media_dedup_increment(
     )
     kept_bands.write.mode("append").parquet(index_path)
     return kept
+
+
+WINNOW_INDEX_SCHEMA = "doc_id long, fp long, _batch string"
+
+
+def winnowing_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 3,
+    df_cap: int = 20,
+    batch_tag: str | None = None,
+) -> DataFrame:
+    """Incremental LOCAL-overlap filtering against a persisted
+    winnowing-fingerprint index — the operational (batch-vs-corpus)
+    form of dedup_winnowing_pairs, catching what the band index
+    structurally cannot: a new document that EMBEDS a long passage of
+    an accepted one (quotes, clones) while differing everywhere else
+    keeps near-zero whole-set Jaccard — no shared MinHash band — but
+    winnowing guarantees shared fingerprints for any common run of
+    >= w+k-1 tokens.
+
+    Rules mirror dedup_increment: a new doc is dropped when it shares
+    >= ``min_shared`` rare fingerprints with any single accepted
+    document, or with any smaller-id document of its own batch
+    (deterministic smaller-id-wins); docs too short to fill one window
+    (< k+w-1 tokens) emit no fingerprints and always pass. Fingerprints
+    held by more than ``df_cap`` accepted documents are masked at probe
+    time (boilerplate, the MOSS exclusion) — computed here with one
+    aggregate over the index; at 100 TB keep a (fp, df) sidecar
+    maintained by the same appends instead of re-aggregating.
+    ``batch_tag`` gives at-least-once replay idempotence exactly as in
+    dedup_increment: the probe ignores index rows carrying its own tag.
+
+    Index layout: (doc_id, fp bigint, _batch) parquet rows, ~2/(w+1)
+    of each accepted doc's grams; the probe is an equi-join on fp whose
+    blocks are bounded by ``df_cap``."""
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+
+    spark = new_docs.sparkSession
+    fps_new = (
+        winnowing_fingerprints(new_docs, k, w, text_col, id_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+    except AnalysisException:
+        idx = spark.createDataFrame([], WINNOW_INDEX_SCHEMA)
+    if "_batch" not in idx.columns:
+        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
+    if batch_tag is not None:
+        idx = idx.filter(~F.col("_batch").eqNullSafe(F.lit(batch_tag)))
+    idx = idx.select("doc_id", "fp").distinct()
+    fpdf = idx.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare_idx = idx.join(fpdf.filter(F.col("_df") <= df_cap), "fp").select(
+        F.col("doc_id").alias("_idx_doc"), "fp"
+    )
+    vs_corpus = (
+        fps_new.join(rare_idx, "fp")
+        .groupBy("doc_id", "_idx_doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    # within-batch: drop b when some smaller-id a of the same batch
+    # shares >= min_shared (batch-rare) fingerprints with it
+    bdf = fps_new.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare_new = fps_new.join(bdf.filter(F.col("_df") <= df_cap), "fp").select(
+        "doc_id", "fp"
+    )
+    a = rare_new.select(F.col("doc_id").alias("_a"), "fp")
+    b = rare_new.select(F.col("doc_id").alias("doc_id"), "fp")
+    vs_batch = (
+        a.join(b, "fp")
+        .filter(F.col("_a") < F.col("doc_id"))
+        .groupBy("_a", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = vs_corpus.unionByName(vs_batch).distinct().localCheckpoint(eager=True)
+
+    kept = new_docs.join(dropped, new_docs[id_col] == dropped["doc_id"], "left_anti")
+    kept_fps = fps_new.join(dropped, "doc_id", "left_anti").withColumn(
+        "_batch", F.lit(batch_tag).cast("string")
+    )
+    kept_fps.write.mode("append").parquet(index_path)
+    return kept

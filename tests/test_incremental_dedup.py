@@ -258,3 +258,57 @@ def test_streaming_media_ingest_dedups_across_batches(spark, tmp_path):
 
     got = sorted(r.media_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 11]
+
+
+_PASSAGE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+_HOST_A = "one two three four five six seven eight nine ten " + _PASSAGE
+_HOST_B = (
+    "totally unrelated prose about distributed query engines and their "
+    "shuffle strategies " + _PASSAGE + " trailing words conclude this text"
+)
+_NOVEL = (
+    "uniform umbrella victor whiskey xray yankee zulu apple banana cherry "
+    "dragonfruit elderberry fig grape honeydew imbe jackfruit kiwi lemon mango"
+)
+
+
+def test_winnowing_increment_catches_embedded_passage(spark, tmp_path):
+    """A doc embedding a 20-token passage of an accepted doc has tiny
+    whole-set Jaccard (different everywhere else) but must collide via
+    the winnowing index; novel and too-short docs pass."""
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        winnowing_increment,
+    )
+
+    idx = str(tmp_path / "winnow_index")
+    kept1 = winnowing_increment(_docs(spark, [(1, _HOST_A)]), idx)
+    assert _ids(kept1) == [1]
+    kept2 = winnowing_increment(
+        _docs(spark, [(10, _HOST_B), (11, _NOVEL), (12, "too short")]), idx
+    )
+    # 10 quotes the accepted passage -> dropped; 11 novel; 12 short
+    assert _ids(kept2) == [11, 12]
+    # survivors extend the index: a doc quoting 11's content now collides
+    kept3 = winnowing_increment(
+        _docs(spark, [(20, "prefix words then " + _NOVEL + " and a suffix")]), idx
+    )
+    assert _ids(kept3) == []
+
+
+def test_winnowing_increment_batch_dup_and_replay(spark, tmp_path):
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        winnowing_increment,
+    )
+
+    idx = str(tmp_path / "winnow_index")
+    batch = _docs(spark, [(1, _HOST_A), (2, _HOST_B), (3, _NOVEL)])
+    kept = winnowing_increment(batch, idx, batch_tag="b1")
+    # 2 shares the passage with smaller-id 1 inside the batch
+    assert _ids(kept) == [1, 3]
+    # replay of the same tagged batch ignores its own index rows:
+    # identical kept-set, no self-collision
+    kept_replay = winnowing_increment(batch, idx, batch_tag="b1")
+    assert _ids(kept_replay) == [1, 3]
