@@ -395,3 +395,54 @@ def stream_media_dedup_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def winnow_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    scope: str,
+) -> None:
+    """One micro-batch of the streaming winnowing ingest — identical
+    idempotence contract to :func:`dedup_ingest_batch` (same-tag probe
+    exclusion on the fingerprint index, per-batch overwrite partition
+    on the out path), with the winnowing index doing LOCAL-overlap
+    filtering instead of whole-document band collision."""
+    import hashlib
+
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        winnowing_increment,
+    )
+
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    tag = f"{scope_h}-{batch_id}"
+    kept = winnowing_increment(batch_df, index_path, batch_tag=f"{scope}#{batch_id}")
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"ingest_batch={tag}")
+    )
+
+
+def stream_winnowing_increment(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the incremental winnowing filter
+    (operators/incremental_dedup.winnowing_increment): each micro-batch
+    winnows ITS OWN documents only, probes the persisted fingerprint
+    index for embedded-passage overlap with everything accepted so
+    far, writes survivors, extends the index. foreachBatch +
+    replay-idempotent writes, exactly like stream_dedup_increment."""
+    scope = os.path.abspath(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        winnow_ingest_batch(batch_df, batch_id, index_path, out_path, scope)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

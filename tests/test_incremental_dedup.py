@@ -312,3 +312,29 @@ def test_winnowing_increment_batch_dup_and_replay(spark, tmp_path):
     # identical kept-set, no self-collision
     kept_replay = winnowing_increment(batch, idx, batch_tag="b1")
     assert _ids(kept_replay) == [1, 3]
+
+
+def test_streaming_winnowing_filters_embedded_passage(spark, tmp_path):
+    """Streaming twin of winnowing_increment: batch 2's document that
+    quotes a passage accepted in batch 1 is filtered; novel content
+    accumulates in out."""
+    from etl_8million_data__spark.streaming.jobs import stream_winnowing_increment
+
+    src = tmp_path / "win_in"
+    src.mkdir()
+    idx = str(tmp_path / "win_idx")
+    out = str(tmp_path / "win_out")
+    schema = "doc_id long, text string"
+
+    _docs(spark, [(1, _HOST_A)]).write.mode("overwrite").parquet(str(src / "b1"))
+    s1 = spark.readStream.schema(schema).parquet(str(src / "b1"))
+    stream_winnowing_increment(s1, idx, out, str(tmp_path / "wc1")).awaitTermination()
+
+    _docs(spark, [(10, _HOST_B), (11, _NOVEL)]).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    s2 = spark.readStream.schema(schema).parquet(str(src / "b2"))
+    stream_winnowing_increment(s2, idx, out, str(tmp_path / "wc2")).awaitTermination()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]
