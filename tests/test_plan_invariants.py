@@ -156,8 +156,11 @@ def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
         # interval join must stay equi-keyed binned — a NestedLoop /
         # cartesian over sessions would be the naive fan-out regression
         # (the bucket equi-join is planner-chosen: broadcast at fixture
-        # scale, SMJ/shuffled-hash under AQE at scale — either is fine)
-        ("events_concurrent_sessions", ["HashJoin", "Window"],
+        # scale, SMJ/shuffled-hash under AQE at scale — either is fine).
+        # The sessionization Windows run before the eager interval
+        # checkpoint, so the final plan starts at the checkpointed RDD
+        # and shows only the binned joins.
+        ("events_concurrent_sessions", ["HashJoin"],
          ["CartesianProduct", "BroadcastNestedLoopJoin"]),
         # MAD detector: per-type stats joined by broadcast, never the
         # fact side
@@ -178,3 +181,36 @@ def test_round4_plan_shapes(spark, name, expects, forbidden):
     present = [f for f in forbidden if f in plan]
     assert not missing, f"{name}: plan lost {missing}"
     assert not present, f"{name}: plan regressed to {present}"
+
+
+def test_winnowing_fingerprints_has_no_join(spark):
+    """Winnowing is pure narrow per-document array work — any Join in
+    its plan means the selection regressed into a fan-out formulation."""
+    plan = _formatted_plan(
+        all_queries()["dedup_winnowing_fingerprints"].build(spark, SF)
+    )
+    assert "Join" not in plan, "winnowing selection grew a join"
+    assert "Generate" in plan  # the explode of selected fingerprints
+
+
+def test_hybrid_fusion_ivf_never_hints_corpus_broadcasts(spark):
+    """Both retrieval channels of the ANN-routed fusion are knn_ivf
+    cell equi-joins whose query sides grow with the corpus — they must
+    stay unhinted (AQE chooses), like the other registered ANN paths."""
+    sides = _broadcast_hint_sides(
+        all_queries()["search_hybrid_rank_fusion_ivf"].build(spark, SF)
+    )
+    assert sides == [], f"broadcast hint over {sides[:1]}"
+
+
+def test_power_iteration_final_plan_is_posexplode_over_checkpoint(spark):
+    """embedding_top_component's iterations run behind per-round eager
+    checkpoints (the broadcasts of the 1-row direction/max frames live
+    inside those executed rounds), so the RETURNED plan must be nothing
+    but the posexplode over the checkpointed 1-row direction — any Join
+    or parquet re-scan here means an iteration leaked into the final
+    lineage."""
+    plan = _formatted_plan(all_queries()["embedding_top_component"].build(spark, SF))
+    assert "Join" not in plan, "iteration leaked a join into the final lineage"
+    assert "Scan parquet" not in plan, "corpus re-scan in the final lineage"
+    assert "Generate" in plan  # the posexplode of the direction
