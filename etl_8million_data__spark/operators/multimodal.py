@@ -259,3 +259,34 @@ def perceptual_hash(media: DataFrame, n_bits: int = 48) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "dhash", "n_bytes"])
 
     return media.select("media_id", "content").mapInPandas(fn, PHASH_SCHEMA)
+
+
+ENERGY_SCHEMA = "media_id long, win int, energy long"
+
+
+def waveform_energy_windows(media: DataFrame, window_bytes: int = 64) -> DataFrame:
+    """Audio-shaped windowed energy over binary payloads: treat each
+    byte as an unsigned 8-bit PCM sample centered at 128 and emit one
+    row per ``window_bytes`` window with its exact integer energy
+    Σ(b-128)² — the voice-activity / silence-trim primitive, 1->N per
+    payload like frame sampling. The kernel is a vectorized numpy pass
+    inside Arrow-batched mapInPandas (the real shape for real audio);
+    energies are integers so the whole output is oracle-checkable
+    against a byte-arithmetic SQL replay (exact for the ASCII fixtures,
+    where codepoint == byte — same caveat as the other media oracles).
+    Partial tail windows aggregate only their real bytes."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, energies = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+                d = (b - 128) ** 2
+                for w in range(0, len(d), window_bytes):
+                    ids.append(mid)
+                    wins.append(w // window_bytes)
+                    energies.append(int(d[w : w + window_bytes].sum()))
+            yield pd.DataFrame({"media_id": ids, "win": wins, "energy": energies})
+
+    return media.select("media_id", "content").mapInPandas(fn, ENERGY_SCHEMA)

@@ -385,3 +385,66 @@ def multimodal_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared_frames") * 1.0 / F.col("n_frames")).alias("shared_ratio"),
         )
     )
+
+
+_ENERGY_POS = "CAST(win*64 + i + 1 AS INT)"
+_ENERGY_ORD = f"ord(text[{_ENERGY_POS}:{_ENERGY_POS}])"
+
+
+@register(
+    "multimodal_audio_energy_trim",
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+               FROM documents),
+    w AS (SELECT media_id, n, text,
+                 unnest(range((n + 63) // 64)) AS win FROM m),
+    e AS (
+      SELECT media_id, CAST(win AS INT) AS win,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(64), i ->
+                 CASE WHEN win*64 + i + 1 <= n
+                      THEN CAST(({_ENERGY_ORD} - 128) * ({_ENERGY_ORD} - 128)
+                             AS BIGINT)
+                      ELSE 0 END)), (a, x) -> a + x) AS energy
+      FROM w)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN energy >= 60000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           min(CASE WHEN energy >= 60000 THEN win END) AS first_active,
+           max(CASE WHEN energy >= 60000 THEN win END) AS last_active,
+           CAST(sum(CASE WHEN energy >= 60000 THEN energy ELSE 0 END) AS BIGINT)
+             AS active_energy
+    FROM e GROUP BY media_id
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "extension"),
+)
+def multimodal_audio_energy_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence-trim summary per payload: windowed 8-bit-PCM
+    energy from the Arrow-batched numpy kernel
+    (operators/multimodal.waveform_energy_windows), then one
+    media-keyed aggregate marking active (energy >= 60000) windows and
+    the [first_active, last_active] trim span — the
+    voice-activity-detection shape a real audio pipeline runs before
+    chunking, with the codec stubbed by the byte-derived deterministic
+    kernel (exact on the ASCII fixtures). Energies are exact integers
+    end-to-end, so the mapInPandas output itself is oracle-checked, not
+    just its plumbing."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.multimodal import (
+        waveform_energy_windows,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    e = waveform_energy_windows(media, 64)
+    active = F.when(F.col("energy") >= 60000, F.col("win"))
+    return e.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("energy") >= 60000, 1).otherwise(0)).alias("n_active"),
+        F.min(active).alias("first_active"),
+        F.max(active).alias("last_active"),
+        F.sum(F.when(F.col("energy") >= 60000, F.col("energy")).otherwise(0)).alias(
+            "active_energy"
+        ),
+    )

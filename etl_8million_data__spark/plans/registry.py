@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_winnowing_pairs",
     "corpus_group_split",
     "embedding_top_component",
+    "multimodal_audio_energy_trim",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",
