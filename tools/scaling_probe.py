@@ -76,6 +76,11 @@ CORPUS_PROBE = [
     ("dedup_containment_pairs", 10),
     ("dedup_graph_triangles", 10),
     ("multimodal_e2e_curation", 10),
+    ("search_hybrid_rank_fusion_ivf", 4),
+    ("dedup_winnowing_pairs", 10),
+    ("corpus_group_split", 10),
+    ("embedding_top_component", 4),
+    ("multimodal_audio_energy_trim", 10),
 ]
 
 
