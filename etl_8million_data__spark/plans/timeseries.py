@@ -737,3 +737,90 @@ def events_hourly_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").getItem(1).alias("max_cusum_scaled"),
         (F.col("st").getItem(1) * 1.0 / F.col("n")).alias("max_cusum_events"),
     )
+
+
+@register(
+    "events_scd2_pointintime_join",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type <> 'purchase'),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    iv AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS seg_no,
+             min(event_type) AS state, min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, sid),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, iv.state, iv.valid_from, iv.n_events
+    FROM p JOIN iv ON iv.user_id = p.user_id AND iv.valid_from <= p.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_id
+      ORDER BY iv.valid_from DESC, iv.seg_no DESC) = 1
+    """,
+    tags=("timeseries", "scd2", "asof", "temporal", "extension", "scale-path"),
+)
+def events_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension join — the feature-store / temporal
+    star-schema primitive: every purchase event is joined to the SCD2
+    state interval of its user valid AT THE PURCHASE INSTANT (the
+    user's last non-purchase activity segment), never to a later one
+    (no feature leakage). Because SCD2 intervals partition each user's
+    timeline (valid_to = next valid_from), validity reduces to
+    "greatest valid_from <= probe ts" — an AS-OF join, executed with
+    the merge-sorted operator (one sort per user partition over
+    |probes|+|intervals| rows, no probe x interval fan-out; same shape
+    as events_asof_latest_order). The oracle is the naive
+    interval-predicate join + rank."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        d.withColumn("_chg", chg)
+        .withColumn("seg_no", F.sum("_chg").over(wrun))
+        .groupBy("user_id", "seg_no")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", F.col("seg_no").cast("bigint").alias("seg_no"),
+                "state", "valid_from", "n_events")
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_backward_sorted(
+        probes,
+        iv,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        left_id="event_id",
+        right_cols=["state", "valid_from", "n_events"],
+        right_tiebreak="seg_no",
+    )
