@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_top_component",
     "multimodal_audio_energy_trim",
     "events_scd2_pointintime_join",
+    "similarity_hard_negatives",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

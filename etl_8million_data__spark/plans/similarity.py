@@ -981,3 +981,81 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_component(emb, iters=3)
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec,
+                 n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label AS neg_label,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2))
+               AS cosine
+      FROM q JOIN e ON e.label <> q.qlabel)
+    SELECT query_id, qlabel, vec_id, neg_label, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "knn", "negatives", "training-data", "extension",
+          "correctness-baseline"),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data op: for
+    every 100th vector as anchor, the top-5 most-similar corpus
+    vectors whose label DIFFERS (cosine-nearest wrong-label examples —
+    the negatives that actually move an embedding model, vs easy
+    random ones).  The label constraint is an INEQUALITY, so unlike
+    similarity_knn_label_filtered it cannot be an equi-join; the
+    correct formulation still ranks AFTER the label filter (top-k of
+    the filtered set — post-filtering a global top-k under-fills k
+    whenever the anchor's own label dominates its neighborhood).
+    Scale path: with |labels| small, run one equi-joined scoring block
+    per (anchor-label, other-label) pair routed through the IVF cells,
+    then merge ranks — the composition similarity_knn_ivf already
+    provides per block; here the guarded exact baseline keeps the
+    oracle-checkable definition."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        cosine,
+        norm2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "similarity_hard_negatives",
+        "per-label-pair knn_ivf blocks, rank-merged",
+    )
+    e = emb.select(
+        "vec_id", "label", "embedding", norm2(F.col("embedding")).alias("n2")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = e.join(q, F.col("label") != F.col("qlabel")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        cosine(F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "qlabel", "vec_id", "neg_label", "cosine", "rn")
+    )
