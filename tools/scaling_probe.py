@@ -448,6 +448,7 @@ def main() -> None:
     interval_line = interval_hot_user_probe()
     basket_line = mega_basket_probe()
     vocab_lines = vocab_growth_probe()
+    winnow_line = winnow_boilerplate_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -508,6 +509,7 @@ def main() -> None:
             "|---|---|---|---|---|\n"
             f"{interval_line}\n"
             f"{basket_line}\n"
+            f"{winnow_line}\n"
             "\n## Regime check: exact similarity joins under a growing vocabulary\n\n"
             "The sf-sweep's 8-10x ratios for the exact similarity joins are a\n"
             "fixture artifact: the synthetic corpus draws shingles from a FIXED\n"
@@ -530,3 +532,84 @@ if __name__ == "__main__":
         skew_probe()
     else:
         main()
+
+
+def winnow_boilerplate_probe() -> str:
+    """Adversarial evidence for the winnowing pair join
+    (plans/dedup.dedup_winnowing_pairs): 20% of a 10k-doc corpus is ONE
+    verbatim boilerplate text, so those 2,000 docs share ALL their
+    fingerprints — uncapped, the fp-keyed self-join would emit
+    ~C(2000,2) x |fps| candidate rows from that family alone. The
+    df <= 20 mask (the MOSS exclusion) must remove every boilerplate
+    fingerprint BEFORE the join, while planted low-df near-dup pairs
+    (each passage shared by exactly 2 docs) must still be found.
+    Gates: all planted pairs found, zero boilerplate pairs, wall-clock
+    flat (the join input simply does not contain the hot keys)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("winnow-boilerplate-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+
+    n = 10_000
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    i = F.col("id")
+    # ids % 5 == 0 -> boilerplate; ids % 100 in (1, 2) -> planted pair
+    # (both carry the same 24-token passage keyed by id div 100, plus
+    # distinct filler); everything else unique
+    passage = F.concat_ws(
+        " ", *[F.concat(F.lit(f"p{j}x"), (i / 100).cast("long").cast("string"))
+               for j in range(24)]
+    )
+    filler = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}y"), (i * 31 + j).cast("string"))
+               for j in range(12)]
+    )
+    text = (
+        F.when(i % 5 == 0, F.lit(boiler))
+        .when((i % 100).isin(1, 2), F.concat(filler, F.lit(" "), passage))
+        .otherwise(
+            F.concat_ws(
+                " ", *[F.concat(F.lit(f"w{j}z"), (i * 17 + j).cast("string"))
+                       for j in range(30)]
+            )
+        )
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    fp = winnowing_fingerprints(docs, k=4, w=5)
+    docfp = fp.select("doc_id", "fp").distinct().localCheckpoint(eager=True)
+    fpdf = docfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = docfp.join(fpdf.filter(F.col("df") <= 20), "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    t0 = time.time()
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .collect()
+    )
+    dt = time.time() - t0
+    planted = {(h * 100 + 1, h * 100 + 2) for h in range(n // 100)
+               if (h * 100 + 1) % 5 != 0 and (h * 100 + 2) % 5 != 0}
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    boiler_pairs = [p for p in got if p[0] % 5 == 0 and p[1] % 5 == 0]
+    line = (
+        f"| winnowing pair join, 20% boilerplate + planted pairs (n={n}) | "
+        f"{len(got)} pairs ({len(planted)} planted, {len(boiler_pairs)} boilerplate) "
+        f"| df-cap masks hot fps pre-join | — | {dt:.1f}s |"
+    )
+    print(line)
+    assert planted <= got, f"missed planted pairs: {sorted(planted - got)[:5]}"
+    assert not boiler_pairs, f"boilerplate family leaked {len(boiler_pairs)} pairs"
+    spark.stop()
+    return line
