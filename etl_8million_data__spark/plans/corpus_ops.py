@@ -2609,8 +2609,8 @@ def search_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFram
       FROM documents),
     s AS (
       SELECT source,
-             CASE WHEN bucket < 900 THEN 'train'
-                  WHEN bucket < 950 THEN 'val'
+             CASE WHEN bucket < 800 THEN 'train'
+                  WHEN bucket < 900 THEN 'val'
                   ELSE 'test' END AS split,
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -2630,7 +2630,12 @@ def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster within a source, and a doc-level split scatters them
     across train and heldout. The hash is the first-6-hex fold of
     md5(source) (operators/text.py contract — engine-portable, unlike
-    rand() or either engine's native hash()), ~90/5/5 by bucket. The
+    rand() or either engine's native hash()), ~80/10/10 by bucket —
+    coarser than the doc-level 90/5/5 because split granularity is now
+    whole groups: with few distinct sources a 5% bucket band can easily
+    contain none of them (the sf0.01 fixtures' 20 sources all hash
+    below 900), which is the real operational footgun of group splits
+    and why the ratio is widened here. The
     output carries n_splits_of_source, which this construction pins to
     1 for every source — the no-straddle audit is part of the
     oracle-checked result, not a side assertion. One shuffle on
@@ -2642,7 +2647,7 @@ def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket = hex_prefix_int(md5_utf8(F.col("source")), 6) % 1000
     split = (
-        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )
     agg = (
         d.withColumn("split", split)
@@ -2659,4 +2664,128 @@ def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_chars",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_splits_of_source"),
+    )
+
+
+_GROUP_BUCKET = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(6), c -> "
+    "CAST(strpos('0123456789abcdef', md5(source)[c+1:c+1]) - 1 AS BIGINT))), "
+    "(a, x) -> a * 16 + x) % 1000"
+)
+
+
+@register(
+    "corpus_split_scheme_leakage_compare",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_BUCKET} < 800 THEN 'train' ELSE 'heldout' END
+               AS doc_split,
+             CASE WHEN {_GROUP_BUCKET} < 800 THEN 'train' ELSE 'heldout' END
+               AS grp_split,
+             {_TOKS} AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, doc_split, grp_split,
+             unnest(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 3),
+    schemes AS (
+      SELECT 'doc_hash' AS scheme, doc_id, doc_split AS split, gram FROM g
+      UNION ALL
+      SELECT 'group_hash', doc_id, grp_split, gram FROM g),
+    tr AS (SELECT DISTINCT scheme, gram FROM schemes WHERE split = 'train'),
+    he AS (SELECT scheme, doc_id, gram FROM schemes WHERE split = 'heldout'),
+    per_doc AS (
+      SELECT he.scheme, he.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(tr.gram) AS BIGINT) AS n_leaked,
+             (1000000 * count(tr.gram)) // count(*) AS leak_micro
+      FROM he LEFT JOIN tr
+        ON tr.scheme = he.scheme AND tr.gram = he.gram
+      GROUP BY 1, 2)
+    SELECT scheme,
+           CAST(count(*) AS BIGINT) AS n_heldout_docs,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_leaked) AS BIGINT) AS n_leaked,
+           CAST(sum(leak_micro) AS BIGINT) // count(*) AS mean_leak_micro
+    FROM per_doc GROUP BY scheme
+    """,
+    tags=("corpus", "split", "leakage", "extension"),
+)
+def corpus_split_scheme_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-split claim, MEASURED in-engine: run the
+    corpus_split_leakage audit under BOTH split schemes — doc-level
+    hash (corpus_train_split) and source-level hash (corpus_group_split)
+    — over one shared gram frame, and report per scheme the heldout doc
+    count and the mean leaked-gram fraction (per-doc fractions floored
+    to integer micro before the cross-doc mean, so the comparison
+    hashes exactly; an 80/20 boundary on both schemes so both heldout
+    sets are populated at fixture group counts). The group scheme
+    structurally eliminates SAME-SOURCE leakage (a heldout doc's source
+    has zero train docs, by construction); what remains is cross-source
+    gram reuse — which is why the synthetic fixtures, whose vocabulary
+    is global rather than source-clustered, show the group scheme at a
+    similar (even higher) mean leak than the doc scheme: the query
+    reports the decomposition honestly instead of asserting the
+    real-corpus expectation.
+    One gram explode feeds both schemes; each scheme's train-gram join
+    is co-partitioned on (scheme, gram)."""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_bucket = (
+        ((F.col("doc_id") % 2147483648) * 2654435761 + 104729) % 4294967296
+    ) % 1000
+    grp_bucket = hex_prefix_int(md5_utf8(F.col("source")), 6) % 1000
+    t = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.when(doc_bucket < 800, "train").otherwise("heldout").alias("doc_split"),
+            F.when(grp_bucket < 800, "train").otherwise("heldout").alias("grp_split"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    g = t.select(
+        "doc_id",
+        "doc_split",
+        "grp_split",
+        F.explode(F.array_distinct(word_shingles(F.col("toks"), 3))).alias("gram"),
+    ).localCheckpoint(eager=True)
+    schemes = g.select(
+        F.lit("doc_hash").alias("scheme"), "doc_id",
+        F.col("doc_split").alias("split"), "gram",
+    ).unionByName(
+        g.select(
+            F.lit("group_hash").alias("scheme"), "doc_id",
+            F.col("grp_split").alias("split"), "gram",
+        )
+    )
+    tr = (
+        schemes.filter(F.col("split") == "train")
+        .select("scheme", "gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    he = schemes.filter(F.col("split") == "heldout").select(
+        "scheme", "doc_id", "gram"
+    )
+    hit = F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+    per_doc = (
+        he.join(tr, ["scheme", "gram"], "left")
+        .groupBy("scheme", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            hit.cast("bigint").alias("n_leaked"),
+            F.expr("(1000000 * sum(CASE WHEN _hit IS NOT NULL THEN 1 ELSE 0 END))"
+                   " div count(1)").alias("leak_micro"),
+        )
+    )
+    return per_doc.groupBy("scheme").agg(
+        F.count(F.lit(1)).alias("n_heldout_docs"),
+        F.sum("n_grams").alias("n_grams"),
+        F.sum("n_leaked").alias("n_leaked"),
+        F.expr("sum(leak_micro) div count(1)").alias("mean_leak_micro"),
     )
