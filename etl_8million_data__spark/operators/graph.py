@@ -15,7 +15,7 @@ for dedup-shaped graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -302,3 +302,59 @@ def pagerank_weighted(
             .localCheckpoint(eager=True)
         )
     return r.withColumnRenamed("rank", "rank_fixed")
+
+
+def label_propagation_weighted(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted label propagation (community detection) as ``n_iter``
+    SYNCHRONOUS relational rounds — the community refinement connected
+    components can't do: CC fuses everything reachable, LPA lets a
+    weakly-bridged cluster keep its own community because each node
+    adopts the label with the LARGEST total incident edge weight among
+    its neighbors (ties -> smallest label; isolated nodes keep their
+    own id). Fixed iteration count + integer weights + the
+    (weight DESC, label ASC) total order make every round — and hence
+    the whole result — bit-reproducible in any engine, the same
+    contract as pagerank_weighted / kmeans_fit.
+
+    Per round: one join of the label vector against the undirected
+    edge list, one (node, label) weight sum with map-side partials,
+    one per-node argmax window bounded by the node's distinct
+    neighbor-label count, then a left join back onto the node set;
+    lineage truncated per round. Returns (node, label) after the final
+    round."""
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    lab = nodes.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        s = (
+            und.join(lab.select(F.col("node").alias("v"), "lbl"), "v")
+            .groupBy("u", "lbl")
+            .agg(F.sum("w").alias("tw"))
+        )
+        wr = Window.partitionBy("u").orderBy(F.desc("tw"), F.asc("lbl"))
+        best = (
+            s.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lbl").alias("_new"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -483,3 +483,93 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared") * 1.0 / F.least("n_a", "n_b")).alias("overlap"),
         )
     )
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """DuckDB mirror of operators/graph.label_propagation_weighted over
+    the winnowing-pair edge list: ``n_iter`` synchronous rounds, each
+    adopting the neighbor label with the largest total incident weight
+    under the (weight DESC, label ASC) total order."""
+    parts = [
+        f"""wp AS (
+      WITH {_WINNOW_SEL},
+      docfp AS (
+        SELECT DISTINCT doc_id, u.e[1] AS fp
+        FROM sel, unnest(sel.fps) AS u(e)),
+      fpdf AS (SELECT fp, count(*) AS df FROM docfp GROUP BY fp),
+      rare AS (
+        SELECT d.doc_id, d.fp FROM docfp d JOIN fpdf USING (fp)
+        WHERE fpdf.df <= 20)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)""",
+        """und AS (
+      SELECT doc_a AS u, doc_b AS v, w FROM wp
+      UNION ALL SELECT doc_b, doc_a, w FROM wp)""",
+        f"""nodes AS (
+      WITH {_WINNOW_SEL}
+      SELECT DISTINCT doc_id AS node FROM sel)""",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"l{it - 1}"
+        parts.append(f"""s{it} AS (
+      SELECT und.u AS node, l.lbl, CAST(sum(und.w) AS BIGINT) AS tw
+      FROM und JOIN {prev} l ON l.node = und.v GROUP BY 1, 2)""")
+        parts.append(f"""b{it} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY tw DESC, lbl) AS rn
+        FROM s{it}) WHERE rn = 1)""")
+        parts.append(f"""l{it} AS (
+      SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+      FROM {prev} p LEFT JOIN b{it} b ON b.node = p.node)""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT node AS doc_id, lbl AS community,
+           CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+    FROM l{n_iter}
+    """
+    )
+
+
+@register(
+    "dedup_winnowing_communities",
+    oracle=_lpa_oracle(3),
+    tags=("dedup", "graph", "communities", "iterative", "extension", "scale-path"),
+)
+def dedup_winnowing_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the winnowing
+    local-overlap graph (edges = dedup_winnowing_pairs with weight =
+    shared fingerprint count): the community refinement connected
+    components can't give — CC fuses everything reachable, so one
+    shared boilerplate bridge merges two distinct clone families; LPA
+    keeps them apart because each document adopts the label with the
+    LARGEST total overlap weight, not any reachable label. 3
+    synchronous rounds under a (weight DESC, label ASC) total order —
+    the entire iterative result is oracle-hash-checked like PageRank /
+    k-means / the power iteration. Output: (doc_id, community,
+    community_size); documents with no qualifying overlap stay
+    singletons."""
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+    from etl_8million_data__spark.operators.graph import label_propagation_weighted
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = dedup_winnowing_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("n_shared").alias("w")
+    )
+    nodes = winnowing_fingerprints(d, k=4, w=5).select(
+        F.col("doc_id").alias("node")
+    ).distinct()
+    lab = label_propagation_weighted(
+        edges, nodes, n_iter=3, src_col="doc_a", dst_col="doc_b", w_col="w"
+    )
+    wsz = Window.partitionBy("lbl")
+    return lab.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
+    )

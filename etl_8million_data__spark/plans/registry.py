@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_scd2_pointintime_join",
     "similarity_hard_negatives",
     "corpus_split_scheme_leakage_compare",
+    "dedup_winnowing_communities",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",
