@@ -269,6 +269,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    by_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k over an SRP inverted file: assign every corpus
     vector to one of 2^n_bits sign-bit cells (narrow map, no shuffle),
@@ -283,14 +284,24 @@ def knn_ivf(
     to a skew-splittable shuffle when |Q| grows with the corpus, so
     there is no broadcast memory cliff either way. Entirely
     deterministic (integer hyperplanes, fixed fold order), so the whole
-    approximate result — not just its recall — is oracle-checkable."""
+    approximate result — not just its recall — is oracle-checkable.
+
+    ``by_cols``: extra equi-join keys (present on BOTH inputs) ANDed
+    with the cell key — this is FILTERED ANN done right: a metadata
+    constraint (label, language, tenant) becomes part of the inverted
+    file's routing key, so each probe scans only the constrained
+    cells and k always fills, instead of post-filtering a global
+    top-k."""
+    by_cols = list(by_cols or [])
     e = emb.select(
+        *by_cols,
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
         norm2(F.col(vec_col)).alias("_n2"),
         srp_cell(projections(F.col(vec_col), weights, n_bits), n_bits).alias("cell"),
     )
     qp = queries.select(
+        *by_cols,
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
         norm2(F.col(query_vec_col)).alias("_qn2"),
@@ -307,9 +318,10 @@ def knn_ivf(
         # executor memory cliff at scale. The equi-join on cell lets AQE
         # pick broadcast when |Q| is genuinely small and shuffle
         # (skew-splittable) otherwise.
-        e.join(qp, "cell")
+        e.join(qp, [*by_cols, "cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
+            *by_cols,
             "query_id",
             "vec_id",
             (

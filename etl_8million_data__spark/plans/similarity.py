@@ -1059,3 +1059,82 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "qlabel", "vec_id", "neg_label", "cosine", "rn")
     )
+
+
+_FILTERED_IVF_CELLS = f"""
+    w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
+    e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    pe AS (
+      SELECT vec_id, label, embedding, n2, pr.nb AS nb,
+             list_transform(range(pr.nb), j ->
+               list_reduce(list_prepend(0.0, list_transform(range(64),
+                 i -> W[j+1][i+1] * embedding[i+1]::DOUBLE)), (a, x) -> a + x)
+             ) AS projs
+      FROM e, w, pr),
+    ce AS (
+      SELECT vec_id, label, embedding, n2, nb, projs,
+             list_reduce(list_prepend(0, list_transform(range(nb), j ->
+               CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)), (a, x) -> a + x
+             ) AS cell
+      FROM pe),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec, n2 AS qn2,
+             nb, projs AS qprojs, cell AS qcell
+      FROM ce WHERE vec_id % 100 = 0),
+    probes AS (
+      SELECT query_id, qlabel, qvec, qn2,
+             unnest(list_prepend(qcell,
+               list_transform(
+                 list_slice(
+                   list_sort(list_transform(range(nb), j ->
+                     {{'a': abs(qprojs[j+1]), 'j': j}})),
+                   1, {_NPROBE - 1}),
+                 s -> xor(qcell, 1 << struct_extract(s, 'j'))))) AS cell
+      FROM q),
+    f_scored AS (
+      SELECT p.query_id, p.qlabel, c.vec_id,
+             {_dot('p.qvec', 'c.embedding')} / (sqrt(p.qn2) * sqrt(c.n2)) AS cosine
+      FROM probes p JOIN ce c
+        ON c.cell = p.cell AND c.label = p.qlabel AND c.vec_id <> p.query_id)
+"""
+
+
+@register(
+    "similarity_knn_label_filtered_ivf",
+    oracle=f"""
+    WITH {_FILTERED_IVF_CELLS}
+    SELECT query_id, qlabel AS label, vec_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM f_scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "knn", "filtered", "ivf", "extension", "scale-path"),
+)
+def similarity_knn_label_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the executable scale twin
+    similarity_knn_label_filtered's size guard points at: the label
+    constraint becomes part of the inverted file's ROUTING KEY
+    (knn_ivf by_cols=["label"]), so each probe equi-joins on
+    (label, cell) and scans only the probed cells OF THE QUERY'S OWN
+    LABEL — k fills from the constrained set by construction, the
+    failure mode of global-ANN-then-post-filter. Same deterministic
+    SRP machinery as similarity_knn_ivf (shared weights, count-adaptive
+    bit-width), so the whole approximate result is oracle-checked
+    exactly."""
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_ivf(
+        emb, queries, _W, k=5, nprobe=_NPROBE, n_bits=nb, by_cols=["label"]
+    ).select("query_id", "label", "vec_id", "cosine", "rn")
