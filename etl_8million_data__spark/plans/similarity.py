@@ -1121,8 +1121,10 @@ def similarity_knn_label_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataF
     constraint becomes part of the inverted file's ROUTING KEY
     (knn_ivf by_cols=["label"]), so each probe equi-joins on
     (label, cell) and scans only the probed cells OF THE QUERY'S OWN
-    LABEL — k fills from the constrained set by construction, the
-    failure mode of global-ANN-then-post-filter. Same deterministic
+    LABEL — every candidate already satisfies the filter, so k fills
+    as far as the probed cells allow (vs global-ANN-then-post-filter,
+    which discards most of its k to the filter first and then
+    under-fills much harder; raise nprobe for sparse labels). Same deterministic
     SRP machinery as similarity_knn_ivf (shared weights, count-adaptive
     bit-width), so the whole approximate result is oracle-checked
     exactly."""
