@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_split_scheme_leakage_compare",
     "dedup_winnowing_communities",
     "similarity_knn_label_filtered_ivf",
+    "events_holt_linear_forecast",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

@@ -824,3 +824,113 @@ def events_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["state", "valid_from", "n_events"],
         right_tiebreak="seg_no",
     )
+
+
+@register(
+    "events_holt_linear_forecast",
+    oracle="""
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM b) g),
+    xs AS (
+      SELECT s.event_type,
+             list(CAST(coalesce(hr.x, 0) AS DOUBLE) ORDER BY s.h) AS v
+      FROM spine s LEFT JOIN hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+      GROUP BY 1),
+    f AS (
+      SELECT event_type, len(v) AS n,
+             list_reduce(
+               list_prepend([v[1], v[2] - v[1]],
+                            list_transform(v[3:], x -> [x, 0.0])),
+               (st, e) -> [
+                 0.2 * e[1] + 0.8 * (st[1] + st[2]),
+                 0.1 * ((0.2 * e[1] + 0.8 * (st[1] + st[2])) - st[1])
+                   + 0.9 * st[2]
+               ]) AS st
+      FROM xs WHERE len(v) >= 2)
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS fc_1h,
+           st[1] + 2 * st[2] AS fc_2h,
+           st[1] + 3 * st[2] AS fc_3h
+    FROM f
+    """,
+    tags=("timeseries", "forecast", "extension"),
+)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per event type — the
+    capacity-planning forecast over the zero-filled hourly series:
+    level/trend recursion (alpha=0.2, beta=0.1, init l0=x0,
+    b0=x1-x0) as an ORDERED ARRAY FOLD so the accumulation order —
+    and hence every FP bit — is pinned on both engines (the
+    events_user_ema contract, extended to 2-component state via a
+    struct accumulator). Forecasts are the linear extrapolation
+    level + h*trend for h = 1..3 hours. The per-type series is dense:
+    a global hour spine (2 scalar bounds, broadcast) left-joined by
+    (type, hour), so silent gaps read as zeros instead of skipped
+    steps. One aggregation keyed by type; the fold is |hours| work per
+    type, never a data-sized window."""
+    e = load_table(spark, sf_dir, "events")
+    hr = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    xs = (
+        spine.join(hr, ["event_type", "h"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("h"),
+                            F.coalesce("x", F.lit(0)).cast("double").alias("x"),
+                        )
+                    )
+                ),
+                lambda s: s["x"],
+            ).alias("v")
+        )
+        .filter(F.size("v") >= 2)
+    )
+    init = F.struct(
+        F.element_at("v", 1).alias("l"),
+        (F.element_at("v", 2) - F.element_at("v", 1)).alias("b"),
+    )
+
+    def step(st, x):
+        lp = F.lit(0.2) * x + F.lit(0.8) * (st["l"] + st["b"])
+        return F.struct(
+            lp.alias("l"),
+            (F.lit(0.1) * (lp - st["l"]) + F.lit(0.9) * st["b"]).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("v"), 3, F.greatest(F.size("v") - 2, F.lit(0))), init, step
+    )
+    return xs.select(
+        "event_type",
+        F.size("v").cast("bigint").alias("n_hours"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("fc_1h"),
+        (st["l"] + 2 * st["b"]).alias("fc_2h"),
+        (st["l"] + 3 * st["b"]).alias("fc_3h"),
+    )
