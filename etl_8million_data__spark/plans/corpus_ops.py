@@ -2789,3 +2789,58 @@ def corpus_split_scheme_leakage_compare(spark: SparkSession, sf_dir: str) -> Dat
         F.sum("n_leaked").alias("n_leaked"),
         F.expr("sum(leak_micro) div count(1)").alias("mean_leak_micro"),
     )
+
+
+@register(
+    "corpus_tokenizer_fertility_by_lang",
+    oracle=f"""
+    {_bpe_ctes(_BPE_MERGES)},
+    segw AS (
+      SELECT token, len(string_split(seq, ' ')) AS n_sym
+      FROM v{_BPE_MERGES}),
+    tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents)
+    SELECT t.lang,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_words,
+           CAST(sum(s.n_sym) AS BIGINT) AS n_bpe_tokens,
+           (1000000 * CAST(sum(s.n_sym) AS BIGINT)) // count(*)
+             AS fertility_micro,
+           (1000000 * CAST(sum(s.n_sym) AS BIGINT))
+             // CAST(sum(length(t.token)) AS BIGINT) AS bpe_per_char_micro
+    FROM tok t JOIN segw s ON s.token = t.token
+    GROUP BY t.lang
+    """,
+    tags=("corpus", "tokenizer", "bpe", "evaluation", "extension"),
+)
+def corpus_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the standard tokenizer-equity
+    metric (BPE tokens emitted per word): a tokenizer trained on a
+    language mix bills under-represented languages more subword units
+    per word, inflating their effective sequence cost; this query puts
+    the per-language number next to tokens-per-char so the disparity
+    is visible before a training run pays for it. Composes the trained
+    BPE segmentation (vocabulary-sized, broadcast) with the token
+    postings exactly like corpus_bpe_token_counts, aggregated by
+    document language; ratios are truncating integer-micro divisions
+    of exact integer sums, so they hash identically."""
+    from etl_8million_data__spark.operators.bpe import bpe_train
+
+    _, seg = bpe_train(_doc_token_vocab(spark, sf_dir), _BPE_MERGES)
+    segw = seg.select("token", F.col("n_symbols").alias("n_sym"))
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(segw), "token")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.expr("(1000000 * sum(n_sym)) div count(1)").alias("fertility_micro"),
+            F.expr(
+                "(1000000 * sum(n_sym)) div sum(length(token))"
+            ).alias("bpe_per_char_micro"),
+        )
+    )
