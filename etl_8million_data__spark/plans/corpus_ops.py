@@ -1857,9 +1857,11 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     small no matter the corpus; the expensive parts are the two
     retrieval channels, which here are the SIZE-GUARDED brute-force
     correctness baselines.  At scale both channels route through the
-    persisted ANN index / knn_ivf (same vectors, recall-gated) and the
-    fusion stage is unchanged — that is the point of fusing on ranks,
-    not scores: channels can swap exact for approximate independently.
+    SRP inverted file and the fusion stage is unchanged — that twin is
+    REGISTERED as search_hybrid_rank_fusion_ivf (oracle-exact,
+    rank-overlap-gated against this baseline) — the point of fusing on
+    ranks, not scores: channels swap exact for approximate
+    independently.
     Zero lexical vectors (sign-cancelled docs) are excluded from the
     lexical channel only; the full-outer fusion keeps their semantic
     evidence."""
