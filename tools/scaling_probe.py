@@ -533,11 +533,7 @@ def main() -> None:
     print("wrote SCALING.md")
 
 
-if __name__ == "__main__":
-    if "--skew" in sys.argv:
-        skew_probe()
-    else:
-        main()
+
 
 
 def winnow_boilerplate_probe() -> str:
@@ -619,3 +615,10 @@ def winnow_boilerplate_probe() -> str:
     assert not boiler_pairs, f"boilerplate family leaked {len(boiler_pairs)} pairs"
     spark.stop()
     return line
+
+
+if __name__ == "__main__":
+    if "--skew" in sys.argv:
+        skew_probe()
+    else:
+        main()
