@@ -285,7 +285,7 @@ def prefix_filter_pairs(
     real corpora grow their vocabulary with size, which is the regime
     prefix filtering is designed for. MEASURED, not argued: on a
     vocabulary-growing corpus (V = 5n, per-gram df ~flat) the same
-    operator shows 3.0x time on 10x docs with exactly-linear output
+    operator shows 3.0-4.5x time on 10x docs with exactly-linear output
     pair growth (tools/scaling_probe.py:vocab_growth_probe, SCALING.md)
     vs 8.3x under the fixed-vocab fixtures. Verification joins fan out only
     |candidates| x set size. Threshold is a rational num/den so the

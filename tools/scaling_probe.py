@@ -524,7 +524,8 @@ def main() -> None:
             "grows linearly with size (V = 5n, per-gram df ~flat — the regime\n"
             "real corpora live in and prefix filtering targets; 5% of docs are\n"
             "true near-dup copies), the SAME operators are gated near-linear\n"
-            "(<= 4x on 10x docs, 2k -> 20k).\n\n"
+            "(<= 5x on 10x docs, 2k -> 20k; measured 3.0-4.5x across runs\n"
+            "vs 8-10x under fixed vocabulary).\n\n"
             "| probe | output pairs | warm time | data growth | time ratio |\n"
             "|---|---|---|---|---|\n"
             + "\n".join(vocab_lines)
