@@ -573,3 +573,82 @@ def dedup_winnowing_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
     )
+
+
+@register(
+    "dedup_lsh_quality_vs_exact",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    cand AS ({_PAIRS}),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sz na ON na.doc_id = doc_a
+      JOIN sz nb ON nb.doc_id = doc_b
+      WHERE common * 3 >= na.n + nb.n),
+    hits AS (
+      SELECT t.doc_a FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+    true_cand AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           (SELECT (1000000 * CAST(count(*) AS BIGINT)) FROM hits)
+             // greatest((SELECT count(*) FROM truth), 1) AS recall_micro,
+           (SELECT (1000000 * CAST(count(*) AS BIGINT)) FROM true_cand)
+             // greatest((SELECT count(*) FROM cand), 1) AS precision_micro
+    """,
+    tags=("dedup", "lsh", "quality", "extension"),
+)
+def dedup_lsh_quality_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible QUALITY GATE for the probabilistic dedup path —
+    the similarity_knn_ivf_recall pattern applied to MinHash-LSH:
+    candidate pairs from the banded index are scored against the
+    LOSSLESS prefix-filter join's ground truth (Jaccard >= 1/2), and
+    the one-row report carries candidate recall (what fraction of true
+    near-dup pairs the bands surface — LSH's miss rate is the
+    probabilistic tradeoff being bought) and precision (what fraction
+    of candidates survive exact verification — the verify stage's
+    workload multiplier). Both inputs are deterministic, so the
+    quality numbers themselves hash-match the oracle exactly; ratios
+    are truncating integer-micro divisions guarded against empty
+    denominators."""
+    from etl_8million_data__spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+        prefix_filter_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = (
+        prefix_filter_pairs(d, threshold_num=1, threshold_den=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = minhash_lsh_candidate_pairs(d).localCheckpoint(eager=True)
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "(1000000 * n_hits) div greatest(n_true_pairs, 1)"
+            ).alias("recall_micro"),
+            F.expr(
+                "(1000000 * n_hits) div greatest(n_candidates, 1)"
+            ).alias("precision_micro"),
+        )
+    )

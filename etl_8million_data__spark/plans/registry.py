@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_knn_label_filtered_ivf",
     "events_holt_linear_forecast",
     "corpus_tokenizer_fertility_by_lang",
+    "dedup_lsh_quality_vs_exact",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",
