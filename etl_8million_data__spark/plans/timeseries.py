@@ -934,3 +934,88 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st["l"] + 2 * st["b"]).alias("fc_2h"),
         (st["l"] + 3 * st["b"]).alias("fc_3h"),
     )
+
+
+@register(
+    "events_seasonal_hod_anomalies",
+    oracle="""
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM b) g),
+    dense AS (
+      SELECT s.event_type, s.h, hour(s.h) AS hod, coalesce(hr.x, 0) AS x
+      FROM spine s LEFT JOIN hr
+        ON hr.event_type = s.event_type AND hr.h = s.h),
+    base AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             (1000000 * CAST(sum(x) AS BIGINT)) // count(*) AS baseline_micro
+      FROM dense GROUP BY 1, 2)
+    SELECT d.event_type, d.h AS hour_ts, CAST(d.hod AS INT) AS hod,
+           d.x AS n_events, b.baseline_micro,
+           1000000 * d.x - b.baseline_micro AS deviation_micro
+    FROM dense d JOIN base b
+      ON b.event_type = d.event_type AND b.hod = d.hod
+    WHERE 2 * 1000000 * d.x > 3 * b.baseline_micro
+       OR 2 * 1000000 * d.x < b.baseline_micro
+    """,
+    tags=("timeseries", "monitoring", "seasonal", "extension"),
+)
+def events_seasonal_hod_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-BASELINE anomaly detection — the monitoring view the
+    global detectors (z-score, MAD, CUSUM) structurally miss: traffic
+    has an hour-of-day shape, so "low for 3am" and "low for 3pm" are
+    different events. Baseline = per (type, hour-of-day) mean hourly
+    count over the dense zero-filled series (silent dead hours drag
+    the baseline down instead of being invisible); a concrete hour is
+    flagged when its count leaves the [0.5x, 1.5x] band of its own
+    hour-of-day baseline — both bounds as pure integer-micro
+    predicates, no division in the filter. One aggregate for the
+    24x|types| baseline table, joined back to the dense series on
+    (type, hod)."""
+    e = load_table(spark, sf_dir, "events")
+    hr = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    dense = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(hours))
+        .join(hr, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.hour("h").alias("hod"),
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    base = dense.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("(1000000 * sum(x)) div count(1)").alias("baseline_micro"),
+    )
+    j = dense.join(F.broadcast(base), ["event_type", "hod"])
+    return j.filter(
+        (2 * 1_000_000 * F.col("x") > 3 * F.col("baseline_micro"))
+        | (2 * 1_000_000 * F.col("x") < F.col("baseline_micro"))
+    ).select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.col("hod").cast("int").alias("hod"),
+        F.col("x").alias("n_events"),
+        "baseline_micro",
+        (1_000_000 * F.col("x") - F.col("baseline_micro")).alias("deviation_micro"),
+    )
