@@ -652,3 +652,96 @@ def dedup_lsh_quality_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_micro"),
         )
     )
+
+
+@register(
+    "dedup_threshold_coverage_curve",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b, common,
+             na.n + nb.n - common AS u
+      FROM common
+      JOIN sz na ON na.doc_id = doc_a
+      JOIN sz nb ON nb.doc_id = doc_b
+      WHERE common * 3 >= na.n + nb.n),
+    grid AS (SELECT unnest([50, 60, 70, 80, 90]) AS thr),
+    hit AS (
+      SELECT g.thr, p.doc_a, p.doc_b
+      FROM pairs p JOIN grid g ON p.common * 100 >= g.thr * p.u),
+    docs AS (
+      SELECT thr, doc_a AS d FROM hit
+      UNION ALL SELECT thr, doc_b FROM hit),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM shingled)
+    SELECT CAST(g.thr AS INT) AS thr_pct,
+           CAST(coalesce(count(DISTINCT (h.doc_a, h.doc_b)), 0) AS BIGINT)
+             AS n_pairs,
+           CAST(coalesce(count(DISTINCT d.d), 0) AS BIGINT) AS n_docs_covered,
+           (1000000 * CAST(coalesce(count(DISTINCT d.d), 0) AS BIGINT))
+             // any_value(n.n_docs) AS covered_micro
+    FROM grid g
+    LEFT JOIN hit h ON h.thr = g.thr
+    LEFT JOIN docs d ON d.thr = g.thr
+    CROSS JOIN n
+    GROUP BY g.thr
+    """,
+    tags=("dedup", "calibration", "extension"),
+)
+def dedup_threshold_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD CALIBRATION curve — the table a curator reads to
+    pick the Jaccard cutoff that meets a dedup budget (the
+    text_quality_threshold_sweep pattern applied to near-dup removal):
+    from ONE lossless similarity join at the loosest threshold (the
+    prefix-filter join at 1/2), bucket every qualifying pair by the
+    integer predicate common*100 >= thr*union for thr in 50..90 and
+    report pairs and distinct-document coverage per cutoff. No
+    re-join per threshold — the grid join fans each pair out to the
+    thresholds it clears (<= 5 rows/pair); coverage fractions are
+    truncating integer-micro divisions."""
+    from etl_8million_data__spark.operators.dedup import (
+        doc_shingle_frame,
+        prefix_filter_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        prefix_filter_pairs(d, threshold_num=1, threshold_den=2)
+        .select("doc_a", "doc_b", "common", F.col("union_size").alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    grid = d.sparkSession.range(5).select(
+        (F.lit(50) + F.col("id") * 10).cast("int").alias("thr")
+    )
+    hit = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("common") * 100 >= F.col("thr") * F.col("u")
+    )
+    docs = hit.select("thr", F.col("doc_a").alias("d")).unionByName(
+        hit.select("thr", F.col("doc_b").alias("d"))
+    )
+    n = doc_shingle_frame(d).agg(F.count(F.lit(1)).alias("n_docs"))
+    pair_counts = hit.groupBy("thr").agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_counts = docs.groupBy("thr").agg(
+        F.count_distinct("d").alias("n_docs_covered")
+    )
+    return (
+        grid.join(pair_counts, "thr", "left")
+        .join(doc_counts, "thr", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("thr").alias("thr_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_covered", F.lit(0)).cast("bigint").alias(
+                "n_docs_covered"
+            ),
+            F.expr(
+                "(1000000 * coalesce(n_docs_covered, 0)) div n_docs"
+            ).alias("covered_micro"),
+        )
+    )
