@@ -2846,3 +2846,151 @@ def corpus_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> Data
             ).alias("bpe_per_char_micro"),
         )
     )
+
+
+@register(
+    "similarity_modality_agreement",
+    oracle=f"""
+    WITH cids AS (
+      SELECT d.doc_id
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      JOIN (SELECT DISTINCT vec_id FROM embeddings) v ON v.vec_id = d.doc_id),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+    h AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', md5(token)[1:1]) - 1 AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', md5(token)[2:2]) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+            FROM h GROUP BY doc_id, bucket),
+    grid AS (SELECT unnest(range(16)) AS bucket),
+    dense AS (
+      SELECT c.doc_id, g.bucket, coalesce(a.v, 0) AS v
+      FROM cids c CROSS JOIN grid g
+      LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.bucket = g.bucket),
+    lvecs AS (
+      SELECT doc_id, list(v ORDER BY bucket) AS fv, sum(v * v) AS n2
+      FROM dense GROUP BY doc_id),
+    le AS (SELECT doc_id, fv, n2 FROM lvecs WHERE n2 > 0),
+    lq AS (SELECT doc_id AS query_id, fv AS qv, n2 AS qn2
+           FROM le WHERE doc_id % 25 = 0),
+    lex_scored AS (
+      SELECT q.query_id, e.doc_id,
+             {_HYBRID_DOT.format(a='q.qv', b='e.fv')}
+               / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM lq q JOIN le e ON e.doc_id <> q.query_id),
+    lex AS (
+      SELECT query_id, doc_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM lex_scored)
+      WHERE rn <= 10),
+    se AS (
+      SELECT vec_id, embedding,
+             {_HYBRID_DOT.format(a='embedding', b='embedding')} AS n2
+      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cids)),
+    sq AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+           FROM se WHERE vec_id % 25 = 0),
+    sem_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {_HYBRID_DOT.format(a='q.qvec', b='e.embedding')}
+               / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM sq q JOIN se e ON e.vec_id <> q.query_id),
+    sem AS (
+      SELECT query_id, doc_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+            FROM sem_scored)
+      WHERE rn <= 10),
+    qs AS (
+      SELECT query_id FROM lex GROUP BY query_id
+      INTERSECT
+      SELECT query_id FROM sem GROUP BY query_id),
+    inter AS (
+      SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_common
+      FROM lex l JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+      GROUP BY 1),
+    per_q AS (
+      SELECT qs.query_id, coalesce(i.n_common, 0) AS n_common
+      FROM qs LEFT JOIN inter i ON i.query_id = qs.query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_common) AS BIGINT) AS n_common_total,
+           (1000000 * CAST(sum(n_common) AS BIGINT))
+             // (10 * count(*)) AS agreement_micro
+    FROM per_q
+    """,
+    tags=("similarity", "diagnostics", "multimodal", "extension"),
+)
+def similarity_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-QUALITY DIAGNOSTIC — neighborhood agreement between the
+    two retrieval modalities: for every query document, the overlap of
+    its lexical top-10 (exact cosine over the model-free hashed-BoW
+    vectors) with its semantic top-10 (exact cosine over the embedding
+    column), summarized as one engine-side row (query count, total
+    common neighbors, mean agreement in integer micro). Low agreement
+    flags embeddings that have drifted from surface content — the
+    cheap audit to run before trusting semantic dedup or ANN retrieval
+    on a new embedding version; the same number also calibrates how
+    much the hybrid fusion's two channels actually complement each
+    other. Channels are the size-guarded exact baselines (the ANN
+    twins swap in without changing the diagnostic's meaning)."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
+        docs.select("doc_id").distinct(), "doc_id"
+    )
+    n2i = F.aggregate(
+        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
+    )
+    le = (
+        hashed_doc_vectors(spark, sf_dir)
+        .join(cids, "doc_id")
+        .filter(n2i > 0)
+        .localCheckpoint(eager=True)
+    )
+    assert_baseline_scale(
+        le, 200_000, "similarity_modality_agreement",
+        "route both channels through knn_ivf; the overlap aggregate is unchanged",
+    )
+    lq = le.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
+    )
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    se = emb.join(
+        cids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    sq = se.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = knn_bruteforce(se, sq, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    qs = (
+        lex.select("query_id").distinct()
+        .intersect(sem.select("query_id").distinct())
+    )
+    inter = (
+        lex.join(sem, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    per_q = qs.join(inter, "query_id", "left").select(
+        "query_id", F.coalesce("n_common", F.lit(0)).alias("n_common")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_common").alias("n_common_total"),
+        F.expr("(1000000 * sum(n_common)) div (10 * count(1))").alias(
+            "agreement_micro"
+        ),
+    )

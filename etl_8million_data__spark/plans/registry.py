@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lsh_quality_vs_exact",
     "events_seasonal_hod_anomalies",
     "dedup_threshold_coverage_curve",
+    "similarity_modality_agreement",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",
