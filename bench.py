@@ -77,6 +77,9 @@ HEADLINE = [
     # round-5 families
     "search_hybrid_rank_fusion_ivf",  # ANN-routed two-channel fusion
     "dedup_winnowing_pairs",  # MOSS winnowing local-overlap pairs
+    "events_scd2_pointintime_join",  # feature-store AS OF join
+    "multimodal_audio_energy_trim",  # windowed PCM energy + VAD trim
+    "embedding_top_component",  # fixed-point power iteration
 ]
 
 
