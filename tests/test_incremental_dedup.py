@@ -338,3 +338,35 @@ def test_streaming_winnowing_filters_embedded_passage(spark, tmp_path):
 
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 11]
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared token run
+    of length >= w+k-1 (= 8 at k=4, w=5) produces at least one shared
+    fingerprint. Construct 12 doc pairs whose ONLY common content is an
+    8-token run planted at varying offsets inside otherwise-disjoint
+    vocabulary, and assert every pair shares a fingerprint value."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.dedup import winnowing_fingerprints
+
+    rows = []
+    for i in range(12):
+        run = " ".join(f"shared{i}x{j}" for j in range(8))
+        left_pad = " ".join(f"la{i}y{j}" for j in range(3 + i))
+        right_pad = " ".join(f"lb{i}z{j}" for j in range(15 - i))
+        rows.append((2 * i, f"{left_pad} {run} {right_pad}"))
+        rows.append(
+            (2 * i + 1, " ".join(f"rc{i}w{j}" for j in range(i + 4)) + f" {run}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(docs, k=4, w=5).select("doc_id", "fp").distinct()
+    a = fp.select((F.col("doc_id") / 2).cast("long").alias("pair"), "fp").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    b = fp.select((F.col("doc_id") / 2).cast("long").alias("pair"), "fp").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    shared = a.join(b, ["pair", "fp"]).select("pair").distinct()
+    got = sorted(r.pair for r in shared.collect())
+    assert got == list(range(12)), f"pairs missing a shared fingerprint: {got}"
