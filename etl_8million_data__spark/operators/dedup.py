@@ -292,7 +292,12 @@ def prefix_filter_pairs(
     gate is integer-exact in any engine."""
     t_num, t_den = threshold_num, threshold_den
     sh = doc_shingle_frame(docs, text_col, id_col, k)
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
+    # one materialized posting list: df ranking, the ranked prefix, and
+    # BOTH sides of the verification join consume it (4 consumers -> 1
+    # tokenize+shingle+explode instead of 4)
+    ex = sh.select(
+        F.col(id_col).alias("_id"), F.explode("shingles").alias("g")
+    ).localCheckpoint(eager=True)
     sz = sh.select(
         F.col(id_col).alias("_id"), F.size("shingles").alias("n")
     ).localCheckpoint(eager=True)
@@ -399,7 +404,12 @@ def containment_pairs(
     hits."""
     t_num, t_den = threshold_num, threshold_den
     sh = doc_shingle_frame(docs, text_col, id_col, k)
-    ex = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
+    # one materialized posting list: df ranking, the ranked prefix, and
+    # BOTH sides of the verification join consume it (4 consumers -> 1
+    # tokenize+shingle+explode instead of 4)
+    ex = sh.select(
+        F.col(id_col).alias("_id"), F.explode("shingles").alias("g")
+    ).localCheckpoint(eager=True)
     sz = sh.select(
         F.col(id_col).alias("_id"), F.size("shingles").alias("n")
     ).localCheckpoint(eager=True)
