@@ -455,6 +455,7 @@ def main() -> None:
     basket_line = mega_basket_probe()
     vocab_lines = vocab_growth_probe()
     winnow_line = winnow_boilerplate_probe()
+    ivf_line = ivf_hot_cell_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -516,6 +517,7 @@ def main() -> None:
             f"{interval_line}\n"
             f"{basket_line}\n"
             f"{winnow_line}\n"
+            f"{ivf_line}\n"
             "\n## Regime check: exact similarity joins under a growing vocabulary\n\n"
             "The sf-sweep's 8-10x ratios for the exact similarity joins are a\n"
             "fixture artifact: the synthetic corpus draws shingles from a FIXED\n"
@@ -623,3 +625,75 @@ if __name__ == "__main__":
         skew_probe()
     else:
         main()
+
+
+def ivf_hot_cell_probe() -> str:
+    """Adversarial-skew evidence for the ANN cell equi-join
+    (operators/similarity.knn_ivf): a degenerate corpus of 20k
+    IDENTICAL vectors lands every vector in ONE SRP cell — the worst
+    hot cell possible — and 100 corpus-derived queries all probe it,
+    so the scored frame is |Q| x |N| = 2M rows through a single join
+    key. Broadcast is disabled (at 100 TB neither side broadcasts) and
+    the AQE skew thresholds are scaled to fixture size, exactly like
+    the LSH probe: the gate asserts the join completes and no scored
+    partition holds more than 4x the median — 'AQE splits the hot
+    cell' measured, not assumed. (In production the fix for chronic
+    hot cells is raising n_bits / switching to the learned k-means
+    quantizer, which adapts cells to density — this probe covers the
+    transient worst case.)"""
+    import statistics
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("ivf-hot-cell-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.similarity import (
+        hyperplane_weights,
+        knn_ivf,
+    )
+
+    n = 20_000
+    vec = F.array(*[F.lit(float((d * 7) % 13 + 1)) for d in range(64)])
+    emb = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    q = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    w = hyperplane_weights(16, 64)
+    t0 = time.time()
+    scored = knn_ivf(emb, q, w, k=10, nprobe=3, n_bits=4)
+    pid = (
+        scored.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    dt = time.time() - t0
+    counts = sorted(r["count"] for r in pid)
+    total, mx = sum(counts), max(counts)
+    med = statistics.median(counts) if counts else 0
+    ratio = (mx / med) if med else 1.0
+    line = (
+        f"| ANN cell join, 20k identical vectors in ONE cell | "
+        f"{total:,} result rows | {len(counts)} partitions | "
+        f"max/median = {ratio:.2f}x | {dt:.1f}s |"
+    )
+    print(line)
+    assert total == (n // 200) * 10, f"k under-filled: {total}"
+    assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f} > 4"
+    spark.stop()
+    return line
