@@ -128,3 +128,75 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+@register(
+    "integrity_fk_orphans",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_children,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    tags=("quality", "integrity", "audit", "extension"),
+)
+def integrity_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the data-
+    contract check a warehouse runs after every load: for each foreign-
+    key edge, the child row count and the number of ORPHANS (children
+    whose parent key is missing), computed as LEFT-ANTI join counts.
+    Each edge is one anti join against a parent KEY PROJECTION:
+    dimension parents broadcast; the lineitem->orders edge co-
+    partitions on the join key at scale. A healthy load reports zero
+    orphans everywhere — the value of the query is that it turns that
+    assumption into a driver-checked number per edge."""
+    edges = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child_t, ck, parent_t, pk in edges:
+        child = load_table(spark, sf_dir, child_t).select(F.col(ck).alias("_k"))
+        parent = load_table(spark, sf_dir, parent_t).select(F.col(pk).alias("_k"))
+        counts = (
+            child.agg(F.count(F.lit(1)).alias("n_children"))
+            .crossJoin(
+                F.broadcast(
+                    child.join(parent, "_k", "left_anti").agg(
+                        F.count(F.lit(1)).alias("n_orphans")
+                    )
+                )
+            )
+            .select(F.lit(name).alias("edge"), "n_children", "n_orphans")
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out
