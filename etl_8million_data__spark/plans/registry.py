@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_threshold_coverage_curve",
     "similarity_modality_agreement",
     "integrity_fk_orphans",
+    "orders_backlog_over_time",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

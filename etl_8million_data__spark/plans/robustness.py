@@ -200,3 +200,93 @@ def integrity_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = counts if out is None else out.unionByName(counts)
     return out
+
+
+@register(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH close AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             coalesce(max(l.l_shipdate), o.o_orderdate) AS close_date
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS opened,
+             CAST(0 AS BIGINT) AS closed
+      FROM close GROUP BY 1
+      UNION ALL
+      SELECT close_date + INTERVAL 1 DAY, 0, CAST(count(*) AS BIGINT)
+      FROM close GROUP BY 1),
+    byday AS (
+      SELECT d, CAST(sum(opened) AS BIGINT) AS n_opened,
+             CAST(sum(closed) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY d),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM byday),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+              FROM bounds)
+    SELECT CAST(s.d AS DATE) AS day,
+           coalesce(b.n_opened, 0) AS n_opened,
+           coalesce(b.n_closed, 0) AS n_closed,
+           CAST(sum(coalesce(b.n_opened, 0) - coalesce(b.n_closed, 0))
+                OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS backlog
+    FROM spine s LEFT JOIN byday b ON b.d = s.d
+    """,
+    tags=("timeseries", "intervals", "operational", "extension"),
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OPEN-ORDER BACKLOG timeline — interval stabbing counts
+    done with the signed-boundary trick: each order contributes exactly
+    two boundary rows (+1 at its order date, -1 the day after its last
+    lineitem shipment (the fixtures carry l_shipdate, not receiptdate)), never a row per day it stays open, so the
+    fact-scale work is one aggregate regardless of how long orders
+    live. The running sum then runs over the BOUNDARY-DAY table (one
+    row per calendar day — thousands, not millions), which is the
+    boundary-table discipline every global window in this engine
+    follows: aggregate to a bounded frame first, window second. The
+    close date comes from one orders⋈lineitem aggregate; orders with
+    no lineitems close same-day."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    close = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.coalesce(F.max("l_shipdate"), F.first("o_orderdate")).alias(
+                "close_date"
+            )
+        )
+    )
+    deltas = close.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("opened"), F.lit(0).alias("closed")
+    ).unionByName(
+        close.select(
+            F.date_add("close_date", 1).alias("d"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    byday = deltas.groupBy("d").agg(
+        F.sum("opened").cast("bigint").alias("n_opened"),
+        F.sum("closed").cast("bigint").alias("n_closed"),
+    )
+    bounds = byday.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    from pyspark.sql import Window
+
+    dense = spine.join(byday, "d", "left").select(
+        "d",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return dense.select(
+        F.col("d").cast("date").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias(
+            "backlog"
+        ),
+    )
