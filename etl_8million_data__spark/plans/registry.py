@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_modality_agreement",
     "integrity_fk_orphans",
     "orders_backlog_over_time",
+    "events_user_interarrival_stats",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

@@ -1019,3 +1019,74 @@ def events_seasonal_hod_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         "baseline_micro",
         (1_000_000 * F.col("x") - F.col("baseline_micro")).alias("deviation_micro"),
     )
+
+
+@register(
+    "events_user_interarrival_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events),
+    gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) // 1000000 AS gap_s
+      FROM ordered WHERE prev_ts IS NOT NULL),
+    arr AS (
+      SELECT user_id, list(gap_s ORDER BY gap_s) AS g
+      FROM gaps GROUP BY user_id),
+    sel AS (
+      SELECT user_id, len(g) AS n_gaps,
+             g[(len(g) - 1) // 2 + 1] AS median_gap_s,
+             g[(9 * (len(g) - 1)) // 10 + 1] AS p90_gap_s
+      FROM arr WHERE len(g) >= 2)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           median_gap_s, p90_gap_s,
+           (1000000 * p90_gap_s) // greatest(median_gap_s, 1)
+             AS burstiness_micro
+    FROM sel
+    """,
+    tags=("timeseries", "behavioral", "extension"),
+)
+def events_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user INTERARRIVAL profile — the behavioral signal
+    sessionization thresholds and bot detection are tuned from: the
+    gaps between a user's consecutive events (integer seconds from
+    exact epoch-microsecond differences), summarized as discrete
+    median and p90 picked by EXPLICIT integer rank from the sorted gap
+    array (the winsorized-stats discipline: no engine percentile
+    semantics load-bearing), plus a burstiness ratio p90/median in
+    truncating integer micro — heavy-tailed users (bursts + long
+    silences) score high, metronomic ones near 1. One user-keyed
+    window for the lag, one per-user aggregate; array length = that
+    user's event count, never data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, prev_ts, ts) div 1000000"
+            ).alias("gap_s"),
+        )
+    )
+    arr = gaps.groupBy("user_id").agg(F.array_sort(F.collect_list("gap_s")).alias("g"))
+    n = F.size("g")
+    sel = arr.filter(n >= 2).select(
+        "user_id",
+        n.cast("bigint").alias("n_gaps"),
+        F.element_at("g", ((n - 1) / 2).cast("int") + 1).alias("median_gap_s"),
+        F.element_at("g", (9 * (n - 1) / 10).cast("int") + 1).alias("p90_gap_s"),
+    )
+    return sel.select(
+        "user_id",
+        "n_gaps",
+        "median_gap_s",
+        "p90_gap_s",
+        F.expr(
+            "(1000000 * p90_gap_s) div greatest(median_gap_s, 1)"
+        ).alias("burstiness_micro"),
+    )
