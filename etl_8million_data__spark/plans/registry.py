@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "integrity_fk_orphans",
     "orders_backlog_over_time",
     "events_user_interarrival_stats",
+    "embedding_label_outliers",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

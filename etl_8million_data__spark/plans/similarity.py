@@ -1140,3 +1140,112 @@ def similarity_knn_label_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataF
     return knn_ivf(
         emb, queries, _W, k=5, nprobe=_NPROBE, n_bits=nb, by_cols=["label"]
     ).select("query_id", "label", "vec_id", "cosine", "rn")
+
+
+_OUT_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform(range(64), "
+    "i -> (e.embedding[i+1]::DOUBLE - cent.c[i+1] / 1000000.0)"
+    " * (e.embedding[i+1]::DOUBLE - cent.c[i+1] / 1000000.0))), (a, b) -> a + b)"
+)
+
+
+@register(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT label, CAST(u.i AS INT) AS dim,
+             CAST(sum(CAST(round(embedding[u.i + 1]::DOUBLE * 1000000)
+                           AS BIGINT)) AS BIGINT) // count(*) AS cm
+      FROM embeddings, unnest(range(len(embedding))) AS u(i)
+      GROUP BY 1, 2),
+    cent AS (SELECT label, list(cm ORDER BY dim) AS c FROM m GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(floor(1000000 * {_OUT_DIST}) AS BIGINT) AS dist_micro
+      FROM embeddings e JOIN cent ON cent.label = e.label),
+    med AS (
+      SELECT label, list(dist_micro ORDER BY dist_micro) AS ds
+      FROM d GROUP BY label),
+    msel AS (
+      SELECT label, ds[(len(ds) - 1) // 2 + 1] AS label_median_micro
+      FROM med)
+    SELECT vec_id, label, dist_micro, label_median_micro, rn
+    FROM (
+      SELECT d.vec_id, d.label, d.dist_micro, m.label_median_micro,
+             row_number() OVER (
+               PARTITION BY d.label
+               ORDER BY d.dist_micro DESC, d.vec_id) AS rn
+      FROM d JOIN msel m ON m.label = d.label)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "embedding", "label-noise", "curation", "extension"),
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE detection for training data — vectors suspiciously
+    far from their own label's centroid: squared distance to the
+    integer-micro centroid (truncating per-dim mean, shared double
+    fold) floored to integer micro per vector, compared against the
+    label's DISCRETE median distance (explicit integer rank from the
+    sorted per-label array — the winsorized/interarrival discipline),
+    surfacing each label's TOP-5 most distant vectors under a
+    (dist DESC, vec_id) total order, with the label median carried for
+    context — a rank-based review worklist rather than a threshold,
+    because what counts as 'far' is distribution-dependent (the
+    fixtures' near-orthogonal vectors concentrate within ~12% of the
+    median; real clustered embeddings spread much wider). The
+    flagged set is what a curator reviews for mislabeled or corrupted
+    examples before the label feeds a classifier or filtered ANN.
+    Shapes: one posexplode aggregate to |labels| x dims, centroids
+    broadcast back, one label-keyed median aggregate — per-label
+    arrays, never data-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    m = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .select("label", "dim", micro.alias("micro"))
+        .groupBy("label", "dim")
+        .agg(F.expr("sum(micro) div count(1)").alias("cm"))
+    )
+    cent = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cm"))), lambda s: s["cm"]
+        ).alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c",
+            lambda x, cm: (x.cast("double") - cm / 1_000_000.0)
+            * (x.cast("double") - cm / 1_000_000.0),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    d = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(dist * 1_000_000).cast("bigint").alias("dist_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    med = d.groupBy("label").agg(
+        F.array_sort(F.collect_list("dist_micro")).alias("ds")
+    )
+    n = F.size("ds")
+    msel = med.select(
+        "label",
+        F.element_at("ds", ((n - 1) / 2).cast("int") + 1).alias(
+            "label_median_micro"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist_micro"), F.asc("vec_id"))
+    return (
+        d.join(F.broadcast(msel), "label")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "label", "dist_micro", "label_median_micro", "rn")
+    )
