@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_over_time",
     "events_user_interarrival_stats",
     "embedding_label_outliers",
+    "corpus_length_quality_correlation",
     # never driver-sampled through round 4 (cumulative driver record
     # covers 142/165; these 23 are the remainder — local-green at 2 SFs)
     "approx_distinct_users_hll",

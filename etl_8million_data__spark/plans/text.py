@@ -314,3 +314,80 @@ def corpus_quality_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     rows from the same documents replayed as a stream."""
     d = load_table(spark, sf_dir, "documents")
     return quality_profile_agg(quality_profile_metrics(d))
+
+
+@register(
+    "corpus_length_quality_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             (1000000 * length(regexp_replace({_NORM}, '[^a-z]', '', 'g')))
+               // greatest(length({_NORM}), 1) AS y
+      FROM documents),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM m GROUP BY lang)
+    SELECT lang, n,
+           n * sxy - sx * sy AS cov_num,
+           n * sxx - sx * sx AS var_x_num,
+           n * syy - sy * sy AS var_y_num,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS pearson_r
+    FROM s
+    """,
+    tags=("text", "correlation", "quality", "extension"),
+)
+def corpus_length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATION audit — does a quality filter secretly select on
+    length? Pearson r between document length (chars) and the alpha
+    cleanliness ratio (integer micro), per language. The moments
+    n/Σx/Σy/Σxy/Σx²/Σy² are EXACT integer sums (order-free), the
+    covariance and variance numerators stay integers, and only the
+    final r divides through doubles (identical sqrt/divide on both
+    engines) — so the statistic hash-matches bit-for-bit, unlike any
+    float-accumulated covariance. Strong |r| warns that tuning the
+    alpha threshold silently reshapes the length distribution (and
+    vice versa) — checked per language because the confound differs by
+    script. Overflow bound: the integer numerators need
+    n·max(x)² < 2^63 — fine to ~10^9 docs of 2k chars; beyond that,
+    shard the moment sums and combine (they are associative), or
+    demean with integer offsets first."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    y = F.expr(
+        "(1000000 * length(regexp_replace(lower(trim(regexp_replace(text, "
+        r"'\\s+', ' '))), '[^a-z]', ''))) div greatest(length(lower(trim("
+        r"regexp_replace(text, '\\s+', ' ')))), 1)"
+    )
+    m = d.select(
+        "lang", F.col("n_chars").cast("bigint").alias("x"), y.alias("y")
+    )
+    s = m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lang",
+        "n",
+        cov.alias("cov_num"),
+        vx.alias("var_x_num"),
+        vy.alias("var_y_num"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("pearson_r"),
+    )
