@@ -360,7 +360,6 @@ def corpus_length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataF
     shard the moment sums and combine (they are associative), or
     demean with integer offsets first."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     y = F.expr(
         "(1000000 * length(regexp_replace(lower(trim(regexp_replace(text, "
         r"'\\s+', ' '))), '[^a-z]', ''))) div greatest(length(lower(trim("
