@@ -2994,3 +2994,100 @@ def similarity_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             "agreement_micro"
         ),
     )
+
+
+@register(
+    "search_bm25_rsj_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    q AS (SELECT token, df FROM dfreq, stats
+          WHERE df * 4 <= n_docs
+          ORDER BY df DESC, token LIMIT 5),
+    scored AS (
+      SELECT q.token AS term, tf.doc_id,
+             ((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                / (CAST(q.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + (1.2 * (0.25
+                             + ((0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl)))))
+               AS bm25
+      FROM q JOIN tf ON tf.token = q.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s)
+    SELECT term, doc_id, bm25, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    tags=("search", "bm25", "ranking", "extension", "scale-path"),
+)
+def search_bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking with the log-free RSJ idf — the lexical-retrieval
+    scorer a training-data search/retrieval stage runs at corpus scale
+    (reference analogue: the keyword filters in Summary.py; this is the
+    ranked generalization). The query workload is derived from the
+    corpus itself (the 5 highest-df terms appearing in <=25% of docs —
+    contentful, not stopwords), so the whole query is reproducible with
+    no fixture strings.
+
+    Exactness: idf is the raw Robertson–Sparck-Jones odds ratio
+    (N-df+0.5)/(df+0.5) — deliberately NO log, because log's last ulp
+    differs across engines (same discipline as corpus_lm_fluency_scores);
+    a deployment takes log downstream, which is rank-preserving. All
+    remaining arithmetic is IEEE +,*,/ over exact integer counts with an
+    identical expression tree on both engines, so scores hash-match.
+
+    Scale shape: tf and df are two hash aggregates over the exploded
+    token stream (map-side partials); the 5-term workload broadcasts to
+    join the posting lists (tf filtered by term); the only window is
+    partitioned by term over <=|matching docs|. At 100 TB the same plan
+    holds with the persisted positional index (operators/search_index.py)
+    supplying tf — no all-pairs stage, no unpartitioned window."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(5)
+        .select("token", "df")
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    bm25 = ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))) * (
+        (tfd * F.lit(2.2))
+        / (tfd + (F.lit(1.2) * (F.lit(0.25) + ((F.lit(0.75) * dld) / F.col("avgdl")))))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("token").alias("term"), "doc_id", bm25.alias("bm25"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
