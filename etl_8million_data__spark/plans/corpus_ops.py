@@ -3091,3 +3091,106 @@ def search_bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', md5(token)[1:1]) - 1) * 16
+               + (strpos('0123456789abcdef', md5(token)[2:2]) - 1) AS bucket
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents)),
+    grid AS (SELECT unnest(range(256)) AS bucket),
+    ct AS (SELECT bucket, count(*) AS c FROM tok WHERE lang = 'en'
+           GROUP BY bucket),
+    cs AS (SELECT bucket, count(*) AS c FROM tok GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+                   (SELECT count(*) FROM tok) AS ns),
+    g AS (SELECT (1000000 * (ns + 256)) // (nt + 256) AS g_micro FROM tot),
+    w AS (SELECT grid.bucket,
+                 ((coalesce(ct.c, 0) + 1) * g.g_micro)
+                   // (coalesce(cs.c, 0) + 1) AS w_micro
+          FROM grid
+          LEFT JOIN ct ON ct.bucket = grid.bucket
+          LEFT JOIN cs ON cs.bucket = grid.bucket
+          CROSS JOIN g)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(w.w_micro) AS BIGINT) AS sum_w_micro,
+           CAST(sum(w.w_micro) // count(*) AS BIGINT) AS mean_w_micro
+    FROM tok JOIN w ON w.bucket = tok.bucket
+    GROUP BY tok.doc_id
+    """,
+    tags=("corpus", "sampling", "dsir", "quality", "extension", "scale-path"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document in the raw pool
+    by how target-like its hashed unigram distribution is, where the
+    target domain is the corpus's English slice. Features are 256
+    hashed buckets (md5 hex chars — the same portable token hash as
+    text_feature_hashing), add-1 smoothed.
+
+    Exactness: the per-bucket weight is the integer-micro probability
+    ratio ((ct+1)/(Nt+D)) / ((cs+1)/(Ns+D)) folded as
+    ((ct+1) * g_micro) div (cs+1) with g_micro = (1e6*(Ns+D)) div (Nt+D)
+    — all bigint, no log (log's last ulp differs across engines; a
+    deployment exponent-sums downstream, which is rank-preserving for
+    the resampling draw). Per-doc scores are bigint sums of bigint
+    weights, so order-insensitive and hash-identical in DuckDB.
+    Magnitudes: (ct+1) * g_micro <= Nt * 1e6 * (Ns/Nt + 1) stays under
+    int64 up to ~1e11 target tokens; beyond that a deployment scales
+    counts to per-mille before the ratio (documented, not silently
+    wrapped — Spark and DuckDB both compute the same bigint here).
+
+    Scale shape: two 256-key hash aggregates build the model; the model
+    broadcasts (256 rows) onto the exploded token stream; one doc_id
+    aggregate produces the scores. No all-pairs stage; the token
+    explode is the same stream every corpus statistic here shares. The
+    deterministic epoch draw (corpus_soft_dedup_draw) consumes these
+    weights unchanged at resampling time."""
+    from etl_8million_data__spark.operators.text import hex_char_val, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_utf8(F.col("token"))
+    bucket = (
+        (hex_char_val(F.substring(h, 1, 1)) * 16 + hex_char_val(F.substring(h, 2, 1)))
+        .cast("int")
+        .alias("bucket")
+    )
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", "lang", bucket)
+    grid = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
+    ct = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cs = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tot = tok.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    g = tot.select(F.expr("(1000000 * (ns + 256)) div (nt + 256)").alias("g_micro"))
+    w = (
+        grid.join(ct, "bucket", "left")
+        .join(cs, "bucket", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            F.expr("((coalesce(ct, 0) + 1) * g_micro) div (coalesce(cs, 0) + 1)").alias(
+                "w_micro"
+            ),
+        )
+    )
+    return (
+        tok.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_micro").alias("sum_w_micro"),
+            F.expr("sum(w_micro) div count(1)").alias("mean_w_micro"),
+        )
+    )
