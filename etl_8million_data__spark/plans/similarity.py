@@ -1249,3 +1249,128 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("vec_id", "label", "dist_micro", "label_median_micro", "rn")
     )
+
+
+@register(
+    "similarity_margin_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    s AS (SELECT vec_id AS src_id, embedding AS sx, n2 AS sn2
+          FROM e WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS tgt_id, embedding AS tx, n2 AS tn2
+          FROM e WHERE vec_id % 2 = 1),
+    sc AS (
+      SELECT s.src_id, t.tgt_id,
+             CAST(floor({_dot('s.sx', 't.tx')}
+                        / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT)
+               AS cos_micro
+      FROM s, t),
+    rx AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS rx_sum
+           FROM (SELECT src_id, cos_micro, row_number() OVER (
+                   PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id) AS rn
+                 FROM sc) WHERE rn <= 4 GROUP BY src_id),
+    ry AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS ry_sum
+           FROM (SELECT tgt_id, cos_micro, row_number() OVER (
+                   PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id) AS rn
+                 FROM sc) WHERE rn <= 4 GROUP BY tgt_id),
+    m AS (SELECT sc.src_id, sc.tgt_id, sc.cos_micro,
+                 8 * sc.cos_micro - rx.rx_sum - ry.ry_sum AS margin_scaled
+          FROM sc JOIN rx USING (src_id) JOIN ry USING (tgt_id))
+    SELECT src_id, tgt_id, cos_micro, margin_scaled
+    FROM m ORDER BY margin_scaled DESC, src_id, tgt_id LIMIT 25
+    """,
+    tags=("similarity", "mining", "bitext", "extension", "correctness-baseline"),
+)
+def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (the CSLS / LASER bitext-mining
+    criterion, Artetxe & Schwenk 2019): score every (source, target)
+    pair by 2k*cos(x,y) minus the summed top-k cosine neighborhoods of
+    BOTH endpoints (k=4), so hub vectors that are close to everything
+    are penalized and only mutually-exceptional pairs surface — the
+    aligned-pair miner for parallel/paired training data. Even vec_ids
+    play source, odd play target.
+
+    Exactness: cosines are floored to integer micro BEFORE any
+    aggregation (float fold order never reaches a cross-row sum);
+    neighborhoods are sums of exactly-k bigints chosen by a total-order
+    window (cos_micro DESC, id); the margin 8*c - rx - ry is pure
+    bigint. Top-25 by (margin, src, tgt) total order.
+
+    Scale shape: the all-pairs scoring stage is the size-guarded exact
+    baseline (same guard as similarity_knn_bruteforce); at 100 TB both
+    neighborhood lists and the candidate pairs come from the recall-
+    gated IVF path (similarity_knn_ivf / knn_ivf_kmeans) and only the
+    margin re-rank runs exactly — the plan downstream of `sc` is
+    unchanged. The two windows are partitioned per endpoint; the final
+    top-k is TakeOrderedAndProject, never a global window."""
+    from pyspark.sql.window import Window
+
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        dot,
+        norm2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb,
+        200_000,
+        "similarity_margin_mining",
+        "similarity_knn_ivf neighborhoods + cell-joined margin re-rank",
+    )
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("x"),
+        norm2(F.col("embedding")).alias("n2"),
+    )
+    s = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("x").alias("sx"), F.col("n2").alias("sn2")
+    )
+    t = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("x").alias("tx"), F.col("n2").alias("tn2")
+    )
+    sc = (
+        s.join(t, F.col("src_id") != F.col("tgt_id"))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(
+                dot(F.col("sx"), F.col("tx"))
+                / (F.sqrt("sn2") * F.sqrt("tn2"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_micro"), F.asc("tgt_id"))
+    rx = (
+        sc.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 4)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").alias("rx_sum"))
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_micro"), F.asc("src_id"))
+    ry = (
+        sc.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= 4)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").alias("ry_sum"))
+    )
+    return (
+        sc.join(rx, "src_id")
+        .join(ry, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_micro",
+            (8 * F.col("cos_micro") - F.col("rx_sum") - F.col("ry_sum")).alias(
+                "margin_scaled"
+            ),
+        )
+        .orderBy(F.desc("margin_scaled"), F.asc("src_id"), F.asc("tgt_id"))
+        .limit(25)
+    )
