@@ -284,3 +284,126 @@ def sketch_hll_sharded_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * 0.10 + F.lit(5)
         ).alias("within_bound"),
     )
+
+
+# Deterministic double-hashing for the Bloom filter: two Knuth-style
+# multiplicative mixes over the integer key (the portable-split-hash
+# discipline from corpus_ops — NOT engine hash()), h2 forced odd so the
+# k probe positions stride the whole table. Key is reduced mod 2^31
+# before the multiply so the intermediate never wraps int64.
+_BLOOM_H1 = "(((key % 2147483648) * 2654435761 + 104729) % 4294967296)"
+_BLOOM_H2 = "((((key % 2147483648) * 40503 + 2531011) % 2147483648) * 2 + 1)"
+# 32768 bits as 1024 32-bit words; k=5 probes.
+_BLOOM_POS = f"CAST(({_BLOOM_H1} + i * {_BLOOM_H2}) % 32768 AS INT)"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    probes AS (
+      SELECT key, {_BLOOM_POS} AS pos
+      FROM keys, unnest(range(5)) AS u(i)),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+      FROM probes GROUP BY pos // 32),
+    cprobe AS (
+      SELECT c.c_custkey, c.c_mktsegment, u.i,
+             {_BLOOM_POS.replace('key', 'c.c_custkey')} AS pos
+      FROM customer c, unnest(range(5)) AS u(i)),
+    hits AS (
+      SELECT cp.c_custkey, cp.c_mktsegment,
+             CAST(sum(CASE WHEN (coalesce(w.bits, 0) >> (cp.pos % 32)) % 2 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      FROM cprobe cp LEFT JOIN words w ON w.word = cp.pos // 32
+      GROUP BY cp.c_custkey, cp.c_mktsegment),
+    verdict AS (
+      SELECT h.c_custkey, h.c_mktsegment,
+             CASE WHEN h.n_set = 5 THEN 1 ELSE 0 END AS flagged,
+             CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END AS actual
+      FROM hits h LEFT JOIN keys k ON k.key = h.c_custkey)
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(actual) AS BIGINT) AS n_actual,
+           CAST(sum(CASE WHEN flagged = 1 AND actual = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN flagged = 0 AND actual = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM verdict GROUP BY c_mktsegment
+    """,
+    tags=("sketch", "bloom", "approx", "extension", "scale-path"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: build a 32768-bit filter (1024
+    32-bit words, k=5 double-hashed probes) over the DISTINCT customer
+    keys present in orders, probe EVERY customer, and audit the sketch
+    against exact membership per market segment — n_false_neg must be
+    0 by construction (Bloom filters never false-negative; the oracle
+    hash-checks that property, not just the counts) and n_false_pos is
+    the measured false-positive load at this fill factor.
+
+    Exactness: the whole sketch is integer arithmetic — two portable
+    multiplicative hashes (same discipline as the corpus split hash:
+    key reduced mod 2^31 before the multiply so nothing wraps), bit_or
+    word aggregation, shift-and-mask probes — so the filter words and
+    every verdict bit are identical in DuckDB and the value hash
+    matches exactly.
+
+    Scale shape: the filter is a 1024-row aggregate (8 KB) however many
+    billions of keys stream through it — the classic pre-join pruning
+    sketch: broadcast the words, drop definitely-absent probe rows
+    before an expensive shuffle join (the left-anti/skip-existing
+    pipelines here consume it unchanged). Probing is one broadcast
+    join + a 5-row-per-key fan-out; no shuffle is keyed on the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    grid = spark.range(5).select(F.col("id").cast("int").alias("i"))
+    probes = keys.crossJoin(F.broadcast(grid)).select(
+        "key", F.expr(_BLOOM_POS).alias("pos")
+    )
+    words = probes.groupBy(F.expr("pos div 32").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 32))").alias("bits")
+    )
+    cprobe = (
+        cust.select(F.col("c_custkey").alias("key"), "c_mktsegment")
+        .crossJoin(F.broadcast(grid))
+        .select(
+            F.col("key").alias("c_custkey"),
+            "c_mktsegment",
+            F.expr(_BLOOM_POS).alias("pos"),
+        )
+    )
+    hits = (
+        cprobe.join(F.broadcast(words), F.expr("word = pos div 32"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(coalesce(bits, 0) >> (pos % 32)) % 2 = 1"), 1
+                ).otherwise(0)
+            ).alias("n_set")
+        )
+    )
+    verdict = hits.join(
+        keys.withColumnRenamed("key", "c_custkey").withColumn("_in", F.lit(1)),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_mktsegment",
+        F.when(F.col("n_set") == 5, 1).otherwise(0).alias("flagged"),
+        F.when(F.col("_in").isNotNull(), 1).otherwise(0).alias("actual"),
+    )
+    return verdict.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("flagged").alias("n_flagged"),
+        F.sum("actual").alias("n_actual"),
+        F.sum(
+            F.when((F.col("flagged") == 1) & (F.col("actual") == 0), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("flagged") == 0) & (F.col("actual") == 1), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
