@@ -585,3 +585,183 @@ def power_iteration_top_component(
     return v.select(
         F.posexplode("vm").alias("dim", "v_micro")
     ).select(F.col("dim").cast("int").alias("dim"), F.col("v_micro"))
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Product Quantization training (Jegou et al. 2011):
+    split each vector into ``m`` subvectors of dim/m dims and run the
+    same oracle-checkable Lloyd loop as :func:`kmeans_fit` INDEPENDENTLY
+    per subspace (one relational loop keyed by (sub, j) — not m loops):
+    md5-picked seeds per (sub, j), micro-integer centroids
+    (order-insensitive means, `div` truncation matching DuckDB `//`),
+    shared distance folds, (dist, j) tie-breaks.
+
+    Returns (assign, codebook): assign = (vec_id, sub, sx, j, dist) —
+    the final per-subspace code assignment; codebook = (sub, j, cm) with
+    micro-int centroid components — m * ksub bounded rows, always
+    broadcastable.
+
+    Scale shape per iteration: one broadcast of the m*ksub codebook,
+    one narrow argmin over the (vec_id, sub) stream, one
+    (sub, j, dim) aggregate. Nothing is ever keyed on the corpus except
+    the per-row argmin window; at 100 TB you train on a key-hash sample
+    (the corpus split hash) and encode the full stream with the final
+    broadcast codebook — the encode pass is embarrassingly parallel."""
+    sub_dim = dim // m
+    spark = emb.sparkSession
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
+    )
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    xs = x.crossJoin(F.broadcast(subs)).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(xd, sub * {sub_dim} + 1, {sub_dim})").alias("sx"),
+    )
+    grid = spark.range(ksub).select(F.col("id").cast("int").alias("j"))
+    seeds = (
+        x.select("vec_id")
+        .crossJoin(F.broadcast(subs))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "sub",
+            "j",
+            "vec_id",
+            F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit("#"),
+                    F.col("sub").cast("string"),
+                    F.lit("#"),
+                    F.col("j").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("sub", "j")
+        .agg(F.min_by("vec_id", "h").alias("vec_id"))
+    )
+    cents = seeds.join(xs, ["vec_id", "sub"]).select(
+        "sub",
+        "j",
+        F.transform("sx", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
+    )
+    assign = None
+    fit_cents = cents
+    for it in range(iters):
+        fit_cents = cents
+        c = cents.select(
+            "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("sx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "j")
+        assign = (
+            xs.join(F.broadcast(c), "sub")
+            .select("vec_id", "sub", "sx", "j", dist.alias("dist"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "sub", "sx", "j", "dist")
+        )
+        if it < iters - 1:
+            cents = (
+                assign.select("sub", "j", F.posexplode("sx").alias("dim", "v"))
+                .groupBy("sub", "j", "dim")
+                .agg(
+                    F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .groupBy("sub", "j")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", F.expr("s div n").alias("m")))
+                        ),
+                        lambda t: t["m"],
+                    ).alias("cm")
+                )
+            )
+    return assign, fit_cents
+
+
+def knn_pq_adc(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    query_mod: int = 100,
+) -> DataFrame:
+    """Asymmetric-distance kNN over PQ codes: documents are searched in
+    COMPRESSED form (m small codes per vector — 8 bytes instead of 256
+    here, 32x; the memory story that makes billion-vector search fit a
+    cluster), queries stay raw. Each query precomputes a lookup table
+    of floor(1e6 * ||q_sub - c_{{sub,j}}||^2) integer-micro partial
+    distances; a document's ADC distance is the bigint sum of its m
+    table entries — order-insensitive, so the approximate result is
+    itself hash-checkable against DuckDB.
+
+    Scale shape: the codebook (m*ksub rows) broadcasts; the LUT is
+    |Q|*m*ksub rows joined to the (vec_id, sub, code) stream on
+    (sub, j) — corpus-proportional on the left only, so no broadcast
+    hint on the LUT side beyond its |Q| bound; one (query_id, vec_id)
+    aggregate and a per-query top-k window. Compose with the IVF
+    router (knn_ivf_kmeans cells) to prune the scanned stream before
+    the LUT join — the codes column is cell-partitionable like any
+    other."""
+    assign, cents = pq_fit(emb, m, ksub, iters, id_col, vec_col, dim)
+    codes = assign.select("vec_id", "sub", "j")
+    c = cents.select(
+        "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
+    )
+    sub_dim = dim // m
+    q = (
+        emb.filter(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
+        )
+        .crossJoin(F.broadcast(emb.sparkSession.range(m).select(
+            F.col("id").cast("int").alias("sub")
+        )))
+        .select(
+            "query_id",
+            "sub",
+            F.expr(f"slice(xd, sub * {sub_dim} + 1, {sub_dim})").alias("qx"),
+        )
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = q.join(F.broadcast(c), "sub").select(
+        "query_id",
+        "sub",
+        "j",
+        F.floor(qdist * 1_000_000).cast("bigint").alias("dmic"),
+    )
+    scored = (
+        # LUT grows with |Q| (corpus-derived): no broadcast hint — AQE
+        # chooses, so there is no memory cliff as |Q| grows.
+        codes.join(lut, ["sub", "j"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -337,3 +337,41 @@ def test_hybrid_fusion_ivf_rank_overlap_vs_exact(spark, sf_dir):
     ]
     avg = sum(overlaps) / len(overlaps)
     assert avg >= 0.35, f"fused-list overlap collapsed: {avg}"
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ is a full-corpus rerank (no cells are pruned — only the
+    representation is compressed), so unlike the IVF probes its recall
+    floor is set by quantization error alone and sits far above the
+    inverted-file gates."""
+    qs = all_queries()
+    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    approx = qs["similarity_knn_pq_adc"].build(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.35, f"avg recall {avg_recall}"
+    assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_pq_codes_are_full_width(spark, sf_dir):
+    """Every vector gets exactly m=16 codes, each in [0, 16)."""
+    qs = all_queries()
+    rows = qs["similarity_pq_codes"].build(spark, sf_dir).collect()
+    n_vecs = qs["similarity_knn_bruteforce"].build(spark, sf_dir).sparkSession.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        codes = [int(c) for c in r.codes_csv.split(",")]
+        assert len(codes) == 16
+        assert all(0 <= c < 16 for c in codes)
+        assert r.recon_micro >= 0
