@@ -80,6 +80,12 @@ HEADLINE = [
     "events_scd2_pointintime_join",  # feature-store AS OF join
     "multimodal_audio_energy_trim",  # windowed PCM energy + VAD trim
     "embedding_top_component",  # fixed-point power iteration
+    # round-6 families
+    "similarity_knn_pq_adc",  # product-quantized compressed-domain kNN
+    "similarity_margin_mining",  # CSLS margin pair mining
+    "search_bm25_rsj_topk",  # BM25 ranked retrieval
+    "corpus_dsir_importance",  # DSIR importance weights
+    "sketch_bloom_membership",  # bloom filter build + probe + audit
 ]
 
 
