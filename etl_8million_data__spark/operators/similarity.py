@@ -452,6 +452,11 @@ def kmeans_fit(
                         lambda t: t["m"],
                     ).alias("cm")
                 )
+                # Refit centroids feed the next assignment round AND the
+                # returned codebook — materialize the m*ksub rows once so
+                # downstream consumers (codes + query LUTs) never replay
+                # the training lineage.
+                .localCheckpoint(eager=True)
             )
     return assign, fit_cents
 
@@ -666,13 +671,25 @@ def pq_fit(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "j")
+        # Argmin by hash aggregate, not a sort window: min over
+        # struct(dist, j, sx) is the same (dist, j) total order — j is
+        # unique within a (vec_id, sub) group so the comparison never
+        # reaches sx — but gets map-side partial aggregation instead of
+        # a full sort shuffle of the N*m*ksub assignment stream.
         assign = (
             xs.join(F.broadcast(c), "sub")
-            .select("vec_id", "sub", "sx", "j", dist.alias("dist"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "sub", "sx", "j", "dist")
+            .select(
+                "vec_id", "sub", F.struct(dist.alias("dist"), "j", "sx").alias("b")
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min("b").alias("b"))
+            .select(
+                "vec_id",
+                "sub",
+                F.col("b.sx").alias("sx"),
+                F.col("b.j").alias("j"),
+                F.col("b.dist").alias("dist"),
+            )
         )
         if it < iters - 1:
             cents = (
@@ -691,6 +708,11 @@ def pq_fit(
                         lambda t: t["m"],
                     ).alias("cm")
                 )
+                # Refit centroids feed the next assignment round AND the
+                # returned codebook — materialize the m*ksub rows once so
+                # downstream consumers (codes + query LUTs) never replay
+                # the training lineage.
+                .localCheckpoint(eager=True)
             )
     return assign, fit_cents
 

@@ -1401,55 +1401,68 @@ def _pq_dist(xref: str, cref: str) -> str:
     )
 
 
-# Shared Product-Quantization CTE chain (m=16 subspaces x ksub=16 codes,
-# 2 assignment rounds): the per-subspace mirror of _KM_CTES — one
-# relational Lloyd loop keyed by (sub, j). pa2 is the final code
-# assignment; pc1 the codebook it was made against.
-_PQ_CTES = f"""
+def _pq_chain(src: str, p: str) -> str:
+    """CTE chain training the 16x16 PQ codebook over ``src``(vec_id, xd)
+    with CTE names prefixed ``p`` — the per-subspace mirror of _KM_CTES
+    as one relational Lloyd loop keyed by (sub, j), 2 assignment
+    rounds. ``{p}a2`` is the final (vec_id, sub, sx, j, dist) code
+    assignment; ``{p}c1`` the micro-int codebook it was made against.
+    Parametrized so the flat PQ queries (src = normalized vectors) and
+    the IVF-PQ residual query (src = per-cell residuals) share one
+    verified training chain."""
+    return f"""
+    {p}sub AS (SELECT CAST(unnest(range(16)) AS INT) AS sub),
+    {p}grid AS (SELECT CAST(unnest(range(16)) AS INT) AS j),
+    {p}xs AS (SELECT {src}.vec_id, {p}sub.sub,
+                   list_slice({src}.xd, {p}sub.sub * 4 + 1,
+                              {p}sub.sub * 4 + 4) AS sx
+            FROM {src}, {p}sub),
+    {p}sh AS (SELECT s.sub, g.j, x.vec_id,
+                   md5(x.vec_id::VARCHAR || '#' || s.sub::VARCHAR
+                       || '#' || g.j::VARCHAR) AS h
+            FROM {src} x, {p}sub s, {p}grid g),
+    {p}seeds AS (SELECT sub, j, arg_min(vec_id, h) AS vec_id
+               FROM {p}sh GROUP BY sub, j),
+    {p}c0 AS (SELECT s.sub, s.j,
+                   list_transform(xs.sx,
+                                  v -> CAST(round(v * 1000000) AS BIGINT)) AS cm
+            FROM {p}seeds s
+            JOIN {p}xs xs ON xs.vec_id = s.vec_id AND xs.sub = s.sub),
+    {p}d1 AS (SELECT xs.vec_id, xs.sub, xs.sx, c.j,
+                   {_pq_dist('xs.sx', 'c.cm')} AS dist
+            FROM {p}xs xs JOIN {p}c0 c ON c.sub = xs.sub),
+    {p}a1 AS (SELECT vec_id, sub, sx, j, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, j) AS rn
+              FROM {p}d1) WHERE rn = 1),
+    {p}m1 AS (SELECT a.sub, a.j, u.i AS dim,
+                   sum(CAST(round(a.sx[u.i+1] * 1000000) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM {p}a1 a, unnest(range(4)) AS u(i)
+            GROUP BY a.sub, a.j, u.i),
+    {p}c1 AS (SELECT sub, j, list(s // n ORDER BY dim) AS cm
+            FROM {p}m1 GROUP BY sub, j),
+    {p}d2 AS (SELECT xs.vec_id, xs.sub, xs.sx, c.j,
+                   {_pq_dist('xs.sx', 'c.cm')} AS dist
+            FROM {p}xs xs JOIN {p}c1 c ON c.sub = xs.sub),
+    {p}a2 AS (SELECT vec_id, sub, sx, j, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, j) AS rn
+              FROM {p}d2) WHERE rn = 1)
+"""
+
+
+# Flat PQ over unit-normalized vectors (m=16 subspaces x ksub=16 codes).
+_PQ_CTES = (
+    f"""
     px AS (
       SELECT vec_id,
              list_transform(embedding,
                v -> CAST(v AS DOUBLE)
                     / sqrt({_dot('embedding', 'embedding')})) AS xd
-      FROM embeddings),
-    psub AS (SELECT CAST(unnest(range(16)) AS INT) AS sub),
-    pgrid AS (SELECT CAST(unnest(range(16)) AS INT) AS j),
-    pxs AS (SELECT px.vec_id, psub.sub,
-                   list_slice(px.xd, psub.sub * 4 + 1, psub.sub * 4 + 4) AS sx
-            FROM px, psub),
-    psh AS (SELECT s.sub, g.j, x.vec_id,
-                   md5(x.vec_id::VARCHAR || '#' || s.sub::VARCHAR
-                       || '#' || g.j::VARCHAR) AS h
-            FROM px x, psub s, pgrid g),
-    pseeds AS (SELECT sub, j, arg_min(vec_id, h) AS vec_id
-               FROM psh GROUP BY sub, j),
-    pc0 AS (SELECT s.sub, s.j,
-                   list_transform(xs.sx,
-                                  v -> CAST(round(v * 1000000) AS BIGINT)) AS cm
-            FROM pseeds s
-            JOIN pxs xs ON xs.vec_id = s.vec_id AND xs.sub = s.sub),
-    pd1 AS (SELECT xs.vec_id, xs.sub, xs.sx, c.j,
-                   {_pq_dist('xs.sx', 'c.cm')} AS dist
-            FROM pxs xs JOIN pc0 c ON c.sub = xs.sub),
-    pa1 AS (SELECT vec_id, sub, sx, j, dist FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                                           ORDER BY dist, j) AS rn
-              FROM pd1) WHERE rn = 1),
-    pm1 AS (SELECT pa1.sub, pa1.j, u.i AS dim,
-                   sum(CAST(round(pa1.sx[u.i+1] * 1000000) AS BIGINT)) AS s,
-                   count(*) AS n
-            FROM pa1, unnest(range(4)) AS u(i)
-            GROUP BY pa1.sub, pa1.j, u.i),
-    pc1 AS (SELECT sub, j, list(s // n ORDER BY dim) AS cm
-            FROM pm1 GROUP BY sub, j),
-    pd2 AS (SELECT xs.vec_id, xs.sub, xs.sx, c.j,
-                   {_pq_dist('xs.sx', 'c.cm')} AS dist
-            FROM pxs xs JOIN pc1 c ON c.sub = xs.sub),
-    pa2 AS (SELECT vec_id, sub, sx, j, dist FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                                           ORDER BY dist, j) AS rn
-              FROM pd2) WHERE rn = 1)
-"""
+      FROM embeddings),"""
+    + _pq_chain("px", "p")
+)
 
 
 @register(
