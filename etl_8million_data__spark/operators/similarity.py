@@ -384,6 +384,8 @@ def kmeans_fit(
     scan only the routed cells)."""
     from pyspark.sql import Window
 
+    if iters < 1:
+        raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     spark = emb.sparkSession
     x = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -620,6 +622,8 @@ def pq_fit(
     the per-row argmin window; at 100 TB you train on a key-hash sample
     (the corpus split hash) and encode the full stream with the final
     broadcast codebook — the encode pass is embarrassingly parallel."""
+    if iters < 1:
+        raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
     sub_dim = dim // m
     spark = emb.sparkSession
     x = emb.select(
@@ -745,6 +749,8 @@ def knn_pq_adc(
     router (knn_ivf_kmeans cells) to prune the scanned stream before
     the LUT join — the codes column is cell-partitionable like any
     other."""
+    if iters < 1:
+        raise ValueError(f"knn_pq_adc requires iters >= 1, got {iters}")
     assign, cents = pq_fit(emb, m, ksub, iters, id_col, vec_col, dim)
     codes = assign.select("vec_id", "sub", "j")
     c = cents.select(

@@ -1306,6 +1306,7 @@ def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. The two windows are partitioned per endpoint; the final
     top-k is TakeOrderedAndProject, never a global window."""
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     from etl_8million_data__spark.operators.similarity import (
         assert_baseline_scale,
@@ -1313,10 +1314,15 @@ def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm2,
     )
 
+    # Tighter guard than the streaming bruteforce baseline (200k): the
+    # scored frame below is persisted for 3-way reuse, so its O(n^2)
+    # rows are a STORAGE footprint, not just a stream — 50k vectors
+    # (~2.5e9 scored rows) is the honest ceiling for a spill-backed
+    # exact baseline.
     emb = load_table(spark, sf_dir, "embeddings")
     assert_baseline_scale(
         emb,
-        200_000,
+        50_000,
         "similarity_margin_mining",
         "similarity_knn_ivf neighborhoods + cell-joined margin re-rank",
     )
@@ -1344,7 +1350,14 @@ def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cos_micro"),
         )
-        .localCheckpoint(eager=True)
+        # The scored frame is consumed 3x (both neighborhood windows +
+        # the margin join) — mark it reusable, but NOT localCheckpoint:
+        # this frame is O(|S|*|T|) (unlike the k-bounded centroid
+        # checkpoints elsewhere), and an eager checkpoint would force
+        # the full quadratic row set onto executor local disk up-front.
+        # MEMORY_AND_DISK persists lazily and spills per-partition, so
+        # the footprint is bounded by what actually fits.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wx = Window.partitionBy("src_id").orderBy(F.desc("cos_micro"), F.asc("tgt_id"))
     rx = (

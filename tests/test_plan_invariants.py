@@ -57,21 +57,36 @@ def test_ntile_has_no_data_sized_single_partition_window(spark):
         assert "HashAggregate" in before, "SinglePartition exchange over raw data"
 
 
-def _broadcast_hint_sides(df) -> list[str]:
-    """String form of every subtree under a broadcast ResolvedHint in
-    the ANALYZED plan (the optimizer consumes hints, so the analyzed
-    plan is where an `F.broadcast(...)` call is still visible)."""
+def _broadcast_hint_children(df) -> list:
+    """Every subtree (java LogicalPlan node) under a broadcast
+    ResolvedHint in the ANALYZED plan (the optimizer consumes hints, so
+    the analyzed plan is where an `F.broadcast(...)` call is still
+    visible)."""
     sides = []
 
     def walk(node):
         if node.nodeName() == "ResolvedHint":
-            sides.append(node.child().toString())
+            sides.append(node.child())
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
 
     walk(df._jdf.queryExecution().analyzed())
     return sides
+
+
+def _broadcast_hint_sides(df) -> list[str]:
+    return [n.toString() for n in _broadcast_hint_children(df)]
+
+
+def _count_logical(spark, node) -> int:
+    """Row count of an arbitrary analyzed-plan subtree — lets an
+    invariant verify a materialized (localCheckpoint → LogicalRDD)
+    broadcast side is actually bounded instead of trusting its shape."""
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, node
+    )
+    return jdf.count()
 
 
 @pytest.mark.parametrize("name", ["similarity_knn_ivf", "similarity_knn_int8"])
@@ -88,13 +103,19 @@ def test_ann_plans_never_hint_broadcast_of_corpus_frames(spark, name):
 
 def test_kmeans_ann_broadcasts_only_bounded_frames(spark):
     """knn_ivf_kmeans may broadcast only frames bounded by k (centroid
-    aggregates) or a constant grid — never the corpus scan or the
-    corpus-growing probe table."""
-    sides = _broadcast_hint_sides(
-        all_queries()["similarity_knn_ivf_kmeans"].build(spark, SF)
-    )
-    for s in sides:
-        assert "Aggregate" in s or "Range" in s, f"unbounded broadcast side: {s[:200]}"
+    aggregates or a constant grid) — never the corpus scan or the
+    corpus-growing probe table. kmeans_fit localCheckpoints the refit
+    centroids, so a broadcast side may also surface as a LogicalRDD:
+    that shape is accepted ONLY after counting it (≤ k_cells rows) —
+    a materialized corpus frame would still fail here."""
+    df = all_queries()["similarity_knn_ivf_kmeans"].build(spark, SF)
+    for node in _broadcast_hint_children(df):
+        s = node.toString()
+        if "Aggregate" in s or "Range" in s:
+            continue
+        assert "LogicalRDD" in s, f"unbounded broadcast side: {s[:200]}"
+        n = _count_logical(spark, node)
+        assert n <= 8, f"materialized broadcast side has {n} rows (> k_cells)"
 
 
 def test_feature_hashing_single_exchange(spark):

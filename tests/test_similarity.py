@@ -364,11 +364,11 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
 
 def test_pq_codes_are_full_width(spark, sf_dir):
     """Every vector gets exactly m=16 codes, each in [0, 16)."""
+    from etl_8million_data__spark.catalog import load_table
+
     qs = all_queries()
     rows = qs["similarity_pq_codes"].build(spark, sf_dir).collect()
-    n_vecs = qs["similarity_knn_bruteforce"].build(spark, sf_dir).sparkSession.read.parquet(
-        f"{sf_dir}/embeddings.parquet"
-    ).count()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
     assert len(rows) == n_vecs
     for r in rows:
         codes = [int(c) for c in r.codes_csv.split(",")]
