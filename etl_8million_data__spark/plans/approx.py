@@ -291,16 +291,35 @@ def sketch_hll_sharded_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discipline from corpus_ops — NOT engine hash()), h2 forced odd so the
 # k probe positions stride the whole table. Key is reduced mod 2^31
 # before the multiply so the intermediate never wraps int64.
-_BLOOM_H1 = "(((key % 2147483648) * 2654435761 + 104729) % 4294967296)"
-_BLOOM_H2 = "((((key % 2147483648) * 40503 + 2531011) % 2147483648) * 2 + 1)"
-# 32768 bits as 1024 32-bit words; k=5 probes.
-_BLOOM_POS = f"CAST(({_BLOOM_H1} + i * {_BLOOM_H2}) % 32768 AS INT)"
+def _bloom_pos(key: str, i: str) -> str:
+    """SQL for the i-th probe position of ``key`` — identical text on
+    both engines so the filter words and every verdict bit match."""
+    h1 = f"((({key} % 2147483648) * 2654435761 + 104729) % 4294967296)"
+    h2 = f"(((({key} % 2147483648) * 40503 + 2531011) % 2147483648) * 2 + 1)"
+    return f"CAST(({h1} + {i} * {h2}) % 8192 AS INT)"
+
+
+# 8192 bits as 256 32-bit words; k=5 probes. Sized so the fixture
+# workload (~1.3k member keys at sf0.01) lands at a fill factor where
+# the false-positive branch of the audit is EXERCISED (measured 12
+# real FPs at sf0.01), not a dead arm under an oversized table.
+_BLOOM_POS = _bloom_pos("key", "i")
+# The member-key set: custkeys holding at least one URGENT order — a
+# genuine subset of customers (18 non-members at sf0.001, 203 at
+# sf0.01), so membership verdicts have both arms populated. TPC-H's
+# own generator leaves ~1/3 of customers order-less; this fixture data
+# gives every customer an order, so the subset predicate restores the
+# non-member population the audit needs.
+_BLOOM_KEYS_SQL = (
+    "SELECT DISTINCT o_custkey AS key FROM orders "
+    "WHERE o_orderpriority = '1-URGENT'"
+)
 
 
 @register(
     "sketch_bloom_membership",
     oracle=f"""
-    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    WITH keys AS ({_BLOOM_KEYS_SQL}),
     probes AS (
       SELECT key, {_BLOOM_POS} AS pos
       FROM keys, unnest(range(5)) AS u(i)),
@@ -336,13 +355,16 @@ _BLOOM_POS = f"CAST(({_BLOOM_H1} + i * {_BLOOM_H2}) % 32768 AS INT)"
     tags=("sketch", "bloom", "approx", "extension", "scale-path"),
 )
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter membership sketch: build a 32768-bit filter (1024
+    """Bloom-filter membership sketch: build an 8192-bit filter (256
     32-bit words, k=5 double-hashed probes) over the DISTINCT customer
-    keys present in orders, probe EVERY customer, and audit the sketch
-    against exact membership per market segment — n_false_neg must be
-    0 by construction (Bloom filters never false-negative; the oracle
-    hash-checks that property, not just the counts) and n_false_pos is
-    the measured false-positive load at this fill factor.
+    keys holding URGENT orders — a genuine subset of customers, so the
+    probe population contains real non-members — probe EVERY customer,
+    and audit the sketch against exact membership per market segment.
+    n_false_neg must be 0 by construction (Bloom filters never
+    false-negative; the oracle hash-checks that property, not just the
+    counts) and n_false_pos is the measured false-positive load at this
+    fill factor (12 customers at sf0.01 — the FP arm is exercised, not
+    asserted empty by an oversized table).
 
     Exactness: the whole sketch is integer arithmetic — two portable
     multiplicative hashes (same discipline as the corpus split hash:
@@ -351,15 +373,22 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     every verdict bit are identical in DuckDB and the value hash
     matches exactly.
 
-    Scale shape: the filter is a 1024-row aggregate (8 KB) however many
+    Scale shape: the filter is a ≤256-row aggregate (2 KB) however many
     billions of keys stream through it — the classic pre-join pruning
     sketch: broadcast the words, drop definitely-absent probe rows
-    before an expensive shuffle join (the left-anti/skip-existing
-    pipelines here consume it unchanged). Probing is one broadcast
-    join + a 5-row-per-key fan-out; no shuffle is keyed on the data."""
+    before an expensive shuffle join (sketch_bloom_pruned_antijoin
+    consumes exactly this filter). Probing is one broadcast join + a
+    5-row-per-key fan-out; no shuffle is keyed on the data. At 100 TB
+    you widen the word table with the key cardinality (it stays a
+    broadcastable aggregate up to millions of words) — the fixture
+    width is chosen for audit coverage, not as a constant."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
     grid = spark.range(5).select(F.col("id").cast("int").alias("i"))
     probes = keys.crossJoin(F.broadcast(grid)).select(
         "key", F.expr(_BLOOM_POS).alias("pos")
@@ -407,3 +436,87 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("flagged") == 0) & (F.col("actual") == 1), 1).otherwise(0)
         ).alias("n_false_neg"),
     )
+
+
+@register(
+    "sketch_bloom_pruned_antijoin",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("sketch", "bloom", "anti-join", "extension", "scale-path"),
+)
+def sketch_bloom_pruned_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order, computed as a BLOOM-PRUNED
+    anti-join — the registered consumer of sketch_bloom_membership's
+    filter: the 256-word filter over the member keys folds to ONE dense
+    array row, broadcasts onto the customer scan, and every customer
+    whose 5 probe bits are not all set is emitted DIRECTLY (a Bloom
+    filter never false-negatives, so "any bit clear" proves absence);
+    only the flagged rows — true members plus the measured ~1% false
+    positives — reach the anti-join. False positives cost work, never
+    rows, so the result is EXACTLY the unpruned anti-join and the
+    oracle is the plain NOT EXISTS — the identity, not a lookalike, is
+    what the hash compare certifies.
+
+    Scale shape: the probe is a 1-row broadcast nested-loop over the
+    scan — zero exchanges on the definitely-absent branch, which at a
+    well-sized filter is almost all non-members; the shuffle the
+    anti-join pays is proportional to |members| + FP load instead of
+    the full probe table (at sf0.01: 1309 of 1500 customers shuffle,
+    and the 191 pruned rows never leave their scan partition; at 100 TB
+    with TPC-H's natural 1/3 order-less customers the pruned volume is
+    the win the sketch exists for)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    grid = spark.range(5).select(F.col("id").cast("int").alias("i"))
+    words = (
+        keys.crossJoin(F.broadcast(grid))
+        .select(F.expr(_BLOOM_POS).alias("pos"))
+        .groupBy(F.expr("CAST(pos div 32 AS INT)").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 32))").alias("bits"))
+    )
+    # Fold the ≤256 (word, bits) rows into ONE dense-array row so the
+    # membership test is 5 element_at lookups per customer — no
+    # explode, no per-customer re-aggregation, no shuffle keyed on the
+    # probe table.
+    warr = (
+        words.groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda w: F.coalesce(F.element_at("wm", w), F.lit(0).cast("bigint")),
+            ).alias("warr")
+        )
+    )
+    probed = cust.select("c_custkey", "c_name", "c_mktsegment").crossJoin(
+        F.broadcast(warr)
+    )
+    flagged_cond = F.lit(True)
+    for i in range(5):
+        pos = _bloom_pos("c_custkey", str(i))
+        flagged_cond = flagged_cond & F.expr(
+            f"(element_at(warr, CAST(({pos}) div 32 + 1 AS INT))"
+            f" >> (({pos}) % 32)) % 2 = 1"
+        )
+    probed = probed.select(
+        "c_custkey", "c_name", "c_mktsegment", flagged_cond.alias("_flagged")
+    )
+    definitely_absent = probed.filter(~F.col("_flagged")).drop("_flagged")
+    survivors = (
+        probed.filter(F.col("_flagged"))
+        .drop("_flagged")
+        .join(keys, F.col("c_custkey") == F.col("key"), "left_anti")
+    )
+    return definitely_absent.unionByName(survivors)

@@ -80,3 +80,44 @@ def test_hll_sharded_union_close_to_single_pass(spark):
             "etl_8million_data__spark.plans", fromlist=["all_queries"]
         ).all_queries()["sketch_hll_sharded_union"].build(spark, sf).collect()[0]
         assert row.merge_consistent and row.within_bound, sf
+
+
+def test_bloom_audit_exercises_false_positive_arm(spark):
+    """At sf0.01 the 8192-bit filter over URGENT-order custkeys must
+    report real false positives (non-members exist AND the fill factor
+    produces collisions) and zero false negatives — the audit's FP arm
+    is live, not dead code under an oversized table."""
+    df = all_queries()["sketch_bloom_membership"].build(spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.sum("n_false_pos").alias("fp"),
+        F.sum("n_false_neg").alias("fn"),
+        F.sum("n_actual").alias("members"),
+        F.sum("n_customers").alias("total"),
+    ).collect()[0]
+    assert agg.fn == 0
+    assert agg.fp > 0, "FP arm dead again — filter oversized for fixture keys"
+    assert agg.members < agg.total, "no non-members: audit population degenerate"
+
+
+def test_bloom_pruned_antijoin_matches_plain_antijoin(spark, sf_dir):
+    """The pruned plan must be the IDENTITY of the plain anti-join —
+    false positives cost work, never rows — and the pruned branch must
+    actually carry rows (definitely-absent customers bypass the join)."""
+    pruned = (
+        all_queries()["sketch_bloom_pruned_antijoin"].build(spark, sf_dir).collect()
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (
+        cust.select("c_custkey", "c_name", "c_mktsegment")
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .collect()
+    )
+    assert sorted(r.c_custkey for r in pruned) == sorted(r.c_custkey for r in plain)
+    assert len(pruned) > 0
