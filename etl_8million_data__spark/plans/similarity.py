@@ -582,42 +582,59 @@ def _km_dist(xref: str, cref: str) -> str:
     )
 
 
-# Shared k-means CTE chain (k=8, 2 assignment rounds): seeds by md5
-# arg_min, micro-int centroids, shared distance fold, dist/j
-# tie-breaks. a2 is the final assignment (with vectors); c1 the
-# centroids it was made against. DuckDB integer `//` truncates toward
-# zero like Spark's `div` — verified on negative micro sums.
-_KM_CTES = f"""
+def _km_chain(src: str, p: str) -> str:
+    """CTE chain training the k=8, 2-round coarse quantizer over
+    ``src``(vec_id, x) with CTE names prefixed ``p`` — seeds by md5
+    arg_min, micro-int centroids, shared distance fold, dist/j
+    tie-breaks. ``{p}a2`` is the final assignment (with vectors);
+    ``{p}c1`` the centroids it was made against. DuckDB integer `//`
+    truncates toward zero like Spark's `div` — verified on negative
+    micro sums. Parametrized so the raw-vector queries
+    (similarity_kmeans_cells / knn_ivf_kmeans) and the IVF-PQ residual
+    query (cells over unit-normalized vectors) share one verified
+    training chain."""
+    return f"""
+    {p}grid AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+    {p}sh AS (SELECT g.j, x.vec_id,
+                  md5(x.vec_id::VARCHAR || '#' || g.j::VARCHAR) AS h
+           FROM {src} x, {p}grid g),
+    {p}seeds AS (SELECT j, arg_min(vec_id, h) AS vec_id
+                 FROM {p}sh GROUP BY j),
+    {p}c0 AS (SELECT s.j,
+                  list_transform(x.x, v -> CAST(round(v * 1000000) AS BIGINT)) AS cm
+           FROM {p}seeds s JOIN {src} x ON x.vec_id = s.vec_id),
+    {p}d1 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
+           FROM {src} x, {p}c0 c),
+    {p}a1 AS (SELECT vec_id, x, j, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+             FROM {p}d1) WHERE rn = 1),
+    {p}m1 AS (SELECT a.j, u.i AS dim,
+                  sum(CAST(round(a.x[u.i+1] * 1000000) AS BIGINT)) AS s,
+                  count(*) AS n
+           FROM {p}a1 a, unnest(range(64)) AS u(i)
+           GROUP BY a.j, u.i),
+    {p}c1 AS (SELECT j, list(s // n ORDER BY dim) AS cm
+              FROM {p}m1 GROUP BY j),
+    {p}d2 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
+           FROM {src} x, {p}c1 c),
+    {p}a2 AS (SELECT vec_id, x, j, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, j) AS rn
+             FROM {p}d2) WHERE rn = 1)
+"""
+
+
+# Shared raw-vector k-means chain: unprefixed names (grid, c1, a2…)
+# exactly as the pre-parametrization text, so the two existing
+# consumers' oracles are unchanged.
+_KM_CTES = (
+    """
     x AS (
       SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
-      FROM embeddings),
-    grid AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
-    sh AS (SELECT grid.j, x.vec_id,
-                  md5(x.vec_id::VARCHAR || '#' || grid.j::VARCHAR) AS h
-           FROM x, grid),
-    seeds AS (SELECT j, arg_min(vec_id, h) AS vec_id FROM sh GROUP BY j),
-    c0 AS (SELECT s.j,
-                  list_transform(x.x, v -> CAST(round(v * 1000000) AS BIGINT)) AS cm
-           FROM seeds s JOIN x ON x.vec_id = s.vec_id),
-    d1 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
-           FROM x, c0 c),
-    a1 AS (SELECT vec_id, x, j, dist FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dist, j) AS rn
-             FROM d1) WHERE rn = 1),
-    m1 AS (SELECT a1.j, u.i AS dim,
-                  sum(CAST(round(a1.x[u.i+1] * 1000000) AS BIGINT)) AS s,
-                  count(*) AS n
-           FROM a1, unnest(range(64)) AS u(i)
-           GROUP BY a1.j, u.i),
-    c1 AS (SELECT j, list(s // n ORDER BY dim) AS cm FROM m1 GROUP BY j),
-    d2 AS (SELECT x.vec_id, x.x, c.j, {_km_dist('x.x', 'c.cm')} AS dist
-           FROM x, c1 c),
-    a2 AS (SELECT vec_id, x, j, dist FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY dist, j) AS rn
-             FROM d2) WHERE rn = 1)
-"""
+      FROM embeddings),"""
+    + _km_chain("x", "")
+)
 
 
 @register(
@@ -1484,6 +1501,13 @@ _PQ_CTES = (
     WITH {_PQ_CTES}
     SELECT vec_id,
            array_to_string(list(j ORDER BY sub), ',') AS codes_csv,
+           CAST(sum(CASE
+                 WHEN sub < 15 THEN CAST(j AS BIGINT)
+                                    * (CAST(1 AS BIGINT) << (4 * sub))
+                 WHEN j >= 8 THEN -9223372036854775808
+                                  + CAST(j - 8 AS BIGINT) * 1152921504606846976
+                 ELSE CAST(j AS BIGINT) * 1152921504606846976
+               END) AS BIGINT) AS codes_packed,
            CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
              AS recon_micro
     FROM pa2 GROUP BY vec_id
@@ -1505,7 +1529,13 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Vectors are unit-normalized before encoding so the quantizer's L2
     geometry is exactly the cosine geometry the rest of the similarity
-    family ranks by (||a-b||^2 = 2 - 2cos on the sphere)."""
+    family ranks by (||a-b||^2 = 2 - 2cos on the sphere).
+
+    codes_packed is the STORED form (operators/similarity.pack_pq_codes):
+    all 16 4-bit codes bit-packed into one bigint — 8 bytes per vector,
+    the 32x compression made material, and hash-checked in BOTH engines
+    (the oracle reproduces Spark's two's-complement wrap of the top
+    nibble in offset form, since DuckDB's << overflow-checks)."""
     from etl_8million_data__spark.operators.similarity import pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1518,6 +1548,9 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes_csv"),
+        F.expr("bit_or(shiftleft(CAST(j AS BIGINT), 4 * sub))").alias(
+            "codes_packed"
+        ),
         F.sum(F.floor(F.col("dist") * 1_000_000).cast("bigint")).alias("recon_micro"),
     )
 
@@ -1574,3 +1607,105 @@ def similarity_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IVF-routed PQ (knn_ivf_kmeans cells pruning the code stream)",
     )
     return knn_pq_adc(_unit_normalized(emb), m=16, ksub=16, iters=2, k=10)
+
+
+# IVF-PQ residual search: coarse k-means cells over UNIT-NORMALIZED
+# vectors (so cell geometry = cosine geometry), one global PQ codebook
+# over the residual stream, per-(query, cell) residual LUTs.
+_IVFPQ_CTES = (
+    f"""
+    nx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(v AS DOUBLE)
+                    / sqrt({_dot('embedding', 'embedding')})) AS x
+      FROM embeddings),"""
+    + _km_chain("nx", "v")
+    + f""",
+    vres AS (SELECT a.vec_id, a.j AS cell,
+                    list_transform(range(64),
+                      i -> a.x[i+1] - c.cm[i+1] / 1000000.0) AS xd
+             FROM va2 a JOIN vc1 c ON c.j = a.j),"""
+    + _pq_chain("vres", "r")
+)
+
+
+@register(
+    "similarity_knn_ivf_pq",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    vq AS (SELECT vec_id AS query_id, x FROM nx WHERE vec_id % 100 = 0),
+    vqd AS (SELECT q.query_id, q.x, c.j AS cell, c.cm,
+                   {_km_dist('q.x', 'c.cm')} AS qd
+            FROM vq q, vc1 c),
+    vprobes AS (SELECT query_id, x, cell, cm FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY qd, cell) AS rn
+                  FROM vqd) WHERE rn <= 2),
+    vqxs AS (SELECT p.query_id, p.cell, s.sub,
+                    list_slice(
+                      list_transform(range(64),
+                        i -> p.x[i+1] - p.cm[i+1] / 1000000.0),
+                      s.sub * 4 + 1, s.sub * 4 + 4) AS qx
+             FROM vprobes p, rsub s),
+    vlut AS (SELECT q.query_id, q.cell, c.sub, c.j,
+                    CAST(floor({_pq_dist('q.qx', 'c.cm')} * 1000000) AS BIGINT)
+                      AS dmic
+             FROM vqxs q JOIN rc1 c ON c.sub = q.sub),
+    vcand AS (SELECT a.vec_id, r.cell, a.sub, a.j
+              FROM ra2 a JOIN vres r ON r.vec_id = a.vec_id),
+    vscore AS (SELECT l.query_id, vcand.vec_id,
+                      CAST(sum(l.dmic) AS BIGINT) AS adc_micro
+               FROM vcand JOIN vlut l
+                 ON l.cell = vcand.cell AND l.sub = vcand.sub
+                    AND l.j = vcand.j
+               WHERE vcand.vec_id <> l.query_id
+               GROUP BY l.query_id, vcand.vec_id)
+    SELECT query_id, vec_id, adc_micro, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+          FROM vscore)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "ivf", "pq", "approx", "extension", "scale-path"),
+)
+def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual kNN (the IVFADC layout, Jegou et al. 2011 —
+    FAISS's billion-scale default): coarse k-means cells route each
+    query to its 2 nearest centroids, and ONLY the probed cells' PQ
+    codes stream through the ADC lookup join — the composition
+    similarity_knn_pq_adc documents is here a registered, hash-checked
+    plan. Codes are trained on RESIDUALS (x - centroid), so one 16x16
+    codebook serves all cells: residuals from every cell center near
+    zero and quantization error drops versus flat PQ at the same code
+    budget.
+
+    The whole path — coarse training, residual codebook training,
+    routing, per-cell query LUTs, bigint ADC sums — inherits the
+    determinism discipline (md5 seeds, micro-int centroids, shared
+    folds, (dist, j) tie-breaks), so even this doubly-approximate
+    search hash-matches DuckDB exactly; recall vs brute force is gated
+    in tests/test_similarity.py.
+
+    Scale shape: UNLIKE the guarded flat-PQ scan there is no
+    full-corpus stage at query time — centroids (8 rows), codebook
+    (256 rows), and the probed-cell id set (≤ 8 rows) broadcast; the
+    candidate stream is |probed cells|/|cells| of the codes at 8 packed
+    bytes per vector, the LUT join carries no hint (|Q|-proportional —
+    AQE decides), and the only data-sized exchanges are the training
+    argmins and the (query_id, vec_id) hash aggregate with map-side
+    partials. At 100 TB the codes table is cell-partitioned parquet and
+    the semi-join prune becomes dynamic partition pruning."""
+    from etl_8million_data__spark.operators.similarity import knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf_pq(
+        _unit_normalized(emb),
+        k_cells=8,
+        km_iters=2,
+        m=16,
+        ksub=16,
+        pq_iters=2,
+        k=10,
+        nprobe=2,
+    )

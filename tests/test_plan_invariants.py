@@ -118,6 +118,22 @@ def test_kmeans_ann_broadcasts_only_bounded_frames(spark):
         assert n <= 8, f"materialized broadcast side has {n} rows (> k_cells)"
 
 
+def test_ivf_pq_broadcasts_only_bounded_frames(spark):
+    """knn_ivf_pq may broadcast only k-bounded frames: centroids
+    (≤ 8), the PQ codebook (≤ 256), the constant sub grid, and the
+    probed-cell id set (an aggregate bounded by k_cells) — never the
+    corpus scan, the code stream, or the query LUT. Materialized
+    (LogicalRDD) sides are accepted only after counting them."""
+    df = all_queries()["similarity_knn_ivf_pq"].build(spark, SF)
+    for node in _broadcast_hint_children(df):
+        s = node.toString()
+        if "Aggregate" in s or "Range" in s:
+            continue
+        assert "LogicalRDD" in s, f"unbounded broadcast side: {s[:200]}"
+        n = _count_logical(spark, node)
+        assert n <= 256, f"materialized broadcast side has {n} rows (> m*ksub)"
+
+
 def test_feature_hashing_single_exchange(spark):
     """text_feature_hashing's spread repartition must satisfy both
     downstream aggregates: exactly ONE exchange in the whole plan (a

@@ -339,26 +339,43 @@ def test_hybrid_fusion_ivf_rank_overlap_vs_exact(spark, sf_dir):
     assert avg >= 0.35, f"fused-list overlap collapsed: {avg}"
 
 
-def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
-    """PQ is a full-corpus rerank (no cells are pruned — only the
-    representation is compressed), so unlike the IVF probes its recall
-    floor is set by quantization error alone and sits far above the
-    inverted-file gates."""
+def _recall_sets(spark, sf_dir, name):
     qs = all_queries()
     exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
-    approx = qs["similarity_knn_pq_adc"].build(spark, sf_dir).collect()
-    exact_sets = {}
+    approx = qs[name].build(spark, sf_dir).collect()
+    exact_sets: dict = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    approx_sets = {}
+    approx_sets: dict = {}
     for r in approx:
         approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
     assert set(approx_sets) == set(exact_sets)
     recalls = [
         len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
-    avg_recall = sum(recalls) / len(recalls)
-    assert avg_recall >= 0.35, f"avg recall {avg_recall}"
+    return sum(recalls) / len(recalls), approx_sets
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ is a full-corpus rerank (no cells are pruned — only the
+    representation is compressed), so its recall floor is set by
+    quantization error alone. Measured on the fixtures (uniform random
+    vectors — the ANN worst case, no cluster structure for the
+    codebooks to exploit): avg 0.40 at sf0.001, 0.46 at sf0.01 — the
+    gate is pinned just under measured, not at a loose symbolic
+    floor."""
+    avg_recall, approx_sets = _recall_sets(spark, sf_dir, "similarity_knn_pq_adc")
+    assert avg_recall >= 0.38, f"avg recall {avg_recall}"
+    assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-PQ stacks cell pruning ON TOP of quantization error, so its
+    recall sits below both the flat-PQ and the pure-IVF gates. Measured
+    on the fixtures: avg 0.32 at sf0.001, 0.36 at sf0.01 — pinned just
+    under measured."""
+    avg_recall, approx_sets = _recall_sets(spark, sf_dir, "similarity_knn_ivf_pq")
+    assert avg_recall >= 0.28, f"avg recall {avg_recall}"
     assert all(len(v) == 10 for v in approx_sets.values())
 
 
@@ -375,3 +392,38 @@ def test_pq_codes_are_full_width(spark, sf_dir):
         assert len(codes) == 16
         assert all(0 <= c < 16 for c in codes)
         assert r.recon_micro >= 0
+
+
+def test_pq_packed_codes_roundtrip(spark, sf_dir):
+    """pack_pq_codes's 8-byte bigint must round-trip to the exact
+    per-subspace codes via shiftrightunsigned — including sub 15's
+    code in the sign bits — and must agree with the registered query's
+    codes_packed column."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.similarity import pack_pq_codes, pq_fit
+    from etl_8million_data__spark.plans.similarity import _unit_normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = pq_fit(_unit_normalized(emb), m=16, ksub=16, iters=2)
+    codes = assign.select("vec_id", "sub", "j").localCheckpoint(eager=True)
+    packed = pack_pq_codes(codes)
+    bad = (
+        codes.join(packed, "vec_id")
+        .filter(F.expr("(shiftrightunsigned(codes_packed, 4 * sub) & 15) <> j"))
+        .count()
+    )
+    assert bad == 0
+    # the registered query emits the identical packing
+    q = all_queries()["similarity_pq_codes"].build(spark, sf_dir)
+    mismatch = (
+        q.select("vec_id", "codes_packed")
+        .join(packed.withColumnRenamed("codes_packed", "p2"), "vec_id")
+        .filter(F.col("codes_packed") != F.col("p2"))
+        .count()
+    )
+    assert mismatch == 0
+    # sign-bit coverage: with 500 random vectors some sub-15 code >= 8,
+    # so the two's-complement wrap arm is actually exercised
+    assert packed.filter(F.col("codes_packed") < 0).count() > 0
