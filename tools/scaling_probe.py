@@ -81,6 +81,8 @@ CORPUS_PROBE = [
     ("corpus_group_split", 10),
     ("embedding_top_component", 4),
     ("multimodal_audio_energy_trim", 10),
+    ("similarity_knn_pq_adc", 4),
+    ("similarity_knn_ivf_pq", 4),
 ]
 
 
@@ -456,6 +458,7 @@ def main() -> None:
     vocab_lines = vocab_growth_probe()
     winnow_line = winnow_boilerplate_probe()
     ivf_line = ivf_hot_cell_probe()
+    pq_lines = pq_adc_sweep_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -531,6 +534,21 @@ def main() -> None:
             "| probe | output pairs | warm time | data growth | time ratio |\n"
             "|---|---|---|---|---|\n"
             + "\n".join(vocab_lines)
+            + "\n"
+            "\n## PQ ADC LUT join: candidate volume under 10x vectors\n\n"
+            "2k -> 20k pseudo-random 64-dim vectors with |Q| fixed at 20,\n"
+            "isolating per-corpus-growth cost from query-set growth. The\n"
+            "flat ADC scan streams every code row through the LUT join\n"
+            "(|Q|*(N-1) candidates — the guarded correctness baseline);\n"
+            "the registered IVF-PQ composition routes each query to 2 of\n"
+            "8 cells, and the gate asserts its measured candidate volume\n"
+            "stays <= 0.45 of flat at BOTH sizes — the 'only probed\n"
+            "cells' codes reach the LUT' claim, measured, and the\n"
+            "fraction is what stays bounded as N grows (nprobe/k_cells,\n"
+            "independent of corpus size).\n\n"
+            "| probe | flat ADC | IVF-PQ |\n"
+            "|---|---|---|\n"
+            + "\n".join(pq_lines)
             + "\n"
         )
     print("wrote SCALING.md")
@@ -697,3 +715,104 @@ def ivf_hot_cell_probe() -> str:
     assert ratio <= 4.0, f"straggler partition: max/median {ratio:.2f} > 4"
     spark.stop()
     return line
+
+
+def pq_adc_sweep_probe() -> list[str]:
+    """Scale evidence for the PQ family's ADC LUT join: 10x the vector
+    count (2k -> 20k pseudo-random 64-dim vectors, |Q| FIXED at 20 so
+    the per-corpus-growth cost is isolated from query-set growth) and
+    measure (a) warm time and (b) the candidate volume through the LUT
+    join — |Q|*(N-1) for the guarded flat scan, |Q|*|probed cells'
+    vectors| for the registered IVF-PQ composition. The gate is the
+    pruning claim itself, measured: IVF-PQ's candidate volume must be
+    under nprobe/k_cells + slack (<= 0.45) of the flat scan's at BOTH
+    sizes, i.e. the routed plan reads a bounded fraction of the codes
+    however large the corpus grows."""
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("pq-adc-sweep-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.similarity import (
+        kmeans_fit,
+        knn_ivf_pq,
+        knn_pq_adc,
+    )
+
+    lines = []
+    results = {}
+    for n in (2_000, 20_000):
+        qmod = n // 20  # |Q| = 20 at both sizes
+        vec = F.array(
+            *[
+                F.expr(f"pmod(hash(id, {d}), 1000) / 1000.0 + 0.001")
+                for d in range(64)
+            ]
+        )
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+        # flat ADC scan: every code row meets the LUT
+        flat_cand = 20 * (n - 1)
+        t0 = time.time()
+        knn_pq_adc(emb, m=16, ksub=16, iters=2, k=10, query_mod=qmod).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        flat_t = time.time() - t0
+        # IVF-PQ candidate volume: vectors inside each query's 2 probed
+        # cells (the rows that actually stream through the LUT join),
+        # measured from the same deterministic routing the operator uses.
+        assign, cents = kmeans_fit(emb, 8, 2)
+        c = cents.select(
+            F.col("j").alias("cell"),
+            F.transform("cm", lambda m: m / 1_000_000).alias("c"),
+        )
+        sizes = assign.groupBy(F.col("j").alias("cell")).count()
+        q = assign.filter(F.col("vec_id") % qmod == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+        )
+        qd = F.aggregate(
+            F.zip_with(F.col("qx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+        ivf_cand = (
+            q.crossJoin(F.broadcast(c))
+            .select("query_id", "cell", qd.alias("qd"))
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= 2)
+            .join(sizes, "cell")
+            .agg(F.sum("count"))
+            .collect()[0][0]
+        )
+        t0 = time.time()
+        knn_ivf_pq(
+            emb, k_cells=8, km_iters=2, m=16, ksub=16, pq_iters=2, k=10,
+            nprobe=2, query_mod=qmod,
+        ).write.format("noop").mode("overwrite").save()
+        ivf_t = time.time() - t0
+        frac = ivf_cand / flat_cand
+        results[n] = (flat_cand, flat_t, ivf_cand, ivf_t, frac)
+        print(
+            f"pq sweep n={n}: flat {flat_cand:,} cand {flat_t:.1f}s; "
+            f"ivf-pq {ivf_cand:,} cand ({frac:.2f} of flat) {ivf_t:.1f}s"
+        )
+        assert frac <= 0.45, (
+            f"IVF-PQ candidate fraction {frac:.2f} > 0.45 at n={n}: "
+            "cell routing is not pruning the code stream"
+        )
+    for n, (fc, ft, ic, it, frac) in results.items():
+        lines.append(
+            f"| PQ ADC LUT join, n={n:,} ({'base' if n == 2000 else '10x'}), "
+            f"|Q|=20 | flat {fc:,} cand, {ft:.1f}s | "
+            f"ivf-pq {ic:,} cand ({frac:.2f} of flat), {it:.1f}s |"
+        )
+    spark.stop()
+    return lines
