@@ -300,3 +300,281 @@ def probe_index_int8(
         ).alias("cell"),
     )
     return score_int8(idx, probes, k)
+
+
+# --- IVF-PQ (IVFADC) coded index: learned coarse cells + 8-byte packed
+# residual PQ codes, persisted cell-partitioned. The probe reads
+# nprobe/k_cells of the files (DPP on the cell partition column, same
+# as the SRP index) AND each row it reads is one packed bigint instead
+# of a float array — the two compressions multiply, which is the whole
+# production layout of a billion-vector store: train once, encode every
+# incoming batch against the FROZEN codebooks, rank in the compressed
+# domain. Probing a persisted index returns exactly what the in-memory
+# knn_ivf_pq composition computes (asserted in tests), so persistence
+# stays a pure I/O optimization, not a semantic fork.
+
+IVFPQ_CODES_SCHEMA = "vec_id long, codes_packed long, _batch string, cell int"
+
+
+def _unit_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, x) on the unit sphere — PQ's L2 geometry = cosine.
+    Zero vectors are excluded (no cosine, and the normalize divides)."""
+    n2 = norm2(F.col(vec_col))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), n2.alias("_n2"))
+        .filter(F.col("_n2") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "_v", lambda v: v.cast("double") / F.sqrt(F.col("_n2"))
+            ).alias("x"),
+        )
+    )
+
+
+def _sq_fold(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _encode_ivfpq(
+    x: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    batch_tag: str | None,
+) -> DataFrame:
+    """Encode (vec_id, x) against FROZEN codebooks: nearest coarse cell
+    (argmin as a hash aggregate over min(struct(dist, cell, …)) — same
+    (dist, j) total order as training, so encoding the training set
+    reproduces the training assignment bit-for-bit), residual, per-sub
+    nearest code, bit-pack. Both codebook frames are k-bounded
+    broadcasts; the only data-sized exchanges are the two argmin
+    aggregates keyed by vec_id."""
+    spark = x.sparkSession
+    c = cents.select(
+        F.col("j").alias("cell"),
+        F.transform("cm", lambda v: v / 1_000_000).alias("c"),
+    )
+    assigned = (
+        x.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            F.struct(_sq_fold(F.col("x"), F.col("c")).alias("dist"), F.col("cell"), F.col("x"), F.col("c")).alias("b"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cell").alias("cell"),
+            F.zip_with("b.x", "b.c", lambda a, bb: a - bb).alias("r"),
+        )
+    )
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    pc = codebook.select(
+        "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
+    )
+    coded = (
+        assigned.crossJoin(F.broadcast(subs))
+        .select(
+            "vec_id",
+            "cell",
+            "sub",
+            F.expr(f"slice(r, sub * {sub_dim} + 1, {sub_dim})").alias("sx"),
+        )
+        .join(F.broadcast(pc), "sub")
+        .select(
+            "vec_id",
+            "cell",
+            "sub",
+            F.struct(_sq_fold(F.col("sx"), F.col("c")).alias("dist"), F.col("j")).alias("b"),
+        )
+        .groupBy("vec_id", "cell", "sub")
+        .agg(F.min("b").alias("b"))
+        .select("vec_id", "cell", "sub", F.col("b.j").alias("j"))
+    )
+    return coded.groupBy("vec_id", "cell").agg(
+        F.expr("bit_or(shiftleft(CAST(j AS BIGINT), 4 * sub))").alias("codes_packed")
+    ).select(
+        "vec_id",
+        "codes_packed",
+        F.lit(batch_tag).cast("string").alias("_batch"),
+        "cell",
+    )
+
+
+def build_index_ivfpq(
+    emb: DataFrame,
+    index_path: str,
+    k_cells: int = 8,
+    km_iters: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    batch_tag: str | None = "seed",
+) -> None:
+    """Train the coarse quantizer + residual PQ codebook on ``emb`` and
+    materialize three artifacts under ``index_path``: ``centroids/``
+    (k_cells rows), ``codebook/`` (m*ksub rows) — the frozen model —
+    and ``codes/`` partitioned BY CELL (vec_id, codes_packed: ONE
+    bigint per vector). At 100 TB you train on a key-hash sample and
+    this same encode pass streams the full corpus; the index holds 8
+    bytes + a partition key per vector."""
+    if m * 4 > 64 or ksub > 16:
+        raise ValueError("packed layout needs m <= 16 subspaces and ksub <= 16")
+    from etl_8million_data__spark.operators.similarity import kmeans_fit, pq_fit
+
+    sub_dim = dim // m
+    x = _unit_frame(emb, id_col, vec_col)
+    assign, cents = kmeans_fit(x, k_cells, km_iters, id_col="vec_id", vec_col="x")
+    c = cents.select(
+        F.col("j").alias("cell"),
+        F.transform("cm", lambda v: v / 1_000_000).alias("c"),
+    )
+    res = (
+        assign.select("vec_id", F.col("j").alias("cell"), "x")
+        .join(F.broadcast(c), "cell")
+        .select("vec_id", F.zip_with("x", "c", lambda a, b: a - b).alias("r"))
+    )
+    _, codebook = pq_fit(res, m, ksub, pq_iters, id_col="vec_id", vec_col="r", dim=dim)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{index_path}/codebook")
+    _encode_ivfpq(x, cents, codebook, m, sub_dim, batch_tag).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{index_path}/codes")
+
+
+def append_vectors_ivfpq(
+    new_emb: DataFrame,
+    index_path: str,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    batch_tag: str | None = None,
+) -> int:
+    """Skip-existing incremental append: new vectors are encoded against
+    the FROZEN stored codebooks (no retraining — the production
+    contract: codebook drift would silently invalidate every stored
+    code) and append into their cell partitions. Returns rows added."""
+    spark = new_emb.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    codebook = spark.read.parquet(f"{index_path}/codebook")
+    existing = _read_index(spark, f"{index_path}/codes", IVFPQ_CODES_SCHEMA).select(
+        "vec_id"
+    )
+    fresh = (
+        _encode_ivfpq(
+            _unit_frame(new_emb, id_col, vec_col),
+            cents,
+            codebook,
+            m,
+            dim // m,
+            batch_tag,
+        )
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cell").parquet(f"{index_path}/codes")
+    return n
+
+
+def probe_index_ivfpq(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 16,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC probe against the persisted index: queries normalize, route
+    to ``nprobe`` nearest stored centroids, build per-cell residual
+    LUTs (integer-micro bigints), and equi-join the codes table on its
+    PARTITION column — dynamic partition pruning skips every unprobed
+    cell's files, and each surviving row unpacks its 16 codes with
+    shift-and-mask (no float vector is ever read). Output (query_id,
+    vec_id, adc_micro, rn) is identical to the in-memory knn_ivf_pq
+    composition at the same parameters."""
+    sub_dim = dim // m
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    codes = _read_index(spark, f"{index_path}/codes", IVFPQ_CODES_SCHEMA)
+    codebook = spark.read.parquet(f"{index_path}/codebook")
+    c = cents.select(
+        F.col("j").alias("cell"),
+        F.transform("cm", lambda v: v / 1_000_000).alias("c"),
+    )
+    q = _unit_frame(queries, query_id_col, query_vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "cell",
+            "c",
+            _sq_fold(F.col("x"), F.col("c")).alias("qd"),
+            F.col("x"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "query_id", "cell", F.zip_with("x", "c", lambda a, b: a - b).alias("qr")
+        )
+    )
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    pc = codebook.select(
+        "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
+    )
+    lut = (
+        probes.crossJoin(F.broadcast(subs))
+        .select(
+            "query_id",
+            "cell",
+            "sub",
+            F.expr(f"slice(qr, sub * {sub_dim} + 1, {sub_dim})").alias("qx"),
+        )
+        .join(F.broadcast(pc), "sub")
+        .select(
+            "query_id",
+            "cell",
+            "sub",
+            "j",
+            F.floor(_sq_fold(F.col("qx"), F.col("c")) * 1_000_000)
+            .cast("bigint")
+            .alias("dmic"),
+        )
+    )
+    # posexplode over the shift-and-mask array: per stored row, m
+    # (sub, code) pairs — computed ONLY for rows inside probed cells
+    # thanks to the cell equi-join below being planned with DPP.
+    unpacked = codes.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> CAST(shiftrightunsigned(codes_packed, 4 * s) & 15 AS INT))"
+            )
+        ).alias("sub", "j"),
+    )
+    scored = (
+        unpacked.join(lut, ["cell", "sub", "j"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmic").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -190,3 +190,105 @@ def test_int8_index_probe_matches_in_memory_composition(spark, sf_dir, tmp_path)
 
     # skip-existing append contract holds for the int8 layout too
     assert append_vectors_int8(emb, idx, _W, n_bits, batch_tag="b1") == 0
+
+
+def test_ivfpq_index_probe_matches_in_memory_composition(spark, sf_dir, tmp_path):
+    """Probing the persisted IVF-PQ index must return EXACTLY what the
+    in-memory knn_ivf_pq composition computes at the same parameters —
+    persistence (train -> freeze -> encode -> pack -> partition by
+    cell) is a pure I/O optimization, not a semantic fork. Also pins
+    the storage contract: codes/ is cell-partitioned and each stored
+    row is one packed bigint, no float vectors."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_ivfpq,
+        probe_index_ivfpq,
+    )
+    from etl_8million_data__spark.operators.similarity import knn_ivf_pq
+    from etl_8million_data__spark.plans.similarity import _unit_normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_index")
+    build_index_ivfpq(emb, idx, k_cells=8, km_iters=2, m=16, ksub=16, pq_iters=2)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = probe_index_ivfpq(spark, idx, q, k=5, nprobe=2)
+    want = knn_ivf_pq(
+        _unit_normalized(emb), k_cells=8, km_iters=2, m=16, ksub=16,
+        pq_iters=2, k=5, nprobe=2, query_mod=100,
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_micro, r.rn)
+            for r in df.select("query_id", "vec_id", "adc_micro", "rn").collect()
+        )
+
+    assert rows(got) == rows(want)
+    assert rows(got)  # non-trivial
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/codes"))
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert dict(stored.dtypes)["codes_packed"] == "bigint"
+    assert not any("array" in t for _, t in stored.dtypes)
+
+
+def test_ivfpq_append_is_skip_existing_against_frozen_codebooks(
+    spark, sf_dir, tmp_path
+):
+    """Appends encode against the STORED codebooks (no retrain) and
+    skip existing ids; a re-append of the same batch adds zero rows;
+    probes see appended vectors as candidates."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_ivfpq,
+        build_index_ivfpq,
+        probe_index_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = str(tmp_path / "ivfpq_inc")
+    build_index_ivfpq(seed, idx)
+    n_total = emb.count()
+    n_seed = seed.count()
+    added = append_vectors_ivfpq(emb, idx, batch_tag="b1")
+    assert added == n_total - n_seed
+    assert append_vectors_ivfpq(emb, idx, batch_tag="b2") == 0
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert stored.count() == n_total
+    # appended vectors are probe candidates
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = {
+        r.vec_id for r in probe_index_ivfpq(spark, idx, q, k=10, nprobe=4).collect()
+    }
+    appended_ids = {r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0).collect()}
+    assert hits & appended_ids, "no appended vector ever surfaced in a probe"
+
+
+def test_ivfpq_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
+    """The probe's codes scan must plan dynamic partition pruning on
+    the cell partition column — at scale the probe reads
+    nprobe/k_cells of the files, not all of them."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_ivfpq,
+        probe_index_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_dpp")
+    build_index_ivfpq(emb, idx)
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        .limit(4)
+    )
+    df = probe_index_ivfpq(spark, idx, q, k=3, nprobe=2)
+    extended = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    assert "dynamicpruning" in extended, "IVF-PQ probe lost dynamic partition pruning"
