@@ -343,6 +343,38 @@ def stream_ann_index_increment(
     )
 
 
+def stream_ivfpq_index_increment(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming vector ingest into the persisted IVF-PQ index
+    (operators/incremental_ann.build_index_ivfpq): each micro-batch
+    encodes ITS OWN vectors against the FROZEN stored codebooks —
+    coarse cell + packed residual codes, two broadcast-bounded argmin
+    aggregates, never a retrain — and appends them skip-existing by
+    vec_id into the cell partitions. Same replay-idempotence argument
+    as :func:`stream_ann_index_increment`: a redelivered batch's ids
+    are already indexed, so the anti-join makes the re-append a natural
+    no-op; at-least-once foreachBatch + checkpointed batch skipping
+    yields an exactly-once index. The index must exist (seeded by a
+    batch build) before the stream starts — the codebooks are the
+    contract every stored code depends on."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_ivfpq,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors_ivfpq(batch_df, index_path, batch_tag=str(batch_id))
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def media_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -292,3 +292,56 @@ def test_ivfpq_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
         )
     )
     assert "dynamicpruning" in extended, "IVF-PQ probe lost dynamic partition pruning"
+
+
+def test_stream_ivfpq_index_matches_incremental_batch(spark, sf_dir, tmp_path):
+    """Streaming vectors into a seeded IVF-PQ index must land every new
+    vector exactly once (replay of the same data is a no-op) and leave
+    the index identical to the same-seed batch-append path — the frozen
+    codebooks make the streamed encoding deterministic."""
+    import os as _os
+
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_ivfpq,
+        build_index_ivfpq,
+    )
+    from etl_8million_data__spark.streaming.jobs import stream_ivfpq_index_increment
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 != 0)
+    idx_stream = str(tmp_path / "ivfpq_stream")
+    idx_batch = str(tmp_path / "ivfpq_batch")
+    build_index_ivfpq(seed, idx_stream)
+    build_index_ivfpq(seed, idx_batch)
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    _os.mkdir(stage)
+    _os.symlink(path, _os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(stage)
+        q = stream_ivfpq_index_increment(stream, idx_stream, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    n = spark.read.parquet(f"{idx_stream}/codes").count()
+    assert n == emb.count()
+    run("ckpt2")  # replay: every vec_id already indexed -> no growth
+    assert spark.read.parquet(f"{idx_stream}/codes").count() == n
+
+    append_vectors_ivfpq(emb, idx_batch, batch_tag="0")
+    got = {
+        (r.vec_id, r.cell, r.codes_packed)
+        for r in spark.read.parquet(f"{idx_stream}/codes")
+        .select("vec_id", "cell", "codes_packed")
+        .collect()
+    }
+    want = {
+        (r.vec_id, r.cell, r.codes_packed)
+        for r in spark.read.parquet(f"{idx_batch}/codes")
+        .select("vec_id", "cell", "codes_packed")
+        .collect()
+    }
+    assert got == want
