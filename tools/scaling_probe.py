@@ -638,11 +638,6 @@ def winnow_boilerplate_probe() -> str:
     return line
 
 
-if __name__ == "__main__":
-    if "--skew" in sys.argv:
-        skew_probe()
-    else:
-        main()
 
 
 def ivf_hot_cell_probe() -> str:
@@ -816,3 +811,10 @@ def pq_adc_sweep_probe() -> list[str]:
         )
     spark.stop()
     return lines
+
+
+if __name__ == "__main__":
+    if "--skew" in sys.argv:
+        skew_probe()
+    else:
+        main()
