@@ -86,6 +86,9 @@ HEADLINE = [
     "search_bm25_rsj_topk",  # BM25 ranked retrieval
     "corpus_dsir_importance",  # DSIR importance weights
     "sketch_bloom_membership",  # bloom filter build + probe + audit
+    # round-7 families
+    "similarity_knn_ivf_pq",  # IVFADC: residual PQ + cell-routed LUT join
+    "sketch_bloom_pruned_antijoin",  # bloom-pruned skip-existing anti-join
 ]
 
 
@@ -134,16 +137,40 @@ def main() -> None:
     # per-query timings + spreads go to BENCH_FULL.json (committed alongside),
     # and stdout carries a compact summary -- total + the 10 slowest queries --
     # guaranteed well under the capture window.
+    # Round-over-round honesty check: compare against the committed
+    # BENCH_FULL.json from the previous run and flag any query whose
+    # warm time grew > 25% beyond its measured noise spread — the
+    # regression list rides in both the full file and the stdout line
+    # so a slow creep is visible at a glance, not buried in a diff.
+    bench_full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    regressions: dict[str, str] = {}
+    try:
+        with open(bench_full_path) as f:
+            prev = json.load(f)
+        prev_q = prev.get("queries", {})
+        prev_spread = prev.get("spread", {})
+        for name, t in timings.items():
+            p = prev_q.get(name)
+            if p is None or p <= 0:
+                continue
+            noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0))
+            if t > p * 1.25 and (t - p) > noise:
+                regressions[name] = f"{p:.2f}s -> {t:.2f}s"
+    except (OSError, ValueError):
+        pass
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "regressions_vs_prev": regressions,
         "sf": sf,
         "n_queries": len(timings),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    with open(bench_full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     line = json.dumps(
@@ -154,6 +181,7 @@ def main() -> None:
             "queries": top10,
             "sf": sf,
             "n_queries": len(timings),
+            "regressions": len(regressions),
             "full": "BENCH_FULL.json",
         }
     )

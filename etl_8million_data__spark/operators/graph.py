@@ -358,3 +358,56 @@ def label_propagation_weighted(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """k-core decomposition by bounded synchronous peeling: ``rounds``
+    iterations of "drop every node whose degree in the SURVIVING
+    subgraph is < k", returning (node, core_degree) for the survivors.
+    The k-core separates tight clone knots (every member ≥ k
+    independent near-dup links — safe to collapse to one keeper) from
+    the chain periphery that transitive closure would wrongly fuse —
+    the structural refinement of the triangle/clustering audit.
+
+    The round count is FIXED (control flow only, like the k-means and
+    BPE loops), so the operator is oracle-checkable by unrolling the
+    same rounds in SQL; tests assert the fixture graphs converge within
+    the bound (an extra round removes nothing), and at 100 TB peeling
+    depth beyond 8 means a pathological chain you'd cap anyway —
+    each round is one degree hash-aggregate + two semi joins keyed by
+    node, lineage truncated per round by localCheckpoint.
+
+    Cite: the reference has no graph surface; this extends the dedup
+    family (SURVEY §7.2(4)) like operators/graph.connected_components.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_nodes requires k >= 1 and rounds >= 1")
+    und = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).unionAll(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    surv = und.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            surv.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("u")
+        )
+        surv = (
+            surv.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        surv.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("u").alias("node"), "core_degree")
+    )

@@ -745,3 +745,65 @@ def dedup_threshold_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("covered_micro"),
         )
     )
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling rounds over edge CTE ``e`` — the SQL
+    mirror of operators/graph.kcore_nodes' fixed-round loop. Every
+    round CTE is MATERIALIZED: each references its predecessor three
+    times, so DuckDB's default CTE inlining would expand the chain
+    3^rounds-fold (measured: exhausts file handles re-opening the
+    parquet); materialization keeps the oracle linear in rounds, which
+    is also exactly what the Spark side's per-round localCheckpoint
+    does."""
+    parts = [
+        """und0 AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM e
+      UNION ALL SELECT doc_b, doc_a FROM e)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (SELECT u FROM (
+        SELECT u, count(*) AS c FROM und{r} GROUP BY u) WHERE c >= {k})"""
+        )
+        parts.append(
+            f"""und{r + 1} AS MATERIALIZED (SELECT t.u, t.v FROM und{r} t
+      JOIN k{r} a ON a.u = t.u JOIN k{r} b ON b.u = t.v)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "dedup_graph_kcore",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    e AS ({_PAIRS}),
+    {_kcore_ctes(2, 8)}
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und8 GROUP BY u HAVING count(*) >= 2
+    """,
+    tags=("dedup", "graph", "kcore", "extension", "scale-path"),
+)
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup candidate graph (LSH band pairs as
+    edges): 8 synchronous peeling rounds drop every document with
+    fewer than 2 surviving near-dup links until the tight clone knots
+    remain — the boilerplate families a dedup run can safely collapse
+    to one keeper, separated from the chain periphery where transitive
+    closure over-merges (A~B~C with A!~C contributes no 2-core mass
+    unless the triangle actually closes). Complements the
+    triangle/clustering audit: k-core is global (chains of any length
+    peel away), clustering is local.
+
+    The round count is FIXED, so the full iterative result is
+    hash-checked against DuckDB's unrolled mirror; convergence within
+    the bound is asserted in tests (an extra round removes nothing at
+    fixture scale). Scale shape per round: one degree hash-aggregate
+    (map-side partials) + two node-keyed semi joins, lineage truncated
+    per round — the connected-components loop's shape with a
+    degree filter instead of label propagation."""
+    from etl_8million_data__spark.operators.graph import kcore_nodes
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d)
+    return kcore_nodes(pairs, k=2, rounds=8)

@@ -1630,10 +1630,10 @@ _IVFPQ_CTES = (
 )
 
 
-@register(
-    "similarity_knn_ivf_pq",
-    oracle=f"""
-    WITH {_IVFPQ_CTES},
+# Query-time chain of the IVF-PQ search (routing -> per-cell residual
+# LUTs -> probed-cell ADC scoring), shared by the search query and its
+# recall audit.
+_IVFPQ_QUERY_CTES = f"""
     vq AS (SELECT vec_id AS query_id, x FROM nx WHERE vec_id % 100 = 0),
     vqd AS (SELECT q.query_id, q.x, c.j AS cell, c.cm,
                    {_km_dist('q.x', 'c.cm')} AS qd
@@ -1661,6 +1661,14 @@ _IVFPQ_CTES = (
                     AND l.j = vcand.j
                WHERE vcand.vec_id <> l.query_id
                GROUP BY l.query_id, vcand.vec_id)
+"""
+
+
+@register(
+    "similarity_knn_ivf_pq",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_QUERY_CTES}
     SELECT query_id, vec_id, adc_micro, rn
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
@@ -1708,4 +1716,74 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_iters=2,
         k=10,
         nprobe=2,
+    )
+
+
+@register(
+    "similarity_knn_ivf_pq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_QUERY_CTES},
+    adc AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+            FROM vscore)
+      WHERE rn <= 10),
+    be AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+           FROM be WHERE vec_id % 100 = 0),
+    bf_scored AS (
+      SELECT bq.query_id, be.vec_id,
+             {_dot('bq.qvec', 'be.embedding')} / (sqrt(bq.qn2) * sqrt(be.n2))
+               AS cosine
+      FROM bq JOIN be ON be.vec_id <> bq.query_id),
+    bf AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM bf_scored)
+      WHERE rn <= 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(count(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / (count(DISTINCT bf.query_id) * 10) AS avg_recall
+    FROM bf LEFT JOIN adc ON adc.query_id = bf.query_id AND adc.vec_id = bf.vec_id
+    """,
+    tags=("similarity", "knn", "ivf", "pq", "recall", "extension"),
+)
+def similarity_knn_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for the IVF-PQ scale path: recall@10
+    of the doubly-approximate search (cell pruning x residual
+    quantization) against the exact brute-force top-10, computed
+    engine-side in one row. Both inputs are deterministic, so the
+    recall NUMBER itself is oracle-checked exactly; the pytest floor
+    (0.28, just under the 0.32/0.36 measured on the uniform-random
+    fixtures) rides in tests/test_similarity.py. Cosine ranking on raw
+    vectors equals L2 ranking on the unit sphere, so the two branches
+    need no re-normalization to be comparable."""
+    bf = similarity_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ivfpq = similarity_knn_ivf_pq(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+    )
+    joined = bf.join(
+        ivfpq,
+        (F.col("query_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
+        "left",
+    )
+    return joined.agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(F.when(F.col("i_vid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        (
+            F.sum(F.when(F.col("i_vid").isNotNull(), 1).otherwise(0)).cast("double")
+            / (F.countDistinct("query_id") * 10)
+        ).alias("avg_recall"),
     )

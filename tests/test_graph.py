@@ -132,3 +132,65 @@ def test_triangle_counts_reference(spark):
         assert rows[v][:2] == (3, 3) and rows[v][2] == 1.0
     assert rows[4][:2] == (4, 3) and rows[4][2] == 0.5
     assert rows[5] == (1, 0, None)
+
+
+def _kcore(spark, edges, k=2, rounds=8):
+    from etl_8million_data__spark.operators.graph import kcore_nodes
+
+    edf = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = kcore_nodes(edf, k=k, rounds=rounds)
+    return {r.node: r.core_degree for r in got.collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    """A triangle with a pendant chain: the chain peels away round by
+    round, the triangle survives as the entire 2-core."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    assert _kcore(spark, edges) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_pure_chain_empties(spark):
+    """A chain has no 2-core at all — transitive closure would fuse it
+    into one component; k-core correctly reports nothing collapsible."""
+    assert _kcore(spark, [(i, i + 1) for i in range(1, 7)]) == {}
+
+
+def test_kcore_cascade_peeling_needs_multiple_rounds(spark):
+    """Removing a degree-1 node can demote its neighbor below k: a
+    clique with a chain whose head hangs off a clique member requires
+    cascading rounds (each round peels one chain link)."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    got = _kcore(spark, clique + chain)
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == 3 and got[4] == 3
+
+
+def test_kcore_k3_distinguishes_diamond_from_clique(spark):
+    """k=3: a 4-clique survives, a diamond (4-cycle + one chord) does
+    not — the two off-chord nodes have degree 2 and peel, which then
+    demotes the rest."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    diamond = [(5, 6), (6, 7), (7, 8), (8, 5), (5, 7)]
+    got = _kcore(spark, clique + diamond, k=3)
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_kcore_fixture_graph_converges_within_round_budget(spark, sf_dir):
+    """The registered query's 8-round budget must be a fixpoint on the
+    fixture LSH graphs: a 9th round removes nothing (so the bounded
+    unrolled oracle equals the true k-core here, not a truncation)."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs
+    from etl_8million_data__spark.operators.graph import kcore_nodes
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(d).localCheckpoint(eager=True)
+    r8 = {
+        (r.node, r.core_degree) for r in kcore_nodes(pairs, 2, 8).collect()
+    }
+    r9 = {
+        (r.node, r.core_degree) for r in kcore_nodes(pairs, 2, 9).collect()
+    }
+    assert r8 == r9
+    assert r8, "fixture should contain a non-trivial 2-core"

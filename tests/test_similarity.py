@@ -427,3 +427,20 @@ def test_pq_packed_codes_roundtrip(spark, sf_dir):
     # sign-bit coverage: with 500 random vectors some sub-15 code >= 8,
     # so the two's-complement wrap arm is actually exercised
     assert packed.filter(F.col("codes_packed") < 0).count() > 0
+
+
+def test_ivf_pq_recall_query_matches_python_recall(spark, sf_dir):
+    """The driver-visible IVF-PQ recall audit must report the same
+    number the Python-side set arithmetic yields, and clear the pinned
+    floor."""
+    qs = all_queries()
+    row = qs["similarity_knn_ivf_pq_recall"].build(spark, sf_dir).collect()[0]
+    exact = qs["similarity_knn_bruteforce"].build(spark, sf_dir).collect()
+    approx = qs["similarity_knn_ivf_pq"].build(spark, sf_dir).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx}
+    hits = len(exact_pairs & approx_pairs)
+    assert row.n_hits == hits
+    assert row.n_queries == len({q for q, _ in exact_pairs})
+    assert abs(row.avg_recall - hits / (row.n_queries * 10)) < 1e-12
+    assert row.avg_recall >= 0.28
