@@ -745,10 +745,9 @@ def knn_pq_adc(
     |Q|*m*ksub rows joined to the (vec_id, sub, code) stream on
     (sub, j) — corpus-proportional on the left only, so no broadcast
     hint on the LUT side beyond its |Q| bound; one (query_id, vec_id)
-    aggregate and a per-query top-k window. Compose with the IVF
-    router (knn_ivf_kmeans cells) to prune the scanned stream before
-    the LUT join — the codes column is cell-partitionable like any
-    other."""
+    aggregate and a per-query top-k window. The IVF-routed composition
+    that prunes the scanned stream before the LUT join is
+    :func:`knn_ivf_pq` (registered as similarity_knn_ivf_pq)."""
     if iters < 1:
         raise ValueError(f"knn_pq_adc requires iters >= 1, got {iters}")
     assign, cents = pq_fit(emb, m, ksub, iters, id_col, vec_col, dim)

@@ -1591,9 +1591,9 @@ def similarity_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     less I/O than raw vectors, which is the entire point of PQ at
     100 TB — into one (query_id, vec_id) aggregate and a per-query
     top-k window. Size-guarded like every exact-scan baseline; the
-    documented scale path composes the IVF cell router
-    (similarity_knn_ivf_kmeans) in front so only probed cells' codes
-    stream through the LUT join."""
+    scale path is the REGISTERED similarity_knn_ivf_pq, which puts the
+    IVF cell router in front so only probed cells' codes stream
+    through the LUT join."""
     from etl_8million_data__spark.operators.similarity import (
         assert_baseline_scale,
         knn_pq_adc,
@@ -1604,7 +1604,7 @@ def similarity_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         200_000,
         "similarity_knn_pq_adc",
-        "IVF-routed PQ (knn_ivf_kmeans cells pruning the code stream)",
+        "similarity_knn_ivf_pq (IVF-routed residual PQ)",
     )
     return knn_pq_adc(_unit_normalized(emb), m=16, ksub=16, iters=2, k=10)
 
