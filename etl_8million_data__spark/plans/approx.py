@@ -520,3 +520,145 @@ def sketch_bloom_pruned_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keys, F.col("c_custkey") == F.col("key"), "left_anti")
     )
     return definitely_absent.unionByName(survivors)
+
+
+_KMV_H = """list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(8), i -> CAST(
+                   strpos('0123456789abcdef',
+                          md5(CAST(user_id AS VARCHAR))[i+1:i+1]) - 1 AS BIGINT))),
+               (a, x) -> a * 16 + x)"""
+
+
+@register(
+    "sketch_kmv_type_overlap",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hs AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM du),
+    kmin AS (SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hs) WHERE rn <= 64),
+    th AS (SELECT event_type,
+                  CASE WHEN count(*) < 64 THEN 4294967296 ELSE max(h) END AS theta
+           FROM kmin GROUP BY event_type),
+    common AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      least(ta.theta, tb.theta) AS theta,
+                      count(*) AS n_common
+               FROM kmin a
+               JOIN kmin b ON b.h = a.h AND a.event_type < b.event_type
+               JOIN th ta ON ta.event_type = a.event_type
+               JOIN th tb ON tb.event_type = b.event_type
+               WHERE a.h < least(ta.theta, tb.theta)
+               GROUP BY 1, 2, 3),
+    grid AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+             FROM (SELECT DISTINCT event_type FROM events) a
+             JOIN (SELECT DISTINCT event_type FROM events) b
+               ON a.event_type < b.event_type),
+    exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS exact_overlap
+              FROM du a
+              JOIN du b ON b.user_id = a.user_id
+                       AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+    SELECT g.type_a, g.type_b,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce((c.n_common * 4294967296 * 1000000) // c.theta, 0)
+                AS BIGINT) AS est_micro,
+           CAST(coalesce(e.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM grid g
+    LEFT JOIN common c ON c.type_a = g.type_a AND c.type_b = g.type_b
+    LEFT JOIN exact e ON e.type_a = g.type_a AND e.type_b = g.type_b
+    """,
+    tags=("sketch", "kmv", "theta", "set-intersection", "approx", "extension"),
+)
+def sketch_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET INTERSECTION over KMV distinct sketches: the
+    distinct-user overlap between every pair of event types estimated
+    from each type's 64 smallest md5-derived 32-bit user hashes —
+    |{{h in both k-min sets, h < min(theta_a, theta_b)}}| scaled by the
+    sampled hash fraction. This is the set-ALGEBRA capability that
+    makes distinct sketches compositional at 100 TB: per-partition
+    k-min sets merge by union-and-retruncate (no re-scan), and
+    union/intersection cardinalities of arbitrary segment combinations
+    come from the tiny retained sets — audience-overlap analytics
+    without ever shuffling the raw key sets.
+
+    Exactness: the sketch is a deterministic function of the input
+    (md5 hashes, integer thresholds, `div` for the single estimate
+    scale — emitted as integer micro), so the ESTIMATE itself
+    hash-matches DuckDB exactly, alongside the exact overlap for the
+    accuracy audit (tolerance asserted in tests/test_approx.py;
+    under-capacity sketches make the estimate exact by construction).
+
+    Scale shape: one distinct aggregate keyed by (type, user), one
+    64-row-per-type ranking window (bounded state), then all joins are
+    over k-bounded frames — the pair grid, thresholds, and k-min sets
+    are |types| * 64 rows however many billions of events stream in."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hs = du.select(
+        "event_type",
+        hex_prefix_int(md5_utf8(F2.col("user_id").cast("string")), 8).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        hs.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") <= 64)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
+    th = kmin.groupBy("event_type").agg(
+        F2.when(F2.count(F2.lit(1)) < 64, F2.lit(4294967296))
+        .otherwise(F2.max("h"))
+        .alias("theta")
+    )
+    a = kmin.select(F2.col("event_type").alias("type_a"), "h")
+    b = kmin.select(F2.col("event_type").alias("type_b"), "h")
+    ta = th.select(F2.col("event_type").alias("type_a"), F2.col("theta").alias("_ta"))
+    tb = th.select(F2.col("event_type").alias("type_b"), F2.col("theta").alias("_tb"))
+    common = (
+        a.join(b, "h")
+        .filter(F2.col("type_a") < F2.col("type_b"))
+        .join(F2.broadcast(ta), "type_a")
+        .join(F2.broadcast(tb), "type_b")
+        .withColumn("theta", F2.least("_ta", "_tb"))
+        .filter(F2.col("h") < F2.col("theta"))
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F2.count(F2.lit(1)).alias("n_common"))
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.select(F2.col("event_type").alias("type_a"))
+        .join(types.select(F2.col("event_type").alias("type_b")))
+        .filter(F2.col("type_a") < F2.col("type_b"))
+    )
+    exact = (
+        du.select(F2.col("event_type").alias("type_a"), "user_id")
+        .join(du.select(F2.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F2.col("type_a") < F2.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F2.count(F2.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        grid.join(common, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F2.coalesce("n_common", F2.lit(0)).cast("bigint").alias("n_common"),
+            F2.coalesce(
+                F2.expr("(n_common * 4294967296 * 1000000) div theta"), F2.lit(0)
+            )
+            .cast("bigint")
+            .alias("est_micro"),
+            F2.coalesce("exact_overlap", F2.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+    )

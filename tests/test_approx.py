@@ -121,3 +121,20 @@ def test_bloom_pruned_antijoin_matches_plain_antijoin(spark, sf_dir):
     )
     assert sorted(r.c_custkey for r in pruned) == sorted(r.c_custkey for r in plain)
     assert len(pruned) > 0
+
+
+def test_kmv_type_overlap_accuracy(spark):
+    """Theta-intersection estimates: exact by construction while the
+    sketches are under capacity (sf0.001: every |set| < k), and within
+    15% relative error once at capacity (sf0.01 measured ~3.4%)."""
+    qs = all_queries()
+    under = qs["sketch_kmv_type_overlap"].build(spark, "/root/testdata/sf0.001").collect()
+    for r in under:
+        assert r.est_micro == r.exact_overlap * 1_000_000, (r.type_a, r.type_b)
+    at_cap = qs["sketch_kmv_type_overlap"].build(spark, "/root/testdata/sf0.01").collect()
+    assert at_cap
+    for r in at_cap:
+        est = r.est_micro / 1e6
+        assert abs(est - r.exact_overlap) <= 0.15 * r.exact_overlap + 2, (
+            r.type_a, r.type_b, est, r.exact_overlap,
+        )
