@@ -444,3 +444,15 @@ def test_ivf_pq_recall_query_matches_python_recall(spark, sf_dir):
     assert row.n_queries == len({q for q, _ in exact_pairs})
     assert abs(row.avg_recall - hits / (row.n_queries * 10)) < 1e-12
     assert row.avg_recall >= 0.28
+
+
+def test_ivf_pq_rerank_improves_recall(spark, sf_dir):
+    """The exact re-rank stage must strictly dominate the raw ADC
+    ranking (same shortlist, better order): measured 0.40/0.50 vs
+    0.32/0.36 on the fixtures — gate just under, and per-scale the
+    reranked recall must never fall below the unreranked."""
+    rerank, rerank_sets = _recall_sets(spark, sf_dir, "similarity_knn_ivf_pq_rerank")
+    plain, _ = _recall_sets(spark, sf_dir, "similarity_knn_ivf_pq")
+    assert rerank >= 0.38, f"reranked recall {rerank}"
+    assert rerank >= plain, (rerank, plain)
+    assert all(len(v) == 10 for v in rerank_sets.values())

@@ -83,6 +83,7 @@ CORPUS_PROBE = [
     ("multimodal_audio_energy_trim", 10),
     ("similarity_knn_pq_adc", 4),
     ("similarity_knn_ivf_pq", 4),
+    ("dedup_graph_kcore", 10),
 ]
 
 
