@@ -48,6 +48,21 @@ AUDIT = {
     "events_asof_latest_order": ["Window"],
     "moving_avg_and_ntile": ["Window", "BroadcastHashJoin", "HashAggregate"],
     "range_bounds_sampled_orders": ["PushedFilters", "Window"],
+    # round-7 families
+    "similarity_knn_ivf_pq": ["LeftSemi", "HashAggregate", "Window"],
+    "similarity_knn_ivf_pq_rerank": ["HashAggregate", "Window"],
+    "similarity_knn_pq_adc": ["HashAggregate", "Window"],
+    "sketch_bloom_membership": ["HashAggregate"],
+    "sketch_bloom_pruned_antijoin": ["BroadcastNestedLoopJoin", "LeftAnti"],
+    # kcore's peeling rounds (degree agg + two LeftSemi per round) sit
+    # UPSTREAM of per-round localCheckpoints, so the final plan starts
+    # at the last checkpointed RDD; only the closing degree aggregate
+    # is visible here (the per-round shape is pinned by the operator
+    # tests instead).
+    "dedup_graph_kcore": ["HashAggregate"],
+    # same: the 64-row k-min ranking window is checkpointed; the
+    # visible plan is the bounded joins + final aggregates.
+    "sketch_kmv_type_overlap": ["HashAggregate", "BroadcastHashJoin"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.

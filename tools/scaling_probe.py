@@ -84,6 +84,7 @@ CORPUS_PROBE = [
     ("similarity_knn_pq_adc", 4),
     ("similarity_knn_ivf_pq", 4),
     ("dedup_graph_kcore", 10),
+    ("similarity_knn_ivf_pq_rerank", 4),
 ]
 
 
