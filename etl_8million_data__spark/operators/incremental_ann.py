@@ -9,11 +9,14 @@ Index layout: parquet partitioned BY CELL — rows
 (vec_id, embedding, _n2, _batch) under ``cell=<int>/`` directories.
 The cell count is 2^n_bits (bounded, corpus-size-adaptive via
 ``adaptive_n_bits``), so the partition count never explodes; each probe
-equi-joins on the partition column, which makes Spark's dynamic
-partition pruning skip every unprobed cell's files at scan time — the
-I/O shape a 100 TB vector store needs (read nprobe/2^n_bits of the
-data, not all of it). Squared norms are precomputed at index time so
-the scoring join does no per-row norm work.
+pushes its bounded probed-cell set as a LITERAL partition filter on the
+scan (``_literal_cell_prune``) so every unprobed cell's files are
+skipped at file-listing time — the I/O shape a 100 TB vector store
+needs (read nprobe/2^n_bits of the data, not all of it), asserted on
+actual scan metrics in tests rather than on plan text: the
+dynamicpruning filter the optimizer inserts for the cell equi-join was
+measured degrading to `true` at runtime. Squared norms are precomputed
+at index time so the scoring join does no per-row norm work.
 """
 
 from __future__ import annotations
@@ -107,6 +110,37 @@ def append_vectors(
     return n
 
 
+def _literal_cell_prune(idx: DataFrame, cell_rows: DataFrame) -> DataFrame:
+    """Restrict an index scan to the probed cells by COLLECTING the
+    bounded distinct cell-id set and pushing a literal ``cell IN (…)``
+    filter — STATIC partition pruning, visible in the scan's
+    numPartitions/numFiles metrics (asserted in tests).
+
+    Why not dynamic partition pruning: the optimizer does insert a
+    dynamicpruning filter for the cell equi-join, but at runtime Spark
+    only honors it when it can reuse a broadcast keyed exactly by the
+    pruning column and judges the build side selective — measured on
+    these probes, the filter degraded to `true` and the scan read
+    EVERY cell's files (numFiles = all partitions). The probed-cell
+    set is bounded by the index's cell count (never by data size), so
+    collecting it is a k-bounded driver action — same class as the
+    broadcast-bounded centroid frames — and the literal filter prunes
+    at file-listing time, unconditionally, on any Spark version.
+    (operators/search_index.phrase_probe keeps the join-DPP form
+    instead: its probe side is a genuinely bounded word list it can
+    HINT broadcast, which plans a static BroadcastHashJoin whose
+    exchange DPP can reuse — measured actually pruning at runtime.
+    These ANN probe sides grow with |Q|, so hinting them broadcast
+    would be the memory cliff the plans deliberately avoid.)
+
+    Empty probe set (no queries) short-circuits to an empty frame of
+    the same schema."""
+    cells = [r["cell"] for r in cell_rows.select("cell").distinct().collect()]
+    if not cells:
+        return idx.filter(F.lit(False))
+    return idx.filter(F.col("cell").isin(cells))
+
+
 def probe_index(
     spark: SparkSession,
     index_path: str,
@@ -119,13 +153,15 @@ def probe_index(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors for each query against the
-    persisted index: queries fan out to ``nprobe`` multiprobe cells and
-    equi-join the index on its PARTITION column, so dynamic partition
-    pruning restricts the scan to the probed cells' files. Same scoring
-    and ranking semantics as ``knn_ivf`` — a probe against the persisted
-    index returns exactly what a fresh in-memory build would (asserted
-    in tests), so index persistence is a pure I/O optimization, not a
-    semantic fork."""
+    persisted index: queries fan out to ``nprobe`` multiprobe cells,
+    the bounded probed-cell set becomes a literal partition filter on
+    the index scan (``_literal_cell_prune`` — only the probed cells'
+    files are read, asserted on scan metrics in tests), and the
+    surviving rows equi-join the probe table on the partition column.
+    Same scoring and ranking semantics as ``knn_ivf`` — a probe against
+    the persisted index returns exactly what a fresh in-memory build
+    would (asserted in tests), so index persistence is a pure I/O
+    optimization, not a semantic fork."""
     idx = _read_index(spark, index_path)
     qp = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -137,10 +173,11 @@ def probe_index(
             )
         ).alias("cell"),
     )
+    idx = _literal_cell_prune(idx, qp)
     # Unhinted equi-join on the partition column: AQE broadcasts qp when
-    # |Q| is genuinely small (which also arms dynamic partition pruning
-    # / runtime filters on the partitioned scan) and falls back to a
-    # skew-splittable shuffle when |Q| grows with the corpus.
+    # |Q| is genuinely small and falls back to a skew-splittable shuffle
+    # when |Q| grows with the corpus. The scan itself is already
+    # restricted to probed cells by the literal partition filter above.
     scored = (
         idx.join(qp, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -299,12 +336,12 @@ def probe_index_int8(
             srp_probe_cells(projections(F.col("_xd"), weights, n_bits), n_bits, nprobe)
         ).alias("cell"),
     )
-    return score_int8(idx, probes, k)
+    return score_int8(_literal_cell_prune(idx, probes), probes, k)
 
 
 # --- IVF-PQ (IVFADC) coded index: learned coarse cells + 8-byte packed
 # residual PQ codes, persisted cell-partitioned. The probe reads
-# nprobe/k_cells of the files (DPP on the cell partition column, same
+# nprobe/k_cells of the files (routed-literal partition filter, same
 # as the SRP index) AND each row it reads is one packed bigint instead
 # of a float array — the two compressions multiply, which is the whole
 # production layout of a billion-vector store: train once, encode every
@@ -557,9 +594,10 @@ def probe_index_ivfpq(
             .alias("dmic"),
         )
     )
+    codes = _literal_cell_prune(codes, probes)
     # posexplode over the shift-and-mask array: per stored row, m
     # (sub, code) pairs — computed ONLY for rows inside probed cells
-    # thanks to the cell equi-join below being planned with DPP.
+    # (the literal partition filter above restricts the scan itself).
     unpacked = codes.select(
         "vec_id",
         "cell",

@@ -11,10 +11,12 @@ Two write paths:
   atomic swap (Spark cannot lazily read and overwrite one path).
   O(table) per batch — fine for small dimension tables.
 - **Partitioned** (``partition_by``): only the partitions that contain
-  updated keys are rewritten. The existing snapshot is semi-joined on
-  the updates' distinct partition values (a broadcast that Spark's
-  dynamic partition pruning pushes into the scan, so untouched
-  directories are never read), merged, then written with dynamic
+  updated keys are rewritten. The updates' distinct partition values
+  are collected (bounded by |affected partitions|) and pushed as a
+  LITERAL partition filter on the existing snapshot's scan (measured
+  on scan metrics — the earlier semi-join form's dynamicpruning filter
+  degraded to `true` at runtime and re-read every partition), so
+  untouched directories are never read; merged, then written with dynamic
   partition overwrite — untouched partition directories are not
   touched, byte for byte. O(affected partitions) per batch: this is
   the 100 TB path, assuming partition columns are stable attributes of
@@ -55,10 +57,29 @@ def _upsert_pruned(
     partition_by: list[str],
 ) -> None:
     """Rewrite only the partitions the updates touch (dynamic partition
-    overwrite)."""
+    overwrite).
+
+    The touched-partition set is COLLECTED (it is bounded by the number
+    of affected partitions — exactly the O() this rewrite contracts)
+    and pushed as a literal partition filter, so the read provably
+    scans only the affected directories (asserted on scan metrics in
+    tests). The previous broadcast-semi-join form planned a
+    dynamicpruning filter but Spark degraded it to `true` at runtime —
+    measured reading EVERY partition's files, a full-table read per
+    upsert batch at 100 TB. Null-safe equality keeps null partition
+    values (__HIVE_DEFAULT_PARTITION__) addressable."""
     existing = spark.read.parquet(path)
-    touched = updates.select(*partition_by).distinct()
-    relevant = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    touched_rows = updates.select(*partition_by).distinct().collect()
+    if not touched_rows:
+        return
+    cond = None
+    for r in touched_rows:
+        c = None
+        for col in partition_by:
+            eq = F.col(col).eqNullSafe(F.lit(r[col]))
+            c = eq if c is None else (c & eq)
+        cond = c if cond is None else (cond | c)
+    relevant = existing.filter(cond)
     merged = relevant.unionByName(updates, allowMissingColumns=True)
     # Materialize before the overwrite: the merged plan reads from
     # ``path``, and Spark (rightly) refuses to overwrite a location its

@@ -1703,7 +1703,10 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE decides), and the only data-sized exchanges are the training
     argmins and the (query_id, vec_id) hash aggregate with map-side
     partials. At 100 TB the codes table is cell-partitioned parquet and
-    the semi-join prune becomes dynamic partition pruning."""
+    the probe pushes its bounded probed-cell set as a literal
+    partition filter so only those cells' files are listed
+    (operators/incremental_ann.probe_index_ivfpq, asserted on scan
+    metrics)."""
     from etl_8million_data__spark.operators.similarity import knn_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -152,10 +152,48 @@ def test_split_leakage_gram_join_is_unhinted(spark):
     assert _broadcast_hint_sides(df) == []
 
 
-def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
-    """probe_index must plan dynamic partition pruning on the persisted
-    index's cell partition column — the property that makes the probe
-    read nprobe/2^n_bits of the index files instead of all of them."""
+def _scan_partition_metrics(df, path_fragment: str) -> list[dict]:
+    """Execute ``df`` and return the {numFiles, numPartitions} metrics
+    of every FileSourceScan whose location contains ``path_fragment`` —
+    the ground truth for partition-pruning claims (plan text can carry
+    a dynamicpruning filter that degrades to `true` at runtime; these
+    metrics cannot lie)."""
+    df.collect()
+    found: list[dict] = []
+    seen: set[str] = set()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name and path_fragment in node.toString():
+            key = node.toString().splitlines()[0]
+            if key not in seen:
+                seen.add(key)
+                m = node.metrics()
+                it = m.keys().iterator()
+                vals = {}
+                while it.hasNext():
+                    k = it.next()
+                    vals[k] = m.get(k).get().value()
+                found.append(vals)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+        for attr in ("executedPlan", "finalPhysicalPlan", "plan"):
+            try:
+                walk(getattr(node, attr)())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+def test_ann_index_probe_reads_only_probed_partitions(spark, sf_dir, tmp_path):
+    """probe_index must READ only the probed cells' files — asserted on
+    the executed scan's numPartitions metric, not on plan text (the
+    optimizer's dynamicpruning filter was measured degrading to `true`
+    at runtime; the routed-literal partition filter is the mechanism
+    that actually prunes)."""
     from pyspark.sql import functions as F
 
     from etl_8million_data__spark.catalog import load_table
@@ -171,6 +209,9 @@ def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
     )
     idx = str(tmp_path / "annidx")
     build_index(emb, idx, W, 4)
+    n_cells_total = (
+        spark.read.parquet(idx).select("cell").distinct().count()
+    )
     q = (
         emb.filter(F.col("vec_id") % 100 == 0)
         .select(
@@ -179,12 +220,12 @@ def test_ann_index_probe_scan_is_dpp_pruned(spark, sf_dir, tmp_path):
         .limit(4)
     )
     df = probe_index(spark, idx, q, W, 4, k=3, nprobe=2)
-    extended = df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "extended"
-        )
-    )
-    assert "dynamicpruning" in extended, "index probe lost dynamic partition pruning"
+    metrics = _scan_partition_metrics(df, "annidx")
+    assert metrics, "no index scan found in executed plan"
+    # 4 queries x nprobe=2 -> at most 8 distinct cells can be probed
+    for m in metrics:
+        assert m["numPartitions"] <= 8, m
+        assert m["numPartitions"] < n_cells_total, (m, n_cells_total)
 
 
 @pytest.mark.parametrize(

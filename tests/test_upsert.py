@@ -132,3 +132,46 @@ def test_upsert_partitioned_layout(spark):
         got = spark.read.parquet(path)
         assert got.count() == 2
         assert set(got.select("stype").distinct().toPandas()["stype"]) == {"IS", "BS"}
+
+
+def test_upsert_pruned_read_scans_only_touched_partitions(spark, tmp_path):
+    """The partitioned upsert's READ side must scan only the touched
+    partitions' files — asserted on the executed scan's numPartitions
+    metric. (The earlier broadcast-semi-join form planned a
+    dynamicpruning filter that Spark degraded to `true` at runtime:
+    measured reading all 10 partitions for a 1-partition update — a
+    full-table read per batch at 100 TB.)"""
+    from pyspark.sql import functions as F
+
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    path = str(tmp_path / "t")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("p"),
+        F.lit(1).cast("int").alias("v"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    base.write.partitionBy("p").parquet(path)
+    # k=13 lives in p=3 (k % 10) — partition stable, per the contract
+    updates = spark.createDataFrame([(13, 3, 9, 1)], "k long, p int, v int, ts long")
+    # replicate _upsert_pruned's read path (the write consumes the plan,
+    # so measure the read frame directly with the same literal filter)
+    touched_rows = updates.select("p").distinct().collect()
+    cond = None
+    for r in touched_rows:
+        eq = F.col("p").eqNullSafe(F.lit(r["p"]))
+        cond = eq if cond is None else (cond | eq)
+    relevant = spark.read.parquet(path).filter(cond)
+    metrics = _scan_partition_metrics(relevant, "parquet")
+    assert metrics, "no scan found"
+    for m in metrics:
+        assert m["numPartitions"] == 1, m
+    # and the full upsert is correct end-to-end with the pruned read
+    from etl_8million_data__spark.operators.upsert import upsert_parquet
+
+    upsert_parquet(
+        spark, updates, path, keys=["k"], order_col="ts", partition_by=["p"]
+    )
+    got = spark.read.parquet(path).filter(F.col("k") == 13).collect()
+    assert len(got) == 1 and got[0].v == 9
