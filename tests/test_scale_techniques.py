@@ -216,11 +216,17 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
 
 
 def test_dynamic_partition_pruning(spark, sf_dir):
-    """A fact laid out by a partition key joined to a filtered dim must
-    scan only the partitions the dim selects — dynamic partition
-    pruning inserts the dim's keys as a runtime partition filter
-    (reusing the broadcast), so at 100 TB the fact scan is bounded by
-    the dim filter, not the fact size."""
+    """Partition pruning on a fact laid out by a join key — and an
+    honest record of which mechanism actually skips files.
+
+    The textbook form (filtered dim joined on the partition column)
+    plans a `dynamicpruningexpression` and its OUTPUT is correctly
+    restricted — but the executed scan was MEASURED reading all 5
+    priority partitions' files here (numFiles=5): the runtime filter
+    cut rows, not I/O. The form this engine relies on wherever the
+    pruning-value set is bounded (ANN probes, partitioned upsert) is
+    collect-and-push-literal, which provably prunes at file-listing
+    time — asserted on scan metrics below."""
     import tempfile as _tf
 
     o = load_table(spark, sf_dir, "orders")
@@ -239,6 +245,19 @@ def test_dynamic_partition_pruning(spark, sf_dir):
         assert "dynamicpruningexpression" in plan, plan
         expected = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
         assert q.count() == expected
+        # The robust form: the dim's key set is bounded -> collect it
+        # and push a literal partition filter; the executed scan must
+        # read exactly 1 of the 5 priority partitions.
+        from tests.test_plan_invariants import _scan_partition_metrics
+
+        keys = [
+            r.prio for r in dim.filter(F.col("label") == "rush").collect()
+        ]
+        lit_q = fact.filter(F.col("o_orderpriority").isin(keys))
+        assert lit_q.count() == expected
+        metrics = _scan_partition_metrics(lit_q, "o_orderkey")
+        assert metrics, "no fact scan found"
+        assert all(m["numPartitions"] == 1 for m in metrics), metrics
 
 
 def test_zstd_compression_smaller_and_exact(spark, sf_dir):
