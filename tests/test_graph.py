@@ -194,3 +194,57 @@ def test_kcore_fixture_graph_converges_within_round_budget(spark, sf_dir):
     }
     assert r8 == r9
     assert r8, "fixture should contain a non-trivial 2-core"
+
+
+def test_kcore_matches_python_peeling_on_random_graphs(spark):
+    """Property: on md5-deterministic random graphs, kcore_nodes'
+    bounded-round peel must equal a pure-python peel run to FIXPOINT
+    (the rounds budget is generous enough for these sizes), for several
+    k values — the relational loop is checked against independent
+    reference semantics, not just hand-picked topologies."""
+    import hashlib
+
+    def rnd_edges(seed, n_nodes, n_edges):
+        out = set()
+        i = 0
+        while len(out) < n_edges:
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            a = int(h[:8], 16) % n_nodes
+            b = int(h[8:16], 16) % n_nodes
+            i += 1
+            if a != b:
+                out.add((min(a, b), max(a, b)))
+        return sorted(out)
+
+    def py_kcore(edges, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                    del adj[n]
+                    changed = True
+        return {n: len(vs) for n, vs in adj.items() if len(vs) >= k}
+
+    from etl_8million_data__spark.operators.graph import kcore_nodes
+
+    for seed, n_nodes, n_edges, k in [
+        (1, 30, 45, 2),
+        (2, 25, 60, 3),
+        (3, 40, 50, 2),
+    ]:
+        edges = rnd_edges(seed, n_nodes, n_edges)
+        edf = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r.node: r.core_degree
+            for r in kcore_nodes(edf, k=k, rounds=20).collect()
+        }
+        assert got == py_kcore(edges, k), (seed, k)

@@ -456,3 +456,31 @@ def test_ivf_pq_rerank_improves_recall(spark, sf_dir):
     assert rerank >= 0.38, f"reranked recall {rerank}"
     assert rerank >= plain, (rerank, plain)
     assert all(len(v) == 10 for v in rerank_sets.values())
+
+
+def test_pack_codes_roundtrip_on_random_assignments(spark):
+    """Property: bit-packing arbitrary (sub, j) assignments — including
+    adversarial all-15 codes that fill the sign bits — round-trips via
+    shift-and-mask for every subspace."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.similarity import pack_pq_codes
+
+    rows = []
+    for vec in range(40):
+        for sub in range(16):
+            h = hashlib.md5(f"{vec}:{sub}".encode()).hexdigest()
+            j = 15 if vec % 7 == 0 else int(h[:2], 16) % 16
+            rows.append((vec, sub, j))
+    assign = spark.createDataFrame(rows, "vec_id long, sub int, j int")
+    packed = pack_pq_codes(assign)
+    bad = (
+        assign.join(packed, "vec_id")
+        .filter(F.expr("(shiftrightunsigned(codes_packed, 4 * sub) & 15) <> j"))
+        .count()
+    )
+    assert bad == 0
+    # the all-15 rows exercise the negative (sign-bit) packings
+    assert packed.filter(F.col("codes_packed") < 0).count() > 0
