@@ -89,6 +89,8 @@ HEADLINE = [
     # round-7 families
     "similarity_knn_ivf_pq",  # IVFADC: residual PQ + cell-routed LUT join
     "sketch_bloom_pruned_antijoin",  # bloom-pruned skip-existing anti-join
+    "similarity_knn_hamming_rerank",  # 1-bit signature scan + exact re-rank
+    "similarity_knn_gemm",  # exact kNN as Arrow-batched int64 block GEMM
 ]
 
 

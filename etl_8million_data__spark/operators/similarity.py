@@ -937,3 +937,199 @@ def pack_pq_codes(assign: DataFrame) -> DataFrame:
     return assign.groupBy("vec_id").agg(
         F.expr("bit_or(shiftleft(CAST(j AS BIGINT), 4 * sub))").alias("codes_packed")
     )
+
+
+def sign_words(vec: Column, dim: int = 64, word_bits: int = 32) -> list[Column]:
+    """Binary (1-bit) quantization: the sign bits of a float vector
+    packed into 32-bit words held in bigints — bit for dim ``i`` is 1
+    iff ``vec[i] > 0``, and within a word the LOWEST-index dim is the
+    most significant bit (ascending fold ``acc*2 + bit``).
+
+    32-bit words rather than one 64-bit word because DuckDB's ``<<``
+    and ``+`` overflow-CHECK at bit 63 (verified: ``1::BIGINT << 63``
+    raises), while Spark wraps — word values stay < 2^32 so the
+    identical integer fold runs on both engines and the signature is
+    hash-checkable. 64 dims -> 8 signature bytes: a 32x compression
+    that makes the Hamming pre-filter scan bandwidth-trivial next to
+    the float corpus (256 bytes/vector), and the XOR+popcount distance
+    is a handful of ALU ops inside whole-stage codegen — no float math
+    at all until the shortlist re-rank."""
+    words = []
+    for off in range(0, dim, word_bits):
+        words.append(
+            F.aggregate(
+                F.sequence(F.lit(off), F.lit(off + word_bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2
+                + F.when(F.get(vec, i) > 0, 1).otherwise(0),
+            )
+        )
+    return words
+
+
+def knn_hamming_rerank(
+    emb: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    query_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage binary-signature search: a Hamming-distance scan over
+    8-byte sign signatures shortlists ``shortlist`` candidates per
+    query, then exact fold-order cosine re-ranks ONLY the shortlist to
+    the final top-``k`` — the classic binary-quantization rerank layout
+    (the 1-bit analogue of the IVF-PQ ADC+rerank pair).
+
+    Scale shape: stage 1 touches only the (vec_id, sig0, sig1) stream —
+    3 bigints/row vs the 64-float vector — with query signatures
+    broadcast and the distance a pure XOR+popcount in codegen; stage 2
+    re-reads float vectors for |Q|*shortlist rows only (an equi-join on
+    vec_id, never a scan). Both Hamming ties and cosine ties carry
+    total-order tie-breaks so the result hash-checks cross-engine."""
+    s0, s1 = sign_words(F.col(vec_col), dim)
+    sig = emb.select(F.col(id_col).alias("vec_id"), s0.alias("sig0"), s1.alias("sig1"))
+    qsig = sig.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig0").alias("q0"),
+        F.col("sig1").alias("q1"),
+    )
+    ham = (
+        F.bit_count(F.col("sig0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("sig1").bitwiseXOR(F.col("q1")))
+    ).cast("int")
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        sig.join(F.broadcast(qsig), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("_rh", F.row_number().over(wh))
+        .filter(F.col("_rh") <= shortlist)
+        .select("query_id", "vec_id", "hamming")
+    )
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_vec"),
+        norm2(F.col(vec_col)).alias("_n2"),
+    )
+    qv = e.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_n2").alias("_qn2"),
+    )
+    rer = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            (
+                dot(F.col("_qvec"), F.col("_vec"))
+                / (F.sqrt("_qn2") * F.sqrt("_n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return rer.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def micro_normalized(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize then quantize each component to an exact int64
+    micro value: ``sign(v) * floor(|v| / ||x|| * 1e6 + 0.5)``. Dot
+    products over these are pure int64 sums (64 dims x |q|<=1e6 each ->
+    max 64e12, far under int64), so they are order-INSENSITIVE — any
+    summation order, including a BLAS-style blocked matmul, yields the
+    same bits as DuckDB's sequential fold. This is what lets the GEMM
+    path below vectorize freely without the fold-order contract the
+    float cosine queries need."""
+    vd = lambda v: v.cast("double")  # noqa: E731
+    n = F.sqrt(norm2(F.col(vec_col)))
+    qm = F.transform(
+        F.col(vec_col),
+        lambda v: F.signum(vd(v)).cast("bigint")
+        * F.floor(F.abs(vd(v)) / n * 1_000_000 + F.lit(0.5)).cast("bigint"),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), qm.alias("qm"))
+
+
+def knn_block_gemm(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 100,
+    corpus_block: int = 2048,
+    query_block: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN as BLOCK MATRIX MULTIPLY: corpus and query vectors are
+    grouped into bounded blocks, every (corpus-block x query-block)
+    pair runs ONE Arrow-batched numpy int64 GEMM (C x 64 @ 64 x G), and
+    each block pair emits only its per-query top-k partials — a
+    (k * |Q| * n_blocks)-row stream that a final per-query window
+    reduces to the global exact top-k. This is the throughput-oriented
+    twin of :func:`knn_bruteforce`: identical semantics, but the score
+    loop runs at matmul speed inside mapInPandas instead of one codegen
+    fold per (query, vector) pair.
+
+    Exactness: scores are int64 dots of micro-normalized components
+    (:func:`micro_normalized`), so the blocked summation is
+    bit-identical to any fold order — the numpy GEMM result hash-checks
+    against DuckDB's sequential list_reduce. Per-block top-k uses the
+    SAME (dot desc, vec_id asc) total order as the global window, so a
+    row cut by a block's top-k has >= k block-mates strictly ahead of
+    it globally and the composition stays exact.
+
+    Scale shape: the query-block frame broadcasts (|Q| * 520 bytes —
+    the same broadcast knn_bruteforce already carries); the corpus
+    shuffles ONCE into blocks keyed by vec_id div corpus_block; the
+    GEMM emits k rows per (query, corpus-block) so the final window's
+    input is corpus/corpus_block * k per query, not corpus-sized.
+    Still O(|corpus| * |Q|) arithmetic — this is the exact-scan path,
+    guarded like every correctness baseline, with the IVF family as
+    the sub-quadratic twin."""
+    m = micro_normalized(emb, id_col, vec_col)
+    q = m.filter(F.col("vec_id") % query_mod == 0)
+    qb = q.groupBy(
+        F.floor(F.col("vec_id") / (query_mod * query_block)).alias("qblk")
+    ).agg(F.sort_array(F.collect_list(F.struct("vec_id", "qm"))).alias("qs"))
+    cb = m.groupBy(F.floor(F.col("vec_id") / corpus_block).alias("cblk")).agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "qm"))).alias("cs")
+    )
+    joined = cb.crossJoin(F.broadcast(qb.select("qs")))
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_v, out_d = [], [], []
+            for cs, qs in zip(pdf["cs"], pdf["qs"]):
+                cid = np.array([r["vec_id"] for r in cs], dtype=np.int64)
+                a = np.array([r["qm"] for r in cs], dtype=np.int64)
+                qid = np.array([r["vec_id"] for r in qs], dtype=np.int64)
+                b = np.array([r["qm"] for r in qs], dtype=np.int64)
+                s = a @ b.T  # exact int64, (C x G)
+                sentinel = np.int64(-(10**18))
+                s = np.where(cid[:, None] == qid[None, :], sentinel, s)
+                kk = min(k, s.shape[0])
+                for j in range(s.shape[1]):
+                    col = s[:, j]
+                    top = np.lexsort((cid, -col))[:kk]
+                    for i in top:
+                        if col[i] == sentinel:
+                            continue
+                        out_q.append(int(qid[j]))
+                        out_v.append(int(cid[i]))
+                        out_d.append(int(col[i]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "dot_micro12": out_d}
+            )
+
+    partials = joined.mapInPandas(
+        gemm, "query_id long, vec_id long, dot_micro12 long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_micro12").desc(), "vec_id")
+    return partials.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1881,3 +1881,160 @@ def similarity_knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "vec_id", "cosine", "rn")
     )
+
+
+def _sign_word_sql(off: int, bits: int = 32) -> str:
+    """DuckDB mirror of operators.similarity.sign_words: ascending
+    acc*2 + bit fold over dims [off, off+bits) — 32-bit words because
+    DuckDB's shift/add overflow-check at bit 63."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({off}, {off + bits}), "
+        "i -> CASE WHEN embedding[i+1] > 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)), (a, x) -> a * 2 + x)"
+    )
+
+
+@register(
+    "embedding_binary_quantize",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_sign_word_sql(0)} AS sig0,
+           {_sign_word_sql(32)} AS sig1
+    FROM embeddings
+    """,
+    tags=("similarity", "embedding", "quantization", "extension", "scale-path"),
+)
+def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) embedding quantization: each 64-dim float vector
+    collapses to its 64 sign bits, stored as two 32-bit words — 8
+    signature bytes per vector, a 32x compression (the 1-bit analogue
+    of similarity_pq_codes' 8-byte PQ codes). Word packing is an
+    ascending integer fold (operators/similarity.sign_words), kept
+    below bit 63 because DuckDB overflow-checks shifts there, so the
+    signatures hash-check bit-for-bit cross-engine.
+
+    Pure narrow map over the scan — no shuffle, no float math; at
+    100 TB this is the signature-build pass whose output feeds the
+    Hamming pre-filter (similarity_knn_hamming_rerank) and costs one
+    scan of the corpus."""
+    from etl_8million_data__spark.operators.similarity import sign_words
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s0, s1 = sign_words(F.col("embedding"))
+    return emb.select("vec_id", "label", s0.alias("sig0"), s1.alias("sig1"))
+
+
+@register(
+    "similarity_knn_hamming_rerank",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             {_sign_word_sql(0)} AS sig0,
+             {_sign_word_sql(32)} AS sig1,
+             embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, sig0 AS q0, sig1 AS q1,
+                 embedding AS qv, n2 AS qn2
+          FROM s WHERE vec_id % 100 = 0),
+    h AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(bit_count(xor(q.q0, s.sig0))
+                  + bit_count(xor(q.q1, s.sig1)) AS INTEGER) AS hamming
+      FROM q JOIN s ON s.vec_id <> q.query_id),
+    short AS (
+      SELECT query_id, vec_id, hamming FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY hamming, vec_id) AS rh
+        FROM h) WHERE rh <= 50),
+    r AS (
+      SELECT sh.query_id, sh.vec_id, sh.hamming,
+             {_dot('q.qv', 's.embedding')} / (sqrt(q.qn2) * sqrt(s.n2))
+               AS cosine
+      FROM short sh
+      JOIN q ON q.query_id = sh.query_id
+      JOIN s ON s.vec_id = sh.vec_id)
+    SELECT query_id, vec_id, hamming, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM r)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "hamming", "extension", "scale-path"),
+)
+def similarity_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-signature ANN: XOR+popcount Hamming scan over
+    the 8-byte sign signatures shortlists 50 candidates per query; exact
+    fold-order cosine re-ranks only the shortlist to the top-10 — the
+    1-bit mirror of similarity_knn_ivf_pq_rerank's ADC+rerank layout.
+
+    Scale story: the scan stage reads 3 bigints per corpus row (not the
+    256-byte float vector) and its distance is pure ALU work inside
+    whole-stage codegen; float vectors are touched only via an equi-join
+    for |Q|*50 shortlist rows. Recall vs the exact baseline is gated in
+    tests/test_similarity.py. Both stages carry total-order tie-breaks
+    ((hamming, vec_id), then (cosine desc, vec_id)), so even the
+    intermediate shortlist is deterministic and the result hash-checks
+    against DuckDB."""
+    from etl_8million_data__spark.operators.similarity import knn_hamming_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_hamming_rerank(emb, shortlist=50, k=10).select(
+        "query_id", "vec_id", "hamming", "cosine", "rn"
+    )
+
+
+@register(
+    "similarity_knn_gemm",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+             sqrt({_dot('embedding', 'embedding')}) AS n
+      FROM embeddings),
+    m AS (
+      SELECT vec_id,
+             list_transform(xd, v ->
+               CAST(sign(v) AS BIGINT)
+               * CAST(floor(abs(v) / n * 1000000 + 0.5) AS BIGINT)) AS qm
+      FROM x),
+    q AS (SELECT vec_id AS query_id, qm AS qq FROM m WHERE vec_id % 100 = 0),
+    sc AS (
+      SELECT q.query_id, m.vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(64), i -> q.qq[i+1] * m.qm[i+1])),
+               (a, b) -> a + b) AS dot_micro12
+      FROM q JOIN m ON m.vec_id <> q.query_id)
+    SELECT query_id, vec_id, dot_micro12, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_micro12 DESC, vec_id) AS rn
+          FROM sc)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "extension", "vectorized", "correctness-baseline"),
+)
+def similarity_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN as Arrow-batched block matrix multiply
+    (operators/similarity.knn_block_gemm): bounded corpus/query blocks,
+    one numpy int64 GEMM per block pair, per-block top-k partials, one
+    global per-query window — identical semantics to
+    similarity_knn_bruteforce at matmul throughput instead of a codegen
+    fold per pair.
+
+    The cross-engine contract is INTEGER, not fold-order: components
+    are micro-normalized int64 (sign*floor(|v|/||x||*1e6+0.5)), so the
+    blocked GEMM summation is bit-identical to DuckDB's sequential
+    list_reduce no matter the accumulation order — the one similarity
+    query whose hot loop is free to use vectorized math because its
+    scores are exact integers. Still O(|corpus|*|Q|) arithmetic: guarded
+    at the same 200k bound as the bruteforce baseline, with the IVF
+    family as the named sub-quadratic twin."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_block_gemm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(emb, 200_000, "similarity_knn_gemm", "similarity_knn_ivf_pq")
+    return knn_block_gemm(emb, k=10).select("query_id", "vec_id", "dot_micro12", "rn")

@@ -484,3 +484,47 @@ def test_pack_codes_roundtrip_on_random_assignments(spark):
     assert bad == 0
     # the all-15 rows exercise the negative (sign-bit) packings
     assert packed.filter(F.col("codes_packed") < 0).count() > 0
+
+
+def test_sign_words_match_python_bits(spark, sf_dir):
+    """Each 32-bit signature word must encode exactly the per-dim sign
+    bits (dim off is the word's MSB — ascending acc*2+bit fold),
+    recomputed independently in Python from the raw vectors."""
+    from etl_8million_data__spark.catalog import load_table
+
+    qs = all_queries()
+    sig = {
+        r.vec_id: (r.sig0, r.sig1)
+        for r in qs["embedding_binary_quantize"].build(spark, sf_dir).collect()
+    }
+    raw = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(sig) == len(raw)
+    for r in raw:
+        for w, off in ((0, 0), (1, 32)):
+            expect = 0
+            for i in range(off, off + 32):
+                expect = expect * 2 + (1 if r.embedding[i] > 0 else 0)
+            assert sig[r.vec_id][w] == expect, (r.vec_id, w)
+
+
+def test_hamming_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """The 64-bit signature shortlist (50 candidates) + exact rerank
+    measures avg recall 0.68 at sf0.001 / 0.72 at sf0.01 on the uniform
+    fixtures — far above the SRP-IVF (0.25) and IVF-PQ (0.28) gates, as
+    a full-width sign sketch should be. Pinned just under measured."""
+    avg_recall, approx_sets = _recall_sets(
+        spark, sf_dir, "similarity_knn_hamming_rerank"
+    )
+    assert avg_recall >= 0.6, f"avg recall {avg_recall}"
+    assert all(len(v) == 10 for v in approx_sets.values())
+
+
+def test_gemm_matches_bruteforce_topk_sets(spark, sf_dir):
+    """knn_block_gemm is EXACT — same neighbor sets as the float
+    bruteforce baseline. Its micro-int scores could in principle flip a
+    pair whose true cosines differ < 1e-6; the fixtures have no such
+    tie (measured: identical sets at both scales, deterministically),
+    so the gate is equality, not a recall floor."""
+    avg_recall, approx_sets = _recall_sets(spark, sf_dir, "similarity_knn_gemm")
+    assert avg_recall == 1.0, f"gemm diverged from bruteforce: {avg_recall}"
+    assert all(len(v) == 10 for v in approx_sets.values())
