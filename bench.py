@@ -91,6 +91,7 @@ HEADLINE = [
     "sketch_bloom_pruned_antijoin",  # bloom-pruned skip-existing anti-join
     "similarity_knn_hamming_rerank",  # 1-bit signature scan + exact re-rank
     "similarity_knn_gemm",  # exact kNN as Arrow-batched int64 block GEMM
+    "embedding_linear_probe",  # fixed-point GD quality-probe training
 ]
 
 

@@ -2038,3 +2038,88 @@ def similarity_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assert_baseline_scale(emb, 200_000, "similarity_knn_gemm", "similarity_knn_ivf_pq")
     return knn_block_gemm(emb, k=10).select("query_id", "vec_id", "dot_micro12", "rn")
+
+
+def _probe_iter_sql(k: int) -> str:
+    """One unrolled fixed-point GD step: w{k} from w{k-1} against the
+    MATERIALIZED abar/bbar stats (materialization is load-bearing —
+    w{k-1} is referenced twice per step, so default CTE inlining would
+    expand 2^iters-fold, the dedup_graph_kcore lesson). Every sum is
+    cast back to BIGINT (DuckDB widens integer sums to HUGEINT, which
+    Arrow-fails at the driver compare and would otherwise propagate
+    through all later steps)."""
+    p = f"pw{k - 1}"
+    return f"""
+    pw{k} AS MATERIALIZED (
+      SELECT w.i, w.wmu + b.bmu - CAST(aw.s // 1000000 AS BIGINT) AS wmu
+      FROM (SELECT a.i, CAST(sum(a.a * w.wmu) AS BIGINT) AS s
+            FROM pabar a JOIN {p} w ON w.i = a.j GROUP BY a.i) aw
+      JOIN {p} w ON w.i = aw.i
+      JOIN pbbar b ON b.i = aw.i)"""
+
+
+_PROBE_CTES = (
+    """
+    pxm AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(CASE WHEN label < 5 THEN 1 ELSE -1 END AS BIGINT) AS y,
+             list_transform(embedding, v ->
+               CAST(sign(CAST(v AS DOUBLE)) AS BIGINT)
+               * CAST(floor(abs(CAST(v AS DOUBLE)) * 1000 + 0.5) AS BIGINT))
+               AS xm
+      FROM embeddings),
+    pn AS (SELECT count(*) AS cnt FROM pxm),
+    pdims AS (SELECT CAST(unnest(range(64)) AS INT) AS i),
+    pg AS MATERIALIZED (
+      SELECT ti.i, tj.i AS j,
+             CAST(sum(x.xm[ti.i + 1] * x.xm[tj.i + 1]) AS BIGINT) AS s
+      FROM pxm x, pdims ti, pdims tj
+      GROUP BY ti.i, tj.i),
+    pabar AS MATERIALIZED (
+      SELECT i, j, CAST(s // cnt AS BIGINT) AS a FROM pg, pn),
+    pbv AS (
+      SELECT t.i, CAST(sum(x.y * x.xm[t.i + 1]) AS BIGINT) AS sb
+      FROM pxm x, pdims t GROUP BY t.i),
+    pbbar AS MATERIALIZED (
+      SELECT i, CAST(sb // cnt AS BIGINT) * 1000 AS bmu FROM pbv, pn),
+    pw0 AS (SELECT i, CAST(0 AS BIGINT) AS wmu FROM pdims),"""
+    + ",".join(_probe_iter_sql(k) for k in range(1, 9))
+)
+
+
+@register(
+    "embedding_linear_probe",
+    oracle=f"""
+    WITH {_PROBE_CTES}
+    SELECT x.vec_id, x.y,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(64), i -> x.xm[i+1] * w.warr[i+1])),
+             (a, b) -> a + b) // 1000 AS BIGINT) AS score_micro
+    FROM pxm x, (SELECT list(wmu ORDER BY i) AS warr FROM pw8) w
+    """,
+    tags=("similarity", "embedding", "training", "extension", "scale-path"),
+)
+def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering's core primitive, trained INSIDE
+    the engine: a linear probe (score = w·x) fit against a weak ±1
+    label (label < 5) by 8 fixed gradient steps on the count-normalized
+    normal equations — the CCNet / FineWeb-Edu pattern where a small
+    trained scorer ranks the whole corpus (operators/probe.py).
+
+    Everything is exact int64 fixed-point: milli-int features, one
+    Arrow-batched GEMM pass for XᵀX / Xᵀy partials (map-side combined —
+    the shuffle carries ~4160 rows per batch, never the corpus), `div`
+    truncation parity, and a 64-row weight frame stepped through 8
+    broadcast-joined GD iterations — so the TRAINED weights and every
+    corpus score hash-match DuckDB's unrolled-CTE mirror of the same
+    loop. Train accuracy vs the 0.5 chance floor is gated in
+    tests/test_similarity.py. Count normalization makes the fixed-point
+    magnitudes corpus-size-free, so the identical plan trains at any n:
+    two corpus scans (stats + scoring) and a k-bounded loop."""
+    from etl_8million_data__spark.operators.probe import linear_probe_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored, _ = linear_probe_fit(
+        emb, F.when(F.col("label") < 5, 1).otherwise(-1), iters=8
+    )
+    return scored

@@ -63,12 +63,26 @@ AUDIT = {
     # same: the 64-row k-min ranking window is checkpointed; the
     # visible plan is the bounded joins + final aggregates.
     "sketch_kmv_type_overlap": ["HashAggregate", "BroadcastHashJoin"],
+    # binary-signature family: quantize is a pure narrow map (scan ->
+    # project, zero exchanges asserted below); the rerank's Hamming
+    # stage broadcasts query signatures and both stages rank through
+    # windows; the GEMM path shows the Arrow-batched MapInPandas over
+    # the blocked crossJoin plus the final per-query window.
+    "embedding_binary_quantize": ["ReadSchema"],
+    "similarity_knn_hamming_rerank": ["BroadcastHashJoin", "Window"],
+    "similarity_knn_gemm": ["MapInPandas", "Window", "HashAggregate"],
+    # probe training: the visible plan is the final scoring pass only —
+    # the Gram MapInPandas and GD loop sit behind the k-bounded weight
+    # checkpoint, so what must show is exactly one corpus scan crossed
+    # with the broadcast 1-row weight array.
+    "embedding_linear_probe": ["BroadcastNestedLoopJoin", "Scan parquet"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
 MAX_EXCHANGES = {
     "pipeline_financials_unpivot": 1,  # repartition(symbol) reused by window + 3 aggs
     "dedup_simhash": 2,  # spread() repartition + the per-doc hash agg
+    "embedding_binary_quantize": 0,  # signature build is a pure narrow map
 }
 
 def main():

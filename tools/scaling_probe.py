@@ -85,6 +85,9 @@ CORPUS_PROBE = [
     ("similarity_knn_ivf_pq", 4),
     ("dedup_graph_kcore", 10),
     ("similarity_knn_ivf_pq_rerank", 4),
+    ("similarity_knn_hamming_rerank", 4),
+    ("similarity_knn_gemm", 4),
+    ("embedding_linear_probe", 4),
 ]
 
 
