@@ -92,6 +92,7 @@ HEADLINE = [
     "similarity_knn_hamming_rerank",  # 1-bit signature scan + exact re-rank
     "similarity_knn_gemm",  # exact kNN as Arrow-batched int64 block GEMM
     "embedding_linear_probe",  # fixed-point GD quality-probe training
+    "dedup_sorted_neighborhood_pairs",  # multi-pass SNM blocking + verify
 ]
 
 

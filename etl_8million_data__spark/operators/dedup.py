@@ -530,3 +530,80 @@ def winnowing_fingerprints(
         hashed.select("doc_id", F.explode(sel).alias("_s"))
         .select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup detection — the record-linkage
+    blocking family (Hernandez & Stolfo 1995), a deliberate hash-free
+    alternative to the LSH/SimHash candidate generators: documents sort
+    by a canonical key, each compares only with its ``window - 1``
+    successors, and candidates verify with exact shingle-set Jaccard
+    >= ``threshold`` (the SAME similarity the MinHash-LSH family
+    verifies, so the two candidate strategies are comparable against
+    one truth set).
+
+    Canonical key = the doc's SORTED DISTINCT 3-WORD-SHINGLE list,
+    joined with '|' — near-dups share most shingles, so their sorted
+    shingle sequences agree on a long prefix and they land adjacent no
+    matter where the edits sit in the raw text. TWO passes cover
+    boundary blindness (the classic multi-pass SNM fix): pass 1
+    sorts/blocks on the ascending shingle sequence (first 2 shingles as
+    the block key), pass 2 on the REVERSED sequence (last shingles
+    lead) — a pair split across a pass-1 block boundary shares a pass-2
+    neighborhood unless it differs at BOTH ends. The union of both
+    passes' windows is the candidate set.
+
+    Scale shape: O(n·window) candidate pairs instead of O(n²) — each
+    pass is one narrow map + one window partitioned by block key (never
+    a data-sized unpartitioned window) + a lead() fan-out, and the
+    verify join touches candidates only. Block keys are 2-shingle
+    prefixes, so block cardinality grows with the corpus vocabulary and
+    blocks stay small; a pathological single-block corpus degrades to
+    the window cost, not to all-pairs. Everything is deterministic
+    ((key, id) total order, least/greatest pair normalization), so the
+    candidate set itself hash-checks cross-engine."""
+    ts = doc_shingle_frame(df, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.array_sort("shingles").alias("ts")
+    )
+
+    def one_pass(arr: Column) -> DataFrame:
+        keyed = ts.select(
+            "doc_id",
+            F.array_join(arr, "|").alias("key"),
+            F.array_join(F.slice(arr, 1, 2), "|").alias("blk"),
+        )
+        w = Window.partitionBy("blk").orderBy("key", "doc_id")
+        nbrs = keyed.select(
+            "doc_id",
+            F.array(
+                *[F.lead("doc_id", i).over(w) for i in range(1, window)]
+            ).alias("nbrs"),
+        )
+        return (
+            nbrs.select("doc_id", F.explode("nbrs").alias("nbr"))
+            .filter(F.col("nbr").isNotNull())
+            .select(
+                F.least("doc_id", "nbr").alias("doc_a"),
+                F.greatest("doc_id", "nbr").alias("doc_b"),
+            )
+        )
+
+    cands = (
+        one_pass(F.col("ts"))
+        .unionAll(one_pass(F.reverse(F.col("ts"))))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    return (
+        cands.join(ts.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(ts.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -807,3 +807,66 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidate_pairs(d)
     return kcore_nodes(pairs, k=2, rounds=8)
+
+
+@register(
+    "dedup_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, list_sort(shingles) AS ts
+      FROM ({_SHINGLED})),
+    k1 AS (
+      SELECT doc_id,
+             array_to_string(ts, '|') AS key,
+             array_to_string(ts[1:2], '|') AS blk
+      FROM t),
+    r1 AS (SELECT doc_id, blk,
+                  row_number() OVER (PARTITION BY blk ORDER BY key, doc_id) AS rn
+           FROM k1),
+    k2 AS (
+      SELECT doc_id,
+             array_to_string(list_reverse(ts), '|') AS key,
+             array_to_string(list_reverse(ts)[1:2], '|') AS blk
+      FROM t),
+    r2 AS (SELECT doc_id, blk,
+                  row_number() OVER (PARTITION BY blk ORDER BY key, doc_id) AS rn
+           FROM k2),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM r1 a JOIN r1 b
+        ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+      UNION
+      SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+      FROM r2 a JOIN r2 b
+        ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.ts, b.ts))
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+             AS jaccard
+    FROM cand c
+    JOIN t a ON a.doc_id = c.doc_a
+    JOIN t b ON b.doc_id = c.doc_b
+    WHERE len(list_intersect(a.ts, b.ts))
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+    """,
+    tags=("dedup", "snm", "extension", "scale-path"),
+)
+def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup pairs (Hernandez &
+    Stolfo 1995) — the record-linkage blocking family, deliberately
+    hash-free: documents sort by their canonical sorted-shingle
+    sequence, each compares only with its 3 successors per pass
+    (ascending + reversed-key passes cover block boundaries), and
+    candidates verify by exact shingle-set Jaccard >= 0.5 — the SAME
+    similarity the MinHash-LSH family verifies, so both candidate
+    strategies are measured against one truth set. O(n·window)
+    candidates, windows partitioned by 2-shingle block keys (never
+    data-sized), lead() fan-out instead of a self-join
+    (operators/dedup.py:sorted_neighborhood_pairs; recall vs the exact
+    all-pairs truth gated in tests/test_dedup.py)."""
+    from etl_8million_data__spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), window=4, threshold=0.5
+    )

@@ -76,6 +76,9 @@ AUDIT = {
     # checkpoint, so what must show is exactly one corpus scan crossed
     # with the broadcast 1-row weight array.
     "embedding_linear_probe": ["BroadcastNestedLoopJoin", "Scan parquet"],
+    # SNM: block-partitioned windows (never a data-sized global sort) +
+    # candidate-only verify joins.
+    "dedup_sorted_neighborhood_pairs": ["Window", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.

@@ -88,6 +88,7 @@ CORPUS_PROBE = [
     ("similarity_knn_hamming_rerank", 4),
     ("similarity_knn_gemm", 4),
     ("embedding_linear_probe", 4),
+    ("dedup_sorted_neighborhood_pairs", 10),
 ]
 
 
