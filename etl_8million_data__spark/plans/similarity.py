@@ -2123,3 +2123,98 @@ def embedding_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, F.when(F.col("label") < 5, 1).otherwise(-1), iters=8
     )
     return scored
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+    WITH mdims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS INT) AS d),
+    ms AS (
+      SELECT d.d, e.vec_id, e.embedding[1:d.d] AS v
+      FROM embeddings e, mdims d),
+    mn AS (
+      SELECT d, vec_id, v, {_dot('v', 'v')} AS n2 FROM ms),
+    mq AS (SELECT d, vec_id AS query_id, v AS qv, n2 AS qn2
+           FROM mn WHERE vec_id % 100 = 0),
+    msc AS (
+      SELECT q.d, q.query_id, s.vec_id,
+             {_dot('q.qv', 's.v')} / (sqrt(q.qn2) * sqrt(s.n2)) AS c
+      FROM mq q JOIN mn s ON s.d = q.d AND s.vec_id <> q.query_id),
+    mtop AS (
+      SELECT d, query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d, query_id ORDER BY c DESC, vec_id) AS rn
+        FROM msc) WHERE rn <= 10),
+    mbase AS (SELECT query_id, vec_id FROM mtop WHERE d = 64),
+    mh AS (
+      SELECT t.d, CAST(count(*) AS BIGINT) AS hits
+      FROM mtop t JOIN mbase b
+        ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+      GROUP BY t.d),
+    mnq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+            FROM mq WHERE d = 64)
+    SELECT h.d AS dims, mnq.n_queries, h.hits,
+           h.hits / (mnq.n_queries * 10.0) AS recall
+    FROM mh h, mnq
+    """,
+    tags=("similarity", "embedding", "audit", "extension"),
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit (the Matryoshka / MRL sizing
+    question): for each prefix width d in {8, 16, 32, 64}, exact cosine
+    top-10 over only the FIRST d components, scored as recall@10
+    against the full-width truth — one hash-checked row per width. This
+    is the measurement that decides how much of a 100 TB vector corpus
+    an index actually has to store (d=16 at acceptable recall = 4x less
+    index memory and bandwidth than d=64).
+
+    The per-width searches reuse the guarded brute-force operator on a
+    sliced view (same fold-order cosine, same (cos desc, vec_id)
+    tie-break), so the audit itself is exact; recall is an integer hit
+    count over n_queries*10 — the only float in the output is the final
+    division, identical on both engines. Corpus-sized inputs run the
+    audit on a sampled query set via the same % mod selector."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 50_000, "similarity_matryoshka_recall", "similarity_knn_ivf_pq_recall"
+    )
+
+    def topk(d: int) -> DataFrame:
+        sliced = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        q = sliced.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return knn_bruteforce(sliced, q, k=10).select(
+            F.lit(d).alias("dims"), "query_id", "vec_id"
+        )
+
+    tops = topk(8).unionAll(topk(16)).unionAll(topk(32)).unionAll(topk(64))
+    base = (
+        topk(64)
+        .select("query_id", "vec_id")
+        .withColumnRenamed("vec_id", "b_vec")
+        .localCheckpoint(eager=True)
+    )
+    hits = (
+        tops.join(
+            base,
+            (tops["query_id"] == base["query_id"])
+            & (tops["vec_id"] == base["b_vec"]),
+        )
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    nq = emb.filter(F.col("vec_id") % 100 == 0).groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    return hits.crossJoin(F.broadcast(nq)).select(
+        "dims",
+        "n_queries",
+        "hits",
+        (F.col("hits") / (F.col("n_queries") * 10.0)).alias("recall"),
+    )

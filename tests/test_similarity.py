@@ -554,3 +554,23 @@ def test_linear_probe_rejects_zero_iters(spark):
     )
     with _pytest.raises(ValueError):
         linear_probe_fit(emb, F.lit(1), iters=0)
+
+
+def test_matryoshka_recall_curve_is_sane(spark, sf_dir):
+    """The truncation audit must anchor at exactly 1.0 for the full
+    width (the d=64 search IS the truth) and be non-decreasing in d —
+    more prefix dims can only add ranking signal. Measured curves:
+    0.08/0.08/0.32/1.0 (sf0.001), 0.12/0.20/0.34/1.0 (sf0.01) — low
+    early recall is expected on uniform fixtures (no MRL-style
+    information concentration in the leading dims)."""
+    rows = (
+        all_queries()["similarity_matryoshka_recall"]
+        .build(spark, sf_dir)
+        .orderBy("dims")
+        .collect()
+    )
+    assert [r.dims for r in rows] == [8, 16, 32, 64]
+    rec = [r.recall for r in rows]
+    assert rec[-1] == 1.0
+    assert all(a <= b + 1e-12 for a, b in zip(rec, rec[1:]))
+    assert all(r.hits <= r.n_queries * 10 for r in rows)
