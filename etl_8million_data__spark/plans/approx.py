@@ -529,6 +529,9 @@ _KMV_H = """list_reduce(
                           md5(CAST(user_id AS VARCHAR))[i+1:i+1]) - 1 AS BIGINT))),
                (a, x) -> a * 16 + x)"""
 
+# Same 32-bit md5-prefix hash over the churn query's custkey column.
+_KMV_C = _KMV_H.replace("user_id", "c")
+
 
 @register(
     "sketch_kmv_type_overlap",
@@ -660,5 +663,149 @@ def sketch_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F2.coalesce("exact_overlap", F2.lit(0))
             .cast("bigint")
             .alias("exact_overlap"),
+        )
+    )
+
+
+@register(
+    "sketch_kmv_customer_churn",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT year(o_orderdate) AS y, o_custkey AS c
+                FROM orders),
+    hs AS (SELECT DISTINCT y, {_KMV_C} AS h FROM du),
+    kmin AS (SELECT y, h FROM (
+        SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+        FROM hs) WHERE rn <= 64),
+    th AS (SELECT y,
+                  CASE WHEN count(*) < 64 THEN 4294967296 ELSE max(h) END AS theta
+           FROM kmin GROUP BY y),
+    grid AS (SELECT a.y AS year_a, b.y AS year_b
+             FROM (SELECT DISTINCT y FROM du) a
+             JOIN (SELECT DISTINCT y FROM du) b ON a.y <> b.y),
+    kdiff AS (SELECT g.year_a, g.year_b,
+                     least(ta.theta, tb.theta) AS theta,
+                     count(*) AS n_diff
+              FROM grid g
+              JOIN kmin a ON a.y = g.year_a
+              JOIN th ta ON ta.y = g.year_a
+              JOIN th tb ON tb.y = g.year_b
+              WHERE a.h < least(ta.theta, tb.theta)
+                AND NOT EXISTS (SELECT 1 FROM kmin b
+                                WHERE b.y = g.year_b AND b.h = a.h)
+              GROUP BY 1, 2, 3),
+    exact AS (SELECT da.y AS year_a, g.year_b, count(*) AS exact_diff
+              FROM du da JOIN grid g ON g.year_a = da.y
+              WHERE NOT EXISTS (SELECT 1 FROM du db
+                                WHERE db.y = g.year_b AND db.c = da.c)
+              GROUP BY 1, 2)
+    SELECT g.year_a, g.year_b,
+           CAST(coalesce(d.n_diff, 0) AS BIGINT) AS n_diff,
+           CAST(coalesce((d.n_diff * 4294967296 * 1000000) // d.theta, 0)
+                AS BIGINT) AS est_micro,
+           CAST(coalesce(e.exact_diff, 0) AS BIGINT) AS exact_diff
+    FROM grid g
+    LEFT JOIN kdiff d ON d.year_a = g.year_a AND d.year_b = g.year_b
+    LEFT JOIN exact e ON e.year_a = g.year_a AND e.year_b = g.year_b
+    """,
+    tags=("sketch", "kmv", "theta", "set-difference", "approx", "extension"),
+)
+def sketch_kmv_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET DIFFERENCE (A-not-B) — the third leg of the
+    sketch set algebra (union = KMV merge, intersection =
+    sketch_kmv_type_overlap, difference = this): for every ORDERED pair
+    of order YEARS, |customers active in year A never seen in year B|
+    estimated from the two 64-entry k-min sets alone — count A's
+    retained hashes below theta = min(theta_a, theta_b) absent from B's
+    retained set, scaled by the sampled hash fraction. Churn /
+    incrementality ("how many of 1995's buyers did we lose by 1996?")
+    is the asymmetric question sketches answer at 100 TB without ever
+    joining the raw key sets. Year segments are used precisely because
+    they genuinely DIFFER (the event-type user sets in this fixture are
+    identical across types, which would make every difference a
+    degenerate zero — the same dead-audit trap the Bloom FP probe
+    fixed).
+
+    Same determinism contract as the intersection: md5-derived 32-bit
+    hashes, integer thresholds, `div` scaling to integer micro — the
+    ESTIMATE hash-matches DuckDB bit-for-bit, and the exact difference
+    rides along as the accuracy audit (under-capacity sketches are
+    exact by construction; at-capacity relative error is gated in
+    tests/test_approx.py).
+
+    Scale shape: the sketch-side plan touches only k-bounded frames
+    (|years|*64 k-min rows, |years|² grid, one anti-join on (year, h));
+    the exact audit is the only corpus-proportional stage and exists
+    for verification, not production."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    o = load_table(spark, sf_dir, "orders")
+    du = o.select(
+        F2.year("o_orderdate").alias("y"), F2.col("o_custkey").alias("c")
+    ).distinct()
+    hs = du.select(
+        "y", hex_prefix_int(md5_utf8(F2.col("c").cast("string")), 8).alias("h")
+    ).distinct()
+    w = Window.partitionBy("y").orderBy("h")
+    kmin = (
+        hs.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") <= 64)
+        .select("y", "h")
+        .localCheckpoint(eager=True)
+    )
+    th = kmin.groupBy("y").agg(
+        F2.when(F2.count(F2.lit(1)) < 64, F2.lit(4294967296))
+        .otherwise(F2.max("h"))
+        .alias("theta")
+    )
+    years = du.select("y").distinct()
+    grid = (
+        years.select(F2.col("y").alias("year_a"))
+        .join(years.select(F2.col("y").alias("year_b")))
+        .filter(F2.col("year_a") != F2.col("year_b"))
+    )
+    ta = th.select(F2.col("y").alias("year_a"), F2.col("theta").alias("_ta"))
+    tb = th.select(F2.col("y").alias("year_b"), F2.col("theta").alias("_tb"))
+    cand = (
+        grid.join(kmin.select(F2.col("y").alias("year_a"), "h"), "year_a")
+        .join(ta, "year_a")
+        .join(tb, "year_b")
+        .filter(F2.col("h") < F2.least("_ta", "_tb"))
+    )
+    kdiff = (
+        cand.join(
+            kmin.select(F2.col("y").alias("year_b"), "h"),
+            ["year_b", "h"],
+            "left_anti",
+        )
+        .groupBy("year_a", "year_b", F2.least("_ta", "_tb").alias("theta"))
+        .agg(F2.count(F2.lit(1)).alias("n_diff"))
+    )
+    exact = (
+        du.select(F2.col("y").alias("year_a"), "c")
+        .join(grid, "year_a")
+        .join(
+            du.select(F2.col("y").alias("year_b"), "c"),
+            ["year_b", "c"],
+            "left_anti",
+        )
+        .groupBy("year_a", "year_b")
+        .agg(F2.count(F2.lit(1)).alias("exact_diff"))
+    )
+    return (
+        grid.join(kdiff, ["year_a", "year_b"], "left")
+        .join(exact, ["year_a", "year_b"], "left")
+        .select(
+            "year_a",
+            "year_b",
+            F2.coalesce("n_diff", F2.lit(0)).cast("bigint").alias("n_diff"),
+            F2.coalesce(
+                F2.expr("(n_diff * 4294967296 * 1000000) div theta"), F2.lit(0)
+            )
+            .cast("bigint")
+            .alias("est_micro"),
+            F2.coalesce("exact_diff", F2.lit(0)).cast("bigint").alias("exact_diff"),
         )
     )

@@ -138,3 +138,37 @@ def test_kmv_type_overlap_accuracy(spark):
         assert abs(est - r.exact_overlap) <= 0.15 * r.exact_overlap + 2, (
             r.type_a, r.type_b, est, r.exact_overlap,
         )
+
+
+def test_kmv_customer_churn_accuracy(spark):
+    """Theta A-not-B error scales with |A|/sqrt(k), NOT with the
+    difference size (the classic caveat of sketch set-difference): with
+    k=64 the 99% envelope is ~2.6/sqrt(64) = 0.33 of |A|. Measured
+    max |err|/|A|: 0.12 (sf0.001), 0.25 (sf0.01); means 0.04/0.07 —
+    gated per-row at the theoretical envelope and in aggregate just
+    above measured. Every fixture pair has a NONZERO exact difference
+    (year segments churn by construction), so the audit is never the
+    degenerate all-zeros check."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        o = load_table(spark, sf, "orders")
+        sizes = {
+            r.y: r.n
+            for r in o.select(F.year("o_orderdate").alias("y"), "o_custkey")
+            .distinct()
+            .groupBy("y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = qs["sketch_kmv_customer_churn"].build(spark, sf).collect()
+        assert len(rows) == 42  # 7 years, ordered pairs
+        assert all(r.exact_diff > 0 for r in rows), "audit must not be degenerate"
+        ratios = [
+            abs(r.est_micro / 1e6 - r.exact_diff) / sizes[r.year_a] for r in rows
+        ]
+        assert max(ratios) <= 0.33, (sf, max(ratios))
+        assert sum(ratios) / len(ratios) <= 0.10, (sf, sum(ratios) / len(ratios))
