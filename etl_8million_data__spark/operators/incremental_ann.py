@@ -616,3 +616,136 @@ def probe_index_ivfpq(
     )
     w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# --- binary sign-signature index variant: the 1-bit family persisted.
+# No cell partitioning — the probe's stage-1 scan is COLUMN-pruned
+# instead (parquet reads only the 3 signature bigints, 24 bytes/row vs
+# the 8*64-byte vector column), and the stage-2 rerank touches vectors
+# only through an equi-join on the |Q|*shortlist surviving ids.
+
+SIGN_INDEX_SCHEMA = (
+    "vec_id long, sig0 long, sig1 long, embedding array<double>, "
+    "_n2 double, _batch string"
+)
+
+
+def _sign_frame(
+    emb: DataFrame, id_col: str, vec_col: str, batch_tag: str | None, dim: int
+) -> DataFrame:
+    from etl_8million_data__spark.operators.similarity import sign_words
+
+    s0, s1 = sign_words(F.col(vec_col), dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        s0.alias("sig0"),
+        s1.alias("sig1"),
+        v.alias("embedding"),
+        norm2(F.col(vec_col)).alias("_n2"),
+        F.lit(batch_tag).cast("string").alias("_batch"),
+    )
+
+
+def build_index_sign(
+    emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = "seed",
+    dim: int = 64,
+) -> None:
+    """Materialize the signature index: one narrow map computes the two
+    32-bit sign words per vector (no shuffle) and writes them alongside
+    the vector and its squared norm. Overwrites any existing index."""
+    _sign_frame(emb, id_col, vec_col, batch_tag, dim).write.mode("overwrite").parquet(
+        index_path
+    )
+
+
+def append_vectors_sign(
+    new_emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = None,
+    dim: int = 64,
+) -> int:
+    """Skip-existing incremental append, same contract as
+    :func:`append_vectors`: already-indexed vec_ids drop via a
+    column-pruned anti-join; signatures are computed for the fresh
+    batch only (the stored corpus is never re-encoded)."""
+    spark = new_emb.sparkSession
+    existing = _read_index(spark, index_path, SIGN_INDEX_SCHEMA).select("vec_id")
+    fresh = (
+        _sign_frame(new_emb, id_col, vec_col, batch_tag, dim)
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(index_path)
+    return n
+
+
+def probe_index_sign(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage probe against the persisted signature index: stage 1
+    scans ONLY (vec_id, sig0, sig1) — parquet column pruning delivers
+    the 1-bit family's 32x bandwidth story on the stored form — and
+    shortlists ``shortlist`` candidates per query by XOR+popcount
+    Hamming with broadcast query signatures; stage 2 re-reads the
+    vector column through an equi-join restricted to the
+    |Q|*shortlist surviving ids and re-ranks by exact fold-order
+    cosine. Same semantics as the in-memory
+    similarity.knn_hamming_rerank on (index ∪ queries) corpus rows
+    (equivalence asserted in tests), so persistence is a pure I/O
+    layout choice."""
+    from etl_8million_data__spark.operators.similarity import sign_words
+
+    idx = _read_index(spark, index_path, SIGN_INDEX_SCHEMA)
+    sig = idx.select("vec_id", "sig0", "sig1")
+    qs0, qs1 = sign_words(F.col(query_vec_col), dim)
+    qsig = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qs0.alias("q0"),
+        qs1.alias("q1"),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias("_qvec"),
+        norm2(F.col(query_vec_col)).alias("_qn2"),
+    )
+    ham = (
+        F.bit_count(F.col("sig0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("sig1").bitwiseXOR(F.col("q1")))
+    ).cast("int")
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        sig.join(F.broadcast(qsig.select("query_id", "q0", "q1")),
+                 F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("_rh", F.row_number().over(wh))
+        .filter(F.col("_rh") <= shortlist)
+        .select("query_id", "vec_id", "hamming")
+    )
+    rer = (
+        short.join(idx.select("vec_id", "embedding", "_n2"), "vec_id")
+        .join(F.broadcast(qsig.select("query_id", "_qvec", "_qn2")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            (
+                dot(F.col("_qvec"), F.col("embedding"))
+                / (F.sqrt("_qn2") * F.sqrt("_n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return rer.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

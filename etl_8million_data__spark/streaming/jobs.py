@@ -478,3 +478,33 @@ def stream_winnowing_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sign_index_increment(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming vector ingest into the persisted binary-signature
+    index (operators/incremental_ann.build_index_sign): each
+    micro-batch computes the two 32-bit sign words for ITS OWN vectors
+    only (a narrow map — signatures are a pure per-row function, so
+    unlike the IVF-PQ twin there are not even frozen codebooks to
+    consult) and appends skip-existing by vec_id. Same
+    replay-idempotence argument as :func:`stream_ann_index_increment`:
+    a redelivered batch's ids are already indexed, so the anti-join
+    makes the re-append a natural no-op; at-least-once foreachBatch +
+    checkpointed batch skipping yields an exactly-once index."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_sign,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors_sign(batch_df, index_path, batch_tag=str(batch_id))
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

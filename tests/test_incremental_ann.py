@@ -352,3 +352,127 @@ def test_stream_ivfpq_index_matches_incremental_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _full_emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_sign_index_probe_matches_in_memory_rerank(spark, sf_dir, tmp_path):
+    """A probe against the persisted signature index must return
+    exactly what the in-memory knn_hamming_rerank computes on the same
+    corpus — persistence is a layout choice, not a semantic fork."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_sign,
+        probe_index_sign,
+    )
+    from etl_8million_data__spark.operators.similarity import knn_hamming_rerank
+
+    emb = _full_emb(spark, sf_dir)
+    idx = str(tmp_path / "sign_index")
+    build_index_sign(emb, idx)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = probe_index_sign(spark, idx, q, shortlist=50, k=10)
+    want = knn_hamming_rerank(emb, shortlist=50, k=10)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
+
+
+def test_sign_index_append_skip_existing_and_probe_sees_new(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_sign,
+        build_index_sign,
+        probe_index_sign,
+    )
+
+    emb = _full_emb(spark, sf_dir)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "sign_index")
+    build_index_sign(half, idx)
+    # re-appending the same half is a no-op
+    assert append_vectors_sign(half, idx) == 0
+    # appending everything adds only the odd half
+    n_new = append_vectors_sign(emb, idx)
+    assert n_new == emb.count() - half.count()
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = {r.vec_id for r in probe_index_sign(spark, idx, q, k=10).collect()}
+    assert any(v % 2 == 1 for v in hits), "probe must see appended odd vectors"
+
+
+def test_sign_index_shortlist_scan_is_column_pruned(spark, sf_dir, tmp_path):
+    """The 32x bandwidth story must hold in the STORED form: the
+    Hamming stage's parquet scan reads only (vec_id, sig0, sig1) —
+    never the 64-double vector column — asserted on the probe plan's
+    ReadSchema, with the vector column appearing only in the
+    shortlist-restricted rerank scan."""
+    import re
+
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_sign,
+        probe_index_sign,
+    )
+
+    emb = _full_emb(spark, sf_dir)
+    idx = str(tmp_path / "sign_index")
+    build_index_sign(emb, idx)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = probe_index_sign(spark, idx, q, k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    sig_scans = [s for s in schemas if "sig0" in s]
+    assert sig_scans, plan[:500]
+    assert all("embedding" not in s for s in sig_scans), sig_scans
+
+
+def test_stream_sign_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """Replaying the embeddings as a stream must leave the signature
+    index probing identically to a fresh batch build, and a second
+    replay must be a no-op (skip-existing replay idempotence)."""
+    import os
+
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_sign,
+        probe_index_sign,
+    )
+    from etl_8million_data__spark.streaming.jobs import stream_sign_index_increment
+
+    emb = _full_emb(spark, sf_dir)
+    idx = str(tmp_path / "sign_stream_index")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("vec_id", "embedding")
+        )
+        stream_sign_index_increment(
+            stream, idx, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    n_indexed = spark.read.parquet(idx).count()
+    assert n_indexed == emb.count()
+    run("ckpt2")
+    assert spark.read.parquet(idx).count() == n_indexed
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch_idx = str(tmp_path / "sign_batch_index")
+    build_index_sign(emb, batch_idx)
+    got = probe_index_sign(spark, idx, q, k=10)
+    want = probe_index_sign(spark, batch_idx, q, k=10)
+    assert _rows(got) == _rows(want)
