@@ -2218,3 +2218,48 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         (F.col("hits") / (F.col("n_queries") * 10.0)).alias("recall"),
     )
+
+
+@register(
+    "similarity_ivf_cell_balance",
+    oracle=f"""
+    WITH {_KM_CTES},
+    cb_n AS (SELECT CAST(j AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+             FROM a2 GROUP BY j),
+    cb_t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+                    CAST(count(*) AS BIGINT) AS n_cells
+             FROM cb_n)
+    SELECT n.cell, n.n_vectors,
+           CAST((n.n_vectors * 1000000) // t.total AS BIGINT) AS share_micro,
+           CAST((n.n_vectors * t.n_cells * 1000000) // t.total AS BIGINT)
+             AS load_factor_micro
+    FROM cb_n n, cb_t t
+    """,
+    tags=("similarity", "ivf", "observability", "extension"),
+)
+def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-cell occupancy of the learned
+    k-means inverted file, each cell's corpus share and its load factor
+    vs the ideal 1/k split (micro-int, `div` truncation parity). At
+    100 TB a hot cell IS the ANN straggler — every probe routed there
+    scans its whole posting list — so this is the measurement that
+    drives re-training cadence, k selection, and whether a cell needs
+    splitting. Plan shape: the training loop's k-bounded frames plus
+    ONE k-row aggregate over the assignment stream — the audit adds a
+    single map-side-combined count to the index build."""
+    from etl_8million_data__spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(emb, k=8, iters=2)
+    n = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    t = n.groupBy().agg(
+        F.sum("n_vectors").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return n.crossJoin(F.broadcast(t)).select(
+        "cell",
+        "n_vectors",
+        F.expr("(n_vectors * 1000000) div total").cast("bigint").alias("share_micro"),
+        F.expr("(n_vectors * n_cells * 1000000) div total")
+        .cast("bigint")
+        .alias("load_factor_micro"),
+    )
