@@ -151,6 +151,20 @@ def linear_probe_fit(
             # final scoring never replay the training lineage.
             .localCheckpoint(eager=True)
         )
+    scored = score_with_weights(xm.select("vec_id", "xm", "y"), w).select(
+        "vec_id", "y", "score_micro"
+    )
+    return scored, w
+
+
+def score_with_weights(xm: DataFrame, w: DataFrame) -> DataFrame:
+    """Score a milli-int feature frame (vec_id, xm, ...) against a
+    trained (i, wmu) weight frame: score_micro = (Σ xmᵢ·wμᵢ) div 1000.
+    The weight frame folds to a single broadcast row, so scoring is one
+    narrow codegen map over the input — the shape that lets the SAME
+    trained probe score a 100 TB batch corpus and a streaming
+    micro-batch (streaming/jobs.stream_probe_score_increment) without
+    retraining."""
     warr = w.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "wmu"))), lambda t: t["wmu"]
@@ -160,7 +174,55 @@ def linear_probe_fit(
         "aggregate(zip_with(xm, warr, (a, b) -> a * b), CAST(0 AS BIGINT), "
         "(acc, v) -> acc + v) div 1000"
     )
-    scored = xm.crossJoin(F.broadcast(warr)).select(
-        "vec_id", "y", score.alias("score_micro")
+    return xm.crossJoin(F.broadcast(warr)).withColumn("score_micro", score).drop(
+        "warr"
     )
-    return scored, w
+
+
+def save_probe(w: DataFrame, path: str) -> None:
+    """Persist trained probe weights — the 64-row (i, wmu) frame — as
+    the frozen-model contract every downstream scorer depends on (the
+    probe analogue of the IVF-PQ index's frozen codebooks)."""
+    w.write.mode("overwrite").parquet(path)
+
+
+def score_new_vectors(
+    new_emb: DataFrame,
+    weights_path: str,
+    out_path: str,
+    batch_tag: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Skip-existing incremental scoring against FROZEN persisted
+    weights: vectors whose vec_id already has a stored score drop via a
+    column-pruned anti-join; the rest are milli-quantized and scored in
+    one narrow map, then appended as (vec_id, score_micro, _batch).
+    Returns the number of vectors scored. Replay-idempotent by the same
+    argument as the index ingests: a redelivered batch's ids already
+    have scores, so the re-append is a natural no-op."""
+    from pyspark.errors import AnalysisException
+
+    spark = new_emb.sparkSession
+    w = spark.read.parquet(weights_path)
+    try:
+        existing = spark.read.parquet(out_path).select("vec_id")
+    except AnalysisException:
+        existing = spark.createDataFrame([], "vec_id long")
+    xm = new_emb.select(
+        F.col(id_col).alias("vec_id"),
+        milli_components(F.col(vec_col)).alias("xm"),
+    ).join(existing, "vec_id", "left_anti")
+    scored = (
+        score_with_weights(xm, w)
+        .select(
+            "vec_id",
+            "score_micro",
+            F.lit(batch_tag).cast("string").alias("_batch"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = scored.count()
+    if n:
+        scored.write.mode("append").parquet(out_path)
+    return n

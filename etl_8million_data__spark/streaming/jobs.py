@@ -508,3 +508,32 @@ def stream_sign_index_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_probe_score_increment(
+    emb_stream: DataFrame,
+    weights_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming quality scoring with a FROZEN trained probe
+    (operators/probe.py): each micro-batch milli-quantizes ITS OWN
+    vectors and scores them against the persisted 64-row weight frame —
+    one broadcast row, one narrow map, never a retrain — appending
+    (vec_id, score_micro) skip-existing. This is online model-based
+    quality filtering: the curation probe trains once in batch
+    (embedding_linear_probe) and every newly ingested document gets its
+    keep/drop score as it arrives. Replay-idempotent exactly-once by
+    the standard argument (anti-join no-op + checkpointed batch
+    skipping)."""
+    from etl_8million_data__spark.operators.probe import score_new_vectors
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_new_vectors(batch_df, weights_path, out_path, batch_tag=str(batch_id))
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -156,3 +156,46 @@ def test_doc_quality_profile_stream_matches_batch(spark, sf_dir, ckpt):
     want = all_queries()["corpus_quality_profile_by_source"].build(spark, sf_dir)
     cols = ["source", "n_docs", "total_tokens", "avg_stopword_ratio", "avg_alpha_ratio"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_probe_scores_match_batch_and_replay_noop(spark, sf_dir, tmp_path):
+    """Streaming micro-batches scored against FROZEN persisted probe
+    weights must equal the batch query's scores exactly (the scorer is
+    one integer map — no training state to drift), and a full replay
+    must be a no-op (skip-existing by vec_id)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.probe import linear_probe_fit, save_probe
+    from etl_8million_data__spark.streaming.jobs import stream_probe_score_increment
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored, w = linear_probe_fit(
+        emb, F.when(F.col("label") < 5, 1).otherwise(-1), iters=8
+    )
+    weights_path = str(tmp_path / "probe_weights")
+    save_probe(w, weights_path)
+    want = {r.vec_id: r.score_micro for r in scored.collect()}
+
+    out = str(tmp_path / "scores")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).parquet(stage).select("vec_id", "embedding")
+        )
+        stream_probe_score_increment(
+            stream, weights_path, out, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    got = {r.vec_id: r.score_micro for r in spark.read.parquet(out).collect()}
+    assert got == want
+    run("ckpt2")  # replay: every id already scored -> no growth
+    assert spark.read.parquet(out).count() == len(want)
