@@ -1976,10 +1976,23 @@ def similarity_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_similarity.py. Both stages carry total-order tie-breaks
     ((hamming, vec_id), then (cosine desc, vec_id)), so even the
     intermediate shortlist is deterministic and the result hash-checks
-    against DuckDB."""
-    from etl_8million_data__spark.operators.similarity import knn_hamming_rerank
+    against DuckDB.
+
+    Still O(|Q|·N) comparisons: the signature scan is ~32x cheaper per
+    pair than the float fold (hence the 2.5x-higher guard vs the
+    bruteforce baseline), but the per-query shortlist window ingests
+    the full candidate stream, so beyond the guard the routed
+    compressed path (similarity_knn_ivf_pq) is the scale answer —
+    same two-stage shape with only probed cells' codes scanned."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_hamming_rerank,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 500_000, "similarity_knn_hamming_rerank", "similarity_knn_ivf_pq"
+    )
     return knn_hamming_rerank(emb, shortlist=50, k=10).select(
         "query_id", "vec_id", "hamming", "cosine", "rn"
     )
