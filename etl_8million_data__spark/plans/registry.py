@@ -85,6 +85,29 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 6, never driver-sampled through round 6 (the r6
+    # verdict's explicit ask: these six must land in the r7 sample)
+    "search_bm25_rsj_topk",
+    "corpus_dsir_importance",
+    "similarity_margin_mining",
+    "sketch_bloom_membership",
+    "similarity_pq_codes",
+    "similarity_knn_pq_adc",
+    # NEW in round 7 (first external evidence)
+    "similarity_knn_ivf_pq",
+    "similarity_knn_ivf_pq_recall",
+    "similarity_knn_ivf_pq_rerank",
+    "sketch_bloom_pruned_antijoin",
+    "sketch_kmv_type_overlap",
+    "dedup_graph_kcore",
+    "embedding_binary_quantize",
+    "similarity_knn_hamming_rerank",
+    "similarity_knn_gemm",
+    "embedding_linear_probe",
+    "dedup_sorted_neighborhood_pairs",
+    "similarity_matryoshka_recall",
+    "sketch_kmv_customer_churn",
+    "similarity_ivf_cell_balance",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",
