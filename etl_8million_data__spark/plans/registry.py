@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_recall",
     "sketch_kmv_customer_churn",
     "similarity_ivf_cell_balance",
+    "embedding_jl_distortion",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

@@ -2276,3 +2276,107 @@ def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("load_factor_micro"),
     )
+
+
+# 16 JL projection planes (integer weights, shared generator with the
+# LSH family — deterministic on both engines).
+_JLW = hyperplane_weights(16, 64)
+_JLW_SQL = (
+    "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _JLW) + "]"
+)
+_JL_PROJ = (
+    "list_transform(range(16), p -> list_reduce(list_prepend(0.0, "
+    "list_transform(range(64), i -> W[p+1][i+1] * {src}[i+1]::DOUBLE)), "
+    "(a, b) -> a + b))"
+)
+_JL_D2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range({n}), "
+    "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "embedding_jl_distortion",
+    oracle=f"""
+    WITH jw(W) AS (SELECT {_JLW_SQL}),
+    js AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+             {_JL_PROJ.format(src='embedding')} AS y
+      FROM embeddings, jw WHERE vec_id % 5 = 0),
+    jp AS (
+      SELECT CAST(floor(
+               {_JL_D2.format(n=16, a='a.y', b='b.y')}
+               / {_JL_D2.format(n=64, a='a.xd', b='b.xd')}) AS BIGINT) AS r
+      FROM js a JOIN js b ON a.vec_id < b.vec_id
+      WHERE {_JL_D2.format(n=64, a='a.xd', b='b.xd')} > 0),
+    jm AS (SELECT CAST(sum(r) AS BIGINT) // count(*) AS mr FROM jp),
+    jd AS (SELECT CAST(r * 1000000 // mr AS BIGINT) AS dm FROM jp, jm)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           min(dm) AS min_distortion_micro,
+           max(dm) AS max_distortion_micro,
+           CAST(sum(CASE WHEN abs(dm - 1000000) <= 300000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_30pct
+    FROM jd
+    """,
+    tags=("similarity", "embedding", "projection", "audit", "extension"),
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project 64-dim
+    vectors to 16 dims through the deterministic integer hyperplanes
+    the LSH family already shares, then measure pairwise
+    squared-distance distortion over a sampled pair set — the
+    measurement that licenses running ANN/dedup preprocessing on a
+    4x-smaller projected corpus (the unstructured counterpart of
+    similarity_matryoshka_recall's prefix truncation).
+
+    Determinism: per-pair distance RATIOS floor to integers (the raw
+    ratio scale carries the weights' magnitude), the mean normalizes
+    them scale-free via `div` truncation, and the summary min/max/count
+    are pure integer aggregates — the audit hash-matches DuckDB despite
+    every distance being a float fold. Pairs come from a vec_id % 5
+    sample; the sampled all-pairs stage is guarded (the audit's
+    precision is sample-size-free — resample sparser at scale)."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        projections,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("xd"),
+        projections(F.col("embedding"), _JLW, 16).alias("y"),
+    )
+    assert_baseline_scale(
+        s, 5_000, "embedding_jl_distortion", "a sparser vec_id % sample"
+    )
+    a = s.select(F.col("vec_id").alias("ia"), F.col("xd").alias("xa"), F.col("y").alias("ya"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("xd").alias("xb"), F.col("y").alias("yb"))
+
+    def d2(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        d2(F.col("xa"), F.col("xb")).alias("dx2"),
+        d2(F.col("ya"), F.col("yb")).alias("dy2"),
+    )
+    p = pairs.filter(F.col("dx2") > 0).select(
+        F.floor(F.col("dy2") / F.col("dx2")).cast("bigint").alias("r")
+    )
+    m = p.groupBy().agg(F.expr("sum(r) div count(1)").alias("mr"))
+    d = p.crossJoin(F.broadcast(m)).select(
+        F.expr("r * 1000000 div mr").cast("bigint").alias("dm")
+    )
+    return d.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dm").alias("min_distortion_micro"),
+        F.max("dm").alias("max_distortion_micro"),
+        F.sum(
+            F.when(F.abs(F.col("dm") - 1_000_000) <= 300_000, 1).otherwise(0)
+        ).alias("n_within_30pct"),
+    )
