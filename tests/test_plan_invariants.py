@@ -162,9 +162,23 @@ def _scan_partition_metrics(df, path_fragment: str) -> list[dict]:
     found: list[dict] = []
     seen: set[str] = set()
 
+    def matches(node) -> bool:
+        # node.toString() TRUNCATES long locations — when pytest's
+        # incrementing /tmp/pytest-of-root/pytest-NNN counter gained a
+        # digit, the index dir name fell off the truncated string and
+        # this helper silently found no scans. The file index's
+        # rootPaths are never truncated; toString stays as fallback.
+        try:
+            roots = node.relation().location().rootPaths().mkString(",")
+            if path_fragment in roots:
+                return True
+        except Exception:
+            pass
+        return path_fragment in node.toString()
+
     def walk(node):
         name = node.getClass().getSimpleName()
-        if "FileSourceScan" in name and path_fragment in node.toString():
+        if "FileSourceScan" in name and matches(node):
             key = node.toString().splitlines()[0]
             if key not in seen:
                 seen.add(key)

@@ -831,13 +831,6 @@ def pq_adc_sweep_probe() -> list[str]:
     return lines
 
 
-if __name__ == "__main__":
-    if "--skew" in sys.argv:
-        skew_probe()
-    else:
-        main()
-
-
 def gemm_vs_bruteforce_probe() -> list[str]:
     """Measured defense of similarity_knn_gemm's 'matmul throughput'
     claim: at fixture scale the codegen fold wins on overhead (Python
@@ -897,3 +890,10 @@ def gemm_vs_bruteforce_probe() -> list[str]:
         f"codegen fold {tb:.1f}s | int64 block GEMM {tg:.1f}s "
         f"({speedup:.1f}x faster) |"
     ]
+
+
+if __name__ == "__main__":
+    if "--skew" in sys.argv:
+        skew_probe()
+    else:
+        main()
