@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_kmv_customer_churn",
     "similarity_ivf_cell_balance",
     "embedding_jl_distortion",
+    "embedding_probe_select",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

@@ -2380,3 +2380,78 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("dm") - 1_000_000) <= 300_000, 1).otherwise(0)
         ).alias("n_within_30pct"),
     )
+
+
+@register(
+    "embedding_probe_select",
+    oracle=f"""
+    WITH {_PROBE_CTES},
+    psc AS (
+      SELECT x.vec_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(64), i -> x.xm[i+1] * w.warr[i+1])),
+               (a, b) -> a + b) // 1000 AS BIGINT) AS score_micro
+      FROM pxm x, (SELECT list(wmu ORDER BY i) AS warr FROM pw8) w),
+    pk AS (
+      SELECT vec_id,
+             CASE WHEN ntile(2) OVER (
+                    ORDER BY score_micro DESC, vec_id) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM psc)
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(pk.kept) AS BIGINT) AS n_kept,
+           CAST(sum(pk.kept) * 1000000 // count(*) AS BIGINT)
+             AS keep_rate_micro
+    FROM pk JOIN embeddings e ON e.vec_id = pk.vec_id
+    GROUP BY e.label
+    """,
+    tags=("similarity", "embedding", "curation", "audit", "extension"),
+)
+def embedding_probe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter selection-bias audit: keep the top HALF of the
+    corpus by trained-probe score (ntile(2) over (score desc, vec_id) —
+    the thresholding step of model-based filtering) and report each
+    label's keep rate. This is the audit every production filtering run
+    needs: a probe trained on a weak label WILL skew the selected
+    distribution toward what it predicts, and the per-label keep rates
+    are where that shows (gated in tests: labels the probe favors keep
+    at higher rates than the rest — the bias is real and measured).
+
+    The global rank deliberately goes through the engine's
+    boundary-table global_ntile (operators/partitioning.py) — monotone
+    score buckets, broadcast cumulative offsets, per-bucket windows —
+    so there is NO data-sized single-partition window anywhere in the
+    plan (the same rewrite moving_avg_and_ntile carries, asserted by
+    its CI invariant). All outputs are integer counts and
+    `div`-truncated micro rates — hash-exact."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+    from etl_8million_data__spark.operators.probe import linear_probe_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored, _ = linear_probe_fit(
+        emb, F.when(F.col("label") < 5, 1).otherwise(-1), iters=8
+    )
+    tiled = global_ntile(
+        scored,
+        k=2,
+        order_col="score_micro",
+        tiebreak_col="vec_id",
+        bucket_expr=F.floor(F.col("score_micro") / 1000),
+        descending=True,
+        out_col="_tile",
+    )
+    kept = tiled.select(
+        "vec_id", F.when(F.col("_tile") == 1, 1).otherwise(0).alias("kept")
+    )
+    return (
+        kept.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.expr("(sum(kept) * 1000000) div count(1)")
+            .cast("bigint")
+            .alias("keep_rate_micro"),
+        )
+    )

@@ -587,3 +587,18 @@ def test_jl_distortion_matches_concentration_theory(spark, sf_dir):
     assert r.n_pairs == 4950
     assert r.n_within_30pct / r.n_pairs >= 0.55
     assert 0 < r.min_distortion_micro < 1_000_000 < r.max_distortion_micro
+
+
+def test_probe_select_bias_is_real_and_measured(spark, sf_dir):
+    """Top-half selection by probe score must actually skew toward the
+    labels the probe was trained to favor — measured favored-vs-other
+    avg keep rates 0.631/0.370 (sf0.001) and 0.631/0.362 (sf0.01);
+    gated at a 0.15 gap (measured 0.26). Also checks the ntile(2) split
+    kept exactly half the corpus."""
+    rows = all_queries()["embedding_probe_select"].build(spark, sf_dir).collect()
+    assert sum(r.n_total for r in rows) == 500
+    assert sum(r.n_kept for r in rows) == 250
+    lo = [r.n_kept / r.n_total for r in rows if r.label < 5]
+    hi = [r.n_kept / r.n_total for r in rows if r.label >= 5]
+    gap = sum(lo) / len(lo) - sum(hi) / len(hi)
+    assert gap >= 0.15, f"selection bias gap {gap:.3f}"
