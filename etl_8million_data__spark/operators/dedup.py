@@ -375,6 +375,8 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    inner_ids: DataFrame | None = None,
+    outer_ids: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT directed containment join: every ordered pair (inner,
     outer) with shingle-set containment |inner ∩ outer| / |inner| >=
@@ -423,7 +425,19 @@ def containment_pairs(
     )
     ceil_tn = F.floor((F.col("n") * t_num + t_den - 1) / t_den).cast("int")
     prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1)
-    a, b = prefix.alias("a"), ranked.alias("b")
+    # Optional role restriction (cross-corpus containment, e.g. fuzzy
+    # benchmark decontamination): inner_ids/outer_ids are single-column
+    # id frames; a left-semi prune BEFORE the candidate join keeps its
+    # cost proportional to the restricted sides (the df ranking stays
+    # corpus-global so the position filter sees one consistent order).
+    if inner_ids is not None:
+        ii = inner_ids.select(F.col(inner_ids.columns[0]).alias("_id"))
+        prefix = prefix.join(ii, "_id", "left_semi")
+    outer_ranked = ranked
+    if outer_ids is not None:
+        oi = outer_ids.select(F.col(outer_ids.columns[0]).alias("_id"))
+        outer_ranked = ranked.join(oi, "_id", "left_semi")
+    a, b = prefix.alias("a"), outer_ranked.alias("b")
     alpha = F.floor((F.col("a.n") * t_num + t_den - 1) / t_den)
     overlap_bound = 1 + F.least(
         F.col("a.n") - F.col("a._rn"), F.col("b.n") - F.col("b._rn")

@@ -870,3 +870,64 @@ def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return sorted_neighborhood_pairs(
         load_table(spark, sf_dir, "documents"), window=4, threshold=0.5
     )
+
+
+@register(
+    "corpus_fuzzy_contamination",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}),
+    fsrc AS (SELECT doc_id, source FROM documents),
+    fex AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    fsz AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+    fcommon AS (
+      SELECT a.doc_id AS bench_doc, b.doc_id AS train_doc,
+             CAST(count(*) AS BIGINT) AS common
+      FROM fex a
+      JOIN fsrc sa ON sa.doc_id = a.doc_id AND sa.source = 'src0'
+      JOIN fex b ON b.g = a.g AND b.doc_id <> a.doc_id
+      JOIN fsrc sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
+      GROUP BY 1, 2)
+    SELECT bench_doc, train_doc, common,
+           ni.n AS n_bench,
+           common * 1.0 / ni.n AS containment
+    FROM fcommon
+    JOIN fsz ni ON ni.doc_id = bench_doc
+    WHERE common * 2 >= ni.n
+    """,
+    tags=("dedup", "contamination", "containment", "extension", "scale-path"),
+)
+def corpus_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (the GPT-3/Llama-style sweep the
+    exact-n-gram corpus_benchmark_contamination cannot do): every
+    (benchmark doc, train doc) pair where the TRAIN doc contains >= 1/2
+    of the benchmark doc's 3-word shingles. Containment — not Jaccard —
+    is the right direction: a benchmark item quoted inside a long train
+    document keeps containment ~1 while Jaccard collapses with the
+    union, exactly the leak that inflates eval scores. The 'benchmark'
+    here is the source='src0' slice (a held-out corpus partition);
+    swapping in a real eval set is a one-line id-frame change.
+
+    Scale shape: the asymmetric prefix filter runs with the INNER role
+    restricted to the benchmark ids and the OUTER role to train ids
+    BEFORE the candidate join (operators/dedup.containment_pairs
+    inner_ids/outer_ids) — candidate cost is |benchmark-prefix grams| x
+    their train-side postings, never train x train; benchmarks are
+    small by definition, so the sweep stays cheap at any train-corpus
+    size. The oracle is the naive all-gram definition restricted the
+    same way, so hash equality proves the pruned plan computes the
+    textbook result (7 contaminated pairs at sf0.001, 2 at sf0.01 —
+    verified non-vacuous on the fixtures)."""
+    from etl_8million_data__spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0").select("doc_id")
+    train = d.filter(F.col("source") != "src0").select("doc_id")
+    return containment_pairs(
+        d, threshold_num=1, threshold_den=2, inner_ids=bench, outer_ids=train
+    ).select(
+        F.col("inner_doc").alias("bench_doc"),
+        F.col("outer_doc").alias("train_doc"),
+        "common",
+        F.col("n_inner").alias("n_bench"),
+        "containment",
+    )

@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ivf_cell_balance",
     "embedding_jl_distortion",
     "embedding_probe_select",
+    "corpus_fuzzy_contamination",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

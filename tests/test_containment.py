@@ -89,3 +89,25 @@ def test_containment_lossless_vs_naive_random_corpus(spark):
     expect = {(r.i, r.o, r.common) for r in naive.collect()}
     assert pruned == expect
     assert len(expect) >= 5  # the injected containments are in there
+
+
+def test_fuzzy_contamination_is_cross_source_and_nonvacuous(spark, sf_dir):
+    """Every contamination hit must pair a src0 (benchmark) doc with a
+    non-src0 (train) doc, the fixture must actually contain leaks
+    (7 at sf0.001 / 2 at sf0.01 — verified when the query was built,
+    so a fixture reshuffle that empties the audit fails loudly), and
+    every hit must clear the 1/2 containment gate."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.plans import all_queries
+
+    rows = all_queries()["corpus_fuzzy_contamination"].build(spark, sf_dir).collect()
+    assert rows, "contamination audit is vacuous on this fixture"
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    for r in rows:
+        assert src[r.bench_doc] == "src0"
+        assert src[r.train_doc] != "src0"
+        assert r.common * 2 >= r.n_bench
+        assert 0.5 <= r.containment <= 1.0
