@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_jl_distortion",
     "embedding_probe_select",
     "corpus_fuzzy_contamination",
+    "embedding_probe_calibration",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

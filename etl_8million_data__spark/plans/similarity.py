@@ -2455,3 +2455,70 @@ def embedding_probe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_rate_micro"),
         )
     )
+
+
+@register(
+    "embedding_probe_calibration",
+    oracle=f"""
+    WITH {_PROBE_CTES},
+    csc AS (
+      SELECT x.vec_id, x.y,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(64), i -> x.xm[i+1] * w.warr[i+1])),
+               (a, b) -> a + b) // 1000 AS BIGINT) AS score_micro
+      FROM pxm x, (SELECT list(wmu ORDER BY i) AS warr FROM pw8) w),
+    ct AS (
+      SELECT y,
+             CAST(ntile(10) OVER (ORDER BY score_micro DESC, vec_id)
+                  AS INT) AS decile
+      FROM csc)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS positive_rate_micro
+    FROM ct GROUP BY decile
+    """,
+    tags=("similarity", "embedding", "calibration", "audit", "extension"),
+)
+def embedding_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe reliability curve: score deciles (highest scores = decile
+    1) vs the actual positive rate of the training label in each — the
+    standard is-the-scorer-calibrated audit that decides whether a
+    filtering threshold can be trusted between the deciles you
+    validated. A probe that learned real signal shows a monotone-ish
+    falling curve; a collapsed probe shows a flat one (gated in tests:
+    top-3 deciles' positive rate must clear the bottom-3 by a measured
+    margin).
+
+    Ranking goes through the boundary-table global_ntile — monotone
+    score buckets, broadcast offsets, per-bucket windows, NO
+    data-sized single-partition window — and every output is an
+    integer count or a `div`-truncated micro rate, so the curve
+    hash-matches DuckDB's ntile exactly (both engines give the first
+    n%k tiles the extra row under the same (score desc, vec_id)
+    total order)."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+    from etl_8million_data__spark.operators.probe import linear_probe_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored, _ = linear_probe_fit(
+        emb, F.when(F.col("label") < 5, 1).otherwise(-1), iters=8
+    )
+    tiled = global_ntile(
+        scored,
+        k=10,
+        order_col="score_micro",
+        tiebreak_col="vec_id",
+        bucket_expr=F.floor(F.col("score_micro") / 1000),
+        descending=True,
+        out_col="decile",
+    )
+    return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_positive"),
+        F.expr("(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000) div count(1)")
+        .cast("bigint")
+        .alias("positive_rate_micro"),
+    )

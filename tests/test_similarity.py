@@ -602,3 +602,18 @@ def test_probe_select_bias_is_real_and_measured(spark, sf_dir):
     hi = [r.n_kept / r.n_total for r in rows if r.label >= 5]
     gap = sum(lo) / len(lo) - sum(hi) / len(hi)
     assert gap >= 0.15, f"selection bias gap {gap:.3f}"
+
+
+def test_probe_calibration_curve_falls(spark, sf_dir):
+    """Score deciles must order the label: measured positive-rate
+    curves fall 0.80->0.32 (sf0.001) and 0.78->0.22 (sf0.01); gate is
+    top-3 deciles' avg rate >= bottom-3 avg + 0.3 (measured gap ~0.4),
+    plus exact decile sizing (500 rows -> 10x50)."""
+    rows = sorted(
+        all_queries()["embedding_probe_calibration"].build(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert all(r.n_total == 50 for r in rows)
+    rate = [r.n_positive / r.n_total for r in rows]
+    assert sum(rate[:3]) / 3 >= sum(rate[-3:]) / 3 + 0.3
