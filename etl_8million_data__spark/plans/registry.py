@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_probe_select",
     "corpus_fuzzy_contamination",
     "embedding_probe_calibration",
+    "similarity_ivf_nprobe_curve",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

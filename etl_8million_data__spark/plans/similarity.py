@@ -2522,3 +2522,153 @@ def embedding_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("positive_rate_micro"),
     )
+
+
+# Shared SRP-IVF chain for the nprobe sweep — same definitions as
+# _IVF_CELLS but with the corpus-wide cell frame MATERIALIZED (three
+# nprobe branches consume it; default inlining would triple the
+# projection work) and the probes CTE factored per nprobe value.
+_IVF_SWEEP_SHARED = f"""
+    w(W) AS (SELECT {_W_SQL}),
+    {_PARAMS},
+    e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    ce AS MATERIALIZED (
+      SELECT vec_id, embedding, n2, nb, projs,
+             list_reduce(list_prepend(0, list_transform(range(nb), j ->
+               CASE WHEN projs[j+1] > 0 THEN 1 << j ELSE 0 END)), (a, x) -> a + x
+             ) AS cell
+      FROM (
+        SELECT vec_id, embedding, n2, pr.nb AS nb,
+               list_transform(range(pr.nb), j ->
+                 list_reduce(list_prepend(0.0, list_transform(range(64),
+                   i -> W[j+1][i+1] * embedding[i+1]::DOUBLE)), (a, x) -> a + x)
+               ) AS projs
+        FROM e, w, pr)),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2, nb,
+             projs AS qprojs, cell AS qcell
+      FROM ce WHERE vec_id % 100 = 0),
+    bf AS MATERIALIZED (
+      SELECT query_id, vec_id
+      FROM (SELECT q.query_id, e2.vec_id, row_number() OVER (
+              PARTITION BY q.query_id
+              ORDER BY {_dot('q.qvec', 'e2.embedding')}
+                       / (sqrt(q.qn2) * sqrt(e2.n2)) DESC, e2.vec_id) AS rn
+            FROM q JOIN e e2 ON e2.vec_id <> q.query_id)
+      WHERE rn <= 10)
+"""
+
+
+def _ivf_sweep_branch(np: int) -> str:
+    """probes/ivf/recall-row CTEs for one nprobe value (own cell +
+    np-1 lowest-|projection| bit flips — identical multiprobe order to
+    operators/similarity.srp_probe_cells)."""
+    flips = (
+        "list_transform(list_slice(list_sort(list_transform(range(nb), j -> "
+        "{'a': abs(qprojs[j+1]), 'j': j})), 1, " + str(np - 1) + "), "
+        "s -> xor(qcell, 1 << struct_extract(s, 'j')))"
+    )
+    return f"""
+    probes{np} AS (
+      SELECT query_id, qvec, qn2,
+             unnest(list_prepend(qcell, {flips})) AS cell
+      FROM q),
+    ivf{np} AS (
+      SELECT query_id, vec_id
+      FROM (SELECT p.query_id, c.vec_id, row_number() OVER (
+              PARTITION BY p.query_id
+              ORDER BY {_dot('p.qvec', 'c.embedding')}
+                       / (sqrt(p.qn2) * sqrt(c.n2)) DESC, c.vec_id) AS rn
+            FROM probes{np} p
+            JOIN ce c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+      WHERE rn <= 10),
+    row{np} AS (
+      SELECT CAST({np} AS INT) AS nprobe,
+             CAST(count(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / (count(DISTINCT bf.query_id) * 10) AS avg_recall
+      FROM bf LEFT JOIN ivf{np} i
+        ON i.query_id = bf.query_id AND i.vec_id = bf.vec_id)
+"""
+
+
+@register(
+    "similarity_ivf_nprobe_curve",
+    oracle=(
+        "WITH "
+        + _IVF_SWEEP_SHARED
+        + ","
+        + ",".join(_ivf_sweep_branch(np) for np in (1, 3, 5))
+        + """
+    SELECT * FROM row1
+    UNION ALL SELECT * FROM row3
+    UNION ALL SELECT * FROM row5
+    """
+    ),
+    tags=("similarity", "knn", "ivf", "recall", "tuning", "extension"),
+)
+def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: recall@10 of the SRP inverted file at
+    nprobe ∈ {1, 3, 5} against the exact brute-force truth, one
+    hash-checked row per operating point — the cost/recall tradeoff
+    that picks production nprobe (candidate fraction is nprobe/2^nb,
+    so the three rows cost ~6%/19%/31% of the corpus per query at the
+    fixtures' nb=4). Monotonicity (more probes ⇒ recall never falls)
+    is gated in tests — measured 0.20→0.30→0.44 at sf0.001.
+
+    Everything is deterministic (shared integer hyperplanes, identical
+    multiprobe flip order, (cosine desc, vec_id) tie-breaks), so all
+    three operating points hash-match DuckDB; the corpus cell frame and
+    the brute-force truth compute ONCE (checkpointed / MATERIALIZED on
+    both engines) and the three searches reuse them."""
+    from etl_8million_data__spark.operators.similarity import (
+        adaptive_n_bits,
+        assert_baseline_scale,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "similarity_ivf_nprobe_curve", "similarity_knn_ivf_recall"
+    )
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = (
+        knn_bruteforce(emb, queries, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def recall_row(np: int) -> DataFrame:
+        ivf = knn_ivf(emb, queries, _W, k=10, nprobe=np, n_bits=nb).select(
+            F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+        )
+        joined = bf.join(
+            ivf,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("vec_id") == F.col("i_vid")),
+            "left",
+        )
+        return joined.agg(
+            F.lit(np).cast("int").alias("nprobe"),
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(F.when(F.col("i_vid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.when(F.col("i_vid").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / (F.countDistinct("query_id") * 10)
+            ).alias("avg_recall"),
+        )
+
+    return recall_row(1).unionAll(recall_row(3)).unionAll(recall_row(5))

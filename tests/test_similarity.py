@@ -617,3 +617,22 @@ def test_probe_calibration_curve_falls(spark, sf_dir):
     assert all(r.n_total == 50 for r in rows)
     rate = [r.n_positive / r.n_total for r in rows]
     assert sum(rate[:3]) / 3 >= sum(rate[-3:]) / 3 + 0.3
+
+
+def test_nprobe_curve_monotone_and_consistent(spark, sf_dir):
+    """More probes must never lose recall (measured 0.18->0.32->0.48
+    at sf0.001, 0.12->0.30->0.40 at sf0.01), and the curve's nprobe=3
+    row must equal the standalone similarity_knn_ivf_recall query
+    bit-for-bit — two independently-written plans of one definition."""
+    rows = sorted(
+        all_queries()["similarity_ivf_nprobe_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 3, 5]
+    rec = [r.avg_recall for r in rows]
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] >= 0.35  # measured 0.48 / 0.40
+    single = all_queries()["similarity_knn_ivf_recall"].build(spark, sf_dir).collect()[0]
+    mid = rows[1]
+    assert (mid.n_hits, mid.n_queries) == (single.n_hits, single.n_queries)
+    assert abs(mid.avg_recall - single.avg_recall) < 1e-12
