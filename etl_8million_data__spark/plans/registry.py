@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_fuzzy_contamination",
     "embedding_probe_calibration",
     "similarity_ivf_nprobe_curve",
+    "similarity_index_staleness",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

@@ -2672,3 +2672,73 @@ def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall_row(1).unionAll(recall_row(3)).unionAll(recall_row(5))
+
+
+@register(
+    "similarity_index_staleness",
+    oracle=f"""
+    WITH sx AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    sxh AS MATERIALIZED (SELECT vec_id, x FROM sx WHERE vec_id % 2 = 0),
+    {_km_chain("sxh", "h")},
+    {_km_chain("sx", "f")},
+    sod AS (SELECT x.vec_id, c.j, {_km_dist('x.x', 'c.cm')} AS dist
+            FROM sx x, hc1 c),
+    soa AS (SELECT vec_id, j FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, j) AS rn
+              FROM sod) WHERE rn = 1)
+    SELECT CAST(soa.j AS INT) AS cell_old,
+           CAST(fa2.j AS INT) AS cell_new,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM soa JOIN fa2 ON fa2.vec_id = soa.vec_id
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "ivf", "observability", "staleness", "extension"),
+)
+def similarity_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness audit: the cell-transition matrix between a
+    coarse quantizer trained on HALF the corpus (the 'stale' codebook —
+    what your index was built with before the corpus grew) and one
+    trained on all of it. Off-diagonal mass IS the re-encode cost of a
+    retrain: at 100 TB this matrix — together with
+    similarity_ivf_cell_balance's skew — is what decides retraining
+    cadence vs probing more cells. Both trainings inherit kmeans_fit's
+    full determinism (md5 seeds, micro-int centroids, div parity,
+    (dist, j) tie-breaks) and the old-codebook re-assignment is the
+    same argmin fold, so the entire transition matrix hash-matches
+    DuckDB's twin unrolled chains.
+
+    Scale shape: two k-bounded training loops (each one broadcast +
+    one narrow argmin per round), ONE extra narrow argmin pass of the
+    corpus against the 8-row stale codebook, one (8x8)-key aggregate.
+    Nothing quadratic anywhere."""
+    from etl_8million_data__spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign_new, _ = kmeans_fit(emb, k=8, iters=2)
+    _, cents_old = kmeans_fit(emb.filter(F.col("vec_id") % 2 == 0), k=8, iters=2)
+    co = cents_old.select(
+        F.col("j").alias("j_old"),
+        F.transform("cm", lambda v: v / 1_000_000).alias("c"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "j_old")
+    oa = (
+        assign_new.select("vec_id", "x", F.col("j").alias("cell_new"))
+        .crossJoin(F.broadcast(co))
+        .select("vec_id", "cell_new", "j_old", dist.alias("dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return oa.groupBy(
+        F.col("j_old").cast("int").alias("cell_old"),
+        F.col("cell_new").cast("int").alias("cell_new"),
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))

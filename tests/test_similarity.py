@@ -636,3 +636,17 @@ def test_nprobe_curve_monotone_and_consistent(spark, sf_dir):
     mid = rows[1]
     assert (mid.n_hits, mid.n_queries) == (single.n_hits, single.n_queries)
     assert abs(mid.avg_recall - single.avg_recall) < 1e-12
+
+
+def test_index_staleness_matrix_is_conserved_and_nontrivial(spark, sf_dir):
+    """The transition matrix must conserve the corpus (cells partition
+    it under BOTH codebooks), keep every cell id in [0, 8), and show
+    real churn — a half-corpus codebook trained on md5-seeded Lloyd
+    differs from the full one, so off-diagonal mass must be nonzero
+    (if it ever hits zero the audit is vacuous and the fixture
+    changed)."""
+    rows = all_queries()["similarity_index_staleness"].build(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in rows) == 500
+    assert all(0 <= r.cell_old < 8 and 0 <= r.cell_new < 8 for r in rows)
+    moved = sum(r.n_vectors for r in rows if r.cell_old != r.cell_new)
+    assert moved > 0, "staleness audit is vacuous: codebooks identical"
