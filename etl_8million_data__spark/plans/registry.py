@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_probe_calibration",
     "similarity_ivf_nprobe_curve",
     "similarity_index_staleness",
+    "embedding_isotropy_audit",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

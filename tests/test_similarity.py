@@ -650,3 +650,17 @@ def test_index_staleness_matrix_is_conserved_and_nontrivial(spark, sf_dir):
     assert all(0 <= r.cell_old < 8 and 0 <= r.cell_new < 8 for r in rows)
     moved = sum(r.n_vectors for r in rows if r.cell_old != r.cell_new)
     assert moved > 0, "staleness audit is vacuous: codebooks identical"
+
+
+def test_isotropy_audit_in_healthy_range(spark, sf_dir):
+    """The fixtures' sign-balanced uniform vectors are isotropic:
+    measured anisotropy 0.015-0.030 per label at both scales. The gate
+    pins that band — a collapsed representation (all vectors ≈ one
+    direction) drives the ratio toward 1e6 micro and fails loudly,
+    which is the audit's entire purpose."""
+    rows = all_queries()["embedding_isotropy_audit"].build(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r.n_vectors for r in rows) == 500
+    for r in rows:
+        assert 5_000 <= r.anisotropy_micro <= 60_000, (r.label, r.anisotropy_micro)
+        assert 0 < r.mean_vec_norm2_micro < r.avg_norm2_micro
