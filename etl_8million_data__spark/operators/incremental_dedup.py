@@ -18,6 +18,8 @@ sets, trading index size for precision.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -337,3 +339,72 @@ def winnowing_increment(
     )
     kept_fps.write.mode("append").parquet(index_path)
     return kept
+
+
+def build_benchmark_index(
+    bench_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> None:
+    """Persist the decontamination reference: the benchmark corpus's
+    exploded distinct shingle grams plus per-doc set sizes. The index
+    is FROZEN — ingested documents are checked against it but never
+    extend it (benchmarks don't grow with the train stream), which is
+    what makes the streaming guard's replay story trivial compared to
+    the dedup index (no batch-tag machinery: the probe side has no
+    state to collide with)."""
+    from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+
+    sh = doc_shingle_frame(bench_docs, text_col, id_col, k)
+    ex = sh.select(
+        F.col(id_col).alias("bench_doc"), F.explode("shingles").alias("g")
+    )
+    sz = sh.select(
+        F.col(id_col).alias("bench_doc"), F.size("shingles").alias("n_bench")
+    )
+    ex.write.mode("overwrite").parquet(os.path.join(index_path, "grams"))
+    sz.write.mode("overwrite").parquet(os.path.join(index_path, "sizes"))
+
+
+def contamination_filter(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Drop every incoming document that CONTAINS a benchmark doc at
+    >= threshold shingle containment (|new ∩ bench| / |bench|) — the
+    ingest-time form of corpus_fuzzy_contamination's batch sweep, so
+    contaminated training text never lands in the corpus at all.
+
+    Scale shape: shingles are computed for THIS batch only; the join is
+    batch-grams × benchmark-grams (benchmark-sized, small by
+    definition), one (doc, bench_doc) count aggregate, an integer
+    containment gate, and a left-anti against the flagged doc ids.
+    Documents too short to shingle pass through (they cannot contain a
+    benchmark doc). Everything is deterministic, so batch and streaming
+    ingests agree exactly (asserted in tests)."""
+    from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+
+    spark = new_docs.sparkSession
+    grams = spark.read.parquet(os.path.join(index_path, "grams"))
+    sizes = spark.read.parquet(os.path.join(index_path, "sizes"))
+    nsh = doc_shingle_frame(new_docs, text_col, id_col, k)
+    nex = nsh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    common = (
+        nex.join(grams, "g")
+        .groupBy(id_col, "bench_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    flagged = (
+        common.join(sizes, "bench_doc")
+        .filter(F.col("common") * threshold_den >= threshold_num * F.col("n_bench"))
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(flagged, id_col, "left_anti")

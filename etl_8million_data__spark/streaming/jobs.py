@@ -537,3 +537,72 @@ def stream_probe_score_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def contamination_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    scope: str,
+) -> None:
+    """One micro-batch of the streaming decontamination guard,
+    idempotent under at-least-once redelivery AND full re-streams: the
+    benchmark index is FROZEN (probe-only — nothing to collide with on
+    replay); surviving documents land in a per-batch overwrite
+    partition ``out_path/ingest_batch=<tag>/`` so a redelivered batch
+    rewrites the same files; and already-ingested doc_ids are dropped
+    by a column-pruned anti-join against the sink (the same
+    skip-existing contract as the index ingests), so even a replay
+    under a FRESH checkpoint is a no-op instead of a duplicate
+    ingest."""
+    import hashlib
+
+    from pyspark.errors import AnalysisException
+
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        contamination_filter,
+    )
+
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    tag = f"{scope_h}-{batch_id}"
+    spark = batch_df.sparkSession
+    try:
+        existing = spark.read.parquet(out_path).select("doc_id")
+        fresh = batch_df.join(existing, "doc_id", "left_anti")
+    except AnalysisException:
+        fresh = batch_df
+    kept = contamination_filter(fresh, index_path).localCheckpoint(eager=True)
+    if kept.count():
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"ingest_batch={tag}")
+        )
+
+
+def stream_contamination_guard(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingest-time benchmark decontamination: each
+    micro-batch is checked against the persisted benchmark shingle
+    index (operators/incremental_dedup.contamination_filter — shingles
+    computed for the batch only) and only documents that do NOT contain
+    a benchmark doc at >= 1/2 containment are written. This is
+    corpus_fuzzy_contamination moved to where it belongs in production:
+    the door, not the audit. Exactly-once by the standard argument
+    (frozen index + per-batch overwrite partitions + checkpointed batch
+    skipping); stream output is asserted EQUAL to the batch filter in
+    tests."""
+    scope = os.path.abspath(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        contamination_ingest_batch(batch_df, batch_id, index_path, out_path, scope)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

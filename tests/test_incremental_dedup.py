@@ -370,3 +370,82 @@ def test_winnowing_detection_guarantee(spark):
     shared = a.join(b, ["pair", "fp"]).select("pair").distinct()
     got = sorted(r.pair for r in shared.collect())
     assert got == list(range(12)), f"pairs missing a shared fingerprint: {got}"
+
+
+def test_contamination_filter_matches_audit_query(spark, sf_dir, tmp_path):
+    """The ingest-time guard must drop EXACTLY the train docs the batch
+    audit (corpus_fuzzy_contamination) flags: same shingles, same
+    containment gate, two independently-written plans of one
+    definition. Short (<3-token) docs must pass through."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        build_benchmark_index,
+        contamination_filter,
+    )
+    from etl_8million_data__spark.plans import all_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "bench_index")
+    build_benchmark_index(bench, idx)
+    kept = contamination_filter(train, idx)
+    dropped = {r.doc_id for r in train.select("doc_id").collect()} - {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }
+    audit = {
+        r.train_doc
+        for r in all_queries()["corpus_fuzzy_contamination"].build(spark, sf_dir).collect()
+    }
+    assert dropped == audit and audit, (sorted(dropped)[:5], sorted(audit)[:5])
+    # short docs cannot contain a benchmark doc and must survive
+    shorty = spark.createDataFrame([(10**9, "one two", "en", "srcX", 7)],
+                                   "doc_id long, text string, lang string, source string, n_chars long")
+    assert contamination_filter(shorty, idx).count() == 1
+
+
+def test_stream_contamination_guard_equals_batch(spark, sf_dir, tmp_path):
+    """Replaying the train docs as a stream must keep exactly the batch
+    filter's survivors, and a second replay must not duplicate them
+    (per-batch overwrite partitions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        build_benchmark_index,
+        contamination_filter,
+    )
+    from etl_8million_data__spark.streaming.jobs import stream_contamination_guard
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    idx = str(tmp_path / "bench_index")
+    build_benchmark_index(bench, idx)
+
+    src = str(tmp_path / "train_src")
+    docs.filter(F.col("source") != "src0").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "clean")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_contamination_guard(
+            stream, idx, out, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in contamination_filter(
+            load_table(spark, sf_dir, "documents").filter(F.col("source") != "src0"),
+            idx,
+        ).select("doc_id").collect()
+    }
+    assert got == want
+    run("ckpt2")
+    assert spark.read.parquet(out).count() == len(want)
