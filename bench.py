@@ -93,6 +93,7 @@ HEADLINE = [
     "similarity_knn_gemm",  # exact kNN as Arrow-batched int64 block GEMM
     "embedding_linear_probe",  # fixed-point GD quality-probe training
     "dedup_sorted_neighborhood_pairs",  # multi-pass SNM blocking + verify
+    "corpus_fuzzy_contamination",  # cross-corpus containment decontamination
 ]
 
 

@@ -729,3 +729,61 @@ def market_basket_rules(basket0: DataFrame) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
+
+
+@register(
+    "orders_revenue_concentration",
+    oracle=f"""
+    WITH rc AS (
+      SELECT o_custkey, CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey),
+    rt AS (SELECT o_custkey, rev,
+                  CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS INT)
+                    AS decile
+           FROM rc),
+    rtot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rc)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) * 1000000 // rtot.total AS BIGINT) AS share_micro
+    FROM rt, rtot
+    GROUP BY decile, rtot.total
+    """,
+    tags=("analytics", "concentration", "extension"),
+)
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: lifetime spend per customer,
+    cut into spend deciles, each decile's share of total revenue — the
+    Pareto/whale analysis behind every 'top X% of customers drive Y%'
+    statement. All money flows through exact integer cents and the
+    decile cut goes through the boundary-table global_ntile (monotone
+    cents buckets, broadcast offsets, NO single-partition data window),
+    so every share hash-matches DuckDB's ntile under the same
+    (rev desc, custkey) total order. One customer aggregate + one
+    k-bounded histogram pass over a table that actually scales with
+    sf."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    rc = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rev"))
+    tiled = global_ntile(
+        rc,
+        k=10,
+        order_col="rev",
+        tiebreak_col="o_custkey",
+        bucket_expr=F.floor(F.col("rev") / 10_000_000),
+        descending=True,
+        out_col="decile",
+    )
+    tot = rc.groupBy().agg(F.sum("rev").alias("total"))
+    return (
+        tiled.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("revenue_cents"),
+            F.expr("(sum(rev) * 1000000) div first(total)")
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ivf_nprobe_curve",
     "similarity_index_staleness",
     "embedding_isotropy_audit",
+    "orders_revenue_concentration",
     # NEW in round 5 (first external evidence)
     "search_hybrid_rank_fusion_ivf",
     "dedup_winnowing_fingerprints",

@@ -89,3 +89,20 @@ def test_rollup_second_refresh_converges(spark, sf_dir, tmp_path):
     got = _daily_sig(reaggregate_daily(refreshed.drop("_v")))
     want = _daily_sig(reaggregate_daily(hourly_rollup(events)))
     assert got == want
+
+
+def test_revenue_concentration_is_pareto_shaped(spark, sf_dir):
+    """Deciles ordered by spend must carry monotonically non-increasing
+    revenue shares, the top decile must dominate the bottom, and the
+    truncated micro shares must sum to within 10 ppm of 1."""
+    from etl_8million_data__spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["orders_revenue_concentration"].build(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.share_micro for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    assert shares[0] > 2 * shares[-1]
+    assert 1_000_000 - 10 <= sum(shares) <= 1_000_000
