@@ -48,6 +48,7 @@ PROBE = [
     "events_value_outliers_mad",
     "customer_rfm_segments",
     "orders_market_basket",
+    "orders_revenue_concentration",
 ]
 
 # Queries over the extension tables: documents grows 10x and embeddings
@@ -89,6 +90,8 @@ CORPUS_PROBE = [
     ("similarity_knn_gemm", 4),
     ("embedding_linear_probe", 4),
     ("dedup_sorted_neighborhood_pairs", 10),
+    ("corpus_fuzzy_contamination", 10),
+    ("similarity_ivf_nprobe_curve", 4),
 ]
 
 
