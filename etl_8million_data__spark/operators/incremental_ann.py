@@ -618,6 +618,180 @@ def probe_index_ivfpq(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+# --- learned (k-means) IVF-Flat index: the density-adapted coarse
+# quantizer persisted. Train once (kmeans_fit's deterministic loop),
+# freeze the centroids next to the cell-partitioned vectors, and from
+# then on every append ENCODES against the stored centroids and every
+# probe routes queries with them — completing the persisted-index
+# family (SRP-flat / int8 / IVF-PQ / sign / kmeans-flat). A probe
+# returns exactly what the in-memory knn_ivf_kmeans composition
+# computes on the same corpus (asserted in tests), so persistence stays
+# a pure I/O layout choice here too.
+
+KMEANS_VECTORS_SCHEMA = (
+    "vec_id long, embedding array<double>, _n2 double, _batch string, cell int"
+)
+
+
+def _assign_cells_kmeans(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    batch_tag: str | None,
+) -> DataFrame:
+    """Assign vectors to their nearest FROZEN centroid: argmin as a hash
+    aggregate over min(struct(dist, cell, x)) — the same (dist, j) total
+    order kmeans_fit's training window uses, so encoding the training
+    set reproduces the training assignment bit-for-bit (the property the
+    probe-equals-in-memory tests rest on). Centroids are k-bounded and
+    broadcast; the only data-sized exchange is the argmin aggregate."""
+    c = cents.select(
+        F.col("j").cast("int").alias("cell"),
+        F.transform("cm", lambda m: m / 1_000_000).alias("c"),
+    )
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x"),
+    )
+    return (
+        x.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            F.struct(
+                _sq_fold(F.col("x"), F.col("c")).alias("dist"),
+                F.col("cell"),
+                F.col("x"),
+            ).alias("b"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("b").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.x").alias("embedding"),
+            norm2(F.col("b.x")).alias("_n2"),
+            F.lit(batch_tag).cast("string").alias("_batch"),
+            F.col("b.cell").alias("cell"),
+        )
+    )
+
+
+def build_index_kmeans(
+    emb: DataFrame,
+    index_path: str,
+    k_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = "seed",
+) -> None:
+    """Train the learned coarse quantizer on ``emb`` and materialize two
+    artifacts under ``index_path``: ``centroids/`` (k_cells rows of
+    micro-int means — the frozen model) and ``vectors/`` partitioned BY
+    CELL (vec_id, embedding, _n2). The stored assignment IS the training
+    assignment (kmeans_fit returns it), not a re-encode, so there is no
+    train/encode drift window even in principle. At 100 TB you train on
+    a key-hash sample, then stream the corpus through
+    :func:`append_vectors_kmeans` against the frozen centroids."""
+    from etl_8million_data__spark.operators.similarity import kmeans_fit
+
+    assign, cents = kmeans_fit(emb, k_cells, iters, id_col=id_col, vec_col=vec_col)
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assign.select(
+        "vec_id",
+        F.col("x").alias("embedding"),
+        norm2(F.col("x")).alias("_n2"),
+        F.lit(batch_tag).cast("string").alias("_batch"),
+        F.col("j").cast("int").alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/vectors")
+
+
+def append_vectors_kmeans(
+    new_emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = None,
+) -> int:
+    """Skip-existing incremental append against the FROZEN centroids (no
+    retraining — centroid drift would silently re-cell every stored
+    vector). Same contract as :func:`append_vectors`: already-indexed
+    vec_ids drop via a column-pruned anti-join; returns rows added."""
+    spark = new_emb.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    existing = _read_index(spark, f"{index_path}/vectors", KMEANS_VECTORS_SCHEMA).select(
+        "vec_id"
+    )
+    fresh = (
+        _assign_cells_kmeans(new_emb, cents, id_col, vec_col, batch_tag)
+        .join(existing, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cell").parquet(f"{index_path}/vectors")
+    return n
+
+
+def probe_index_kmeans(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact-cosine probe inside the learned cells: queries route to
+    their ``nprobe`` nearest STORED centroids (k-bounded broadcast, same
+    (qd, cell) tie-break as knn_ivf_kmeans), the bounded probed-cell set
+    becomes a literal partition filter on the vectors scan (only probed
+    cells' files are listed — asserted on scan metrics in tests), and
+    exact cosine ranks the survivors. Identical output to the in-memory
+    knn_ivf_kmeans at the same parameters."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    idx = _read_index(spark, f"{index_path}/vectors", KMEANS_VECTORS_SCHEMA)
+    c = cents.select(
+        F.col("j").cast("int").alias("cell"),
+        F.transform("cm", lambda m: m / 1_000_000).alias("c"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(F.col(query_vec_col), lambda v: v.cast("double")).alias("_qvec"),
+        norm2(F.col(query_vec_col)).alias("_qn2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "_qvec",
+            "_qn2",
+            "cell",
+            _sq_fold(F.col("_qvec"), F.col("c")).alias("qd"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "_qn2", "cell")
+    )
+    idx = _literal_cell_prune(idx, probes)
+    scored = (
+        # probes grows with |Q|: no broadcast hint — AQE decides
+        idx.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("_qvec"), F.col("embedding"))
+                / (F.sqrt("_qn2") * F.sqrt("_n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 # --- binary sign-signature index variant: the 1-bit family persisted.
 # No cell partitioning — the probe's stage-1 scan is COLUMN-pruned
 # instead (parquet reads only the 3 signature bigints, 24 bytes/row vs

@@ -85,6 +85,9 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 8 (first external evidence)
+    "similarity_knn_ivf_kmeans_persisted",
+    "similarity_knn_ivf_pq_persisted",
     # NEW in round 6, never driver-sampled through round 6 (the r6
     # verdict's explicit ask: these six must land in the r7 sample)
     "search_bm25_rsj_topk",

@@ -2827,3 +2827,138 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("anisotropy_micro"),
     )
+
+
+# --- Persisted-index twins: the same searches, but probing an index on
+# DISK through the frozen-model load path (centroids / codebooks read
+# from parquet, cell-partitioned vector/code files pruned by the probe's
+# literal partition filter). The in-memory variants above prove the
+# math; these prove the LAYOUT — train -> freeze -> persist -> load ->
+# probe — which is the shape a 100 TB corpus actually runs (the fit
+# amortizes into the stored index; a query touches nprobe/k_cells of
+# the files, asserted on scan metrics in tests/test_incremental_ann.py).
+# Probing the persisted index returns exactly what the in-memory
+# composition computes, so each twin shares its sibling's oracle
+# verbatim — the hash match IS the proof that persistence stayed a pure
+# I/O optimization.
+
+
+def _persisted_index_root(sf_dir: str, family: str) -> str:
+    """Deterministic per-process scratch root for a query-built index:
+    keyed by pid (concurrent test/driver processes never collide) and by
+    the scale directory (the threaded parity sweep runs both scales at
+    once). Rebuilt with mode=overwrite on every call — idempotent."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"etl8m_idx_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+        family,
+    )
+
+
+_KM_IVF_ORACLE = f"""
+    WITH {_KM_CTES},
+    cor AS (SELECT a2.vec_id, a2.j AS cell, a2.x,
+                   {_dot('a2.x', 'a2.x')} AS n2
+            FROM a2),
+    cq AS (SELECT c1.j AS cell,
+                  list_transform(c1.cm, m -> m / 1000000.0) AS c
+           FROM c1),
+    q AS (SELECT vec_id AS query_id, x AS qx, n2 AS qn2
+          FROM cor WHERE vec_id % 100 = 0),
+    qd AS (SELECT q.query_id, q.qx, q.qn2, cq.cell,
+                  list_reduce(list_prepend(0.0, list_transform(range(64),
+                    i -> (q.qx[i+1] - cq.c[i+1]) * (q.qx[i+1] - cq.c[i+1]))),
+                    (a, b) -> a + b) AS qd
+           FROM q, cq),
+    probes AS (SELECT query_id, qx, qn2, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY qd, cell) AS rn
+                 FROM qd) WHERE rn <= 2),
+    scored AS (SELECT p.query_id, cor.vec_id,
+                      {_dot('p.qx', 'cor.x')} / (sqrt(p.qn2) * sqrt(cor.n2))
+                        AS cosine
+               FROM probes p JOIN cor
+                 ON cor.cell = p.cell AND cor.vec_id <> p.query_id)
+    SELECT query_id, vec_id, cosine, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+"""
+
+
+@register(
+    "similarity_knn_ivf_kmeans_persisted",
+    oracle=_KM_IVF_ORACLE,
+    tags=("similarity", "knn", "ivf", "kmeans", "persisted-index", "extension",
+          "approx", "scale-path"),
+)
+def similarity_knn_ivf_kmeans_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_knn_ivf_kmeans through the persisted-index path:
+    kmeans_fit trains once and freezes ``centroids/`` + cell-partitioned
+    ``vectors/`` on disk (operators/incremental_ann.build_index_kmeans);
+    the probe then LOADS the frozen centroids, routes each query to its
+    2 nearest cells, and pushes the bounded probed-cell set as a literal
+    partition filter so only those cells' files are listed — the I/O
+    shape the in-memory variant's docstring promises, here actually
+    executed and hash-checked against the SAME oracle as the in-memory
+    query. Appends against the frozen centroids (no retrain) are the
+    incremental path, tested in tests/test_incremental_ann.py."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _persisted_index_root(sf_dir, "ivf_kmeans")
+    build_index_kmeans(emb, root, k_cells=8, iters=2)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return probe_index_kmeans(spark, root, q, k=10, nprobe=2).select(
+        "query_id", "vec_id", "cosine", "rn"
+    )
+
+
+@register(
+    "similarity_knn_ivf_pq_persisted",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    {_IVFPQ_QUERY_CTES}
+    SELECT query_id, vec_id, adc_micro, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rn
+          FROM vscore)
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "knn", "ivf", "pq", "persisted-index", "extension",
+          "approx", "scale-path"),
+)
+def similarity_knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_knn_ivf_pq through the persisted-index path — the PQ
+    CODEBOOK LOAD path a production store runs: coarse centroids and the
+    16x16 residual codebook are read back from ``centroids/`` and
+    ``codebook/`` parquet (trained + frozen by build_index_ivfpq), the
+    query LUTs are built against the LOADED codebook, and only the
+    probed cells' packed codes stream through the ADC join (routed
+    literal partition filter on ``codes/cell=``). Hash-checked against
+    the same oracle as the in-memory query — the proof that train ->
+    freeze -> load -> probe loses nothing."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_ivfpq,
+        probe_index_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _persisted_index_root(sf_dir, "ivfpq")
+    build_index_ivfpq(emb, root, k_cells=8, km_iters=2, m=16, ksub=16, pq_iters=2)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return probe_index_ivfpq(spark, root, q, k=10, nprobe=2).select(
+        "query_id", "vec_id", "adc_micro", "rn"
+    )

@@ -476,3 +476,110 @@ def test_stream_sign_index_matches_batch_build(spark, sf_dir, tmp_path):
     got = probe_index_sign(spark, idx, q, k=10)
     want = probe_index_sign(spark, batch_idx, q, k=10)
     assert _rows(got) == _rows(want)
+
+
+def test_kmeans_index_probe_matches_in_memory_ivf(spark, sf_dir, tmp_path):
+    """Probing the persisted learned-IVF index must return EXACTLY what
+    the in-memory knn_ivf_kmeans composition computes at the same
+    parameters — the stored assignment IS the training assignment and
+    query routing uses the frozen centroids, so there is no drift
+    window anywhere in the path."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+    from etl_8million_data__spark.operators.similarity import knn_ivf_kmeans
+
+    emb = _full_emb(spark, sf_dir)
+    idx = str(tmp_path / "km_index")
+    build_index_kmeans(emb, idx, k_cells=8, iters=2)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = probe_index_kmeans(spark, idx, q, k=10, nprobe=2)
+    want = knn_ivf_kmeans(emb, k_cells=8, iters=2, k=10, nprobe=2, query_mod=100)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)  # non-trivial
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/vectors"))
+
+
+def test_kmeans_append_is_skip_existing_against_frozen_centroids(
+    spark, sf_dir, tmp_path
+):
+    """Appends assign against the STORED centroids (no retrain) with the
+    same (dist, j) argmin total order as training: re-encoding the seed
+    adds zero rows AND lands every seed vector in the cell training
+    chose for it; appended vectors become probe candidates."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        _assign_cells_kmeans,
+        append_vectors_kmeans,
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+
+    emb = _full_emb(spark, sf_dir)
+    seed = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = str(tmp_path / "km_inc")
+    build_index_kmeans(seed, idx, k_cells=8, iters=2)
+
+    # frozen-centroid re-encode reproduces the training assignment
+    cents = spark.read.parquet(f"{idx}/centroids")
+    re_assign = {
+        (r.vec_id, r.cell)
+        for r in _assign_cells_kmeans(seed, cents, "vec_id", "embedding", None)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    stored = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert re_assign == stored
+
+    assert append_vectors_kmeans(seed, idx, batch_tag="b1") == 0
+    added = append_vectors_kmeans(emb, idx, batch_tag="b2")
+    assert added == emb.count() - seed.count()
+    assert append_vectors_kmeans(emb, idx, batch_tag="b3") == 0
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = {
+        r.vec_id for r in probe_index_kmeans(spark, idx, q, k=10, nprobe=4).collect()
+    }
+    appended_ids = {r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 0).collect()}
+    assert hits & appended_ids, "no appended vector ever surfaced in a probe"
+
+
+def test_kmeans_probe_reads_only_probed_partitions(spark, sf_dir, tmp_path):
+    """The probe must READ only the probed cells' vector files —
+    asserted on the executed scan's numPartitions metric, same contract
+    as the IVF-PQ probe."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    emb = _full_emb(spark, sf_dir)
+    idx = str(tmp_path / "km_dpp")
+    build_index_kmeans(emb, idx, k_cells=8, iters=2)
+    n_cells_total = (
+        spark.read.parquet(f"{idx}/vectors").select("cell").distinct().count()
+    )
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        .limit(2)
+    )
+    df = probe_index_kmeans(spark, idx, q, k=3, nprobe=2)
+    metrics = _scan_partition_metrics(df, "km_dpp/vectors")
+    assert metrics, "no vectors scan found in executed plan"
+    # 2 queries x nprobe=2 -> at most 4 of the 8 cells can be probed
+    for m in metrics:
+        assert m["numPartitions"] <= 4, m
+        assert m["numPartitions"] < n_cells_total, (m, n_cells_total)
