@@ -242,54 +242,21 @@ def simhash32_frame(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return scores.select(id_col, sim.alias("simhash"))
 
 
-def prefix_filter_pairs(
+def prefix_filter_frames(
     docs: DataFrame,
     threshold_num: int = 1,
     threshold_den: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-) -> DataFrame:
-    """EXACT set-similarity join via prefix filtering (the PPJoin
-    family) — the lossless alternative to MinHash-LSH: every pair with
-    shingle-set Jaccard >= t is returned, none missed.
-
-    Order all shingles by ascending global document frequency (rarest
-    first, ties on the shingle string); a document of set size n only
-    needs its first ``n - ceil(t*n) + 1`` shingles as its PREFIX — two
-    documents with J >= t MUST share a prefix shingle (if a pair misses
-    A's whole prefix, their overlap is < t*n_a <= t*union). Candidates
-    = pairs sharing any prefix shingle (rare shingles -> small blocks);
-    verification counts common shingles only for candidates and keeps
-    the pair via the pure-integer predicate
-    ``common * (num + den) >= num * (n_a + n_b)``  (<=> J >= num/den).
-
-    Two further LOSSLESS prunes from the PPJoin literature run inside
-    the candidate join itself: the LENGTH filter (J >= t forces
-    t_num*n_b <= t_den*n_a for n_a <= n_b — wildly different set sizes
-    can never qualify) and the POSITION filter (a match on prefix
-    positions p_a, p_b bounds the best possible overlap by
-    1 + min(n_a - p_a, n_b - p_b); if even that bound misses the
-    required overlap ceil(t/(1+t)·(n_a+n_b)), the pair is pruned before
-    it ever reaches verification). Both are pure integer predicates.
-
-    Scale shape: the df-rank window partitions by document (bounded by
-    set size); prefix blocks are keyed by the RAREST shingles, so block
-    sizes are the small end of the df distribution (boilerplate grams
-    never become blocking keys; max block = 10 docs on the sf0.1
-    fixtures), and the length+position filters cut candidates 3.3x
-    (409k -> 125k measured at sf0.1, 977 -> 27 at sf0.01 against 25
-    true pairs). Candidate volume is corpus-dependent: the synthetic
-    fixtures draw shingles from a FIXED vocabulary, so every gram's df
-    grows linearly with the corpus and pair density quadratically —
-    real corpora grow their vocabulary with size, which is the regime
-    prefix filtering is designed for. MEASURED, not argued: on a
-    vocabulary-growing corpus (V = 5n, per-gram df ~flat) the same
-    operator shows 3.0-4.5x time on 10x docs with exactly-linear output
-    pair growth (tools/scaling_probe.py:vocab_growth_probe, SCALING.md)
-    vs 8.3x under the fixed-vocab fixtures. Verification joins fan out only
-    |candidates| x set size. Threshold is a rational num/den so the
-    gate is integer-exact in any engine."""
+) -> dict[str, DataFrame]:
+    """The PPJoin pipeline's intermediate frames, exposed so skew tests
+    can audit the blocking stage directly (see prefix_filter_pairs for
+    the algorithm): ``ex`` (_id, g) posting list, ``sz`` (_id, n) set
+    sizes, ``prefix`` (_id, g, _rn, n) — the df-ranked prefix whose ``g``
+    values are the BLOCKING KEYS (per-key block size bounds the largest
+    irreducible join partition), and ``cand`` (doc_a, doc_b) — the
+    distinct candidate pairs entering verification."""
     t_num, t_den = threshold_num, threshold_den
     sh = doc_shingle_frame(docs, text_col, id_col, k)
     # one materialized posting list: df ranking, the ranked prefix, and
@@ -339,6 +306,60 @@ def prefix_filter_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return {"ex": ex, "sz": sz, "prefix": prefix, "cand": cand}
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin
+    family) — the lossless alternative to MinHash-LSH: every pair with
+    shingle-set Jaccard >= t is returned, none missed.
+
+    Order all shingles by ascending global document frequency (rarest
+    first, ties on the shingle string); a document of set size n only
+    needs its first ``n - ceil(t*n) + 1`` shingles as its PREFIX — two
+    documents with J >= t MUST share a prefix shingle (if a pair misses
+    A's whole prefix, their overlap is < t*n_a <= t*union). Candidates
+    = pairs sharing any prefix shingle (rare shingles -> small blocks);
+    verification counts common shingles only for candidates and keeps
+    the pair via the pure-integer predicate
+    ``common * (num + den) >= num * (n_a + n_b)``  (<=> J >= num/den).
+
+    Two further LOSSLESS prunes from the PPJoin literature run inside
+    the candidate join itself: the LENGTH filter (J >= t forces
+    t_num*n_b <= t_den*n_a for n_a <= n_b — wildly different set sizes
+    can never qualify) and the POSITION filter (a match on prefix
+    positions p_a, p_b bounds the best possible overlap by
+    1 + min(n_a - p_a, n_b - p_b); if even that bound misses the
+    required overlap ceil(t/(1+t)·(n_a+n_b)), the pair is pruned before
+    it ever reaches verification). Both are pure integer predicates.
+
+    Scale shape: the df-rank window partitions by document (bounded by
+    set size); prefix blocks are keyed by the RAREST shingles, so block
+    sizes are the small end of the df distribution (boilerplate grams
+    never become blocking keys; max block = 10 docs on the sf0.1
+    fixtures), and the length+position filters cut candidates 3.3x
+    (409k -> 125k measured at sf0.1, 977 -> 27 at sf0.01 against 25
+    true pairs). Candidate volume is corpus-dependent: the synthetic
+    fixtures draw shingles from a FIXED vocabulary, so every gram's df
+    grows linearly with the corpus and pair density quadratically —
+    real corpora grow their vocabulary with size, which is the regime
+    prefix filtering is designed for. MEASURED, not argued: on a
+    vocabulary-growing corpus (V = 5n, per-gram df ~flat) the same
+    operator shows 3.0-4.5x time on 10x docs with exactly-linear output
+    pair growth (tools/scaling_probe.py:vocab_growth_probe, SCALING.md)
+    vs 8.3x under the fixed-vocab fixtures. Verification joins fan out only
+    |candidates| x set size. Threshold is a rational num/den so the
+    gate is integer-exact in any engine."""
+    t_num, t_den = threshold_num, threshold_den
+    frames = prefix_filter_frames(docs, t_num, t_den, text_col, id_col, k)
+    ex, sz, cand = frames["ex"], frames["sz"], frames["cand"]
     ea = ex.select(F.col("_id").alias("doc_a"), F.col("g"))
     eb = ex.select(F.col("_id").alias("doc_b"), F.col("g"))
     common = (
