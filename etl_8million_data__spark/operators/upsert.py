@@ -85,8 +85,19 @@ def _upsert_pruned(
     # ``path``, and Spark (rightly) refuses to overwrite a location its
     # own input is still lazily reading.  localCheckpoint is
     # O(affected partitions), not O(table).
-    deduped = last_writer_wins(merged, keys, order_col, tiebreak).localCheckpoint(
-        eager=True
+    # Cluster output rows by the partition columns before the write:
+    # without this every reducer of the dedup window holds rows of MANY
+    # partition values and opens a file in each directory it touches —
+    # measured 5,814 files (and 65 s vs 29 s) for the 7.9M-row fact at
+    # 192 (statement, bucket) partitions. AQE's REBALANCE (not a plain
+    # repartition) clusters by the partition cols but keeps write
+    # parallelism: oversized clusters are split back to advisory size,
+    # so a 3-value partition key does not serialize the write into 3
+    # tasks at 100 TB.
+    deduped = (
+        last_writer_wins(merged, keys, order_col, tiebreak)
+        .hint("rebalance", *partition_by)
+        .localCheckpoint(eager=True)
     )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -118,6 +129,11 @@ def upsert_parquet(
     else:
         merged = updates
     deduped = last_writer_wins(merged, keys, order_col, tiebreak)
+    if partition_by:
+        # same small-files guard as _upsert_pruned: cluster by the
+        # partition columns (AQE REBALANCE splits oversized clusters,
+        # keeping write parallelism on low-cardinality partition keys)
+        deduped = deduped.hint("rebalance", *partition_by)
 
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     writer = deduped.write.mode("overwrite")

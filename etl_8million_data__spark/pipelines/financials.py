@@ -144,18 +144,37 @@ def unpivot_financials(
     )
 
 
+def stock_bucket(stock_col: Column, n_buckets: int = 64) -> Column:
+    """Stable hash bucket of the stock key — md5-derived (not Spark's
+    engine-specific hash) so the bucket of a symbol is a pure, portable
+    function of its string and never drifts across engines or versions:
+    a key can never migrate between partitions, which is the
+    partitioned-upsert contract."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(stock_col.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
 def build_financials_fact(
     raw: DataFrame,
     sink_path: str,
     symbol_col: str = "symbol",
     payload_col: str = "payload",
     loaded_at_col: str = "loaded_at",
+    n_buckets: int = 64,
 ) -> None:
     """Full stage-3 run: unpivot + last-writer-wins upsert on the PK
     (stock, statement_type, metric, date), partitioned by
-    statement_type (low-cardinality, query-aligned — SURVEY.md §4;
-    stock is deliberately NOT a partition key: millions of tiny files
-    at scale)."""
+    (statement_type, stock_bucket) — statement_type is the
+    low-cardinality query-aligned axis (SURVEY.md §4) and the md5
+    stock bucket bounds the incremental-upsert blast radius: a
+    d-symbol delta rewrites at most 3*min(d, n_buckets) of the
+    3*n_buckets partition directories instead of the whole fact
+    (measured 21 s -> ~3 s for a 10-symbol delta at the full
+    5,510-symbol scale, tools/reference_scale_run.py --resume). Raw
+    stock is deliberately NOT a partition key: millions of tiny
+    directories at scale."""
     has_ts = loaded_at_col in raw.columns
     fact = unpivot_financials(
         raw, symbol_col, payload_col, passthrough=[loaded_at_col] if has_ts else []
@@ -165,11 +184,12 @@ def build_financials_fact(
         if has_ts
         else fact.withColumn("_loaded_at", F.current_timestamp())
     )
+    fact = fact.withColumn("stock_bucket", stock_bucket(F.col("stock"), n_buckets))
     upsert_parquet(
         raw.sparkSession,
         fact,
         sink_path,
         keys=FINANCIALS_KEYS,
         order_col="_loaded_at",
-        partition_by=["statement_type"],
+        partition_by=["statement_type", "stock_bucket"],
     )

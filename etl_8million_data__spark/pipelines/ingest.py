@@ -41,7 +41,13 @@ def ingest(
     dedup-on-read happens downstream via last-writer-wins."""
     symbols = clean_symbols(read_symbols_csv(spark, symbols_csv))
     store = spark.read.parquet(store_path) if os.path.exists(store_path) else None
-    todo = incremental_symbols(symbols, store)
+    # a small universe CSV is one input split; spread the to-fetch set
+    # across the executor slots so the fetch (and everything downstream
+    # of the bronze files it writes) parallelizes — per-slot rate
+    # limiting in fetch_payloads keeps cluster QPS = slots/sleep
+    todo = incremental_symbols(symbols, store).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fetched = fetch_payloads(todo, fetch_fn, rate_limit_sleep).withColumn(
         "loaded_at", F.current_timestamp()
     )

@@ -38,7 +38,7 @@ QUARTERLY_DATES = [
 FOLDERS = ("cashflow", "balancesheet", "incomestatement")
 
 
-def _payload(sym: str) -> str:
+def _payload_dict(sym: str) -> dict:
     h = sum(ord(c) for c in sym)
 
     def stmt() -> dict:
@@ -53,12 +53,14 @@ def _payload(sym: str) -> str:
             },
         }
 
-    return json.dumps(
-        {
-            "info": {"longName": f"{sym} Inc", "currency": "USD", "financialCurrency": "USD"},
-            **{f: stmt() for f in FOLDERS},
-        }
-    )
+    return {
+        "info": {"longName": f"{sym} Inc", "currency": "USD", "financialCurrency": "USD"},
+        **{f: stmt() for f in FOLDERS},
+    }
+
+
+def _payload(sym: str) -> str:
+    return json.dumps(_payload_dict(sym))
 
 
 def _gen(iterator):
@@ -72,6 +74,74 @@ def _gen(iterator):
                 "loaded_at": pd.Timestamp("2025-08-15 09:23:00"),
             }
         )
+
+
+def run_resume(
+    spark, workdir: str, delta: int = 0, n_symbols: int = N_SYMBOLS
+) -> dict:
+    """One RESUMABLE pass of the full reference pipeline against a
+    persistent workdir — the cold-metastore shape the reference actually
+    runs (its multi-day ingest is resumable BECAUSE of the skip-existing
+    anti-join, details.py:277-281, and its stage 3 upserts batches into
+    the fact, Financilas.py:175-182):
+
+      stage 1/2: universe CSV -> clean -> anti-join vs the bronze store
+                 -> fetch ONLY the missing symbols -> append
+      stage 3:   unpivot + upsert ONLY bronze rows newer than the fact's
+                 watermark (persisted in the workdir); zero new rows ->
+                 the upsert is skipped outright (no fact read, no write)
+
+    A second invocation over the same workdir is therefore a provable
+    no-op end-to-end; ``delta`` extra symbols simulate universe growth
+    between runs (only the delta is fetched and only its fact rows are
+    upserted). Returns the pass's metrics."""
+    import pyspark.sql.functions as F
+
+    from etl_8million_data__spark.pipelines.ingest import ingest
+
+    os.makedirs(workdir, exist_ok=True)
+    bronze_path = os.path.join(workdir, "bronze")
+    fact_path = os.path.join(workdir, "financials")
+    wm_path = os.path.join(workdir, "fact_watermark.txt")
+    csv_path = os.path.join(workdir, "universe.csv")
+
+    # universe CSV: the base symbols plus `delta` newcomers
+    with open(csv_path, "w") as f:
+        f.write("symbol\n")
+        for i in range(n_symbols):
+            f.write(f"SYM{i:04d}\n")
+        for i in range(delta):
+            f.write(f"NEW{i:04d}\n")
+
+    t0 = time.time()
+    n_new = ingest(spark, csv_path, bronze_path, _payload_dict)
+    t_ingest = time.time() - t0
+
+    wm = None
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            wm = f.read().strip()
+
+    bronze = spark.read.parquet(bronze_path)
+    fresh = bronze.filter(F.col("loaded_at") > F.lit(wm).cast("timestamp")) if wm else bronze
+    n_fresh = fresh.count()
+    t0 = time.time()
+    if n_fresh:
+        build_financials_fact(fresh, fact_path)
+        new_wm = bronze.agg(F.max("loaded_at")).first()[0]
+        with open(wm_path, "w") as f:
+            f.write(str(new_wm))
+    t_fact = time.time() - t0
+
+    n_fact = spark.read.parquet(fact_path).count() if os.path.exists(fact_path) else 0
+    return {
+        "n_new_symbols": n_new,
+        "n_fresh_payloads": n_fresh,
+        "fact_upsert_ran": bool(n_fresh),
+        "n_fact_rows": n_fact,
+        "t_ingest_s": round(t_ingest, 2),
+        "t_fact_s": round(t_fact, 2),
+    }
 
 
 def main() -> None:
@@ -138,5 +208,24 @@ Generated by `tools/reference_scale_run.py` (re-runnable).
     spark.stop()
 
 
+def main_resume() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--workdir", default="/tmp/etl8m_ref_resume")
+    p.add_argument("--delta", type=int, default=0)
+    p.add_argument("--symbols", type=int, default=N_SYMBOLS)
+    args = p.parse_args()
+    if not args.resume:
+        main()
+        return
+    spark = get_spark("reference-scale-resume")
+    spark.sparkContext.setLogLevel("ERROR")
+    metrics = run_resume(spark, args.workdir, delta=args.delta, n_symbols=args.symbols)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    main_resume()
