@@ -610,7 +610,13 @@ def sorted_neighborhood_pairs(
     def one_pass(arr: Column) -> DataFrame:
         keyed = ts.select(
             "doc_id",
-            F.array_join(arr, "|").alias("key"),
+            # sort key TRUNCATED to the first 10 shingles (the 2-shingle
+            # block key + an 8-shingle prefix): adjacency inside a block
+            # is decided by the leading shingles, and the untruncated
+            # key shuffled a doc-sized string per row per pass — shuffle
+            # bytes scaled with total corpus text twice. The oracle
+            # mirrors the same truncation (ts[1:10]).
+            F.array_join(F.slice(arr, 1, 10), "|").alias("key"),
             F.array_join(F.slice(arr, 1, 2), "|").alias("blk"),
         )
         w = Window.partitionBy("blk").orderBy("key", "doc_id")

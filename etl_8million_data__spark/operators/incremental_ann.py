@@ -871,6 +871,7 @@ def probe_index_sign(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Two-stage probe against the persisted signature index: stage 1
     scans ONLY (vec_id, sig0, sig1) — parquet column pruning delivers
@@ -882,7 +883,14 @@ def probe_index_sign(
     cosine. Same semantics as the in-memory
     similarity.knn_hamming_rerank on (index ∪ queries) corpus rows
     (equivalence asserted in tests), so persistence is a pure I/O
-    layout choice."""
+    layout choice.
+
+    ``exclude_self`` (default True) drops index rows whose vec_id
+    equals the probing query_id — correct for corpus-derived queries,
+    where "this document" is a vacuous neighbor. Set it False when the
+    query workload has an INDEPENDENT id space: there an accidental id
+    collision is an unrelated vector, and silently removing it would
+    drop a valid nearest neighbor from the shortlist."""
     from etl_8million_data__spark.operators.similarity import sign_words
 
     idx = _read_index(spark, index_path, SIGN_INDEX_SCHEMA)
@@ -900,9 +908,11 @@ def probe_index_sign(
         + F.bit_count(F.col("sig1").bitwiseXOR(F.col("q1")))
     ).cast("int")
     wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    pair_cond = (
+        F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
     short = (
-        sig.join(F.broadcast(qsig.select("query_id", "q0", "q1")),
-                 F.col("vec_id") != F.col("query_id"))
+        sig.join(F.broadcast(qsig.select("query_id", "q0", "q1")), pair_cond)
         .select("query_id", "vec_id", ham.alias("hamming"))
         .withColumn("_rh", F.row_number().over(wh))
         .filter(F.col("_rh") <= shortlist)

