@@ -94,6 +94,9 @@ HEADLINE = [
     "embedding_linear_probe",  # fixed-point GD quality-probe training
     "dedup_sorted_neighborhood_pairs",  # multi-pass SNM blocking + verify
     "corpus_fuzzy_contamination",  # cross-corpus containment decontamination
+    # round-8 families
+    "similarity_knn_ivf_kmeans_persisted",  # train->freeze->persist->probe, learned IVF
+    "similarity_knn_ivf_pq_persisted",  # codebook load path: persisted IVFADC probe
 ]
 
 

@@ -1,0 +1,224 @@
+"""Deletion propagation (operators/forget.py): forgetting a document
+must remove it from every persisted derived layout — ANN cells, dedup
+bands, winnowing fingerprints — with the minimal rewrite each layout
+allows, and the removal must be PROBE-visible (the id never surfaces
+again) and idempotent (a re-forget is a no-op)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.forget import (
+    compact_cells,
+    forget_cell_partitioned,
+    forget_ivfpq,
+    forget_unpartitioned,
+)
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _file_state(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_forget_kmeans_index_prunes_probes_and_untouched_cells(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "km")
+    build_index_kmeans(emb, idx, k_cells=8, iters=2)
+    vec_dir = f"{idx}/vectors"
+
+    q = _queries(emb)
+    before_ids = {
+        r.vec_id for r in probe_index_kmeans(spark, idx, q, k=10, nprobe=8).collect()
+    }
+    # forget 5 ids that provably surface in probes (non-vacuous target)
+    victims = sorted(before_ids)[:5]
+    assert victims
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+
+    stored = spark.read.parquet(vec_dir).select("vec_id", "cell")
+    touched_cells = {
+        r.cell for r in stored.join(vdf, "vec_id").select("cell").distinct().collect()
+    }
+    pre = _file_state(vec_dir)
+
+    n = forget_cell_partitioned(spark, vec_dir, vdf)
+    assert n == len(victims)
+
+    # probe-visible: the forgotten ids never surface again
+    after_ids = {
+        r.vec_id for r in probe_index_kmeans(spark, idx, q, k=10, nprobe=8).collect()
+    }
+    assert not (after_ids & set(victims))
+    # and nothing else was lost
+    assert spark.read.parquet(vec_dir).count() == emb.count() - len(victims)
+
+    # blast radius: files in UNtouched cells are byte-identical
+    post = _file_state(vec_dir)
+    for rel, sig in pre.items():
+        cell_part = rel.split(os.sep)[0]
+        if cell_part.startswith("cell=") and int(cell_part[5:]) not in touched_cells:
+            assert post.get(rel) == sig, rel
+
+    # idempotent: a re-forget removes nothing and rewrites nothing
+    snap = _file_state(vec_dir)
+    assert forget_cell_partitioned(spark, vec_dir, vdf) == 0
+    assert _file_state(vec_dir) == snap
+
+
+def test_forget_entire_cell_drops_directory(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import build_index_kmeans
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "km_full")
+    build_index_kmeans(emb, idx, k_cells=8, iters=2)
+    vec_dir = f"{idx}/vectors"
+    stored = spark.read.parquet(vec_dir).select("vec_id", "cell")
+    # pick the smallest cell and forget EVERY vector in it
+    smallest = (
+        stored.groupBy("cell").count().orderBy("count", "cell").first()
+    )
+    cell_ids = stored.filter(F.col("cell") == smallest["cell"]).select("vec_id")
+    n = forget_cell_partitioned(spark, vec_dir, cell_ids)
+    assert n == smallest["count"]
+    assert not os.path.isdir(os.path.join(vec_dir, f"cell={smallest['cell']}"))
+    left = spark.read.parquet(vec_dir)
+    assert left.filter(F.col("cell") == smallest["cell"]).count() == 0
+    assert left.count() == emb.count() - n
+
+
+def test_forget_ivfpq_codes(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_ivfpq,
+        probe_index_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    build_index_ivfpq(emb, idx)
+    q = _queries(emb.select("vec_id", "embedding"))
+    hit = probe_index_ivfpq(spark, idx, q, k=10, nprobe=8).select("vec_id").first()
+    vdf = spark.createDataFrame([(hit["vec_id"],)], "vec_id long")
+    assert forget_ivfpq(spark, idx, vdf) == 1
+    survivors = {
+        r.vec_id for r in probe_index_ivfpq(spark, idx, q, k=10, nprobe=8).collect()
+    }
+    assert hit["vec_id"] not in survivors
+    # model state (centroids/codebook) is untouched aggregate state
+    assert spark.read.parquet(f"{idx}/centroids").count() == 8
+
+
+def test_forget_band_index_stops_suppressing_future_copies(spark, sf_dir, tmp_path):
+    """The ghost-match test: after doc X is forgotten from the dedup
+    band index, a NEW incoming copy of X's text must be treated as
+    fresh (kept), not silently suppressed by X's leftover bands."""
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bands")
+    kept0 = dedup_increment(docs, idx)
+    # victim must actually be IN the index (a kept doc, not a batch-dup)
+    victim_id = kept0.agg(F.min("doc_id")).first()[0]
+    victim = docs.filter(F.col("doc_id") == victim_id).first()
+
+    # sanity: before the forget, a copy of the victim is suppressed
+    copy1 = spark.createDataFrame(
+        [(9_000_000, victim["text"])], "doc_id long, text string"
+    )
+    assert dedup_increment(copy1, idx).count() == 0
+
+    vdf = spark.createDataFrame([(victim_id,)], "doc_id long")
+    assert forget_unpartitioned(spark, idx, vdf) > 0
+    assert forget_unpartitioned(spark, idx, vdf) == 0  # idempotent
+
+    reincarnated = spark.createDataFrame(
+        [(9_000_001, victim["text"])], "doc_id long, text string"
+    )
+    kept = dedup_increment(reincarnated, idx)
+    assert kept.count() == 1, "forgotten doc's ghost bands still suppress new copies"
+
+
+def test_forget_sign_index_and_winnowing(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_sign,
+        probe_index_sign,
+    )
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        winnowing_increment,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "sign")
+    build_index_sign(emb, idx)
+    q = _queries(emb)
+    hit = probe_index_sign(spark, idx, q, k=5).select("vec_id").first()
+    vdf = spark.createDataFrame([(hit["vec_id"],)], "vec_id long")
+    assert forget_unpartitioned(spark, idx, vdf, id_col="vec_id") == 1
+    survivors = {r.vec_id for r in probe_index_sign(spark, idx, q, k=5).collect()}
+    assert hit["vec_id"] not in survivors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    widx = str(tmp_path / "winnow")
+    winnowing_increment(docs, widx)
+    wvictim = docs.orderBy("doc_id").first()
+    wdf = spark.createDataFrame([(wvictim["doc_id"],)], "doc_id long")
+    n = forget_unpartitioned(spark, widx, wdf)
+    assert n > 0
+    assert (
+        spark.read.parquet(widx).filter(F.col("doc_id") == wvictim["doc_id"]).count()
+        == 0
+    )
+
+
+def test_compact_cells_preserves_probes_and_cuts_files(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_kmeans,
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "km_c")
+    # seed + 3 append batches -> several files per cell
+    build_index_kmeans(emb.filter(F.col("vec_id") % 4 == 0), idx, k_cells=8, iters=2)
+    for m in (1, 2, 3):
+        append_vectors_kmeans(
+            emb.filter(F.col("vec_id") % 4 == m), idx, batch_tag=f"b{m}"
+        )
+    vec_dir = f"{idx}/vectors"
+    q = _queries(emb)
+    before = sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rn)
+        for r in probe_index_kmeans(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    n_before, n_after = compact_cells(spark, vec_dir)
+    assert n_after < n_before, (n_before, n_after)
+    after = sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rn)
+        for r in probe_index_kmeans(spark, idx, q, k=10, nprobe=3).collect()
+    )
+    assert before == after
+    assert before
