@@ -97,6 +97,7 @@ HEADLINE = [
     # round-8 families
     "similarity_knn_ivf_kmeans_persisted",  # train->freeze->persist->probe, learned IVF
     "similarity_knn_ivf_pq_persisted",  # codebook load path: persisted IVFADC probe
+    "search_mmr_diversified",  # greedy diversified top-k over ANN shortlists
 ]
 
 

@@ -1139,3 +1139,89 @@ def knn_block_gemm(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dot_micro12").desc(), "vec_id")
     return partials.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def mmr_select(
+    cands: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — greedy diversified top-k over a per-query candidate
+    shortlist, the data-selection primitive that keeps a retrieval (or
+    training-data sampling) result from collapsing onto near-duplicate
+    neighbors: pick the most relevant candidate first, then repeatedly
+    pick argmax of ``rel/2 - max_sim_to_selected/2`` (λ = 1/2).
+
+    Inputs: ``cands`` (query_id, vec_id, rel) — the shortlist, bounded
+    per query (an ANN top-N; never corpus-sized); ``sims`` (query_id,
+    a, b, sim) — pairwise similarities WITHIN each query's shortlist,
+    symmetric. The driver loop runs exactly ``k`` rounds of bounded
+    relational steps (join to selected -> max-sim aggregate -> per-query
+    argmax window), so iteration count is fixed and data-independent —
+    the same discipline as kmeans_fit/power iteration, which is what
+    makes the greedy result a pure function of the input and lets the
+    whole selection hash-match an unrolled SQL oracle. Ties break
+    (score desc, vec_id asc) everywhere.
+
+    Scale shape: every frame is |Q| x shortlist (shortlist <= ~100 by
+    construction), selected is |Q| x round; the per-round shuffles move
+    shortlist-bounded rows keyed by query_id — MMR cost is independent
+    of corpus size because the ANN stage already paid the corpus cost.
+
+    Returns (query_id, rank, vec_id, mmr_score): rank 1..k; rank 1's
+    score is its relevance (nothing selected yet to repel from)."""
+    sel = (
+        cands.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rel").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    remaining = cands.join(
+        sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    ).localCheckpoint(eager=True)
+    for j in range(2, k + 1):
+        msim = (
+            sims.join(
+                sel.select("query_id", F.col("vec_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = remaining.join(msim, ["query_id", "vec_id"]).select(
+            "query_id",
+            "vec_id",
+            (F.col("rel") / 2 - F.col("_ms") / 2).alias("mmr_score"),
+        )
+        pick = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("mmr_score").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id", F.lit(j).cast("int").alias("rank"), "vec_id", "mmr_score"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        remaining = remaining.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return sel

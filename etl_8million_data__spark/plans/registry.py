@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",
+    "search_mmr_diversified",
     # NEW in round 6, never driver-sampled through round 6 (the r6
     # verdict's explicit ask: these six must land in the r7 sample)
     "search_bm25_rsj_topk",

@@ -2962,3 +2962,147 @@ def similarity_knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     return probe_index_ivfpq(spark, root, q, k=10, nprobe=2).select(
         "query_id", "vec_id", "adc_micro", "rn"
     )
+
+
+def _mmr_ctes(k: int) -> str:
+    """Unrolled greedy-MMR rounds over CTEs ``cand``(query_id, vec_id,
+    rel) and ``sims``(query_id, a, b, sim) — the SQL mirror of
+    operators/similarity.mmr_select's fixed-round driver loop, same
+    (score desc, vec_id) tie-break, λ = 1/2. ``mmr_out`` is the final
+    (query_id, rank, vec_id, mmr_score) union."""
+    parts = [
+        """sel1 AS (
+      SELECT query_id, 1 AS rank, vec_id, rel AS mmr_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1),
+    selall1 AS (SELECT query_id, vec_id FROM sel1),
+    rem1 AS (SELECT c.* FROM cand c LEFT JOIN selall1 s
+             ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+             WHERE s.vec_id IS NULL)"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"""ms{j} AS (
+      SELECT r.query_id, r.vec_id, r.rel, max(s.sim) AS ms
+      FROM rem{j - 1} r
+      JOIN sims s ON s.query_id = r.query_id AND s.a = r.vec_id
+      JOIN selall{j - 1} t ON t.query_id = s.query_id AND t.vec_id = s.b
+      GROUP BY r.query_id, r.vec_id, r.rel),
+    sel{j} AS (
+      SELECT query_id, {j} AS rank, vec_id,
+             rel / 2 - ms / 2 AS mmr_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel / 2 - ms / 2 DESC, vec_id) AS rn
+        FROM ms{j}) WHERE rn = 1),
+    selall{j} AS (SELECT query_id, vec_id FROM selall{j - 1}
+                  UNION ALL SELECT query_id, vec_id FROM sel{j}),
+    rem{j} AS (SELECT c.* FROM rem{j - 1} c LEFT JOIN sel{j} s
+               ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+               WHERE s.vec_id IS NULL)"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT query_id, rank, vec_id, mmr_score FROM sel{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append(f"mmr_out AS (\n      {union})")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "search_mmr_diversified",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.embedding, e.n2,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2)) AS rel
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 20),
+    ce AS (SELECT c.query_id, c.vec_id, e.embedding, e.n2
+           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+             {_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+      FROM ce a JOIN ce b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    {_mmr_ctes(5)}
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, mmr_score
+    FROM mmr_out
+    """,
+    tags=("search", "mmr", "diversity", "extension", "selection"),
+)
+def search_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-5 per query
+    (Carbonell & Goldstein 1998): from each query's exact top-20 cosine
+    shortlist, greedily select 5 results maximizing
+    ``rel/2 - max_sim_to_already_selected/2`` — the retrieval/data-
+    selection primitive that stops a result set (or a sampled training
+    batch) from collapsing onto near-duplicates of one neighbor. The
+    greedy loop is a FIXED 5 rounds of bounded relational steps
+    (operators/similarity.mmr_select), so the entire iterative
+    selection hash-matches the unrolled-CTE DuckDB mirror exactly.
+
+    Scale shape: MMR's cost is independent of corpus size — it consumes
+    a per-query SHORTLIST (here the guarded exact top-20; at 100 TB the
+    same operator is fed from probe_index_* ANN shortlists) and every
+    round's frames are |Q| x 20 keyed by query_id; the pairwise sims
+    table is |Q| x 20 x 19 rows, built once."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        dot,
+        knn_bruteforce,
+        mmr_select,
+        norm2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "search_mmr_diversified",
+        "feed mmr_select from a probe_index_* ANN shortlist",
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = knn_bruteforce(emb, queries, k=20).select(
+        "query_id", "vec_id", F.col("cosine").alias("rel")
+    ).localCheckpoint(eager=True)
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    ce = cands.select("query_id", "vec_id").join(e, "vec_id")
+    a = ce.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("_va"),
+        F.col("n2").alias("_na"),
+    )
+    b = ce.select(
+        "query_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("_vb"),
+        F.col("n2").alias("_nb"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.sqrt("_na") * F.sqrt("_nb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return mmr_select(cands, sims, k=5).select(
+        "query_id", "rank", "vec_id", "mmr_score"
+    )
