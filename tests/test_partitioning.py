@@ -85,24 +85,37 @@ def test_global_ntile_matches_spark_ntile(spark):
 
     from etl_8million_data__spark.operators.partitioning import global_ntile
     rng_vals = [0, 1, 5, 5, 5, 7, 12, 12, 13, 25, 25, 25, 25, 40, 99]
-    for n in (1, 2, 3, 4, 5, 7, 8, 11, 15):
+
+    def check(case):
+        n, k, desc = case
         rows = [(i, rng_vals[i % len(rng_vals)]) for i in range(n)]
         df = spark.createDataFrame(rows, "id long, v long")
-        for k in (2, 4, 5):
-            for desc in (False, True):
-                order = SF.col("v").desc() if desc else SF.col("v").asc()
-                expected = {
-                    (r.id): r.t
-                    for r in df.select(
-                        "id", SF.ntile(k).over(W.orderBy(order, "id")).alias("t")
-                    ).collect()
-                }
-                got = {
-                    r.id: r.tile
-                    for r in global_ntile(
-                        df, k, "v", "id",
-                        SF.floor(SF.col("v") / 10).cast("bigint"),
-                        descending=desc,
-                    ).collect()
-                }
-                assert got == expected, (n, k, desc, got, expected)
+        order = SF.col("v").desc() if desc else SF.col("v").asc()
+        expected = {
+            (r.id): r.t
+            for r in df.select(
+                "id", SF.ntile(k).over(W.orderBy(order, "id")).alias("t")
+            ).collect()
+        }
+        got = {
+            r.id: r.tile
+            for r in global_ntile(
+                df, k, "v", "id",
+                SF.floor(SF.col("v") / 10).cast("bigint"),
+                descending=desc,
+            ).collect()
+        }
+        assert got == expected, (n, k, desc, got, expected)
+
+    # 54 independent tiny cases: run them through the session's
+    # thread-safe job submission instead of serially (37s -> ~7s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = [
+        (n, k, desc)
+        for n in (1, 2, 3, 4, 5, 7, 8, 11, 15)
+        for k in (2, 4, 5)
+        for desc in (False, True)
+    ]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, cases))

@@ -79,6 +79,18 @@ AUDIT = {
     # SNM: block-partitioned windows (never a data-sized global sort) +
     # candidate-only verify joins.
     "dedup_sorted_neighborhood_pairs": ["Window", "HashAggregate"],
+    # round-8 families
+    # persisted learned-IVF probe: the index scan must carry the routed
+    # literal partition filter (PartitionFilters with cell IN) and the
+    # final ranking window; the probe side stays unhinted.
+    "similarity_knn_ivf_kmeans_persisted": ["PartitionFilters", "Window"],
+    # persisted IVF-PQ probe: probed-cell partition filter on the codes
+    # scan + the unpack Generate + the ADC hash aggregate.
+    "similarity_knn_ivf_pq_persisted": ["PartitionFilters", "Generate", "HashAggregate"],
+    # MMR: each greedy round's join/argmax-window sits UPSTREAM of its
+    # round's localCheckpoint (lineage truncation, like kcore); the
+    # final visible plan is the union of the 5 checkpointed picks.
+    "search_mmr_diversified": ["Union"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
