@@ -43,45 +43,76 @@ def _ids_frame(ids: DataFrame, id_col: str) -> DataFrame:
     return ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
 
 
+def forget_partitioned(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    partition_by: list[str],
+) -> int:
+    """Delete ``ids`` from a Hive-partitioned table, rewriting only the
+    partitions that contain them: a column-pruned (id + partition cols)
+    lookup finds the touched partition tuples, those partitions filter
+    + rewrite via dynamic partition overwrite, and a partition whose
+    every row is deleted has its directory dropped explicitly (dynamic
+    overwrite cannot rewrite a partition it receives no rows for).
+    Returns rows removed (0 on a miss — re-forget is a no-op). Works
+    for any layout whose partition columns are stable attributes of the
+    id (the same contract as the partitioned upsert): ANN ``cell=``
+    indexes, the financials fact's (statement_type, stock_bucket), …"""
+    victims = _ids_frame(ids, id_col)
+    located = (
+        spark.read.parquet(path).select(id_col, *partition_by).join(victims, id_col)
+    )
+    touched = located.select(*partition_by).distinct().collect()
+    if not touched:
+        return 0
+
+    def tuple_cond(rows):
+        cond = None
+        for r in rows:
+            c = None
+            for col in partition_by:
+                eq = F.col(col).eqNullSafe(F.lit(r[col]))
+                c = eq if c is None else (c & eq)
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    relevant = spark.read.parquet(path).filter(tuple_cond(touched))
+    kept = relevant.join(victims, id_col, "left_anti").localCheckpoint(eager=True)
+    n_deleted = relevant.count() - kept.count()
+    surviving = {
+        tuple(r[c] for c in partition_by)
+        for r in kept.select(*partition_by).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            kept.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # partitions emptied outright keep their ghost directories under
+    # dynamic overwrite — drop them explicitly
+    for r in touched:
+        key = tuple(r[c] for c in partition_by)
+        if key not in surviving:
+            d = os.path.join(path, *[f"{c}={v}" for c, v in zip(partition_by, key)])
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return n_deleted
+
+
 def forget_cell_partitioned(
     spark: SparkSession,
     index_path: str,
     ids: DataFrame,
     id_col: str = "vec_id",
 ) -> int:
-    """Delete ``ids`` from a ``cell=``-partitioned index, rewriting only
-    the cells that contain them. Returns rows removed (0 when no id is
-    present — a re-forget is a no-op, same idempotence contract as the
-    skip-existing appends)."""
-    victims = _ids_frame(ids, id_col)
-    # column-pruned lookup: parquet reads only (id, cell)
-    located = (
-        spark.read.parquet(index_path)
-        .select(id_col, "cell")
-        .join(victims, id_col)
-    )
-    touched = [r["cell"] for r in located.select("cell").distinct().collect()]
-    if not touched:
-        return 0
-    relevant = spark.read.parquet(index_path).filter(F.col("cell").isin(touched))
-    kept = relevant.join(victims, id_col, "left_anti").localCheckpoint(eager=True)
-    n_deleted = relevant.count() - kept.count()
-    surviving = {r["cell"] for r in kept.select("cell").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if surviving:
-            kept.write.mode("overwrite").partitionBy("cell").parquet(index_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # cells emptied outright: dynamic overwrite received no rows for
-    # them, so their directories (and the ghost rows inside) remain —
-    # drop them explicitly
-    for cell in set(touched) - surviving:
-        d = os.path.join(index_path, f"cell={cell}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    return n_deleted
+    """Delete ``ids`` from a ``cell=``-partitioned ANN index, rewriting
+    only the cells that contain them (the :func:`forget_partitioned`
+    contract specialized to the index layouts)."""
+    return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
 
 
 def forget_unpartitioned(
@@ -115,6 +146,40 @@ def forget_ivfpq(spark: SparkSession, index_path: str, ids: DataFrame) -> int:
     recoverable trace in k-means cell means or codebook centroids)."""
     return forget_cell_partitioned(
         spark, os.path.join(index_path, "codes"), ids, "vec_id"
+    )
+
+
+def stream_forget_requests(
+    requests: DataFrame,
+    targets: list[tuple[str, str, list[str] | None]],
+    checkpoint_dir: str,
+):
+    """Streaming right-to-be-forgotten: a stream of deletion requests
+    (rows with an id column per target) drives forget across EVERY
+    persisted derived layout in one job — the ingest-door counterpart
+    of the decontamination guard, for erasure. ``targets`` is a list of
+    (path, id_col, partition_by-or-None): partitioned layouts take the
+    pruned-rewrite path, unpartitioned ones the atomic swap. Each
+    micro-batch applies every target; forget is idempotent per id, so
+    at-least-once redelivery is safe by construction."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.localCheckpoint(eager=True)
+        for path, id_col, partition_by in targets:
+            if not os.path.isdir(path):
+                continue
+            ids = b.select(F.col(b.columns[0]).alias(id_col))
+            if partition_by:
+                forget_partitioned(spark, path, ids, id_col, partition_by)
+            else:
+                forget_unpartitioned(spark, path, ids, id_col)
+
+    return (
+        requests.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

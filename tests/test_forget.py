@@ -222,3 +222,103 @@ def test_compact_cells_preserves_probes_and_cuts_files(spark, sf_dir, tmp_path):
     )
     assert before == after
     assert before
+
+
+def test_forget_symbol_from_bucketed_fact(spark, tmp_path):
+    """Right-to-be-forgotten on the reference-parity artifact: deleting
+    one stock from the (statement_type, stock_bucket)-partitioned
+    financials fact rewrites ONLY the <= 3 partitions its bucket lands
+    in; every other directory's files are byte-identical."""
+    from etl_8million_data__spark.operators.forget import forget_partitioned
+    from tools.reference_scale_run import run_resume
+
+    wd = str(tmp_path / "fact_wd")
+    run_resume(spark, wd, n_symbols=120)
+    fact = os.path.join(wd, "financials")
+    total = spark.read.parquet(fact).count()
+
+    victim = "SYM0007"
+    vdf = spark.createDataFrame([(victim,)], "stock string")
+    victim_rows = (
+        spark.read.parquet(fact).filter(F.col("stock") == victim).count()
+    )
+    assert victim_rows > 0
+    touched = {
+        (r.statement_type, r.stock_bucket)
+        for r in spark.read.parquet(fact)
+        .filter(F.col("stock") == victim)
+        .select("statement_type", "stock_bucket")
+        .distinct()
+        .collect()
+    }
+    assert len(touched) <= 3
+
+    pre = _file_state(fact)
+    n = forget_partitioned(
+        spark, fact, vdf, "stock", ["statement_type", "stock_bucket"]
+    )
+    assert n == victim_rows
+    left = spark.read.parquet(fact)
+    assert left.filter(F.col("stock") == victim).count() == 0
+    assert left.count() == total - victim_rows
+
+    post = _file_state(fact)
+    for rel, sig in pre.items():
+        if not rel.endswith(".parquet"):
+            continue
+        parts = rel.split(os.sep)
+        key = (parts[0].split("=", 1)[1], int(parts[1].split("=", 1)[1]))
+        if key not in touched:
+            assert post.get(rel) == sig, rel
+    # idempotent
+    assert (
+        forget_partitioned(spark, fact, vdf, "stock", ["statement_type", "stock_bucket"])
+        == 0
+    )
+
+
+def test_stream_forget_requests_propagates_everywhere(spark, sf_dir, tmp_path):
+    """A stream of deletion requests must erase the ids from BOTH a
+    cell-partitioned ANN index and the unpartitioned band index in one
+    job, and a replay under a fresh checkpoint must be a no-op (forget
+    is idempotent per id)."""
+    from etl_8million_data__spark.operators.forget import stream_forget_requests
+    from etl_8million_data__spark.operators.incremental_ann import build_index_kmeans
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    emb = _emb(spark, sf_dir)
+    km = str(tmp_path / "km")
+    build_index_kmeans(emb, km, k_cells=8, iters=2)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = str(tmp_path / "bands")
+    dedup_increment(docs, bands)
+
+    victims = [0, 100, 200]
+    src = str(tmp_path / "req_src")
+    spark.createDataFrame([(v,) for v in victims], "id long").write.parquet(src)
+    targets = [
+        (f"{km}/vectors", "vec_id", ["cell"]),
+        (bands, "doc_id", None),
+    ]
+
+    def run(ckpt):
+        stream = spark.readStream.schema("id long").parquet(src)
+        stream_forget_requests(
+            stream, targets, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    assert (
+        spark.read.parquet(f"{km}/vectors")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(bands).filter(F.col("doc_id").isin(victims)).count() == 0
+    )
+    n_vec = spark.read.parquet(f"{km}/vectors").count()
+    n_band = spark.read.parquet(bands).count()
+    run("ckpt2")  # replay: idempotent
+    assert spark.read.parquet(f"{km}/vectors").count() == n_vec
+    assert spark.read.parquet(bands).count() == n_band
