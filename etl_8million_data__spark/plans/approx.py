@@ -809,3 +809,105 @@ def sketch_kmv_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F2.coalesce("exact_diff", F2.lit(0)).cast("bigint").alias("exact_diff"),
         )
     )
+
+
+@register(
+    "sketch_bottomk_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders),
+    n AS (SELECT count(*) AS n FROM v),
+    samp AS (SELECT cents, h FROM v ORDER BY h LIMIT 256),
+    sr AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, h) AS rn
+           FROM samp),
+    fr AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+           FROM v),
+    grid AS (SELECT CAST(unnest([25, 50, 90, 95, 99]) AS INT) AS q_pct),
+    a AS (SELECT g.q_pct, s.cents AS approx_cents
+          FROM grid g JOIN sr s
+            ON s.rn = CAST(ceil(g.q_pct * 256 / 100.0) AS BIGINT)),
+    e AS (SELECT g.q_pct, f.cents AS exact_cents
+          FROM grid g, n JOIN fr f
+            ON f.rn = CAST(ceil(g.q_pct * n.n / 100.0) AS BIGINT))
+    SELECT a.q_pct, a.approx_cents, e.exact_cents,
+           (1000000 * abs(a.approx_cents - e.exact_cents))
+             // greatest(e.exact_cents, 1) AS rel_err_micro
+    FROM a JOIN e ON e.q_pct = a.q_pct
+    ORDER BY a.q_pct
+    """,
+    tags=("sketch", "quantile", "approx", "extension", "scale-path"),
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE approximate quantiles via the bottom-k hash sample —
+    the quantile member of the KMV sketch family: keep the k=256 rows
+    with the smallest md5(key) (a uniform, deterministic, engine-
+    portable sample), read the q-th quantile off the sorted sample at
+    integer rank ceil(q·k). Mergeability is the KMV property (bottom-k
+    of a union = re-truncated union of bottom-ks), which is what
+    t-digest/KLL buy in other engines — here with a sketch that is a
+    PURE FUNCTION of the input set, so even the approximate values
+    hash-match DuckDB exactly.
+
+    The frame carries its own error audit: the exact discrete quantile
+    (same ceil-rank definition over the full order) and the integer-
+    micro relative error per q ∈ {25, 50, 90, 95, 99} — the audit the
+    sketch's user reads before trusting p99. Scale shape: the sample is
+    TakeOrderedAndProject on the hash (per-partition heaps of 256, no
+    global sort); only the EXACT side's audit window needs a global
+    order, and at 100 TB you run the sketch side alone (the exact side
+    exists to be measured against, like every recall gate here).
+    Quantile ties break (value, hash)/(value, key) so both rank
+    definitions are total."""
+    from etl_8million_data__spark.operators.text import md5_utf8
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        md5_utf8(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    k = 256
+    samp = v.select("cents", "h").orderBy("h").limit(k)
+    sr = samp.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "h")).alias("rn")
+    )
+    fr = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("rn"),
+    )
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.createDataFrame([(25,), (50,), (90,), (95,), (99,)], "q_pct int")
+    a = (
+        grid.crossJoin(F.broadcast(spark.range(1).select(F.lit(k).alias("_k"))))
+        .select("q_pct", F.ceil(F.col("q_pct") * k / 100.0).cast("bigint").alias("rn"))
+        .join(sr, "rn")
+        .select("q_pct", F.col("cents").alias("approx_cents"))
+    )
+    e = (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            "q_pct",
+            F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("bigint").alias("rn"),
+        )
+        .join(fr, "rn")
+        .select("q_pct", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        a.join(e, "q_pct")
+        .select(
+            "q_pct",
+            "approx_cents",
+            "exact_cents",
+            F.expr(
+                "(1000000 * abs(approx_cents - exact_cents))"
+                " div greatest(exact_cents, 1)"
+            ).alias("rel_err_micro"),
+        )
+        .orderBy("q_pct")
+    )

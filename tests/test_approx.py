@@ -172,3 +172,36 @@ def test_kmv_customer_churn_accuracy(spark):
         ]
         assert max(ratios) <= 0.33, (sf, max(ratios))
         assert sum(ratios) / len(ratios) <= 0.10, (sf, sum(ratios) / len(ratios))
+
+
+def test_bottomk_quantile_sketch_error_and_mergeability(spark, sf_dir):
+    """The bottom-k quantile sketch's own error audit must be in the
+    sampling-theory range (k=256 -> quantile rank error ~ O(1/sqrt(k))
+    ~ 6%; measured rel err 0.2-11% across q), and the sketch must be
+    MERGEABLE: the bottom-k of a union equals the re-truncated union of
+    the halves' bottom-ks — the property that lets per-shard sketches
+    combine without touching rows again."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.text import md5_utf8
+    from etl_8million_data__spark.plans import all_queries
+
+    rows = all_queries()["sketch_bottomk_quantiles"].build(spark, sf_dir).collect()
+    assert [r.q_pct for r in rows] == [25, 50, 90, 95, 99]
+    # tail quantiles are where a 256-sample is strongest on a smooth
+    # distribution; gate loosely above measured (max seen 11.2%)
+    assert all(r.rel_err_micro <= 200_000 for r in rows), [
+        (r.q_pct, r.rel_err_micro) for r in rows
+    ]
+
+    # mergeability: bottom-k(A ∪ B) == truncate(bottom-k(A) ∪ bottom-k(B))
+    k = 256
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", md5_utf8(F.col("o_orderkey").cast("string")).alias("h")
+    )
+    whole = [r.h for r in o.orderBy("h").limit(k).collect()]
+    ha = o.filter(F.col("o_orderkey") % 2 == 0).orderBy("h").limit(k)
+    hb = o.filter(F.col("o_orderkey") % 2 == 1).orderBy("h").limit(k)
+    merged = [r.h for r in ha.unionAll(hb).orderBy("h").limit(k).collect()]
+    assert merged == whole
