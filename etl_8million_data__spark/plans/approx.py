@@ -911,3 +911,203 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+_H32 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(8), i -> CAST(strpos('0123456789abcdef', "
+    "md5({expr})[i+1:i+1]) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+)
+
+
+@register(
+    "corpus_weighted_sample_tickets",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(least(1 + n_chars // 200, 8) AS BIGINT) AS weight
+      FROM documents),
+    t AS (
+      SELECT doc_id, weight,
+             {_H32.format(expr="doc_id::VARCHAR || '#t#' || u.i::VARCHAR")} AS h
+      FROM w, unnest(range(weight)) AS u(i)),
+    k AS (SELECT doc_id, weight, min(h) AS min_ticket
+          FROM t GROUP BY doc_id, weight)
+    SELECT doc_id, weight, min_ticket,
+           CAST(row_number() OVER (ORDER BY min_ticket, doc_id) AS BIGINT) AS draw
+    FROM k
+    ORDER BY min_ticket, doc_id
+    LIMIT 100
+    """,
+    tags=("sampling", "weighted", "sketch", "extension", "scale-path"),
+)
+def corpus_weighted_sample_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement via replicated-ticket
+    min-hash (the bottom-k weighted sampling scheme, Cohen & Kaplan's
+    bottom-k sketch family): every document gets ``weight`` integer
+    tickets (here weight = 1 + n_chars/200 capped at 8 — TOKEN-BUDGET-
+    proportional sampling, the draw a pre-training mixture actually
+    wants: long documents carry more of the budget), each ticket hashes
+    md5(doc_id#t#i), a document's KEY is its minimum ticket, and the
+    sample is the bottom-100 keys. P(doc holds the global minimum) is
+    EXACTLY weight/Σweights (its tickets are that fraction of all iid
+    tickets); successive draws follow the bottom-k order — the
+    integer-exact, engine-portable stand-in for Efraimidis-Spirtakis
+    u^(1/w) keys, whose libm pow/ln would not hash-match across
+    engines. Mergeable like every bottom-k: union per-shard samples,
+    re-truncate.
+
+    Scale shape: explode fans each doc to <= 8 ticket rows (bounded by
+    the weight cap, never by corpus size), one (doc_id) min-aggregate
+    with map-side partials, TakeOrderedAndProject for the bottom-100 —
+    no global sort, no rand(), no floats."""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.least(1 + F.expr("n_chars div 200"), F.lit(8)).cast("bigint").alias("weight"),
+    )
+    t = w.select(
+        "doc_id",
+        "weight",
+        F.explode(F.sequence(F.lit(0), F.col("weight") - 1)).alias("i"),
+    )
+    h = hex_prefix_int(
+        md5_utf8(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#t#"), F.col("i").cast("string")
+            )
+        ),
+        8,
+    )
+    k = (
+        t.select("doc_id", "weight", h.alias("h"))
+        .groupBy("doc_id", "weight")
+        .agg(F.min("h").alias("min_ticket"))
+    )
+    from pyspark.sql import Window
+
+    ordered = k.orderBy("min_ticket", "doc_id").limit(100)
+    return ordered.select(
+        "doc_id",
+        "weight",
+        "min_ticket",
+        F.row_number()
+        .over(Window.orderBy("min_ticket", "doc_id"))
+        .cast("bigint")
+        .alias("draw"),
+    )
+
+
+@register(
+    "sketch_bottomk_quantiles_by_group",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders),
+    samp AS (
+      SELECT grp, cents, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS hr
+        FROM v) WHERE hr <= 256),
+    kg AS (SELECT grp, count(*) AS k FROM samp GROUP BY grp),
+    sr AS (SELECT grp, cents,
+                  row_number() OVER (PARTITION BY grp ORDER BY cents, h) AS rn
+           FROM samp),
+    ng AS (SELECT grp, count(*) AS n FROM v GROUP BY grp),
+    fr AS (SELECT grp, cents,
+                  row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn
+           FROM v),
+    grid AS (SELECT CAST(unnest([50, 95]) AS INT) AS q_pct),
+    a AS (SELECT s.grp, g.q_pct, s.cents AS approx_cents
+          FROM grid g CROSS JOIN kg JOIN sr s
+            ON s.grp = kg.grp
+           AND s.rn = CAST(ceil(g.q_pct * kg.k / 100.0) AS BIGINT)),
+    e AS (SELECT f.grp, g.q_pct, f.cents AS exact_cents
+          FROM grid g CROSS JOIN ng JOIN fr f
+            ON f.grp = ng.grp
+           AND f.rn = CAST(ceil(g.q_pct * ng.n / 100.0) AS BIGINT))
+    SELECT a.grp, a.q_pct, a.approx_cents, e.exact_cents,
+           (1000000 * abs(a.approx_cents - e.exact_cents))
+             // greatest(e.exact_cents, 1) AS rel_err_micro
+    FROM a JOIN e ON e.grp = a.grp AND e.q_pct = a.q_pct
+    ORDER BY a.grp, a.q_pct
+    """,
+    tags=("sketch", "quantile", "approx", "grouped", "extension", "scale-path"),
+)
+def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom-k quantile sketch PER GROUP (order priority): one
+    hash-rank window caps each group's sample at k=256 (groups smaller
+    than k keep everything and the sketch is exact there), quantiles
+    read at integer rank ceil(q·k_g) within each group, with the exact
+    per-group discrete quantile and integer-micro relative error in the
+    same frame — the per-source length/price-distribution audit shape a
+    curation pipeline runs per domain. Same mergeability as the global
+    sketch, per group.
+
+    Scale shape: the sample window partitions by group (never global);
+    everything downstream is |groups| x k bounded. The exact audit side
+    windows the full data per group — at 100 TB you run the sketch side
+    alone per the family's standing contract."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.text import md5_utf8
+
+    k = 256
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        md5_utf8(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    samp = v.withColumn(
+        "hr", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    ).filter(F.col("hr") <= k)
+    kg = samp.groupBy("grp").agg(F.count(F.lit(1)).alias("k"))
+    sr = samp.select(
+        "grp",
+        "cents",
+        F.row_number().over(Window.partitionBy("grp").orderBy("cents", "h")).alias("rn"),
+    )
+    ng = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    fr = v.select(
+        "grp",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "o_orderkey"))
+        .alias("rn"),
+    )
+    grid = spark.createDataFrame([(50,), (95,)], "q_pct int")
+    a = (
+        kg.crossJoin(F.broadcast(grid))
+        .select(
+            "grp", "q_pct", F.ceil(F.col("q_pct") * F.col("k") / 100.0).cast("bigint").alias("rn")
+        )
+        .join(sr, ["grp", "rn"])
+        .select("grp", "q_pct", F.col("cents").alias("approx_cents"))
+    )
+    e = (
+        ng.crossJoin(F.broadcast(grid))
+        .select(
+            "grp", "q_pct", F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("bigint").alias("rn")
+        )
+        .join(fr, ["grp", "rn"])
+        .select("grp", "q_pct", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        a.join(e, ["grp", "q_pct"])
+        .select(
+            "grp",
+            "q_pct",
+            "approx_cents",
+            "exact_cents",
+            F.expr(
+                "(1000000 * abs(approx_cents - exact_cents))"
+                " div greatest(exact_cents, 1)"
+            ).alias("rel_err_micro"),
+        )
+        .orderBy("grp", "q_pct")
+    )

@@ -205,3 +205,73 @@ def test_bottomk_quantile_sketch_error_and_mergeability(spark, sf_dir):
     hb = o.filter(F.col("o_orderkey") % 2 == 1).orderBy("h").limit(k)
     merged = [r.h for r in ha.unionAll(hb).orderBy("h").limit(k).collect()]
     assert merged == whole
+
+
+def test_weighted_sample_skews_toward_heavy_docs_and_merges(spark, sf_dir):
+    """The replicated-ticket weighted sample must actually skew toward
+    high-weight documents (selected mean weight > corpus mean weight —
+    non-vacuous on the fixtures, whose n_chars vary), and the bottom-k
+    key set must merge: bottom-100 of the whole == re-truncated union
+    of the halves' bottom-100s."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.plans import all_queries
+
+    q = all_queries()["corpus_weighted_sample_tickets"]
+    sel = q.build(spark, sf_dir)
+    rows = sel.collect()
+    assert len(rows) == 100
+    assert [r.draw for r in rows] == sorted(r.draw for r in rows)
+
+    from etl_8million_data__spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_mean_w = (
+        d.select(
+            F.least(1 + F.expr("n_chars div 200"), F.lit(8)).alias("w")
+        ).agg(F.avg("w")).first()[0]
+    )
+    sel_mean_w = sum(r.weight for r in rows) / len(rows)
+    assert sel_mean_w > corpus_mean_w, (sel_mean_w, corpus_mean_w)
+
+    # mergeability on the (min_ticket, doc_id) key order: per-half
+    # bottom-100s recomputed from scratch (the real shard-merge path)
+    whole = [(r.min_ticket, r.doc_id) for r in rows]
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    w = d.select(
+        "doc_id",
+        F.least(1 + F.expr("n_chars div 200"), F.lit(8)).cast("bigint").alias("weight"),
+    )
+    t = w.select(
+        "doc_id", "weight",
+        F.explode(F.sequence(F.lit(0), F.col("weight") - 1)).alias("i"),
+    )
+    h = hex_prefix_int(
+        md5_utf8(F.concat(F.col("doc_id").cast("string"), F.lit("#t#"), F.col("i").cast("string"))), 8
+    )
+    k = (
+        t.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("mt"))
+    )
+    merged = (
+        k.filter(F.col("doc_id") % 2 == 0).orderBy("mt", "doc_id").limit(100)
+        .unionAll(k.filter(F.col("doc_id") % 2 == 1).orderBy("mt", "doc_id").limit(100))
+        .orderBy("mt", "doc_id").limit(100)
+    )
+    got = [(r.mt, r.doc_id) for r in merged.collect()]
+    assert got == whole
+
+
+def test_grouped_quantile_sketch_covers_groups_with_bounded_error(spark, sf_dir):
+    from etl_8million_data__spark.plans import all_queries
+
+    rows = all_queries()["sketch_bottomk_quantiles_by_group"].build(
+        spark, sf_dir
+    ).collect()
+    groups = {r.grp for r in rows}
+    assert len(groups) == 5  # all order priorities audited
+    assert all(r.rel_err_micro <= 250_000 for r in rows), [
+        (r.grp, r.q_pct, r.rel_err_micro) for r in rows
+    ]
