@@ -140,3 +140,41 @@ def sampled_range_bounds(
             F.col("_v").alias("bound_value"),
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: Column | str,
+    tiebreak_col: str,
+    bucket_expr: Column,
+    out_col: str = "grank",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Global (or per-group) rank under the (order_col asc, tiebreak)
+    total order WITHOUT an unpartitioned window — the rank-select
+    sibling of :func:`global_ntile`: ``bucket_expr`` must be monotone
+    in ``order_col``; cumulative bucket counts form a bounded boundary
+    table (per group) that broadcasts back, and the rank is offset +
+    per-(group, bucket) row_number. Every data-sized window partitions
+    on (group, bucket); the only unpartitioned-looking window runs over
+    the aggregated boundary table (rows = |groups| x |buckets|).
+    Returns the input columns plus ``out_col``."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    keys = list(group_cols)
+    staged = df.withColumn("_b", bucket_expr)
+    hist = staged.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = (
+        Window.partitionBy(*keys).orderBy(F.col("_b").asc())
+        if keys
+        else Window.orderBy(F.col("_b").asc())
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bounds = hist.select(
+        *keys, "_b", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    local_w = Window.partitionBy(*keys, "_b").orderBy(oc.asc(), F.col(tiebreak_col))
+    return (
+        staged.withColumn("_lr", F.row_number().over(local_w))
+        .join(F.broadcast(bounds), keys + ["_b"])
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_b", "_off", "_lr")
+    )

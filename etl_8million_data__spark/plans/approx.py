@@ -875,12 +875,21 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 256
     samp = v.select("cents", "h").orderBy("h").limit(k)
     sr = samp.select(
+        # the sample window is k-bounded by construction (256 rows)
         "cents", F.row_number().over(Window.orderBy("cents", "h")).alias("rn")
     )
-    fr = v.select(
+    # exact side: global rank WITHOUT a single-partition window — range
+    # buckets of the cents value feed the boundary-table offset trick
+    # (operators/partitioning.global_rank), same total order
+    from etl_8million_data__spark.operators.partitioning import global_rank
+
+    fr = global_rank(
+        v.select("cents", "o_orderkey"),
         "cents",
-        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("rn"),
-    )
+        "o_orderkey",
+        F.expr("cents div 1000000"),
+        out_col="rn",
+    ).select("cents", "rn")
     n = v.agg(F.count(F.lit(1)).alias("n"))
     grid = spark.createDataFrame([(25,), (50,), (90,), (95,), (99,)], "q_pct int")
     a = (
@@ -1063,23 +1072,35 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         md5_utf8(F.col("o_orderkey").cast("string")).alias("h"),
     )
-    samp = v.withColumn(
-        "hr", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    from etl_8million_data__spark.operators.partitioning import global_rank
+
+    # per-group bottom-k by hash WITHOUT a per-group full sort: the hash
+    # string's first 2 hex chars are a monotone bucket of its
+    # lexicographic order (fixed-length lowercase hex)
+    samp = global_rank(
+        v,
+        "h",
+        "o_orderkey",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint"),
+        out_col="hr",
+        group_cols=("grp",),
     ).filter(F.col("hr") <= k)
     kg = samp.groupBy("grp").agg(F.count(F.lit(1)).alias("k"))
     sr = samp.select(
+        # k-bounded per group (<= 256 rows each)
         "grp",
         "cents",
         F.row_number().over(Window.partitionBy("grp").orderBy("cents", "h")).alias("rn"),
     )
     ng = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    fr = v.select(
-        "grp",
+    fr = global_rank(
+        v.select("grp", "cents", "o_orderkey"),
         "cents",
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy("cents", "o_orderkey"))
-        .alias("rn"),
-    )
+        "o_orderkey",
+        F.expr("cents div 1000000"),
+        out_col="rn",
+        group_cols=("grp",),
+    ).select("grp", "cents", "rn")
     grid = spark.createDataFrame([(50,), (95,)], "q_pct int")
     a = (
         kg.crossJoin(F.broadcast(grid))

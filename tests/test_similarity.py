@@ -685,3 +685,82 @@ def test_isotropy_audit_in_healthy_range(spark, sf_dir):
     for r in rows:
         assert 5_000 <= r.anisotropy_micro <= 60_000, (r.label, r.anisotropy_micro)
         assert 0 < r.mean_vec_norm2_micro < r.avg_norm2_micro
+
+
+def test_mmr_diversifies_on_planted_clusters(spark):
+    """Semantic non-vacuity for MMR (the oracle only proves SQL
+    equivalence): on 3 planted clusters with the query nearest cluster
+    0, plain top-5 collapses onto cluster 0 while MMR's rank list pulls
+    in a second cluster; rank 1 must equal the plain argmax (nothing
+    selected yet to repel from), and every pick comes from the
+    candidate shortlist."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.similarity import (
+        dot,
+        knn_bruteforce,
+        mmr_select,
+        norm2,
+    )
+
+    def vec(center_dim, member):
+        v = [0.0] * 8
+        v[center_dim] = 10.0
+        v[3 + center_dim] = 1.0 + 0.1 * member  # deterministic jitter
+        return v
+
+    rows = []
+    vid = 0
+    for c in range(3):
+        for m in range(10):
+            rows.append((vid, c, vec(c, m)))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<double>")
+    qv = [0.0] * 8
+    qv[0], qv[1], qv[2] = 10.0, 3.0, 2.0
+    q = spark.createDataFrame([(999, qv)], "query_id long, query_vec array<double>")
+
+    cands = (
+        knn_bruteforce(emb, q, k=20)
+        .select("query_id", "vec_id", F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    ce = cands.select("query_id", "vec_id").join(e, "vec_id")
+    a = ce.select(
+        "query_id", F.col("vec_id").alias("a"),
+        F.col("embedding").alias("_va"), F.col("n2").alias("_na"),
+    )
+    b = ce.select(
+        "query_id", F.col("vec_id").alias("b"),
+        F.col("embedding").alias("_vb"), F.col("n2").alias("_nb"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.sqrt("_na") * F.sqrt("_nb"))).alias("sim"),
+        )
+    )
+    sel = mmr_select(cands, sims, k=5)
+    cl = {r.vec_id: r.cluster for r in emb.collect()}
+    plain = [
+        r.vec_id
+        for r in cands.orderBy(F.col("rel").desc(), "vec_id").limit(5).collect()
+    ]
+    picks = sel.orderBy("rank").collect()
+    mmr_ids = [r.vec_id for r in picks]
+
+    cand_ids = {r.vec_id for r in cands.collect()}
+    assert set(mmr_ids) <= cand_ids
+    assert len(mmr_ids) == len(set(mmr_ids)) == 5
+    assert mmr_ids[0] == plain[0]  # rank 1 == plain argmax
+    assert {cl[v] for v in plain} == {0}, "fixture broken: plain top-5 not pure"
+    assert len({cl[v] for v in mmr_ids}) >= 2, "MMR failed to diversify"
+    # the greedy score column is internally consistent: rank-1 score is
+    # its relevance; later scores are rel/2 - maxsim/2 <= rel
+    rel = {r.vec_id: r.rel for r in cands.collect()}
+    assert abs(picks[0].mmr_score - rel[mmr_ids[0]]) < 1e-12
+    for p in picks[1:]:
+        assert p.mmr_score <= rel[p.vec_id] / 2 + 0.5 + 1e-12
