@@ -52,6 +52,11 @@ def build_postings(
     _postings_frame(docs, text_col, id_col).write.mode("overwrite").partitionBy(
         "pfx"
     ).parquet(index_path)
+    import shutil
+
+    for side in ("_doclen", "_tombstones"):
+        shutil.rmtree(f"{index_path}/{side}", ignore_errors=True)
+    _write_sidecars(docs, index_path, text_col, id_col)
 
 
 def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
@@ -87,6 +92,7 @@ def append_documents(
         _postings_frame(fresh_docs, "_text", "doc_id").write.mode(
             "append"
         ).partitionBy("pfx").parquet(index_path)
+        _write_sidecars(fresh_docs, index_path, "_text", "doc_id")
     return n
 
 
@@ -124,7 +130,7 @@ def phrase_probe(
         "token",
         F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 1).alias("pfx"),
     )
-    idx = _read_index(spark, index_path)
+    idx = _minus_tombstones(spark, index_path, _read_index(spark, index_path))
     cand = idx.join(F.broadcast(q), ["pfx", "token"]).select(
         "phrase", "n_words", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
         "off",
@@ -137,3 +143,168 @@ def phrase_probe(
     return anchors.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).alias("n_occ"), F.min("anchor").alias("first_pos")
     )
+
+
+# --- ranked retrieval + deletion over the persisted index. Sidecar
+# state lives in underscore-prefixed subdirectories (Spark's parquet
+# reader skips hidden paths, so the postings scan never sees them):
+# ``_doclen/`` (doc_id, dl) appended per batch — the per-document token
+# counts BM25 needs, and the source of corpus stats (n_docs, avgdl) so
+# they are always consistent with deletions; ``_tombstones/`` (doc_id)
+# — logical deletes. Term-partitioned postings spread one document
+# across every pfx partition, so a physical per-doc delete would
+# rewrite the whole index; the production answer is the tombstone
+# (Lucene's deleted-docs bitmap): probes anti-join it immediately,
+# and vacuum applies it physically when compaction is due anyway.
+
+
+def _doclen_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    ).filter(F.col("dl") >= 1)
+
+
+def _write_sidecars(docs: DataFrame, index_path: str, text_col: str, id_col: str) -> None:
+    _doclen_frame(docs, text_col, id_col).write.mode("append").parquet(
+        f"{index_path}/_doclen"
+    )
+
+
+def _live_doclen(spark: SparkSession, index_path: str) -> DataFrame:
+    """(doc_id, dl) minus tombstoned docs — the live-corpus view every
+    ranked probe scores against."""
+    dl = spark.read.parquet(f"{index_path}/_doclen")
+    return _minus_tombstones(spark, index_path, dl)
+
+
+def _minus_tombstones(spark: SparkSession, index_path: str, df: DataFrame) -> DataFrame:
+    import os
+
+    t = f"{index_path}/_tombstones"
+    if not os.path.isdir(t):
+        return df
+    return df.join(spark.read.parquet(t).select("doc_id"), "doc_id", "left_anti")
+
+
+def tombstone_documents(spark: SparkSession, index_path: str, ids: DataFrame) -> int:
+    """Logically delete documents: append their ids to ``_tombstones/``.
+    Every probe excludes them immediately (and BM25's corpus stats
+    shrink accordingly) while the postings files stay byte-identical —
+    deletion cost O(ids), not O(index). Returns ids newly tombstoned
+    (re-tombstoning is a no-op append of nothing)."""
+    import os
+
+    victims = ids.select(F.col(ids.columns[0]).alias("doc_id")).distinct()
+    t = f"{index_path}/_tombstones"
+    if os.path.isdir(t):
+        victims = victims.join(
+            spark.read.parquet(t).select("doc_id"), "doc_id", "left_anti"
+        )
+    victims = victims.localCheckpoint(eager=True)
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(t)
+    return n
+
+
+def vacuum_tombstones(spark: SparkSession, index_path: str) -> int:
+    """Apply tombstones physically: rewrite postings and _doclen minus
+    the tombstoned docs (atomic tmp+swap per table — the full rewrite a
+    term-partitioned layout honestly costs, scheduled with compaction),
+    then clear the tombstone set. Probes return identical results
+    before and after (asserted in tests). Returns docs removed."""
+    import os
+    import shutil
+    import uuid
+
+    t = f"{index_path}/_tombstones"
+    if not os.path.isdir(t):
+        return 0
+    dead = spark.read.parquet(t).select("doc_id").distinct().localCheckpoint(eager=True)
+    n = dead.count()
+    if not n:
+        shutil.rmtree(t)
+        return 0
+
+    def rewrite_subdir(path: str) -> None:
+        kept = (
+            spark.read.parquet(path)
+            .join(dead, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    # sidecar first (a plain subdir swap), because the postings swap
+    # below replaces the index ROOT and must carry the sidecar across
+    rewrite_subdir(f"{index_path}/_doclen")
+    kept_postings = (
+        spark.read.parquet(index_path)  # hidden sidecar paths skipped
+        .join(dead, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    tmp = f"{index_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    kept_postings.write.mode("overwrite").partitionBy("pfx").parquet(tmp)
+    os.rename(f"{index_path}/_doclen", f"{tmp}/_doclen")
+    old_root = f"{index_path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(index_path, old_root)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old_root)  # old postings + the applied _tombstones
+    return n
+
+
+def bm25_probe(
+    spark: SparkSession,
+    index_path: str,
+    terms: DataFrame,
+    k: int = 10,
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 top-k per query term against the persisted index, with the
+    exact scorer of the registered ``search_bm25_rsj_topk`` query
+    (log-free RSJ idf, k1=1.2, b=0.75 — identical expression tree, so
+    probe == in-memory is exact equality, asserted in tests): the
+    postings scan joins the broadcast term list on (pfx, token) — the
+    partition-pruning shape phrase_probe measures — tf and df are
+    hash aggregates over ONLY the probed terms' postings, and corpus
+    stats (n_docs, avgdl) + per-candidate doc lengths come from the
+    live ``_doclen`` view, so tombstoned documents neither score nor
+    distort idf. Returns (term, doc_id, bm25, rn)."""
+    q = terms.select(
+        F.col(term_col).alias("token"),
+        F.substring(F.md5(F.encode(F.col(term_col), "UTF-8")), 1, 1).alias("pfx"),
+    ).distinct()
+    idx = _read_index(spark, index_path)
+    cand = _minus_tombstones(
+        spark, index_path, idx.join(F.broadcast(q), ["pfx", "token"])
+    )
+    tf = cand.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = _live_doclen(spark, index_path)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    bm25 = ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))) * (
+        (tfd * F.lit(2.2))
+        / (tfd + (F.lit(1.2) * (F.lit(0.25) + ((F.lit(0.75) * dld) / F.col("avgdl")))))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("token").alias("term"), "doc_id", bm25.alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -92,3 +92,140 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
         )
     )
     assert "dynamicpruning" in extended, "phrase probe lost partition pruning on pfx"
+
+
+def _bm25_reference(spark, docs, terms, k=10):
+    """In-memory BM25 with the exact expression tree of the registered
+    search_bm25_rsj_topk query — the probe must equal this exactly."""
+    from etl_8million_data__spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .join(spark.createDataFrame([(x,) for x in terms], "token string"), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd, dfd = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    bm25 = ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))) * (
+        (tfd * F.lit(2.2))
+        / (tfd + (F.lit(1.2) * (F.lit(0.25) + ((F.lit(0.75) * dld) / F.col("avgdl")))))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("token").alias("term"), "doc_id", bm25.alias("bm25"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def _rows(df):
+    return sorted(
+        (r.term, r.doc_id, round(r.bm25, 12), r.rn)
+        for r in df.select("term", "doc_id", "bm25", "rn").collect()
+    )
+
+
+def test_bm25_probe_matches_in_memory_scorer(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.search_index import bm25_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm")
+    build_postings(docs, idx)
+    terms = ["table", "row", "fast"]
+    tq = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = bm25_probe(spark, idx, tq, k=10)
+    want = _bm25_reference(spark, docs, terms, k=10)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
+
+
+def test_bm25_probe_sees_appended_docs(spark, sf_dir, tmp_path):
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.search_index import bm25_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "bma")
+    build_postings(seed, idx)
+    assert append_documents(seed, idx) == 0  # skip-existing
+    assert append_documents(docs, idx) == docs.count() - seed.count()
+    tq = spark.createDataFrame([("table",), ("row",)], "term string")
+    got = bm25_probe(spark, idx, tq, k=10)
+    want = _bm25_reference(spark, docs, ["table", "row"], k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_tombstones_hide_docs_without_touching_postings(spark, sf_dir, tmp_path):
+    import os
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.search_index import (
+        bm25_probe,
+        tombstone_documents,
+        vacuum_tombstones,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bmt")
+    build_postings(docs, idx)
+    tq = spark.createDataFrame([("table",)], "term string")
+    before = bm25_probe(spark, idx, tq, k=5).collect()
+    victim = before[0].doc_id
+
+    def postings_state():
+        out = {}
+        for dirpath, _, files in os.walk(idx):
+            if "_doclen" in dirpath or "_tombstones" in dirpath:
+                continue
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    pre = postings_state()
+    vdf = spark.createDataFrame([(victim,)], "doc_id long")
+    assert tombstone_documents(spark, idx, vdf) == 1
+    assert tombstone_documents(spark, idx, vdf) == 0  # idempotent
+    assert postings_state() == pre  # postings bytes untouched
+
+    # the tombstoned doc vanishes AND stats shrink: probe equals the
+    # in-memory scorer over the corpus minus the victim
+    live = docs.filter(F.col("doc_id") != victim)
+    got = bm25_probe(spark, idx, tq, k=5)
+    want = _bm25_reference(spark, live, ["table"], k=5)
+    assert _rows(got) == _rows(want)
+    assert victim not in {r.doc_id for r in got.collect()}
+
+    # phrase probe respects tombstones too
+    sample_phrase = " ".join(
+        docs.filter(F.col("doc_id") == victim).first().text.split()[:3]
+    )
+    ph = spark.createDataFrame([(sample_phrase,)], "phrase string")
+    assert victim not in {
+        r.doc_id for r in phrase_probe(spark, idx, ph).collect()
+    }
+
+    # vacuum applies physically, clears tombstones, probes unchanged
+    pre_vac = _rows(got)
+    assert vacuum_tombstones(spark, idx) == 1
+    assert not os.path.isdir(f"{idx}/_tombstones")
+    assert (
+        spark.read.parquet(idx).filter(F.col("doc_id") == victim).count() == 0
+    )
+    assert _rows(bm25_probe(spark, idx, tq, k=5)) == pre_vac
+    assert vacuum_tombstones(spark, idx) == 0
