@@ -606,3 +606,28 @@ def stream_contamination_guard(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_postings_increment(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming document ingest into the persisted positional text
+    index (operators/search_index.py) — the text twin of
+    stream_ann_index_increment: each micro-batch tokenizes ITS OWN
+    documents only and appends their postings (and _doclen sidecar
+    rows) skip-existing by doc_id, so a redelivered or fully replayed
+    batch is a natural no-op and phrase/BM25 probes against the index
+    equal a fresh batch build (asserted in tests)."""
+    from etl_8million_data__spark.operators.search_index import append_documents
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_documents(batch_df, index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

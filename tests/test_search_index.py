@@ -229,3 +229,53 @@ def test_tombstones_hide_docs_without_touching_postings(spark, sf_dir, tmp_path)
     )
     assert _rows(bm25_probe(spark, idx, tq, k=5)) == pre_vac
     assert vacuum_tombstones(spark, idx) == 0
+
+
+def test_stream_postings_increment_matches_batch_build(spark, sf_dir, tmp_path):
+    """Replaying the documents as a stream must leave the text index
+    probing identically (phrase AND BM25) to a fresh batch build, and a
+    second replay must be a no-op (skip-existing replay idempotence —
+    same contract as every other persisted-index streaming twin)."""
+    import os
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.search_index import bm25_probe
+    from etl_8million_data__spark.streaming.jobs import stream_postings_increment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    idx = str(tmp_path / "stream_idx")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).parquet(stage).select("doc_id", "text")
+        )
+        stream_postings_increment(stream, idx, str(tmp_path / ckpt)).awaitTermination()
+
+    run("ckpt1")
+    n_docs = spark.read.parquet(f"{idx}/_doclen").count()
+    assert n_docs == docs.count()
+    run("ckpt2")  # fresh checkpoint, same data -> skip-existing no-op
+    assert spark.read.parquet(f"{idx}/_doclen").count() == n_docs
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_postings(docs, batch_idx)
+    tq = spark.createDataFrame([("table",), ("row",)], "term string")
+    assert _rows(bm25_probe(spark, idx, tq, k=10)) == _rows(
+        bm25_probe(spark, batch_idx, tq, k=10)
+    )
+    sample = " ".join(docs.first().text.split()[:3])
+    ph = spark.createDataFrame([(sample,)], "phrase string")
+    got = {
+        (r.phrase, r.doc_id, r.n_occ, r.first_pos)
+        for r in phrase_probe(spark, idx, ph).collect()
+    }
+    want = {
+        (r.phrase, r.doc_id, r.n_occ, r.first_pos)
+        for r in phrase_probe(spark, batch_idx, ph).collect()
+    }
+    assert got == want and got
