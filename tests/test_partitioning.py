@@ -119,3 +119,46 @@ def test_global_ntile_matches_spark_ntile(spark):
     ]
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(check, cases))
+
+
+def test_global_rank_matches_unpartitioned_window(spark):
+    """global_rank (boundary-table rank-select) must equal
+    row_number() OVER a global (v, id) order exactly — heavy ties
+    spanning bucket boundaries, groups of unequal size, and empty-ish
+    buckets; grouped and ungrouped forms."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    from etl_8million_data__spark.operators.partitioning import global_rank
+
+    vals = [0, 1, 5, 5, 5, 7, 12, 12, 13, 25, 25, 25, 25, 40, 99]
+    rows = [(i, vals[i % len(vals)], f"g{i % 3}") for i in range(47)]
+    df = spark.createDataFrame(rows, "id long, v long, grp string")
+    bucket = SF.floor(SF.col("v") / 10).cast("bigint")
+
+    # ungrouped
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id", SF.row_number().over(W.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.id: r.grank
+        for r in global_rank(df, "v", "id", bucket).collect()
+    }
+    assert got == want
+
+    # grouped
+    want_g = {
+        r.id: r.rn
+        for r in df.select(
+            "id",
+            SF.row_number().over(W.partitionBy("grp").orderBy("v", "id")).alias("rn"),
+        ).collect()
+    }
+    got_g = {
+        r.id: r.grank
+        for r in global_rank(df, "v", "id", bucket, group_cols=("grp",)).collect()
+    }
+    assert got_g == want_g

@@ -91,6 +91,14 @@ AUDIT = {
     # round's localCheckpoint (lineage truncation, like kcore); the
     # final visible plan is the union of the 5 checkpointed picks.
     "search_mmr_diversified": ["Union"],
+    # bottom-k quantile sketch: the 256-row hash sample must be
+    # per-partition heaps (TakeOrderedAndProject), never a global sort;
+    # the exact-audit side ranks through bucket-partitioned windows.
+    "sketch_bottomk_quantiles": ["TakeOrderedAndProject", "Window"],
+    "sketch_bottomk_quantiles_by_group": ["Window", "HashAggregate"],
+    # weighted sample: bounded ticket explode (Generate), min-ticket
+    # hash aggregate with map-side partials, bottom-100 via TakeOrdered.
+    "corpus_weighted_sample_tickets": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
