@@ -1,0 +1,89 @@
+"""Consistency audits (fsck) for the persisted index layouts — the
+check a production store runs after crashes, partial writes, or manual
+surgery, and before trusting an index enough to serve probes from it.
+Each audit returns ONE row of violation counts (all zeros = healthy);
+callers alert on any nonzero. Audits are pure reads — column-pruned
+scans and hash aggregates, never a rewrite — so running them against a
+100 TB index costs one pass over the narrow columns involved.
+
+Invariants checked:
+
+- text index (operators/search_index.py): the postings' doc set and the
+  ``_doclen`` sidecar's doc set must match exactly (a missing sidecar
+  row silently drops a doc from BM25 scoring; an orphan sidecar row
+  inflates idf); per-doc posting count must equal its recorded dl (the
+  tokenizer writes one row per token); no tombstoned id may appear in
+  ``_doclen``'s live view implicitly — tombstones are allowed to
+  reference already-vacuumed ids (idempotence), so they are NOT a
+  violation, only duplicated doclen rows are.
+- cell-partitioned ANN index (incremental_ann layouts): exactly one row
+  per vec_id (a double-append would silently double a vector's chance
+  of surfacing); every cell id within [0, n_cells) when bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fsck_text_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """One-row health report for a persisted text index:
+    (n_docs_postings, n_docs_doclen, n_missing_doclen, n_orphan_doclen,
+    n_len_mismatch, n_dup_doclen). All-zero violation columns = healthy."""
+    postings = spark.read.parquet(index_path)
+    dl = spark.read.parquet(f"{index_path}/_doclen")
+    pc = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_post"))
+    dc = dl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.min("dl").alias("dl")
+    )
+    j = pc.join(dc, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("n_post").isNotNull(), 1)).alias("n_docs_postings"),
+        F.count(F.when(F.col("n_rows").isNotNull(), 1)).alias("n_docs_doclen"),
+        F.count(
+            F.when(F.col("n_post").isNotNull() & F.col("n_rows").isNull(), 1)
+        ).alias("n_missing_doclen"),
+        F.count(
+            F.when(F.col("n_rows").isNotNull() & F.col("n_post").isNull(), 1)
+        ).alias("n_orphan_doclen"),
+        F.count(
+            F.when(
+                F.col("n_post").isNotNull()
+                & F.col("n_rows").isNotNull()
+                & (F.col("n_post") != F.col("dl")),
+                1,
+            )
+        ).alias("n_len_mismatch"),
+        F.count(F.when(F.col("n_rows") > 1, 1)).alias("n_dup_doclen"),
+    )
+
+
+def fsck_ann_index(
+    spark: SparkSession,
+    vectors_path: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row health report for a cell-partitioned ANN index:
+    (n_rows, n_ids, n_dup_ids, n_bad_cell). A duplicated id means a
+    broken skip-existing append; a cell outside [0, n_cells) means the
+    router and the stored layout disagree."""
+    idx = spark.read.option("mergeSchema", "true").parquet(vectors_path)
+    per = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    bad_cell = (
+        (F.col("cell") < 0) | (F.col("cell") >= n_cells)
+        if n_cells is not None
+        else F.lit(False)
+    )
+    counts = idx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(bad_cell, 1)).alias("n_bad_cell"),
+    )
+    dups = per.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_ids"),
+    )
+    return counts.crossJoin(F.broadcast(dups)).select(
+        "n_rows", "n_ids", "n_dup_ids", "n_bad_cell"
+    )

@@ -279,3 +279,49 @@ def test_stream_postings_increment_matches_batch_build(spark, sf_dir, tmp_path):
         for r in phrase_probe(spark, batch_idx, ph).collect()
     }
     assert got == want and got
+
+
+def test_fsck_detects_planted_corruptions(spark, sf_dir, tmp_path):
+    """Index fsck: a freshly built text index and ANN index audit
+    all-zero; planted corruptions (orphan doclen row, duplicated ANN
+    append bypassing skip-existing) are counted, not missed."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.incremental_ann import build_index_kmeans
+    from etl_8million_data__spark.operators.index_fsck import (
+        fsck_ann_index,
+        fsck_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "fsck_text")
+    build_postings(docs, idx)
+    r = fsck_text_index(spark, idx).first()
+    assert r.n_docs_postings == r.n_docs_doclen
+    assert (r.n_missing_doclen, r.n_orphan_doclen, r.n_len_mismatch, r.n_dup_doclen) == (0, 0, 0, 0)
+
+    # plant an orphan + a duplicate doclen row
+    spark.createDataFrame(
+        [(987654321, 5), (docs.first().doc_id, 5)], "doc_id long, dl bigint"
+    ).write.mode("append").parquet(f"{idx}/_doclen")
+    r2 = fsck_text_index(spark, idx).first()
+    assert r2.n_orphan_doclen == 1
+    assert r2.n_dup_doclen == 1
+    # the duplicate's bogus dl also shows as a length mismatch
+    assert r2.n_len_mismatch >= 1
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    km = str(tmp_path / "fsck_km")
+    build_index_kmeans(emb, km, k_cells=8, iters=2)
+    a = fsck_ann_index(spark, f"{km}/vectors", n_cells=8).first()
+    assert a.n_rows == a.n_ids == emb.count()
+    assert (a.n_dup_ids, a.n_bad_cell) == (0, 0)
+
+    # plant a duplicate vector row in a valid cell and one bad cell id
+    one = spark.read.parquet(f"{km}/vectors").limit(1)
+    one.write.mode("append").partitionBy("cell").parquet(f"{km}/vectors")
+    one.withColumn("cell", F.lit(99)).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{km}/vectors")
+    a2 = fsck_ann_index(spark, f"{km}/vectors", n_cells=8).first()
+    assert a2.n_dup_ids == 1
+    assert a2.n_bad_cell == 1
