@@ -864,7 +864,7 @@ def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     candidates, windows partitioned by 2-shingle block keys (never
     data-sized), lead() fan-out instead of a self-join
     (operators/dedup.py:sorted_neighborhood_pairs; recall vs the exact
-    all-pairs truth gated in tests/test_dedup.py)."""
+    all-pairs truth gated in tests/test_snm.py)."""
     from etl_8million_data__spark.operators.dedup import sorted_neighborhood_pairs
 
     return sorted_neighborhood_pairs(
