@@ -1772,10 +1772,57 @@ _HYBRID_DOT = (
 )
 
 
-@register(
-    "search_hybrid_rank_fusion",
-    oracle=f"""
-    WITH cids AS (
+def _hybrid_channels(spark: SparkSession, sf_dir: str, guard_name: str):
+    """The two size-guarded brute-force retrieval channels shared by the
+    rank-fusion queries: lexical top-10 by exact cosine over the 16-dim
+    hashed-BoW vectors, semantic top-10 over the embedding column —
+    returned as (lex(query_id, doc_id, rn_lex), sem(..., rn_sem))."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
+        docs.select("doc_id").distinct(), "doc_id"
+    )
+
+    lvecs = hashed_doc_vectors(spark, sf_dir).join(cids, "doc_id")
+    n2i = F.aggregate(
+        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
+    )
+    # one (id, 16-int vector) row per doc — materialize each channel's
+    # corpus frame once; unchecked, the hashing/intersection pipeline
+    # re-derives for the corpus side, the query side, and the size
+    # guard (24 parquet scans in the unchecked plan, 0 after).
+    le = lvecs.filter(n2i > 0).localCheckpoint(eager=True)
+    assert_baseline_scale(
+        le,
+        200_000,
+        guard_name,
+        "persisted ANN index / knn_ivf on each channel, fusion unchanged",
+    )
+    lq = le.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
+    )
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
+    )
+
+    se = emb.join(
+        cids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    sq = se.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = knn_bruteforce(se, sq, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_sem")
+    )
+    return lex, sem
+
+
+_HYBRID_CHANNELS_SQL = f"""cids AS (
       SELECT d.doc_id
       FROM (SELECT DISTINCT doc_id FROM documents) d
       JOIN (SELECT DISTINCT vec_id FROM embeddings) v ON v.vec_id = d.doc_id),
@@ -1827,7 +1874,13 @@ _HYBRID_DOT = (
       FROM (SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
             FROM sem_scored)
-      WHERE rn <= 10),
+      WHERE rn <= 10)"""
+
+
+@register(
+    "search_hybrid_rank_fusion",
+    oracle=f"""
+    WITH {_HYBRID_CHANNELS_SQL},
     fused AS (
       SELECT coalesce(l.query_id, s.query_id) AS query_id,
              coalesce(l.doc_id, s.doc_id) AS doc_id,
@@ -1849,9 +1902,10 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding) queries BOTH retrieval channels — lexical top-10 by
     exact cosine over the 16-dim hashed-BoW vectors and semantic top-10
     by exact cosine over the embedding column — and the lists are fused
-    with integer Borda scores (list-membership contributes 11 - rank;
-    RRF's 1/(k+rank) would fuse float sums whose addition order differs
-    by engine, Borda fuses exactly).  Final answer: top-5 fused ids per
+    with integer Borda scores (list-membership contributes 11 - rank).
+    RRF's 1/(k+rank) decay is registered as the twin
+    search_hybrid_rrf_fusion — in integer micros with truncating
+    division, so it fuses exactly too.  Final answer: top-5 fused ids per
     query with a (borda DESC, doc_id) total order.  The fusion join is
     keyed (query_id, doc_id) over two |Q|x10 rank lists — trivially
     small no matter the corpus; the expensive parts are the two
@@ -1867,49 +1921,7 @@ def search_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence."""
     from pyspark.sql import Window
 
-    from etl_8million_data__spark.operators.similarity import (
-        assert_baseline_scale,
-        knn_bruteforce,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
-        docs.select("doc_id").distinct(), "doc_id"
-    )
-
-    lvecs = hashed_doc_vectors(spark, sf_dir).join(cids, "doc_id")
-    n2i = F.aggregate(
-        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
-    )
-    # one (id, 16-int vector) row per doc — materialize each channel's
-    # corpus frame once; unchecked, the hashing/intersection pipeline
-    # re-derives for the corpus side, the query side, and the size
-    # guard (24 parquet scans in the unchecked plan, 0 after).
-    le = lvecs.filter(n2i > 0).localCheckpoint(eager=True)
-    assert_baseline_scale(
-        le,
-        200_000,
-        "search_hybrid_rank_fusion",
-        "persisted ANN index / knn_ivf on each channel, fusion unchanged",
-    )
-    lq = le.filter(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
-    )
-    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
-        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
-    )
-
-    se = emb.join(
-        cids.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    ).localCheckpoint(eager=True)
-    sq = se.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    sem = knn_bruteforce(se, sq, k=10).select(
-        "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_sem")
-    )
-
+    lex, sem = _hybrid_channels(spark, sf_dir, "search_hybrid_rank_fusion")
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     borda = (
         F.coalesce(F.lit(11) - F.col("rn_lex"), F.lit(0))
@@ -3193,4 +3205,57 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_micro").alias("sum_w_micro"),
             F.expr("sum(w_micro) div count(1)").alias("mean_w_micro"),
         )
+    )
+
+
+@register(
+    "search_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_HYBRID_CHANNELS_SQL},
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(1000000 // (60 + l.rn_lex), 0)
+                  + coalesce(1000000 // (60 + s.rn_sem), 0) AS BIGINT)
+               AS rrf_micro,
+             l.rn_lex, s.rn_sem
+      FROM lex l FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+    SELECT query_id, doc_id, rrf_micro, rn_lex, rn_sem, rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "search", "fusion", "rrf", "extension"),
+)
+def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion over the same two retrieval channels as
+    search_hybrid_rank_fusion — the fusion rule production hybrid
+    search actually defaults to (Cormack et al. 2009: score =
+    Σ 1/(60 + rank)), made ENGINE-EXACT by working in integer micros
+    with truncating division: 1000000 div (60 + rank) summed as
+    bigints, so the float-summation-order problem the Borda docstring
+    calls out never arises and even the fused scores hash-match. RRF's
+    property over Borda: a doc ranked 1st in one list and absent from
+    the other still beats docs ranked mid-list in both (reciprocal
+    decay), which is usually what you want when channels have very
+    different score scales. Fusion stage is the identical |Q|x10
+    full-outer join; the channels swap to ANN exactly like the Borda
+    twins."""
+    from pyspark.sql import Window
+
+    lex, sem = _hybrid_channels(spark, sf_dir, "search_hybrid_rrf_fusion")
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.coalesce(F.expr("1000000 div (60 + rn_lex)"), F.lit(0))
+        + F.coalesce(F.expr("1000000 div (60 + rn_sem)"), F.lit(0))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "query_id", "doc_id", rrf.alias("rrf_micro"), "rn_lex", "rn_sem"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
     )

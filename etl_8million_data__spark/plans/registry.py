@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_bottomk_quantiles",
     "corpus_weighted_sample_tickets",
     "sketch_bottomk_quantiles_by_group",
+    "search_hybrid_rrf_fusion",
     # NEW in round 6, never driver-sampled through round 6 (the r6
     # verdict's explicit ask: these six must land in the r7 sample)
     "search_bm25_rsj_topk",
