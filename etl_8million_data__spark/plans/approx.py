@@ -1132,3 +1132,127 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("grp", "q_pct")
     )
+
+
+@register(
+    "sketch_join_cardinality",
+    oracle=f"""
+    WITH ak AS (SELECT l_orderkey AS key, count(*) AS a_k
+                FROM lineitem GROUP BY 1),
+    bk AS (SELECT o_orderkey AS key, count(*) AS b_k
+           FROM orders GROUP BY 1),
+    dom AS (SELECT key FROM ak UNION SELECT key FROM bk),
+    hs AS (SELECT key,
+                  {_H32.format(expr="key::VARCHAR")} AS h
+           FROM dom),
+    samp AS (SELECT key, h FROM hs ORDER BY h, key LIMIT 256),
+    th AS (SELECT count(*) AS k_used,
+                  CASE WHEN count(*) < 256 THEN 4294967296 ELSE max(h) END AS theta
+           FROM samp),
+    sp AS (SELECT CAST(sum(coalesce(a.a_k, 0) * coalesce(b.b_k, 0)) AS BIGINT)
+                    AS sum_prod
+           FROM samp s
+           LEFT JOIN ak a ON a.key = s.key
+           LEFT JOIN bk b ON b.key = s.key),
+    actual AS (SELECT CAST(sum(a.a_k * b.b_k) AS BIGINT) AS actual_rows
+               FROM ak a JOIN bk b ON b.key = a.key)
+    SELECT th.k_used,
+           sp.sum_prod,
+           CASE WHEN th.k_used < 256 THEN sp.sum_prod * 1.0
+                ELSE sp.sum_prod
+                     * ((th.k_used - 1) * 4294967296.0 / th.theta)
+                     / th.k_used END AS est_rows,
+           actual.actual_rows,
+           CAST(floor(1000000 * abs(
+             (CASE WHEN th.k_used < 256 THEN sp.sum_prod * 1.0
+                   ELSE sp.sum_prod
+                        * ((th.k_used - 1) * 4294967296.0 / th.theta)
+                        / th.k_used END) - actual.actual_rows)
+             / actual.actual_rows) AS BIGINT) AS rel_err_micro
+    FROM th, sp, actual
+    """,
+    tags=("sketch", "cardinality", "join", "approx", "extension", "scale-path"),
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a COORDINATED bottom-k key
+    sample — the planner-statistics primitive (|A ⨝ B| = Σ_k a_k·b_k)
+    as a first-class sketch: both sides hash their join keys with the
+    same md5-derived 32-bit hash, the bottom-256 keys of the key-domain
+    UNION form a uniform coordinated sample, Σ a_k·b_k over the sample
+    scales by (KMV domain estimate / k) — and when the domain is
+    smaller than k the sample IS the domain and the estimate is exact.
+    The frame carries the actual join size and integer-micro relative
+    error, the audit that tells you whether to trust the estimate
+    before committing a 100 TB shuffle strategy to it. Everything is a
+    deterministic function of the key sets (md5 sample, exact integer
+    counts; the single scale multiply/divide is the only float and its
+    expression tree is identical on both engines), so even the
+    ESTIMATE hash-matches.
+
+    Scale shape: per-side key histograms are map-side-combined
+    aggregates; the domain sample is TakeOrderedAndProject; the scoring
+    join touches 256 keys. Only the actual-side audit runs the real
+    join — at 100 TB you run the sketch alone (the family's standing
+    contract), merging per-shard bottom-k samples instead."""
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    k = 256
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ak = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("a_k")
+    )
+    bk = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("b_k")
+    )
+    dom = ak.select("key").union(bk.select("key")).distinct()
+    hs = dom.select(
+        "key", hex_prefix_int(md5_utf8(F.col("key").cast("string")), 8).alias("h")
+    )
+    samp = hs.orderBy("h", "key").limit(k).localCheckpoint(eager=True)
+    th = samp.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.when(F.count(F.lit(1)) < k, F.lit(4294967296).cast("bigint"))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+    sp = (
+        samp.join(ak, "key", "left")
+        .join(bk, "key", "left")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("a_k"), F.lit(0))
+                * F.coalesce(F.col("b_k"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_prod")
+        )
+    )
+    actual = (
+        ak.join(bk, "key")
+        .agg(F.sum(F.col("a_k") * F.col("b_k")).cast("bigint").alias("actual_rows"))
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("sum_prod") * F.lit(1.0)
+    ).otherwise(
+        F.col("sum_prod")
+        * ((F.col("k_used") - 1) * F.lit(4294967296.0) / F.col("theta"))
+        / F.col("k_used")
+    )
+    return (
+        th.crossJoin(F.broadcast(sp))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "k_used",
+            "sum_prod",
+            est.alias("est_rows"),
+            "actual_rows",
+            F.floor(
+                1_000_000
+                * F.abs(est - F.col("actual_rows"))
+                / F.col("actual_rows")
+            )
+            .cast("bigint")
+            .alias("rel_err_micro"),
+        )
+    )
