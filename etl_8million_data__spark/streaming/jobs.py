@@ -631,3 +631,65 @@ def stream_postings_increment(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quantile_sketch_increment(
+    rows: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    key_col: str = "key",
+    value_col: str = "cents",
+):
+    """Maintain the bottom-k quantile sketch (plans/approx.
+    sketch_bottomk_quantiles) over a stream — the sketch's KMV
+    mergeability doing its production job: each micro-batch hashes its
+    OWN keys, unions with the persisted sample, re-truncates to the k
+    smallest hashes, and atomically swaps the k-row sketch table. The
+    maintained sketch equals the batch-computed bottom-k of everything
+    seen (asserted in tests), replays are no-ops (dropDuplicates on the
+    key — a redelivered row re-merges to the same sample), and reading
+    quantiles off it never touches the raw history. Per batch: O(batch)
+    hash + a k-row union/truncate; the sketch table is k rows forever."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("bigint").alias("v"),
+            hex_prefix_int(md5_utf8(F.col(key_col).cast("string")), 8).alias("h"),
+        )
+        try:
+            existing = spark.read.parquet(sketch_path)
+        except AnalysisException:
+            existing = spark.createDataFrame([], "key long, v bigint, h bigint")
+        merged = (
+            existing.unionByName(b)
+            .dropDuplicates(["key"])
+            .orderBy("h", "key")
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        tmp = f"{sketch_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(sketch_path):
+            old = f"{sketch_path}.__old__{uuid.uuid4().hex[:8]}"
+            os.rename(sketch_path, old)
+            os.rename(tmp, sketch_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, sketch_path)
+
+    return (
+        rows.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -290,3 +290,60 @@ def test_join_cardinality_sketch_error_bounded(spark, sf_dir):
     assert r.k_used == 256, "domain fell below k: the scaled path is untested"
     assert r.actual_rows > 0
     assert r.rel_err_micro <= 150_000, (r.est_rows, r.actual_rows, r.rel_err_micro)
+
+
+def test_stream_quantile_sketch_equals_batch_bottomk(spark, sf_dir, tmp_path):
+    """Streaming the orders through the sketch maintainer (one file per
+    micro-batch) must leave EXACTLY the batch-computed bottom-256
+    sample — mergeability in its production form — and a full replay
+    under a fresh checkpoint must leave it unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+    from etl_8million_data__spark.streaming.jobs import (
+        stream_quantile_sketch_increment,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # stage as 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "src")
+    o.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sk = str(tmp_path / "sketch")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_quantile_sketch_increment(
+            stream, sk, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("c1")
+    got = sorted(
+        (r.h, r.key, r.v) for r in spark.read.parquet(sk).collect()
+    )
+    want = sorted(
+        (r.h, r.key, r.v)
+        for r in o.select(
+            "key",
+            F.col("cents").alias("v"),
+            hex_prefix_int(md5_utf8(F.col("key").cast("string")), 8).alias("h"),
+        )
+        .orderBy("h", "key")
+        .limit(256)
+        .collect()
+    )
+    assert got == want and len(got) == 256
+    run("c2")  # replay: same rows re-merge to the same sample
+    assert sorted(
+        (r.h, r.key, r.v) for r in spark.read.parquet(sk).collect()
+    ) == want
