@@ -98,6 +98,9 @@ HEADLINE = [
     "similarity_knn_ivf_kmeans_persisted",  # train->freeze->persist->probe, learned IVF
     "similarity_knn_ivf_pq_persisted",  # codebook load path: persisted IVFADC probe
     "search_mmr_diversified",  # greedy diversified top-k over ANN shortlists
+    "sketch_bottomk_quantiles",  # mergeable quantile sketch + exact-error audit
+    "corpus_weighted_sample_tickets",  # token-budget-proportional weighted sampling
+    "sketch_join_cardinality",  # coordinated-sample join-size estimate
 ]
 
 

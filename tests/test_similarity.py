@@ -764,3 +764,30 @@ def test_mmr_diversifies_on_planted_clusters(spark):
     assert abs(picks[0].mmr_score - rel[mmr_ids[0]]) < 1e-12
     for p in picks[1:]:
         assert p.mmr_score <= rel[p.vec_id] / 2 + 0.5 + 1e-12
+
+
+def test_mmr_exhausts_short_shortlists_gracefully(spark):
+    """A query whose shortlist is smaller than k must get every
+    candidate exactly once with contiguous ranks — the greedy loop's
+    later rounds have nothing to pick and must not error or duplicate."""
+    from etl_8million_data__spark.operators.similarity import mmr_select
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7),
+         (2, 20, 0.6), (2, 21, 0.5)],
+        "query_id long, vec_id long, rel double",
+    )
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 0.1), (1, 11, 10, 0.1), (1, 10, 12, 0.2),
+         (1, 12, 10, 0.2), (1, 11, 12, 0.3), (1, 12, 11, 0.3),
+         (2, 20, 21, 0.4), (2, 21, 20, 0.4)],
+        "query_id long, a long, b long, sim double",
+    )
+    sel = mmr_select(cands, sims, k=5).collect()
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert sorted(v for _, v in by_q[1]) == [10, 11, 12]
+    assert sorted(rk for rk, _ in by_q[1]) == [1, 2, 3]
+    assert sorted(v for _, v in by_q[2]) == [20, 21]
+    assert sorted(rk for rk, _ in by_q[2]) == [1, 2]

@@ -49,6 +49,9 @@ PROBE = [
     "customer_rfm_segments",
     "orders_market_basket",
     "orders_revenue_concentration",
+    "sketch_bottomk_quantiles",
+    "sketch_bottomk_quantiles_by_group",
+    "sketch_join_cardinality",
 ]
 
 # Queries over the extension tables: documents grows 10x and embeddings
@@ -92,6 +95,9 @@ CORPUS_PROBE = [
     ("dedup_sorted_neighborhood_pairs", 10),
     ("corpus_fuzzy_contamination", 10),
     ("similarity_ivf_nprobe_curve", 4),
+    ("corpus_weighted_sample_tickets", 10),
+    ("search_mmr_diversified", 4),
+    ("search_hybrid_rrf_fusion", 4),
 ]
 
 
