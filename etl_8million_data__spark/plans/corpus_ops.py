@@ -1956,12 +1956,21 @@ def _hybrid_w16() -> list[list[int]]:
     return _W16
 
 
-def _hybrid_ivf_oracle() -> str:
+def _hybrid_ivf_oracle(fusion: str = "borda") -> str:
     from etl_8million_data__spark.plans.similarity import _NB_SQL, _NPROBE, _W_SQL
 
     w16_sql = "[" + ", ".join(
         "[" + ", ".join(str(x) for x in row) + "]" for row in _hybrid_w16()
     ) + "]"
+    if fusion == "borda":
+        fuse_expr = "coalesce(11 - l.rn_lex, 0) + coalesce(11 - s.rn_sem, 0)"
+        fuse_col = "borda"
+    else:  # integer-micro RRF (see search_hybrid_rrf_fusion)
+        fuse_expr = (
+            "coalesce(1000000 // (60 + l.rn_lex), 0)"
+            " + coalesce(1000000 // (60 + s.rn_sem), 0)"
+        )
+        fuse_col = "rrf_micro"
 
     def channel(pfx: str, rel: str, idc: str, vec: str, dim: int, w: str) -> str:
         """One SRP-IVF retrieval channel: projections -> sign-bit cell
@@ -2049,43 +2058,23 @@ def _hybrid_ivf_oracle() -> str:
     fused AS (
       SELECT coalesce(l.query_id, s.query_id) AS query_id,
              coalesce(l.doc_id, s.doc_id) AS doc_id,
-             CAST(coalesce(11 - l.rn_lex, 0)
-                  + coalesce(11 - s.rn_sem, 0) AS BIGINT) AS borda,
+             CAST({fuse_expr} AS BIGINT) AS {fuse_col},
              l.rn_lex, s.rn_sem
       FROM lex l FULL OUTER JOIN sem s
         ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
-    SELECT query_id, doc_id, borda, rn_lex, rn_sem, rn
+    SELECT query_id, doc_id, {fuse_col}, rn_lex, rn_sem, rn
     FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY borda DESC, doc_id) AS rn
+            PARTITION BY query_id ORDER BY {fuse_col} DESC, doc_id) AS rn
           FROM fused)
     WHERE rn <= 5
     """
 
 
-@register(
-    "search_hybrid_rank_fusion_ivf",
-    oracle=_hybrid_ivf_oracle(),
-    tags=("similarity", "search", "fusion", "ivf", "extension", "scale-path"),
-)
-def search_hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN-routed twin of search_hybrid_rank_fusion — the executable
-    scale story its docstring promises: both retrieval channels go
-    through the SRP inverted file (operators/similarity.knn_ivf, the
-    recall-gated registered scale path) instead of the size-guarded
-    brute-force baselines, and the integer Borda fusion stage is
-    UNCHANGED.  That is the point of fusing on ranks, not scores:
-    channels swap exact for approximate independently, fusion never
-    knows.  The lexical channel indexes the 16-dim hashed-BoW vectors
-    under a dedicated 16-dim hyperplane matrix; the semantic channel
-    reuses the embedding-space matrix; each channel derives its SRP
-    bit-width from ITS OWN corpus count with the shared adaptive rule,
-    so candidate fractions fall as the corpus grows.  Everything stays
-    deterministic (integer hyperplanes, fixed fold order, total-order
-    tie-breaks), so the whole approximate pipeline — not just a recall
-    summary — is oracle-checked exactly; rank overlap vs the exact
-    baseline is gated in tests/test_similarity.py."""
-    from pyspark.sql import Window
-
+def _hybrid_ivf_channels(spark: SparkSession, sf_dir: str):
+    """The two SRP-IVF retrieval channels shared by the ANN-routed
+    fusion queries (see search_hybrid_rank_fusion_ivf's docstring for
+    the routing story): each channel derives its bit-width from its own
+    corpus count and retrieves top-10 through the inverted file."""
     from etl_8million_data__spark.operators.similarity import adaptive_n_bits, knn_ivf
     from etl_8million_data__spark.plans.similarity import (
         _MAX_BITS,
@@ -2132,7 +2121,34 @@ def search_hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame
     sem = knn_ivf(se, sq, _W, k=10, nprobe=_NPROBE, n_bits=nb_sem).select(
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_sem")
     )
+    return lex, sem
 
+
+@register(
+    "search_hybrid_rank_fusion_ivf",
+    oracle=_hybrid_ivf_oracle(),
+    tags=("similarity", "search", "fusion", "ivf", "extension", "scale-path"),
+)
+def search_hybrid_rank_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-routed twin of search_hybrid_rank_fusion — the executable
+    scale story its docstring promises: both retrieval channels go
+    through the SRP inverted file (operators/similarity.knn_ivf, the
+    recall-gated registered scale path) instead of the size-guarded
+    brute-force baselines, and the integer Borda fusion stage is
+    UNCHANGED.  That is the point of fusing on ranks, not scores:
+    channels swap exact for approximate independently, fusion never
+    knows.  The lexical channel indexes the 16-dim hashed-BoW vectors
+    under a dedicated 16-dim hyperplane matrix; the semantic channel
+    reuses the embedding-space matrix; each channel derives its SRP
+    bit-width from ITS OWN corpus count with the shared adaptive rule,
+    so candidate fractions fall as the corpus grows.  Everything stays
+    deterministic (integer hyperplanes, fixed fold order, total-order
+    tie-breaks), so the whole approximate pipeline — not just a recall
+    summary — is oracle-checked exactly; rank overlap vs the exact
+    baseline is gated in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    lex, sem = _hybrid_ivf_channels(spark, sf_dir)
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     borda = (
         F.coalesce(F.lit(11) - F.col("rn_lex"), F.lit(0))
@@ -3246,6 +3262,35 @@ def search_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     lex, sem = _hybrid_channels(spark, sf_dir, "search_hybrid_rrf_fusion")
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.coalesce(F.expr("1000000 div (60 + rn_lex)"), F.lit(0))
+        + F.coalesce(F.expr("1000000 div (60 + rn_sem)"), F.lit(0))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "query_id", "doc_id", rrf.alias("rrf_micro"), "rn_lex", "rn_sem"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "search_hybrid_rrf_fusion_ivf",
+    oracle=_hybrid_ivf_oracle("rrf"),
+    tags=("similarity", "search", "fusion", "rrf", "ivf", "extension", "scale-path"),
+)
+def search_hybrid_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fusion matrix completed: {Borda, RRF} x {exact, ANN-routed}.
+    Integer-micro RRF (see search_hybrid_rrf_fusion) over the SRP-IVF
+    channels (see search_hybrid_rank_fusion_ivf) — channels and fusion
+    rule swap independently because fusion consumes only ranks, and
+    every combination stays hash-exact."""
+    from pyspark.sql import Window
+
+    lex, sem = _hybrid_ivf_channels(spark, sf_dir)
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     rrf = (
         F.coalesce(F.expr("1000000 div (60 + rn_lex)"), F.lit(0))
