@@ -1145,13 +1145,17 @@ def mmr_select(
     cands: DataFrame,
     sims: DataFrame,
     k: int = 5,
+    lam: float = 0.5,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein
     1998) — greedy diversified top-k over a per-query candidate
     shortlist, the data-selection primitive that keeps a retrieval (or
     training-data sampling) result from collapsing onto near-duplicate
     neighbors: pick the most relevant candidate first, then repeatedly
-    pick argmax of ``rel/2 - max_sim_to_selected/2`` (λ = 1/2).
+    pick argmax of ``rel·λ - max_sim_to_selected·(1-λ)``. ``lam``
+    must be an exactly-representable double (default 0.5 ≡ the
+    rel/2 - ms/2 form bitwise: x·0.5 and x/2 are the same IEEE
+    scaling), so every λ on the tuning grid stays engine-exact.
 
     Inputs: ``cands`` (query_id, vec_id, rel) — the shortlist, bounded
     per query (an ANN top-N; never corpus-sized); ``sims`` (query_id,
@@ -1204,7 +1208,9 @@ def mmr_select(
         scored = remaining.join(msim, ["query_id", "vec_id"]).select(
             "query_id",
             "vec_id",
-            (F.col("rel") / 2 - F.col("_ms") / 2).alias("mmr_score"),
+            (
+                F.col("rel") * F.lit(lam) - F.col("_ms") * F.lit(1.0 - lam)
+            ).alias("mmr_score"),
         )
         pick = (
             scored.withColumn(
