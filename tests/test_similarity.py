@@ -791,3 +791,24 @@ def test_mmr_exhausts_short_shortlists_gracefully(spark):
     assert sorted(rk for rk, _ in by_q[1]) == [1, 2, 3]
     assert sorted(v for _, v in by_q[2]) == [20, 21]
     assert sorted(rk for rk, _ in by_q[2]) == [1, 2]
+
+
+def test_mmr_lambda_curve_trades_relevance_for_diversity(spark, sf_dir):
+    """The λ tuning curve's semantic claims, measured: total selected
+    relevance is non-decreasing in λ (strictly up across the grid), and
+    pairwise similarity at λ=1 (pure relevance) is several times λ=1/2's
+    (the diversity being bought) — measured 7-18x on the fixtures,
+    gated at 3x."""
+    from etl_8million_data__spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["search_mmr_lambda_curve"].build(spark, sf_dir).collect(),
+        key=lambda r: r.lam_pct,
+    )
+    assert [r.lam_pct for r in rows] == [0, 25, 50, 75, 100]
+    assert len({r.n_selected for r in rows}) == 1  # same budget per λ
+    rel = [r.sum_rel_micro for r in rows]
+    assert all(a <= b for a, b in zip(rel, rel[1:]))
+    assert rel[-1] > rel[0]
+    sim = {r.lam_pct: r.sum_pairsim_micro for r in rows}
+    assert sim[100] >= 3 * max(sim[50], 1), sim
