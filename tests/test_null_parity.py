@@ -51,3 +51,37 @@ def test_null_values_match_oracle(spark, null_sf, name):
     q = all_queries()[name]
     ok, msg = compare(q.build(spark, null_sf), q.oracle, null_sf)
     assert ok, f"{name}: {msg}"
+
+
+def test_comparator_negative_controls(spark):
+    """The gate itself must have teeth: deliberately wrong oracles —
+    value off by one, row missing, column renamed, int-vs-float class
+    drift — must all FAIL the comparator, not slip through
+    normalization."""
+    from tests.oracle import compare
+
+    df = spark.createDataFrame([(1, 10.5), (2, 20.5)], "k int, v double")
+    good = (
+        "SELECT k, CAST(v AS DOUBLE) AS v "
+        "FROM (VALUES (1, 10.5), (2, 20.5)) t(k, v)"
+    )
+    ok, msg = compare(df, good, "/root/testdata/sf0.001")
+    assert ok, msg
+    # and the class-strictness itself: an UNcast DuckDB literal is
+    # DECIMAL, which the type-tagged compare must refuse (this is the
+    # HUGEINT/DECIMAL widening the comparator exists to catch)
+    ok, _ = compare(
+        df, "SELECT * FROM (VALUES (1, 10.5), (2, 20.5)) t(k, v)",
+        "/root/testdata/sf0.001",
+    )
+    assert not ok
+    bad = [
+        good.replace("20.5", "20.6"),  # value drift
+        "SELECT k, CAST(v AS DOUBLE) AS v FROM (VALUES (1, 10.5)) t(k, v)",
+        good.replace("AS v", "AS w"),  # column rename
+        "SELECT k, CAST(v AS BIGINT) AS v "
+        "FROM (VALUES (1, 10), (2, 20)) t(k, v)",  # float->int class
+    ]
+    for sql in bad:
+        ok, msg = compare(df, sql, "/root/testdata/sf0.001")
+        assert not ok, f"comparator passed a wrong oracle: {sql} ({msg})"
