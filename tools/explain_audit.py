@@ -99,6 +99,12 @@ AUDIT = {
     # weighted sample: bounded ticket explode (Generate), min-ticket
     # hash aggregate with map-side partials, bottom-100 via TakeOrdered.
     "corpus_weighted_sample_tickets": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
+    # join-cardinality sketch: per-side histograms are hash aggregates,
+    # the coordinated sample is TakeOrdered, scoring joins 256 keys.
+    "sketch_join_cardinality": ["HashAggregate", "TakeOrderedAndProject"],
+    # RRF fusion: same channel plans as the Borda twins; the fusion is
+    # a |Q|x10 full-outer hash join + window.
+    "search_hybrid_rrf_fusion": ["Window", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
