@@ -99,12 +99,14 @@ AUDIT = {
     # weighted sample: bounded ticket explode (Generate), min-ticket
     # hash aggregate with map-side partials, bottom-100 via TakeOrdered.
     "corpus_weighted_sample_tickets": ["Generate", "HashAggregate", "TakeOrderedAndProject"],
-    # join-cardinality sketch: per-side histograms are hash aggregates,
-    # the coordinated sample is TakeOrdered, scoring joins 256 keys.
-    "sketch_join_cardinality": ["HashAggregate", "TakeOrderedAndProject"],
-    # RRF fusion: same channel plans as the Borda twins; the fusion is
-    # a |Q|x10 full-outer hash join + window.
-    "search_hybrid_rrf_fusion": ["Window", "HashAggregate"],
+    # join-cardinality sketch: per-side histograms are hash aggregates;
+    # the coordinated TakeOrdered sample sits UPSTREAM of its
+    # localCheckpoint (kcore pattern), so only the scoring aggregates
+    # are visible; key scans are pruned to the key column (ReadSchema).
+    "sketch_join_cardinality": ["HashAggregate", "ReadSchema"],
+    # RRF fusion: channel top-10s are checkpointed; the visible plan is
+    # the |Q|x10 full-outer fusion join + final window.
+    "search_hybrid_rrf_fusion": ["Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
