@@ -183,17 +183,25 @@ def stream_forget_requests(
     )
 
 
-def compact_cells(spark: SparkSession, index_path: str) -> tuple[int, int]:
-    """Rewrite every populated cell of a ``cell=``-partitioned index
+def compact_partitions(
+    spark: SparkSession, index_path: str, partition_col: str = "cell"
+) -> tuple[int, int]:
+    """Rewrite every populated partition of a Hive-partitioned index
     into its minimal file set (AQE REBALANCE by the partition column —
-    oversized cells still split to advisory size instead of one giant
-    file). Returns (files_before, files_after). Row content is
-    untouched: probes return identical results before and after
-    (asserted in tests)."""
+    oversized partitions still split to advisory size instead of one
+    giant file). Works for any single-column layout: the ANN ``cell=``
+    indexes and the text index's ``pfx=`` postings, whose per-append
+    small files this is the scheduled answer to. Returns
+    (files_before, files_after). Row content is untouched: probes
+    return identical results before and after (asserted in tests).
+    Underscore-prefixed sidecar dirs (text index ``_doclen`` /
+    ``_tombstones``) are hidden from the scan and never rewritten."""
 
     def _count_files() -> int:
         n = 0
         for dirpath, _, files in os.walk(index_path):
+            if any(part.startswith("_") for part in dirpath.split(os.sep)):
+                continue
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
@@ -201,13 +209,18 @@ def compact_cells(spark: SparkSession, index_path: str) -> tuple[int, int]:
     full = (
         spark.read.option("mergeSchema", "true")
         .parquet(index_path)
-        .hint("rebalance", "cell")
+        .hint("rebalance", partition_col)
         .localCheckpoint(eager=True)
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        full.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+        full.write.mode("overwrite").partitionBy(partition_col).parquet(index_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return before, _count_files()
+
+
+def compact_cells(spark: SparkSession, index_path: str) -> tuple[int, int]:
+    """ANN-layout alias of :func:`compact_partitions` (cell column)."""
+    return compact_partitions(spark, index_path, "cell")

@@ -325,3 +325,47 @@ def test_fsck_detects_planted_corruptions(spark, sf_dir, tmp_path):
     a2 = fsck_ann_index(spark, f"{km}/vectors", n_cells=8).first()
     assert a2.n_dup_ids == 1
     assert a2.n_bad_cell == 1
+
+
+def test_compact_postings_preserves_probes_and_cuts_files(spark, sf_dir, tmp_path):
+    """Per-append small files in the pfx-partitioned postings compact
+    into the minimal per-partition file set with phrase and BM25 probes
+    identical before/after; the _doclen sidecar is untouched."""
+    import os
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.forget import compact_partitions
+    from etl_8million_data__spark.operators.search_index import bm25_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "cidx")
+    build_postings(docs.filter(F.col("doc_id") % 4 == 0), idx)
+    for m in (1, 2, 3):
+        append_documents(docs.filter(F.col("doc_id") % 4 == m), idx)
+
+    tq = spark.createDataFrame([("table",), ("row",)], "term string")
+    before_bm = _rows(bm25_probe(spark, idx, tq, k=10))
+    sample = " ".join(docs.first().text.split()[:3])
+    ph = spark.createDataFrame([(sample,)], "phrase string")
+    before_ph = {
+        (r.phrase, r.doc_id, r.n_occ, r.first_pos)
+        for r in phrase_probe(spark, idx, ph).collect()
+    }
+
+    def doclen_state():
+        d = os.path.join(idx, "_doclen")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)
+        }
+
+    dl_pre = doclen_state()
+    n_before, n_after = compact_partitions(spark, idx, "pfx")
+    assert n_after < n_before, (n_before, n_after)
+    assert doclen_state() == dl_pre  # sidecar untouched
+
+    assert _rows(bm25_probe(spark, idx, tq, k=10)) == before_bm
+    after_ph = {
+        (r.phrase, r.doc_id, r.n_occ, r.first_pos)
+        for r in phrase_probe(spark, idx, ph).collect()
+    }
+    assert after_ph == before_ph and after_ph
