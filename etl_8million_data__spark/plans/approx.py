@@ -1256,3 +1256,75 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err_micro"),
         )
     )
+
+
+@register(
+    "corpus_weighted_sample_by_source",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(least(1 + n_chars // 200, 8) AS BIGINT) AS weight
+      FROM documents),
+    t AS (
+      SELECT doc_id, source, weight,
+             {_H32.format(expr="doc_id::VARCHAR || '#t#' || u.i::VARCHAR")} AS h
+      FROM w, unnest(range(weight)) AS u(i)),
+    k AS (SELECT doc_id, source, weight, min(h) AS min_ticket
+          FROM t GROUP BY doc_id, source, weight)
+    SELECT doc_id, source, weight, min_ticket, CAST(draw AS BIGINT) AS draw
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY min_ticket, doc_id) AS draw
+          FROM k)
+    WHERE draw <= 20
+    ORDER BY source, draw
+    """,
+    tags=("sampling", "weighted", "stratified", "sketch", "extension", "scale-path"),
+)
+def corpus_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling: corpus_weighted_sample_tickets'
+    replicated-ticket min-hash draw, run per SOURCE with a fixed
+    20-doc quota each — the per-domain form a mixture pipeline actually
+    schedules (every domain contributes its quota, drawn token-budget-
+    proportionally WITHIN the domain, so no domain's long-doc skew
+    leaks into another's quota). Same integer-exact scheme; the only
+    window partitions by source over the doc-level min-ticket frame
+    (one row per doc — never the ticket fan-out), and per-source
+    samples stay mergeable bottom-k sets."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.least(1 + F.expr("n_chars div 200"), F.lit(8)).cast("bigint").alias("weight"),
+    )
+    t = w.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.explode(F.sequence(F.lit(0), F.col("weight") - 1)).alias("i"),
+    )
+    h = hex_prefix_int(
+        md5_utf8(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#t#"), F.col("i").cast("string")
+            )
+        ),
+        8,
+    )
+    k = (
+        t.select("doc_id", "source", "weight", h.alias("h"))
+        .groupBy("doc_id", "source", "weight")
+        .agg(F.min("h").alias("min_ticket"))
+    )
+    draw = F.row_number().over(
+        Window.partitionBy("source").orderBy("min_ticket", "doc_id")
+    )
+    return (
+        k.withColumn("draw", draw.cast("bigint"))
+        .filter(F.col("draw") <= 20)
+        .select("doc_id", "source", "weight", "min_ticket", "draw")
+        .orderBy("source", "draw")
+    )

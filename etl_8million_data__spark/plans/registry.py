@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_join_cardinality",
     "search_hybrid_rrf_fusion_ivf",
     "search_mmr_lambda_curve",
+    "corpus_weighted_sample_by_source",
     # NEW in round 6, never driver-sampled through round 6 (the r6
     # verdict's explicit ask: these six must land in the r7 sample)
     "search_bm25_rsj_topk",
