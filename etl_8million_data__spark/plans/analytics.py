@@ -605,16 +605,19 @@ def winsorized_value_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFra
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the standard customer-value grid: per
     customer recency (last order date), frequency (order count), and
-    monetary (exact integer cents), each scored into quintiles by
-    ntile(5) under a (metric DESC, custkey) TOTAL order so bucket
-    boundaries are deterministic in both engines (ntile's
-    equal-buckets-remainder-to-first rule is shared), concatenated
-    into the familiar '111'..'555' segment label.  Caveat the plan
-    documents honestly: ntile over a global ORDER BY is a single-
-    partition window — fine for a customer dimension (|customers| ≪
-    |facts|), but for a data-sized frame use the broadcast boundary
-    table technique of moving_avg_and_ntile instead."""
-    from pyspark.sql.window import Window
+    monetary (exact integer cents), each scored into quintiles under a
+    (metric DESC, custkey) TOTAL order so bucket boundaries are
+    deterministic in both engines (ntile's equal-buckets-remainder-to-
+    first rule is shared), concatenated into the familiar '111'..'555'
+    segment label.  Scale shape: each quintile is a
+    :func:`operators.partitioning.global_ntile` — range-bucketed
+    boundary-table offsets, NO single-partition window — because the
+    customer dimension scales with the data (TPC-H sf100 = 15 M
+    customers; three global ntile windows would funnel them through
+    one task thrice).  Each bucket key is monotone in its sort key:
+    months-since-epoch for recency, the (small-domain) order count
+    itself for frequency, floor(cents/10M) for monetary."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -622,12 +625,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("total_cents"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.desc("total_cents"), F.asc("custkey")))
-    scored = base.select(
+    scored = global_ntile(
+        base, 5, "last_order", "custkey",
+        (F.year("last_order") * 12 + F.month("last_order")).cast("bigint"),
+        descending=True, out_col="r_score",
+    )
+    scored = global_ntile(
+        scored, 5, "n_orders", "custkey",
+        F.col("n_orders").cast("bigint"),
+        descending=True, out_col="f_score",
+    )
+    scored = global_ntile(
+        scored, 5, "total_cents", "custkey",
+        F.floor(F.col("total_cents") / 10_000_000).cast("bigint"),
+        descending=True, out_col="m_score",
+    )
+    scored = scored.select(
         "custkey", "last_order", "n_orders", "total_cents",
-        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+        "r_score", "f_score", "m_score",
     )
     return scored.select(
         "*",

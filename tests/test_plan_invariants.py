@@ -57,6 +57,18 @@ def test_ntile_has_no_data_sized_single_partition_window(spark):
         assert "HashAggregate" in before, "SinglePartition exchange over raw data"
 
 
+def test_rfm_has_no_data_sized_single_partition_window(spark):
+    """customer_rfm_segments (round-9 migration off three global
+    ntile(5) windows): every SinglePartition exchange must feed a
+    post-aggregation boundary/total table — at sf100 the customer
+    dimension is 15 M rows, and the old plan funneled it through one
+    task three times."""
+    plan = _formatted_plan(all_queries()["customer_rfm_segments"].build(spark, SF))
+    sections = plan.split("Exchange SinglePartition")
+    for before in sections[:-1]:
+        assert "HashAggregate" in before, "SinglePartition exchange over raw data"
+
+
 def _broadcast_hint_children(df) -> list:
     """Every subtree (java LogicalPlan node) under a broadcast
     ResolvedHint in the ANALYZED plan (the optimizer consumes hints, so
