@@ -16,11 +16,17 @@ the minimum rewrite the layout allows:
   read past the id column and never written — byte-identity asserted in
   tests. O(touched cells) per forget batch, the same blast-radius
   contract as the partitioned upsert.
-- **Unpartitioned indexes** (sign signatures, LSH band index, winnowing
-  fingerprints): filter + atomic tmp-dir swap — these layouts have no
-  partition key to prune on, and their rows are tens of bytes, so a
-  full rewrite is the honest cost (at 100 TB you would partition them
-  by an id bucket exactly like the financials fact's stock_bucket).
+- **Id-bucketed indexes** (sign signatures, LSH band index, media band
+  index, winnowing fingerprints — all written as 16-way md5
+  ``bucket=`` layouts since round 9, exactly the financials fact's
+  stock_bucket pattern): the id→bucket map is a pure function, so the
+  victims' buckets are computable WITHOUT scanning the index, and only
+  those partitions rewrite; untouched buckets stay byte-identical
+  (asserted in tests). :func:`forget_auto` dispatches on the on-disk
+  layout, so callers need not know whether an index predates the
+  bucketed layout.
+- **Legacy unpartitioned indexes**: filter + atomic tmp-dir swap — no
+  partition key to prune on, full rewrite is the honest cost.
 
 ``compact_cells`` is the companion maintenance op: per-batch appends
 leave one small file per cell per batch; compaction rewrites each
@@ -115,6 +121,71 @@ def forget_cell_partitioned(
     return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
 
 
+def forget_bucketed(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> int:
+    """Delete ``ids`` from a 16-way md5 id-bucketed index layout. The
+    bucket is a pure function of the id, so the touched partitions are
+    computed from the VICTIM list alone — no index scan to locate them
+    (one better than :func:`forget_partitioned`'s column-pruned lookup);
+    only those partitions are read, filtered, and rewritten via dynamic
+    partition overwrite. A miss (no victim present) never rewrites."""
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    victims = _ids_frame(ids, id_col)
+    vb = victims.withColumn("bucket", id_bucket(F.col(id_col), n_buckets))
+    touched = [r["bucket"] for r in vb.select("bucket").distinct().collect()]
+    if not touched:
+        return 0
+    relevant = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(index_path)
+        .filter(F.col("bucket").isin(touched))
+    )
+    kept = relevant.join(victims, id_col, "left_anti").localCheckpoint(eager=True)
+    n_deleted = relevant.count() - kept.count()
+    if not n_deleted:
+        return 0
+    surviving = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            kept.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in touched:
+        if b not in surviving:
+            d = os.path.join(index_path, f"bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return n_deleted
+
+
+def forget_auto(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Dispatch forget on the on-disk layout: ``bucket=`` partitions →
+    the computed-bucket pruned rewrite, ``cell=`` partitions → the
+    located-partition pruned rewrite, flat files (legacy) → the atomic
+    full swap. Lets one erasure pipeline serve indexes written before
+    and after the round-9 bucketed layouts."""
+    from etl_8million_data__spark.operators.partitioning import is_hive_partitioned
+
+    if is_hive_partitioned(index_path, "bucket"):
+        return forget_bucketed(spark, index_path, ids, id_col)
+    if is_hive_partitioned(index_path, "cell"):
+        return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
+    return forget_unpartitioned(spark, index_path, ids, id_col)
+
+
 def forget_unpartitioned(
     spark: SparkSession,
     index_path: str,
@@ -159,9 +230,19 @@ def stream_forget_requests(
     persisted derived layout in one job — the ingest-door counterpart
     of the decontamination guard, for erasure. ``targets`` is a list of
     (path, id_col, partition_by-or-None): partitioned layouts take the
-    pruned-rewrite path, unpartitioned ones the atomic swap. Each
-    micro-batch applies every target; forget is idempotent per id, so
-    at-least-once redelivery is safe by construction."""
+    pruned-rewrite path, bucketed layouts the computed-bucket rewrite,
+    legacy unpartitioned ones the atomic swap. Each micro-batch applies
+    every target; forget is idempotent per id, so at-least-once
+    redelivery is safe by construction.
+
+    Id-space wiring: each target's ids come from the REQUEST column
+    named by its ``id_col`` when the request schema carries it (a
+    request stream mixing doc- and vec-targets has one column per id
+    space: ``(doc_id, vec_id)``); only when the request schema lacks
+    that column does the first column apply — the single-shared-id-
+    space convention, safe only when every such target reads one id
+    space. Targets whose id column is entirely NULL in a batch are
+    skipped (that batch's requests address the other space)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -169,11 +250,14 @@ def stream_forget_requests(
         for path, id_col, partition_by in targets:
             if not os.path.isdir(path):
                 continue
-            ids = b.select(F.col(b.columns[0]).alias(id_col))
+            src = id_col if id_col in b.columns else b.columns[0]
+            ids = b.select(F.col(src).alias(id_col)).filter(
+                F.col(id_col).isNotNull()
+            )
             if partition_by:
                 forget_partitioned(spark, path, ids, id_col, partition_by)
             else:
-                forget_unpartitioned(spark, path, ids, id_col)
+                forget_auto(spark, path, ids, id_col)
 
     return (
         requests.writeStream.foreachBatch(apply_batch)

@@ -21,6 +21,8 @@ at index time so the scoring join does no per-row norm work.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -793,20 +795,28 @@ def probe_index_kmeans(
 
 
 # --- binary sign-signature index variant: the 1-bit family persisted.
-# No cell partitioning — the probe's stage-1 scan is COLUMN-pruned
-# instead (parquet reads only the 3 signature bigints, 24 bytes/row vs
-# the 8*64-byte vector column), and the stage-2 rerank touches vectors
-# only through an equi-join on the |Q|*shortlist surviving ids.
+# No cell partitioning (signatures have no geometric cells) — the
+# probe's stage-1 scan is COLUMN-pruned instead (parquet reads only the
+# 3 signature bigints, 24 bytes/row vs the 8*64-byte vector column),
+# and the stage-2 rerank touches vectors only through an equi-join on
+# the |Q|*shortlist surviving ids. The layout IS partitioned, by a
+# 16-way md5 id bucket: probes read every bucket (pruning is by column,
+# not partition), but forget/compaction rewrite only the buckets whose
+# ids are touched — the financials stock_bucket contract applied to the
+# index. Legacy unpartitioned indexes keep receiving unpartitioned
+# appends (mixing layouts in one root breaks partition discovery).
 
 SIGN_INDEX_SCHEMA = (
     "vec_id long, sig0 long, sig1 long, embedding array<double>, "
-    "_n2 double, _batch string"
+    "_n2 double, _batch string, bucket int"
 )
+N_ID_BUCKETS = 16
 
 
 def _sign_frame(
     emb: DataFrame, id_col: str, vec_col: str, batch_tag: str | None, dim: int
 ) -> DataFrame:
+    from etl_8million_data__spark.operators.partitioning import id_bucket
     from etl_8million_data__spark.operators.similarity import sign_words
 
     s0, s1 = sign_words(F.col(vec_col), dim)
@@ -818,6 +828,7 @@ def _sign_frame(
         v.alias("embedding"),
         norm2(F.col(vec_col)).alias("_n2"),
         F.lit(batch_tag).cast("string").alias("_batch"),
+        id_bucket(F.col(id_col), N_ID_BUCKETS).alias("bucket"),
     )
 
 
@@ -830,11 +841,11 @@ def build_index_sign(
     dim: int = 64,
 ) -> None:
     """Materialize the signature index: one narrow map computes the two
-    32-bit sign words per vector (no shuffle) and writes them alongside
-    the vector and its squared norm. Overwrites any existing index."""
-    _sign_frame(emb, id_col, vec_col, batch_tag, dim).write.mode("overwrite").parquet(
-        index_path
-    )
+    32-bit sign words per vector (no shuffle) and writes them into the
+    16-way id-bucketed layout. Overwrites any existing index."""
+    _sign_frame(emb, id_col, vec_col, batch_tag, dim).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(index_path)
 
 
 def append_vectors_sign(
@@ -848,7 +859,11 @@ def append_vectors_sign(
     """Skip-existing incremental append, same contract as
     :func:`append_vectors`: already-indexed vec_ids drop via a
     column-pruned anti-join; signatures are computed for the fresh
-    batch only (the stored corpus is never re-encoded)."""
+    batch only (the stored corpus is never re-encoded). Appends follow
+    the existing layout: bucketed into ``bucket=`` partitions, or flat
+    for a legacy unpartitioned index."""
+    from etl_8million_data__spark.operators.partitioning import is_hive_partitioned
+
     spark = new_emb.sparkSession
     existing = _read_index(spark, index_path, SIGN_INDEX_SCHEMA).select("vec_id")
     fresh = (
@@ -858,7 +873,13 @@ def append_vectors_sign(
     )
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(index_path)
+        legacy = os.path.isdir(index_path) and not is_hive_partitioned(
+            index_path, "bucket"
+        )
+        if legacy:
+            fresh.drop("bucket").write.mode("append").parquet(index_path)
+        else:
+            fresh.write.mode("append").partitionBy("bucket").parquet(index_path)
     return n
 
 

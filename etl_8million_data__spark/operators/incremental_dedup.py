@@ -7,9 +7,16 @@ analog of the reference's anti-join skip-existing increment,
 details.py:82-101).
 
 Index layout: parquet rows (doc_id, band, band_key) — ~40 bytes per
-band per accepted doc, i.e. ~4 B rows per billion docs at 4 bands.  The
-probe is an equi-join on (band, band_key), so AQE can split hot buckets
-and the index can be bucketed/partitioned by band_key prefix at scale.
+band per accepted doc, i.e. ~4 B rows per billion docs at 4 bands —
+Hive-partitioned by a 16-way md5 bucket of doc_id (the financials
+stock_bucket contract), so deletion propagation (operators/forget.py)
+and compaction rewrite only the buckets containing touched ids instead
+of the whole index. Probes read every bucket (candidate lookup is by
+band_key, not id), which costs nothing: the probe was always a full
+column-pruned scan. Legacy unpartitioned indexes keep receiving
+unpartitioned appends — mixing flat files with partition directories
+in one root breaks partition discovery. The probe is an equi-join on
+(band, band_key), so AQE can split hot buckets.
 Candidate-level filtering (any shared band) is deliberately
 recall-biased: a new doc is dropped on any band collision with the
 accepted corpus; Jaccard verification would require keeping shingle
@@ -29,7 +36,25 @@ from etl_8million_data__spark.operators.dedup import (
     minhash_min_frame,
 )
 
-INDEX_SCHEMA = "doc_id long, band int, band_key string, _batch string"
+INDEX_SCHEMA = "doc_id long, band int, band_key string, _batch string, bucket int"
+N_ID_BUCKETS = 16
+
+
+def _bucketed_append(df: DataFrame, index_path: str, id_col: str) -> None:
+    """Append index rows following the existing layout: 16-way md5
+    id-bucket partitions for fresh/bucketed indexes, flat files for a
+    legacy unpartitioned index (appending partition dirs into a flat
+    root would break partition discovery)."""
+    from etl_8million_data__spark.operators.partitioning import (
+        id_bucket,
+        is_hive_partitioned,
+    )
+
+    staged = df.withColumn("bucket", id_bucket(F.col(id_col), N_ID_BUCKETS))
+    if os.path.isdir(index_path) and not is_hive_partitioned(index_path, "bucket"):
+        staged.drop("bucket").write.mode("append").parquet(index_path)
+    else:
+        staged.write.mode("append").partitionBy("bucket").parquet(index_path)
 
 
 def _batch_bands(
@@ -131,11 +156,13 @@ def dedup_increment(
     kept_bands = bands_new.join(dropped, id_col, "left_anti").withColumn(
         "_batch", F.lit(batch_tag).cast("string")
     )
-    kept_bands.write.mode("append").parquet(index_path)
+    _bucketed_append(kept_bands, index_path, id_col)
     return kept
 
 
-MEDIA_INDEX_SCHEMA = "media_id long, band int, band_key long, dhash long, _batch string"
+MEDIA_INDEX_SCHEMA = (
+    "media_id long, band int, band_key long, dhash long, _batch string, bucket int"
+)
 
 
 def media_dedup_increment(
@@ -239,11 +266,11 @@ def media_dedup_increment(
     kept_bands = bands_new.join(dropped, id_col, "left_anti").withColumn(
         "_batch", F.lit(batch_tag).cast("string")
     )
-    kept_bands.write.mode("append").parquet(index_path)
+    _bucketed_append(kept_bands, index_path, id_col)
     return kept
 
 
-WINNOW_INDEX_SCHEMA = "doc_id long, fp long, _batch string"
+WINNOW_INDEX_SCHEMA = "doc_id long, fp long, _batch string, bucket int"
 
 
 def winnowing_increment(
@@ -337,7 +364,7 @@ def winnowing_increment(
     kept_fps = fps_new.join(dropped, "doc_id", "left_anti").withColumn(
         "_batch", F.lit(batch_tag).cast("string")
     )
-    kept_fps.write.mode("append").parquet(index_path)
+    _bucketed_append(kept_fps, index_path, "doc_id")
     return kept
 
 

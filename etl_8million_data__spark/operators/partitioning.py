@@ -42,6 +42,37 @@ def sql_hash_permille(key_sql: str) -> str:
     return f"((({key_sql} % {_MOD31}) * {_MULT} + {_ADD}) % {_MOD32}) % 1000"
 
 
+def id_bucket(id_col: Column, n_buckets: int = 16) -> Column:
+    """Stable hash bucket of an integer id — md5-derived (not Spark's
+    engine-specific hash) so a row's bucket is a pure portable function
+    of its id and never drifts across engines or versions: the same
+    contract as the financials fact's stock_bucket, applied to the
+    persisted index layouts (sign signatures, LSH bands, winnowing
+    fingerprints) so forget/compaction rewrite only touched buckets
+    instead of the whole index."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def is_hive_partitioned(path: str, col: str) -> bool:
+    """True when ``path`` holds a Hive layout partitioned by ``col``
+    (any ``col=...`` child directory). Used to keep appends
+    layout-consistent: a legacy unpartitioned index keeps receiving
+    unpartitioned appends (mixing flat files with partition dirs in one
+    root breaks partition discovery), while bucketed indexes get
+    bucketed appends."""
+    import os
+
+    try:
+        return any(e.startswith(f"{col}=") for e in os.listdir(path))
+    except OSError:
+        return False
+
+
 def global_ntile(
     df: DataFrame,
     k: int,

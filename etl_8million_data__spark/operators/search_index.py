@@ -227,34 +227,32 @@ def vacuum_tombstones(spark: SparkSession, index_path: str) -> int:
         shutil.rmtree(t)
         return 0
 
-    def rewrite_subdir(path: str) -> None:
-        kept = (
-            spark.read.parquet(path)
-            .join(dead, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").parquet(tmp)
-        old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-
-    # sidecar first (a plain subdir swap), because the postings swap
-    # below replaces the index ROOT and must carry the sidecar across
-    rewrite_subdir(f"{index_path}/_doclen")
+    # Stage BOTH rewrites (postings + _doclen sidecar) into the tmp
+    # root FIRST, then swap once: until the swap, the live index is
+    # completely untouched (tombstones included, so probes stay
+    # correct), eliminating the former crash window where an in-place
+    # _doclen rewrite landed before the postings swap — a crash there
+    # would have been silent, whereas a crash between the two root
+    # renames now leaves an obviously-missing index with BOTH the old
+    # root and the fully-staged tmp root on disk (recoverable, and the
+    # orphan state index_fsck detects).
     kept_postings = (
         spark.read.parquet(index_path)  # hidden sidecar paths skipped
         .join(dead, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
+    kept_doclen = (
+        spark.read.parquet(f"{index_path}/_doclen")
+        .join(dead, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     tmp = f"{index_path}.__tmp__{uuid.uuid4().hex[:8]}"
     kept_postings.write.mode("overwrite").partitionBy("pfx").parquet(tmp)
-    os.rename(f"{index_path}/_doclen", f"{tmp}/_doclen")
+    kept_doclen.write.mode("overwrite").parquet(f"{tmp}/_doclen")
     old_root = f"{index_path}.__old__{uuid.uuid4().hex[:8]}"
     os.rename(index_path, old_root)
     os.rename(tmp, index_path)
-    shutil.rmtree(old_root)  # old postings + the applied _tombstones
+    shutil.rmtree(old_root)  # old postings + sidecar + applied _tombstones
     return n
 
 

@@ -1205,11 +1205,17 @@ def mmr_select(
             .groupBy("query_id", F.col("a").alias("vec_id"))
             .agg(F.max("sim").alias("_ms"))
         )
-        scored = remaining.join(msim, ["query_id", "vec_id"]).select(
+        # left join + coalesce(0): a candidate with NO sims row to any
+        # selected item (sparse/thresholded sims input) scores with
+        # max-sim 0 — nothing to repel from — instead of silently
+        # vanishing from later rounds and shorting the pick list.
+        # Complete-pairwise callers are untouched (the join always hits).
+        scored = remaining.join(msim, ["query_id", "vec_id"], "left").select(
             "query_id",
             "vec_id",
             (
-                F.col("rel") * F.lit(lam) - F.col("_ms") * F.lit(1.0 - lam)
+                F.col("rel") * F.lit(lam)
+                - F.coalesce(F.col("_ms"), F.lit(0.0)) * F.lit(1.0 - lam)
             ).alias("mmr_score"),
         )
         pick = (

@@ -156,6 +156,41 @@ def stock_bucket(stock_col: Column, n_buckets: int = 64) -> Column:
     ).cast("int")
 
 
+def migrate_legacy_fact(spark, sink_path: str, n_buckets: int = 64) -> bool:
+    """One-time layout migration: a fact written under the pre-round-8
+    ``statement_type``-only layout has no ``stock_bucket`` column, so
+    the pruned partition upsert would fail on the unresolved column (or
+    strand old directories). Detect that on read and rebuild the
+    snapshot ONCE into the (statement_type, stock_bucket) layout via
+    the atomic tmp+swap; subsequent upserts take the pruned path.
+    Returns True when a migration ran. The bucket is the pure md5
+    function of the stock string, so the derived column on the existing
+    snapshot is identical to what ingest would have written."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(sink_path):
+        return False
+    snap = spark.read.parquet(sink_path)
+    if "stock_bucket" in snap.columns:
+        return False
+    migrated = (
+        snap.withColumn("stock_bucket", stock_bucket(F.col("stock"), n_buckets))
+        .hint("rebalance", "statement_type", "stock_bucket")
+        .localCheckpoint(eager=True)
+    )
+    tmp = f"{sink_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    migrated.write.mode("overwrite").partitionBy(
+        "statement_type", "stock_bucket"
+    ).parquet(tmp)
+    old = f"{sink_path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(sink_path, old)
+    os.rename(tmp, sink_path)
+    shutil.rmtree(old)
+    return True
+
+
 def build_financials_fact(
     raw: DataFrame,
     sink_path: str,
@@ -185,6 +220,7 @@ def build_financials_fact(
         else fact.withColumn("_loaded_at", F.current_timestamp())
     )
     fact = fact.withColumn("stock_bucket", stock_bucket(F.col("stock"), n_buckets))
+    migrate_legacy_fact(raw.sparkSession, sink_path, n_buckets)
     upsert_parquet(
         raw.sparkSession,
         fact,

@@ -647,10 +647,17 @@ def stream_quantile_sketch_increment(
     OWN keys, unions with the persisted sample, re-truncates to the k
     smallest hashes, and atomically swaps the k-row sketch table. The
     maintained sketch equals the batch-computed bottom-k of everything
-    seen (asserted in tests), replays are no-ops (dropDuplicates on the
-    key — a redelivered row re-merges to the same sample), and reading
-    quantiles off it never touches the raw history. Per batch: O(batch)
-    hash + a k-row union/truncate; the sketch table is k rows forever."""
+    seen (asserted in tests), replays are no-ops (a redelivered row
+    re-merges to the same sample), and reading quantiles off it never
+    touches the raw history. Per batch: O(batch) hash + a k-row
+    union/truncate; the sketch table is k rows forever.
+
+    The per-key dedupe is DETERMINISTIC — min(v) per key under a total
+    order, not dropDuplicates' arbitrary pick — so a key re-arriving
+    with a different value resolves identically on every replay and in
+    the batch twin. The empty-sketch schema is derived from the BATCH
+    frame, not hardcoded, so a non-bigint key type round-trips without
+    coercion."""
     import os
     import shutil
     import uuid
@@ -669,10 +676,11 @@ def stream_quantile_sketch_increment(
         try:
             existing = spark.read.parquet(sketch_path)
         except AnalysisException:
-            existing = spark.createDataFrame([], "key long, v bigint, h bigint")
+            existing = spark.createDataFrame([], b.schema)
         merged = (
             existing.unionByName(b)
-            .dropDuplicates(["key"])
+            .groupBy("key")
+            .agg(F.min("v").alias("v"), F.min("h").alias("h"))
             .orderBy("h", "key")
             .limit(k)
             .localCheckpoint(eager=True)

@@ -347,3 +347,42 @@ def test_stream_quantile_sketch_equals_batch_bottomk(spark, sf_dir, tmp_path):
     assert sorted(
         (r.h, r.key, r.v) for r in spark.read.parquet(sk).collect()
     ) == want
+
+
+def test_stream_quantile_sketch_rearrival_is_deterministic(spark, tmp_path):
+    """A key re-arriving with a DIFFERENT value must resolve
+    deterministically (min per key under the total order), and a
+    non-bigint key type must round-trip unchanged through the persisted
+    sketch (the empty-sketch schema derives from the batch, not a
+    hardcoded 'key long')."""
+    from etl_8million_data__spark.streaming.jobs import (
+        stream_quantile_sketch_increment,
+    )
+
+    src = str(tmp_path / "src")
+    # string keys; key 'a' arrives twice with different values
+    spark.createDataFrame(
+        [("a", 50), ("b", 20)], "k string, cents long"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("a", 10), ("c", 30)], "k string, cents long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    sk = str(tmp_path / "sketch")
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_quantile_sketch_increment(
+            stream, sk, str(tmp_path / ckpt), k=16, key_col="k", value_col="cents"
+        ).awaitTermination()
+
+    run("c1")
+    got = {r.key: r.v for r in spark.read.parquet(sk).collect()}
+    assert got == {"a": 10, "b": 20, "c": 30}  # min(v) per key, key type kept
+    assert dict(spark.read.parquet(sk).dtypes)["key"] == "string"
+    run("c2")  # replay resolves identically
+    assert {r.key: r.v for r in spark.read.parquet(sk).collect()} == got

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.operators.forget import (
     compact_cells,
+    forget_auto,
     forget_cell_partitioned,
     forget_ivfpq,
     forget_unpartitioned,
@@ -151,8 +152,8 @@ def test_forget_band_index_stops_suppressing_future_copies(spark, sf_dir, tmp_pa
     assert dedup_increment(copy1, idx).count() == 0
 
     vdf = spark.createDataFrame([(victim_id,)], "doc_id long")
-    assert forget_unpartitioned(spark, idx, vdf) > 0
-    assert forget_unpartitioned(spark, idx, vdf) == 0  # idempotent
+    assert forget_auto(spark, idx, vdf) > 0
+    assert forget_auto(spark, idx, vdf) == 0  # idempotent
 
     reincarnated = spark.createDataFrame(
         [(9_000_001, victim["text"])], "doc_id long, text string"
@@ -176,7 +177,7 @@ def test_forget_sign_index_and_winnowing(spark, sf_dir, tmp_path):
     q = _queries(emb)
     hit = probe_index_sign(spark, idx, q, k=5).select("vec_id").first()
     vdf = spark.createDataFrame([(hit["vec_id"],)], "vec_id long")
-    assert forget_unpartitioned(spark, idx, vdf, id_col="vec_id") == 1
+    assert forget_auto(spark, idx, vdf, id_col="vec_id") == 1
     survivors = {r.vec_id for r in probe_index_sign(spark, idx, q, k=5).collect()}
     assert hit["vec_id"] not in survivors
 
@@ -185,10 +186,123 @@ def test_forget_sign_index_and_winnowing(spark, sf_dir, tmp_path):
     winnowing_increment(docs, widx)
     wvictim = docs.orderBy("doc_id").first()
     wdf = spark.createDataFrame([(wvictim["doc_id"],)], "doc_id long")
-    n = forget_unpartitioned(spark, widx, wdf)
+    n = forget_auto(spark, widx, wdf)
     assert n > 0
     assert (
         spark.read.parquet(widx).filter(F.col("doc_id") == wvictim["doc_id"]).count()
+        == 0
+    )
+
+
+def _bucket_of(spark, n_buckets, *ids):
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return {
+        r["b"] for r in df.select(id_bucket(F.col("id"), n_buckets).alias("b")).collect()
+    }
+
+
+def test_forget_bucketed_blast_radius(spark, sf_dir, tmp_path):
+    """The round-9 bucketed layouts (sign index, LSH band index,
+    winnowing fingerprints) must rewrite ONLY the md5 id-buckets their
+    victims land in: untouched bucket directories stay byte-identical
+    (mtime + size), mirroring test_reference_resume's no-op contract,
+    and probe/suppression results are unchanged except for the
+    victims."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        N_ID_BUCKETS,
+        build_index_sign,
+        probe_index_sign,
+    )
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "sign_b")
+    build_index_sign(emb, idx)
+    assert any(e.startswith("bucket=") for e in os.listdir(idx))
+
+    q = _queries(emb)
+    before = {
+        (r.query_id, r.vec_id) for r in probe_index_sign(spark, idx, q, k=5).collect()
+    }
+    victim = sorted({v for _, v in before})[0]
+    vdf = spark.createDataFrame([(victim,)], "vec_id long")
+    touched = _bucket_of(spark, N_ID_BUCKETS, victim)
+
+    pre = _file_state(idx)
+    assert forget_auto(spark, idx, vdf, id_col="vec_id") == 1
+    post = _file_state(idx)
+    for rel, sig in pre.items():
+        top = rel.split(os.sep)[0]
+        if top.startswith("bucket=") and int(top[7:]) not in touched:
+            assert post.get(rel) == sig, f"untouched bucket rewritten: {rel}"
+    after = {
+        (r.query_id, r.vec_id) for r in probe_index_sign(spark, idx, q, k=5).collect()
+    }
+    assert victim not in {v for _, v in after}
+
+    # a miss never rewrites anything (not even the victim's own bucket)
+    snap = _file_state(idx)
+    assert forget_auto(spark, idx, vdf, id_col="vec_id") == 0
+    assert _file_state(idx) == snap
+
+    # band index: same blast-radius contract through dedup_increment's
+    # bucketed appends
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        N_ID_BUCKETS as N_DOC_BUCKETS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bidx = str(tmp_path / "bands_b")
+    kept0 = dedup_increment(docs, bidx)
+    assert any(e.startswith("bucket=") for e in os.listdir(bidx))
+    bvictim = kept0.agg(F.min("doc_id")).first()[0]
+    btouched = _bucket_of(spark, N_DOC_BUCKETS, bvictim)
+    bpre = _file_state(bidx)
+    assert forget_auto(spark, bidx, spark.createDataFrame([(bvictim,)], "doc_id long")) > 0
+    bpost = _file_state(bidx)
+    for rel, sig in bpre.items():
+        top = rel.split(os.sep)[0]
+        if top.startswith("bucket=") and int(top[7:]) not in btouched:
+            assert bpost.get(rel) == sig, f"untouched bucket rewritten: {rel}"
+
+
+def test_legacy_unpartitioned_index_keeps_flat_appends(spark, sf_dir, tmp_path):
+    """An index written before the bucketed layout existed must keep
+    receiving FLAT appends (partition dirs mixed into a flat root break
+    partition discovery), and forget_auto must route it to the atomic
+    swap — the migration story for pre-round-9 indexes."""
+    from etl_8million_data__spark.operators.incremental_dedup import dedup_increment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "legacy")
+    # simulate a legacy index: flat parquet rows, no bucket column
+    from etl_8million_data__spark.operators.incremental_dedup import _batch_bands
+
+    _batch_bands(half1, "text", "doc_id", 3, 16, 4).withColumn(
+        "_batch", F.lit(None).cast("string")
+    ).write.parquet(idx)
+    assert not any(e.startswith("bucket=") for e in os.listdir(idx))
+
+    kept2 = dedup_increment(half2, idx)
+    # append stayed flat: still no partition directories
+    assert not any(e.startswith("bucket=") for e in os.listdir(idx))
+    # and the index is still readable + the probe worked
+    assert spark.read.option("mergeSchema", "true").parquet(idx).count() > 0
+    assert kept2.count() > 0
+
+    victim = kept2.agg(F.min("doc_id")).first()[0]
+    vdf = spark.createDataFrame([(victim,)], "doc_id long")
+    assert forget_auto(spark, idx, vdf) > 0
+    assert (
+        spark.read.option("mergeSchema", "true")
+        .parquet(idx)
+        .filter(F.col("doc_id") == victim)
+        .count()
         == 0
     )
 

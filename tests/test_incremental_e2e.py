@@ -49,9 +49,12 @@ def _write_symbols_csv(path: str, symbols: list[str]) -> None:
 
 
 def _index_state(index_path: str) -> dict[str, float]:
+    # bucketed layout: data files live under bucket=N/ partition dirs
     return {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(index_path, "*.parquet"))
+        for p in glob.glob(
+            os.path.join(index_path, "**", "*.parquet"), recursive=True
+        )
     }
 
 

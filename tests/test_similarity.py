@@ -793,6 +793,28 @@ def test_mmr_exhausts_short_shortlists_gracefully(spark):
     assert sorted(rk for rk, _ in by_q[2]) == [1, 2]
 
 
+def test_mmr_sparse_sims_scores_missing_pairs_as_zero(spark):
+    """A candidate with NO sims row to any selected item (sparse or
+    thresholded sims input) must score with max-sim 0 — nothing to
+    repel from — not silently vanish from later rounds. Here vec 12 has
+    no sims rows at all: with rel 0.7 and zero repulsion its round-2
+    MMR score 0.35 beats 11's 0.8/2 - 0.9/2 = -0.05, so it must be
+    picked second, and the selection still returns k picks."""
+    from etl_8million_data__spark.operators.similarity import mmr_select
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, vec_id long, rel double",
+    )
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 0.9), (1, 11, 10, 0.9)],
+        "query_id long, a long, b long, sim double",
+    )
+    sel = mmr_select(cands, sims, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in sel] == [10, 12, 11]
+    assert abs(sel[1].mmr_score - 0.35) < 1e-12
+
+
 def test_mmr_lambda_curve_trades_relevance_for_diversity(spark, sf_dir):
     """The λ tuning curve's semantic claims, measured: total selected
     relevance is non-decreasing in λ (strictly up across the grid), and
