@@ -130,11 +130,7 @@ def phrase_probe(
         "token",
         F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 1).alias("pfx"),
     )
-    idx = _minus_tombstones(spark, index_path, _read_index(spark, index_path))
-    cand = idx.join(F.broadcast(q), ["pfx", "token"]).select(
-        "phrase", "n_words", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
-        "off",
-    )
+    cand = phrase_candidates(spark, index_path, q)
     anchors = (
         cand.groupBy("phrase", "n_words", "doc_id", "anchor")
         .agg(F.count_distinct("off").alias("n_hit"))
@@ -142,6 +138,39 @@ def phrase_probe(
     )
     return anchors.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).alias("n_occ"), F.min("anchor").alias("first_pos")
+    )
+
+
+def phrase_candidates(
+    spark: SparkSession, index_path: str, q: DataFrame
+) -> DataFrame:
+    """The probe's candidate stage, exposed for skew/robustness tests
+    (the counterpart of dedup's ``prefix_filter_frames``): ``q`` is the
+    exploded (phrase, n_words, off, token, pfx) query frame. Every row
+    of the result is one posting of one QUERY term — the join input is
+    bounded by Σ tf-weighted df of the query's tokens, independent of
+    any hot token the query does not mention, and the downstream anchor
+    aggregate's key includes doc_id, so even a stopword's candidates
+    spread across documents (no straggler key)."""
+    idx = _minus_tombstones(spark, index_path, _read_index(spark, index_path))
+    return idx.join(F.broadcast(q), ["pfx", "token"]).select(
+        "phrase", "n_words", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
+        "off",
+    )
+
+
+def bm25_candidates(
+    spark: SparkSession, index_path: str, terms: DataFrame, term_col: str = "term"
+) -> DataFrame:
+    """bm25_probe's candidate stage (postings of the probed terms only,
+    minus tombstones), exposed for the same robustness tests."""
+    q = terms.select(
+        F.col(term_col).alias("token"),
+        F.substring(F.md5(F.encode(F.col(term_col), "UTF-8")), 1, 1).alias("pfx"),
+    ).distinct()
+    idx = _read_index(spark, index_path)
+    return _minus_tombstones(
+        spark, index_path, idx.join(F.broadcast(q), ["pfx", "token"])
     )
 
 
@@ -273,14 +302,7 @@ def bm25_probe(
     stats (n_docs, avgdl) + per-candidate doc lengths come from the
     live ``_doclen`` view, so tombstoned documents neither score nor
     distort idf. Returns (term, doc_id, bm25, rn)."""
-    q = terms.select(
-        F.col(term_col).alias("token"),
-        F.substring(F.md5(F.encode(F.col(term_col), "UTF-8")), 1, 1).alias("pfx"),
-    ).distinct()
-    idx = _read_index(spark, index_path)
-    cand = _minus_tombstones(
-        spark, index_path, idx.join(F.broadcast(q), ["pfx", "token"])
-    )
+    cand = bm25_candidates(spark, index_path, terms, term_col)
     tf = cand.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     dl = _live_doclen(spark, index_path)

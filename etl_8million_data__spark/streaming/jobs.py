@@ -510,6 +510,70 @@ def stream_sign_index_increment(
     )
 
 
+def stream_kmeans_index_increment(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming vector ingest into the persisted learned-IVF index
+    (operators/incremental_ann.build_index_kmeans): each micro-batch
+    assigns ITS OWN vectors to their nearest FROZEN centroid (one
+    broadcast-bounded argmin — the centroids are never retrained, the
+    same frozen-model contract as the IVF-PQ twin) and appends them
+    skip-existing by vec_id into the cell partitions. Same
+    replay-idempotence argument as :func:`stream_ann_index_increment`:
+    a redelivered batch's ids are already indexed, so the anti-join
+    makes the re-append a natural no-op; at-least-once foreachBatch +
+    checkpointed batch skipping yields an exactly-once index. The
+    index must exist (seeded by a batch build) before the stream
+    starts — the centroids are the contract every stored assignment
+    depends on."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_kmeans,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors_kmeans(batch_df, index_path, batch_tag=str(batch_id))
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_int8_index_increment(
+    emb_stream: DataFrame,
+    index_path: str,
+    weights: list[list[int]],
+    n_bits: int,
+    checkpoint_dir: str,
+):
+    """Streaming vector ingest into the persisted int8-quantized
+    inverted file (operators/incremental_ann.build_index_int8): each
+    micro-batch SRP-assigns and int8-quantizes ITS OWN vectors only
+    (narrow maps — per-vector scale, no global statistics, so nothing
+    to retrain) and appends skip-existing by vec_id into the cell
+    partitions. Same replay-idempotence argument as
+    :func:`stream_ann_index_increment`."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_int8,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors_int8(
+            batch_df, index_path, weights, n_bits, batch_tag=str(batch_id)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_probe_score_increment(
     emb_stream: DataFrame,
     weights_path: str,

@@ -553,6 +553,111 @@ def test_kmeans_append_is_skip_existing_against_frozen_centroids(
     assert hits & appended_ids, "no appended vector ever surfaced in a probe"
 
 
+def test_stream_kmeans_index_matches_batch_append(spark, sf_dir, tmp_path):
+    """The learned-IVF streaming twin: seeding a batch build (frozen
+    centroids), then replaying the full embedding set as a stream must
+    leave probes equal to the batch-append path over the same seed —
+    and a second replay under a fresh checkpoint must be a no-op
+    (skip-existing replay idempotence), symmetric with the text-index
+    streaming ingest twin."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        append_vectors_kmeans,
+        build_index_kmeans,
+        probe_index_kmeans,
+    )
+    from etl_8million_data__spark.streaming.jobs import stream_kmeans_index_increment
+
+    emb = _full_emb(spark, sf_dir)
+    seed = emb.filter(F.col("vec_id") % 5 != 0)
+    idx_stream = str(tmp_path / "km_stream")
+    idx_batch = str(tmp_path / "km_batch")
+    build_index_kmeans(seed, idx_stream, k_cells=8, iters=2)
+    build_index_kmeans(seed, idx_batch, k_cells=8, iters=2)
+    append_vectors_kmeans(emb, idx_batch, batch_tag="batch")
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("vec_id", "embedding")
+        )
+        stream_kmeans_index_increment(
+            stream, idx_stream, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    n_indexed = spark.read.parquet(f"{idx_stream}/vectors").count()
+    assert n_indexed == emb.count()
+    run("ckpt2")  # replay: skip-existing no-op
+    assert spark.read.parquet(f"{idx_stream}/vectors").count() == n_indexed
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = probe_index_kmeans(spark, idx_stream, q, k=10, nprobe=4)
+    want = probe_index_kmeans(spark, idx_batch, q, k=10, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_int8_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """The int8 streaming twin: replaying the embeddings as a stream
+    must leave probes equal to a fresh batch build (per-vector scales,
+    nothing learned, so no seeding needed), with skip-existing replay
+    idempotence."""
+    from etl_8million_data__spark.operators.incremental_ann import (
+        build_index_int8,
+        probe_index_int8,
+    )
+    from etl_8million_data__spark.streaming.jobs import stream_int8_index_increment
+
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx_stream = str(tmp_path / "i8_stream")
+    idx_batch = str(tmp_path / "i8_batch")
+    build_index_int8(emb, idx_batch, _W, n_bits)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stage = str(tmp_path / "stage")
+    os.mkdir(stage)
+    os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select("vec_id", F.slice("embedding", 1, _DIM).alias("embedding"))
+        )
+        stream_int8_index_increment(
+            stream, idx_stream, _W, n_bits, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckpt1")
+    n_indexed = spark.read.parquet(idx_stream).count()
+    assert n_indexed == emb.count()
+    run("ckpt2")
+    assert spark.read.parquet(idx_stream).count() == n_indexed
+
+    q = _queries(emb).limit(3)
+    got = probe_index_int8(spark, idx_stream, q, _W, n_bits, k=5, nprobe=3)
+    want = probe_index_int8(spark, idx_batch, q, _W, n_bits, k=5, nprobe=3)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.q_cosine, 9), r.rn)
+            for r in df.select("query_id", "vec_id", "q_cosine", "rn").collect()
+        )
+
+    assert rows(got) == rows(want)
+    assert rows(got)  # non-trivial
+
+
 def test_kmeans_probe_reads_only_probed_partitions(spark, sf_dir, tmp_path):
     """The probe must READ only the probed cells' vector files —
     asserted on the executed scan's numPartitions metric, same contract
