@@ -1118,6 +1118,254 @@ def contamination_sweep_probe() -> list[str]:
         f"{times[0]:.1f}s -> {times[1]:.1f}s ({t_ratio:.1f}x) |"
     ]
 
+def heaps_vocab_probe() -> list[str]:
+    """Candidate-volume sweep for all four blocked dedup families under
+    a HEAPS-LAW vocabulary (V = 40·√n — vocabulary grows sublinearly
+    with the corpus, the regime Heaps' law says real text lives in,
+    sitting between the fixed-vocab fixtures where candidate density is
+    quadratic and the V=5n probe where per-gram df is flat).
+
+    The fixture draws tokens ZIPF-distributed (rank = floor(v^u), u
+    hash-uniform, i.e. log-uniform ≡ Zipf-1: the head token carries
+    ~9% of all tokens, like English 'the') from the √n vocabulary, so
+    hot shingles exist organically and the NAIVE gram self-join
+    (Σ_g C(df_g, 2), measured exactly alongside) goes near-QUADRATIC
+    (94.6x measured on the 10x edge) — the regime blocking exists for.
+
+    The honest findings this probe gates: the window/cap families (SNM
+    construction bound, winnowing's df-cap) hold candidate growth to
+    ~14.6x — 6.5x below the naive curve — because their volume bounds
+    do not reference gram df at all; the gram/set-keyed families
+    (PPJoin prefix blocking, LSH bands) TRACK the naive growth rate at
+    ~0.5x its volume, because in a Zipf head the hot mass creates
+    genuinely-similar pairs no exact or recall-targeting filter may
+    drop — PPJoin's compensation is exactness (candidates ⊇ the full
+    J>=1/2 truth set, verified) and LSH's is that its hot band keys
+    are AQE-splittable equi-join keys (the skew suite's claim). Gates:
+    every family grows strictly slower than the measured naive ratio
+    and below a per-family ceiling; PPJoin's candidate/naive fraction
+    must not erode across the edge; and planted-pair recall holds
+    per-family floors against the J>=1/2 truth subset (computed
+    directly — a blocking scheme that bounds candidates by dropping
+    recall would pass a volume gate vacuously)."""
+    import math
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("heaps-vocab-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+        prefix_filter_frames,
+        sorted_neighborhood_frames,
+        sorted_neighborhood_pairs,
+        winnowing_fingerprints,
+    )
+
+    def corpus(n: int):
+        # Heaps vocabulary + ZIPF frequencies: rank = floor(v^u) with u
+        # uniform-ish from a multiplicative hash is log-uniform, i.e.
+        # p(rank r) ∝ 1/r — the head tokens are genuinely hot (df ∝ n,
+        # giving hot shingles and a superlinear naive join, the regime
+        # blocking exists for) while the tail grows with v. The hash
+        # mixes (base_id, j) so there are no systematic whole-document
+        # collisions (a plain (a·i + b·j) mod v fixture degenerates
+        # into EXACT clone cliques once n > v — doc i and doc i+v get
+        # identical text — which is corpus growth, not candidate
+        # blowup; this probe's first draft hit exactly that).
+        v = int(40 * math.sqrt(n))
+        i = F.col("id")
+        is_copy = i % 20 == 1
+        base_id = F.when(is_copy, i - 1).otherwise(i)
+
+        def tok(j: int):
+            h = ((base_id % 2147483648) * 2654435761 + F.lit(j * 104729)) % 2147483648
+            u = h.cast("double") / 2147483648.0
+            rank = F.floor(F.pow(F.lit(float(v)), u)).cast("bigint")
+            shared = F.concat(F.lit("w"), rank.cast("string"))
+            if j >= 27:  # copies alter the last 3 words -> high-J near-dups
+                fresh = F.concat(
+                    F.lit("x"), i.cast("string"), F.lit("_"), F.lit(str(j))
+                )
+                return F.when(is_copy, fresh).otherwise(shared)
+            return shared
+
+        return spark.range(n).select(
+            i.alias("doc_id"),
+            F.concat_ws(" ", *[tok(j) for j in range(30)]).alias("text"),
+        )
+
+    def planted_found(pairs_df, n: int) -> int:
+        # planted pairs are (i, i+1) for i % 20 == 0
+        return (
+            pairs_df.filter(
+                (F.col("doc_a") % 20 == 0) & (F.col("doc_b") == F.col("doc_a") + 1)
+            ).count()
+        )
+
+    def planted_truth(docs) -> int:
+        """Planted pairs whose distinct-3-shingle Jaccard actually
+        meets the PPJoin threshold (J >= 1/2): under Zipf repetition a
+        doc dominated by a few hot tokens has a small distinct-shingle
+        set, so the 3 fresh trailing tokens can push its copy below
+        threshold — those pairs are NOT in an exact join's truth set.
+        Counting the truth directly keeps the recall gates non-vacuous
+        (the fixture-degeneracy lesson)."""
+        from etl_8million_data__spark.operators.dedup import doc_shingle_frame
+
+        sh = doc_shingle_frame(docs, "text", "doc_id", 3)
+        base = sh.filter(F.col("doc_id") % 20 == 0).select(
+            F.col("doc_id").alias("_b"), F.col("shingles").alias("_sa")
+        )
+        copy = sh.filter(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") - 1).alias("_b"), F.col("shingles").alias("_sb")
+        )
+        j = base.join(copy, "_b").select(
+            F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+            F.size(F.array_union("_sa", "_sb")).alias("_u"),
+        )
+        return j.filter(F.col("_i") * 2 >= F.col("_u")).count()
+
+    sizes = (2_000, 20_000)
+    results: dict[str, list[tuple[int, int]]] = {}
+    naive_vols: list[int] = []
+    truths: list[int] = []
+    for n in sizes:
+        docs = corpus(n).localCheckpoint(eager=True)
+        truths.append(planted_truth(docs))
+
+        fr = prefix_filter_frames(docs, 1, 2)
+        # exact naive-join candidate volume Σ_g C(df_g, 2) — one cheap
+        # aggregate over the posting list, no pair materialization
+        naive_vols.append(
+            fr["ex"]
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.sum(F.expr("_df * (_df - 1) div 2")).cast("bigint"))
+            .first()[0]
+        )
+        pp_cand = fr["cand"]
+        results.setdefault("ppjoin", []).append(
+            (pp_cand.count(), planted_found(pp_cand, n))
+        )
+
+        lsh_cand = minhash_lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+        results.setdefault("lsh", []).append(
+            (lsh_cand.count(), planted_found(lsh_cand, n))
+        )
+
+        snm_cand = sorted_neighborhood_frames(docs, window=4)["cands"]
+        snm_pairs = sorted_neighborhood_pairs(docs, window=4)
+        results.setdefault("snm", []).append(
+            (snm_cand.count(), planted_found(snm_pairs, n))
+        )
+        assert results["snm"][-1][0] <= 2 * n * 3, results["snm"][-1]
+
+        fps = winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+        wdf = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        rare = fps.join(wdf.filter(F.col("_df") <= 20).select("fp"), "fp")
+        win_cand = (
+            rare.alias("a")
+            .join(
+                rare.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        results.setdefault("winnowing", []).append(
+            (win_cand.count(), planted_found(win_cand, n))
+        )
+    spark.stop()
+
+    # Growth-ratio gates, set from measurement (2k -> 20k, this
+    # fixture): naive 94.6x (the Zipf head makes hot shingles — the
+    # regime is effectively organic boilerplate, and the naive join is
+    # near-quadratic in it); SNM 14.6x (construction-bounded) and
+    # winnowing 14.6x (df-cap-bounded) — the window/cap families beat
+    # the naive curve by 6.5x; PPJoin 79x and LSH 77x — the gram-keyed
+    # families TRACK the naive growth rate at ~0.5x its volume (their
+    # asymptotic win lives in the flat-df regime the V=5n probe gates
+    # near-linear; here the win is the constant fraction plus, for
+    # PPJoin, exactness). Gates sit above measured with margin, and
+    # every family must stay below the naive ratio itself.
+    gates = {"ppjoin": 95.0, "lsh": 95.0, "snm": 22.0, "winnowing": 22.0}
+    # Recall floors vs the J>=1/2 TRUTH subset of planted pairs
+    # (measured in parens): PPJoin is an exact join — floor 1.0
+    # against its own threshold semantics (measured 1.0/1.0). Banded
+    # MinHash at J barely above 1/2 detects ~0.23 per theory for
+    # borderline pairs, 0.65-0.71 measured over the truth mix — floor
+    # 0.55. SNM depends on copies sorting adjacently, which the hot
+    # shared prefixes mostly preserve (1.0 -> 0.72 measured) — floor
+    # 0.6. Winnowing's shared-fingerprint guarantee is INTENTIONALLY
+    # voided when the shared run is itself hot (the df-cap masks its
+    # fingerprints as boilerplate — MOSS semantics); as n grows, more
+    # planted pairs' shared runs cross the cap (0.66 -> 0.29 measured)
+    # — floor 0.2, with the volume gate doing the real work.
+    recall_floor = {"ppjoin": 1.0, "lsh": 0.55, "snm": 0.6, "winnowing": 0.2}
+    naive_ratio = naive_vols[1] / max(naive_vols[0], 1)
+    assert truths[0] > 0.3 * (sizes[0] // 20), (
+        f"fixture sanity: only {truths[0]} of {sizes[0] // 20} planted "
+        "pairs meet J>=1/2 — fixture too degenerate to gate recall"
+    )
+    lines = [
+        f"| naive gram join Σ C(df,2), Zipf-Heaps vocabulary (V=40·√n) | "
+        f"{naive_vols[0]:,} -> {naive_vols[1]:,} pair slots "
+        f"({naive_ratio:.1f}x on 10x docs; theory n^1.5 = 31.6x) | "
+        f"J>=1/2 truth {truths[0]}/{sizes[0] // 20} -> "
+        f"{truths[1]}/{sizes[1] // 20} planted |"
+    ]
+    print(lines[0])
+    for fam, rows in results.items():
+        (c0, p0), (c1, p1) = rows
+        ratio = c1 / max(c0, 1)
+        fl = recall_floor[fam]
+        assert p0 >= fl * truths[0] and p1 >= fl * truths[1], (
+            f"{fam}: planted recall broken ({p0}/{truths[0]}, "
+            f"{p1}/{truths[1]}, floor {fl}) — volume gate would be vacuous"
+        )
+        assert ratio <= gates[fam], (
+            f"{fam} candidates grew {ratio:.1f}x on 10x docs under Heaps "
+            f"vocabulary (gate {gates[fam]}x; naive {naive_ratio:.1f}x, "
+            "quadratic 100x)"
+        )
+        assert ratio <= naive_ratio, (
+            f"{fam} candidates grew FASTER than the naive gram join "
+            f"({ratio:.1f}x vs {naive_ratio:.1f}x) — blocking is negative"
+        )
+        extra = ""
+        if fam == "ppjoin":
+            f0, f1 = c0 / max(naive_vols[0], 1), c1 / max(naive_vols[1], 1)
+            # the blocking's advantage must not erode as the corpus
+            # grows: candidate/naive fraction flat-or-better (small
+            # slack for counting distinct pairs vs pair slots)
+            assert f1 <= f0 * 1.25, (
+                f"PPJoin prefix filtering eroding with scale: "
+                f"cand/naive {f0:.3f} -> {f1:.3f}"
+            )
+            extra = f" cand/naive {f0:.2f} -> {f1:.2f} |"
+        line = (
+            f"| {fam}, Heaps vocabulary (V=40·√n) | "
+            f"{c0:,} -> {c1:,} candidates ({ratio:.1f}x on 10x docs) | "
+            f"truth-set recall {p0}/{truths[0]} -> {p1}/{truths[1]} |"
+            f"{extra}"
+        )
+        print(line)
+        lines.append(line)
+    return lines
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
