@@ -110,6 +110,9 @@ HEADLINE = [
     "sketch_bottomk_quantiles",  # mergeable quantile sketch + exact-error audit
     "corpus_weighted_sample_tickets",  # token-budget-proportional weighted sampling
     "sketch_join_cardinality",  # coordinated-sample join-size estimate
+    # round-9 families
+    "search_eval_ndcg_ann",  # end-task nDCG cost of ANN routing vs exact
+    "ivm_join_view_refresh",  # delta-algebra incremental join-view refresh
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

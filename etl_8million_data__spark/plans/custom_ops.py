@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from etl_8million_data__spark.catalog import load_table
 from etl_8million_data__spark.operators.dedup import minhash_lsh_candidate_pairs, spread
 from etl_8million_data__spark.operators.grouped import user_value_trend
+from etl_8million_data__spark.functions.exact import cents, sql_cents
 from etl_8million_data__spark.operators.text import normalize_text
 from etl_8million_data__spark.plans.registry import register
 
@@ -133,4 +134,58 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ga, "doc_a")
         .join(gb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("char5_jaccard"))
+    )
+
+
+@register(
+    "ivm_join_view_refresh",
+    oracle=f"""
+    SELECT c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("ivm", "join", "maintenance", "extension", "persisted-view"),
+)
+def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/ivm.py), proven by
+    equivalence: the orders ⋈ customer view is materialized from an
+    80%/90% seed of each side, then refreshed with the remaining 20%
+    of orders AND 10% of customers in ONE delta call — exercising all
+    three delta terms (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB) — and the
+    refreshed view aggregates to exactly the full-join oracle
+    (split-independence IS the correctness claim of the delta
+    algebra). Scale shape: the refresh never reads the stored view,
+    appends only delta rows, and bounds each old-side scan by the
+    opposite delta's join keys (literal IN pushed into the scan for
+    small deltas — the upsert discipline); the byte-identity of the
+    seed view's files and the pruned-scan metrics are pinned in
+    tests/test_ivm.py."""
+    import shutil
+
+    from etl_8million_data__spark.operators.ivm import refresh_join_view
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    o_seed = o.filter(F.pmod("o_orderkey", F.lit(5)) != 0)
+    o_delta = o.filter(F.pmod("o_orderkey", F.lit(5)) == 0)
+    c_seed = c.filter(F.pmod("custkey", F.lit(10)) != 0)
+    c_delta = c.filter(F.pmod("custkey", F.lit(10)) == 0)
+
+    root = _persisted_index_root(sf_dir, "ivm_join_view")
+    shutil.rmtree(root, ignore_errors=True)
+    refresh_join_view(spark, root, o_seed, c_seed, o_delta, c_delta, ["custkey"])
+    view = spark.read.parquet(root)
+    return view.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
     )

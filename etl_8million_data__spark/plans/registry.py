@@ -85,6 +85,10 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 9 (first external evidence)
+    "search_eval_ndcg_mrr",
+    "search_eval_ndcg_ann",
+    "ivm_join_view_refresh",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",

@@ -3233,3 +3233,234 @@ def search_mmr_lambda_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lam_pct", "n_selected", "sum_rel_micro", "sum_pairsim_micro")
         .orderBy("lam_pct")
     )
+
+
+# Ranked-retrieval EVALUATION (round 9): the metric layer every search
+# stack needs next to its operators — given a ranking and relevance
+# judgments, score it. Relevance here is label agreement (qrels derived
+# deterministically from the embeddings fixture's label column: a doc
+# is relevant to a query iff it shares the query's label — 10 classes
+# x 50 docs, so every query has 49 relevant docs and ideal@10 is
+# always 10 deep). The log2 rank discounts are PRE-FLOORED integer
+# micro LITERALS shared verbatim by both engines, so nDCG reduces to
+# integer arithmetic — no cross-engine libm last-ulp risk.
+_DISC_MICRO = (1000000, 630929, 500000, 430676, 386852,
+               356207, 333333, 315464, 301029, 289064)
+_DISC_SQL = "(VALUES " + ", ".join(
+    f"({r + 1}, {d})" for r, d in enumerate(_DISC_MICRO)
+) + ") AS d(rn, d_micro)"
+_IDCG10 = sum(_DISC_MICRO)
+
+
+@register(
+    "search_eval_ndcg_mrr",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec, n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored),
+    top AS (
+      SELECT query_id,
+             rn,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rn <= 10)
+    SELECT t.query_id,
+           CAST(sum(t.rel) AS BIGINT) AS n_rel_top10,
+           CAST(sum(t.rel * d.d_micro) AS BIGINT) AS dcg_micro,
+           CAST((1000000 * sum(t.rel * d.d_micro)) // {_IDCG10} AS BIGINT)
+             AS ndcg_micro,
+           CAST(coalesce(1000000 // min(CASE WHEN t.rel = 1 THEN t.rn END), 0)
+             AS BIGINT) AS rr_micro,
+           CAST(sum(t.rel) * 100000 AS BIGINT) AS p10_micro
+    FROM top t JOIN {_DISC_SQL} ON d.rn = t.rn
+    GROUP BY t.query_id
+    """,
+    tags=("search", "evaluation", "extension"),
+)
+def search_eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 / MRR / P@10 of the exact cosine ranking against
+    label-match qrels — one row per query with every metric in exact
+    integer micro units.
+
+    Scale shape: the ranking reuses knn_bruteforce's plan (queries
+    broadcast, one corpus scan — or swap in any ANN ranking: the
+    metric layer only consumes (query_id, vec_id, rn)); qrels is a
+    broadcast (query_id, qlabel) column pinned onto the top-k rows
+    (|Q| x 10, trivially small); the discount join is against a
+    10-row literal table. Every judged corpus label has >= 10
+    relevant docs for any query (10 classes x 50 docs), so ideal@10
+    is the full 10-term discount sum — a constant — and nDCG is
+    1e6*DCG div IDCG in exact integers. MRR uses 1e6 div first-hit
+    rank; ties and the no-hit case (rr = 0) are total on both
+    engines."""
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "search_eval_ndcg_mrr", "similarity_knn_ivf + the same metrics"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ranked = knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id", "rn")
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(_DISC_MICRO)], "rn int, d_micro bigint"
+    )
+    top = (
+        ranked.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        )
+        .join(F.broadcast(disc), "rn")
+    )
+    return top.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_top10"),
+        F.sum(F.col("rel") * F.col("d_micro")).cast("bigint").alias("dcg_micro"),
+        F.expr(f"(1000000 * sum(rel * d_micro)) div {_IDCG10}")
+        .cast("bigint")
+        .alias("ndcg_micro"),
+        F.coalesce(
+            F.expr("1000000 div min(CASE WHEN rel = 1 THEN rn END)"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_micro"),
+        (F.sum("rel") * 100000).cast("bigint").alias("p10_micro"),
+    )
+
+
+@register(
+    "search_eval_ndcg_ann",
+    oracle=f"""
+    WITH {_IVF_CELLS},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    qlab AS (SELECT vec_id AS query_id, label AS qlabel
+             FROM embeddings WHERE vec_id % 100 = 0),
+    bf_scored AS (
+      SELECT q.query_id, e2.vec_id,
+             {_dot('q.qvec', 'e2.embedding')} / (sqrt(q.qn2) * sqrt(e2.n2)) AS cosine
+      FROM q JOIN e e2 ON e2.vec_id <> q.query_id),
+    bf AS (
+      SELECT query_id, vec_id, rn
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM bf_scored)
+      WHERE rn <= 10),
+    two AS (
+      SELECT 'ann' AS src, query_id, vec_id, rn FROM ivf
+      UNION ALL
+      SELECT 'exact' AS src, query_id, vec_id, rn FROM bf),
+    t AS (
+      SELECT b.src, b.query_id, b.rn,
+             CASE WHEN lab.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+      FROM two b
+      JOIN lab ON lab.vec_id = b.vec_id
+      JOIN qlab ql ON ql.query_id = b.query_id),
+    m AS (
+      SELECT t.src, t.query_id,
+             CAST((1000000 * sum(t.rel * d.d_micro)) // {_IDCG10} AS BIGINT)
+               AS ndcg_micro,
+             CAST(coalesce(1000000 // min(CASE WHEN t.rel = 1 THEN t.rn END), 0)
+               AS BIGINT) AS rr_micro,
+             CAST(sum(t.rel) AS BIGINT) AS n_rel
+      FROM t JOIN {_DISC_SQL} ON d.rn = t.rn
+      GROUP BY t.src, t.query_id)
+    SELECT query_id,
+           max(CASE WHEN src = 'ann' THEN ndcg_micro END) AS ndcg_micro_ann,
+           max(CASE WHEN src = 'exact' THEN ndcg_micro END) AS ndcg_micro_exact,
+           max(CASE WHEN src = 'exact' THEN ndcg_micro END)
+             - max(CASE WHEN src = 'ann' THEN ndcg_micro END) AS ndcg_loss_micro,
+           max(CASE WHEN src = 'ann' THEN rr_micro END) AS rr_micro_ann,
+           max(CASE WHEN src = 'ann' THEN n_rel END) AS n_rel_top10_ann
+    FROM m GROUP BY query_id
+    """,
+    tags=("search", "evaluation", "ivf", "extension", "approx"),
+)
+def search_eval_ndcg_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TASK cost of ANN routing, measured: nDCG@10 / MRR of the
+    SRP-IVF ranking vs the exact ranking on identical label-match
+    qrels, per query, in exact integer micro. A recall@k gate
+    (similarity_knn_ivf_recall) asks 'did ANN return the same docs';
+    this asks the question a retrieval product owner asks — 'how much
+    ranking QUALITY did the approximation cost' (ndcg_loss_micro can
+    be 0 even when recall < 1, when the swapped-in docs are equally
+    relevant). The metric layer is ranking-agnostic: both rankings
+    flow through one union-tagged frame, a broadcast 10-row literal
+    discount table, and one (src, query) aggregate — swapping in any
+    other retrieval channel costs nothing. Deterministic end to end
+    (both rankings and all metrics are oracle-hash-matched)."""
+    from etl_8million_data__spark.operators.similarity import adaptive_n_bits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = adaptive_n_bits(emb.count(), _TARGET_BUCKET, _MIN_BITS, _MAX_BITS)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = knn_ivf(emb, queries, _W, k=10, nprobe=_NPROBE, n_bits=nb).select(
+        F.lit("ann").alias("src"), "query_id", "vec_id", "rn"
+    )
+    from etl_8million_data__spark.operators.similarity import knn_bruteforce
+
+    exact = knn_bruteforce(emb, queries, k=10).select(
+        F.lit("exact").alias("src"), "query_id", "vec_id", "rn"
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(_DISC_MICRO)], "rn int, d_micro bigint"
+    )
+    t = (
+        ann.unionByName(exact)
+        .join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "src",
+            "query_id",
+            "rn",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        )
+        .join(F.broadcast(disc), "rn")
+    )
+    m = t.groupBy("src", "query_id").agg(
+        F.expr(f"(1000000 * sum(rel * d_micro)) div {_IDCG10}")
+        .cast("bigint")
+        .alias("ndcg_micro"),
+        F.coalesce(
+            F.expr("1000000 div min(CASE WHEN rel = 1 THEN rn END)"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_micro"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+    )
+    ann_case = F.when(F.col("src") == "ann", F.col("ndcg_micro"))
+    exact_case = F.when(F.col("src") == "exact", F.col("ndcg_micro"))
+    return m.groupBy("query_id").agg(
+        F.max(ann_case).alias("ndcg_micro_ann"),
+        F.max(exact_case).alias("ndcg_micro_exact"),
+        (F.max(exact_case) - F.max(ann_case)).alias("ndcg_loss_micro"),
+        F.max(F.when(F.col("src") == "ann", F.col("rr_micro"))).alias("rr_micro_ann"),
+        F.max(F.when(F.col("src") == "ann", F.col("n_rel"))).alias(
+            "n_rel_top10_ann"
+        ),
+    )
