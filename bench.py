@@ -113,6 +113,7 @@ HEADLINE = [
     # round-9 families
     "search_eval_ndcg_ann",  # end-task nDCG cost of ANN routing vs exact
     "ivm_join_view_refresh",  # delta-algebra incremental join-view refresh
+    "embedding_pca_two_components",  # deflated 2-component fixed-point PCA
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -19,6 +19,12 @@ Invariants checked:
 - cell-partitioned ANN index (incremental_ann layouts): exactly one row
   per vec_id (a double-append would silently double a vector's chance
   of surfacing); every cell id within [0, n_cells) when bounded.
+- id-bucketed layouts (round-9 sign/band/winnowing indexes and the
+  financials fact's stock_bucket): every row's stored bucket must equal
+  the md5 hash of its id — a row in the wrong bucket directory is
+  INVISIBLE to the computed-bucket forget path (forget_bucketed prunes
+  to the victims' hash buckets, so a misplaced row survives erasure),
+  which is exactly the quiet failure a fsck exists to catch.
 """
 
 from __future__ import annotations
@@ -86,4 +92,35 @@ def fsck_ann_index(
     )
     return counts.crossJoin(F.broadcast(dups)).select(
         "n_rows", "n_ids", "n_dup_ids", "n_bad_cell"
+    )
+
+
+def fsck_bucket_purity(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """One-row health report for an id-bucketed layout (sign index,
+    LSH band index, winnowing fingerprints, or any ``bucket=`` layout
+    written by the id_bucket contract): (n_rows, n_misplaced). A
+    misplaced row — stored bucket != md5-bucket of its id — would be
+    skipped by the computed-bucket forget path (it prunes to the
+    victims' HASH buckets, never scanning others), so a nonzero count
+    means erasure is not trustworthy until the row is re-bucketed
+    (compact_partitions rewrites recover it, since the rewrite
+    re-reads every row and partitionBy re-derives directories from the
+    stored column — pair this audit with a targeted compaction).
+    Column-pruned: only (id, bucket) are read."""
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+    checked = idx.select(
+        F.col(id_col),
+        F.col("bucket"),
+        id_bucket(F.col(id_col), n_buckets).alias("_want"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("bucket") != F.col("_want"), 1)).alias("n_misplaced"),
     )

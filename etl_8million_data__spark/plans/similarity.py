@@ -944,32 +944,42 @@ def similarity_knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _power_iter_oracle(iters: int = 3) -> str:
-    """DuckDB mirror of operators/similarity.power_iteration_top_component:
+def _power_iter_chain(src: str, pfx: str, iters: int = 3) -> list[str]:
+    """CTE parts for one power-iteration chain over source CTE ``src``
+    (which must expose a double-array column ``x``), with CTE names
+    prefixed ``pfx`` so two chains can coexist (the deflation oracle).
+    Mirrors operators/similarity.power_iteration_top_component exactly:
     per-row floor-to-integer contributions, per-dim integer sums,
-    truncating integer renormalization — unrolled ``iters`` times."""
+    truncating integer renormalization."""
     parts = [
-        "e AS (SELECT list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings)",
-        "v0(vm) AS (SELECT list_transform(range(64), j -> CAST(1000000 AS BIGINT)))",
+        f"{pfx}v0(vm) AS (SELECT list_transform(range(64), "
+        "j -> CAST(1000000 AS BIGINT)))",
     ]
     for it in range(1, iters + 1):
-        prev = f"v{it - 1}"
-        parts.append(f"""d{it} AS (
+        prev = f"{pfx}v{it - 1}"
+        parts.append(f"""{pfx}d{it} AS (
       SELECT x,
              list_reduce(list_prepend(0.0, list_transform(range(64),
                j -> x[j+1] * ({prev}.vm[j+1] / 1000000.0))), (a, b) -> a + b) AS dot
-      FROM e, {prev})""")
-        parts.append(f"""s{it} AS (
+      FROM {src}, {prev})""")
+        parts.append(f"""{pfx}s{it} AS (
       SELECT u.j AS dim,
              CAST(sum(CAST(floor(x[u.j+1] * dot) AS BIGINT)) AS BIGINT) AS s
-      FROM d{it}, unnest(range(64)) AS u(j) GROUP BY 1)""")
+      FROM {pfx}d{it}, unnest(range(64)) AS u(j) GROUP BY 1)""")
         parts.append(
-            f"m{it} AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s{it})"
+            f"{pfx}m{it} AS (SELECT greatest(max(abs(s)), 1) AS mx FROM {pfx}s{it})"
         )
         parts.append(
-            f"v{it}(vm) AS (SELECT list((s * 1000000) // mx ORDER BY dim) "
-            f"FROM s{it}, m{it})"
+            f"{pfx}v{it}(vm) AS (SELECT list((s * 1000000) // mx ORDER BY dim) "
+            f"FROM {pfx}s{it}, {pfx}m{it})"
         )
+    return parts
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    parts = [
+        "e AS (SELECT list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings)",
+    ] + _power_iter_chain("e", "", iters)
     return (
         "WITH " + ",\n    ".join(parts) + f"""
     SELECT CAST(u.j AS INT) AS dim, v{iters}.vm[u.j+1] AS v_micro
@@ -3463,4 +3473,100 @@ def search_eval_ndcg_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("src") == "ann", F.col("n_rel"))).alias(
             "n_rel_top10_ann"
         ),
+    )
+
+
+def _pca2_oracle(iters: int = 3) -> str:
+    """Two-component PCA oracle: chain 1 on the raw corpus, a deflation
+    CTE (x2 = x - proj_u(x), u = v_iters/1e6 — scale-invariant Gram-
+    Schmidt projection with the shared left-fold dot order), chain 2 on
+    the deflated corpus, both components unioned."""
+    parts = [
+        "e AS (SELECT list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings)",
+    ]
+    parts += _power_iter_chain("e", "", iters)
+    parts.append(f"""uvec AS (
+      SELECT list_transform(v{iters}.vm, m -> m / 1000000.0) AS u,
+             list_reduce(list_prepend(0.0, list_transform(v{iters}.vm,
+               m -> (m / 1000000.0) * (m / 1000000.0))), (a, b) -> a + b) AS uu
+      FROM v{iters})""")
+    parts.append("""e2 AS (
+      SELECT list_transform(range(64), j ->
+               x[j+1] - (list_reduce(list_prepend(0.0, list_transform(range(64),
+                 k -> x[k+1] * u[k+1])), (a, b) -> a + b) / uu) * u[j+1]) AS x
+      FROM e, uvec)""")
+    parts += _power_iter_chain("e2", "q", iters)
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT * FROM (
+      SELECT 1 AS component, CAST(u.j AS INT) AS dim, v{iters}.vm[u.j+1] AS v_micro
+      FROM v{iters}, unnest(range(64)) AS u(j)
+      UNION ALL
+      SELECT 2 AS component, CAST(u.j AS INT) AS dim, qv{iters}.vm[u.j+1] AS v_micro
+      FROM qv{iters}, unnest(range(64)) AS u(j))
+    """
+    )
+
+
+@register(
+    "embedding_pca_two_components",
+    oracle=_pca2_oracle(3),
+    tags=("similarity", "embedding", "spectral", "iterative", "extension"),
+)
+def embedding_pca_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal directions by power iteration + DEFLATION —
+    the step from anisotropy diagnosis (embedding_top_component) to an
+    actual low-rank basis (2-D whitening / visualization / spectral
+    hashing with 2 bits): component 1 is the standard fixed-point
+    power iteration; the corpus is then deflated by the scale-
+    invariant Gram-Schmidt projection x - (x·u / u·u)·u (u = the
+    micro vector re-scaled — invariant to its max-normalization, and
+    every dot uses the one shared left-fold order so the doubles are
+    bit-identical cross-engine); component 2 is the same iteration on
+    the deflated corpus.  Both 64-dim micro vectors — the ENTIRE
+    iterative result — hash-match the DuckDB replay.
+
+    Scale shape: deflation is one broadcast of the 1-row direction +
+    a narrow map (no shuffle); each iteration is the top-component
+    shape (posexplode → 64 partial sums with map-side combine), so
+    2 components cost exactly 2x one, and k components cost k·iters
+    bounded passes — never a d x d Gram materialization, which at
+    d = 4096 embedding dims would be the memory cliff."""
+    from etl_8million_data__spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1 = power_iteration_top_component(emb, iters=3)
+    u = v1.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v_micro"))),
+            lambda e: e["v_micro"] / 1_000_000.0,
+        ).alias("u")
+    ).select(
+        "u",
+        F.aggregate(
+            F.transform("u", lambda m: m * m), F.lit(0.0), lambda a, b: a + b
+        ).alias("uu"),
+    )
+    x = emb.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    r = (
+        F.aggregate(
+            F.zip_with("x", "u", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / F.col("uu")
+    )
+    deflated = (
+        x.crossJoin(F.broadcast(u))
+        .select(F.zip_with("x", F.transform("u", lambda m: m * r), lambda a, b: a - b).alias("embedding"))
+    )
+    v2 = power_iteration_top_component(deflated, iters=3)
+    return v1.select(
+        F.lit(1).cast("int").alias("component"), "dim", "v_micro"
+    ).unionByName(
+        v2.select(F.lit(2).cast("int").alias("component"), "dim", "v_micro")
     )

@@ -327,6 +327,49 @@ def test_fsck_detects_planted_corruptions(spark, sf_dir, tmp_path):
     assert a2.n_bad_cell == 1
 
 
+def test_fsck_bucket_purity_detects_misplaced_rows(spark, sf_dir, tmp_path):
+    """The round-9 bucketed layouts' fsck: a fresh sign index audits
+    zero misplaced rows; a row planted into the WRONG bucket directory
+    — the corruption that silently survives the computed-bucket forget
+    path — is counted."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.forget import forget_bucketed
+    from etl_8million_data__spark.operators.incremental_ann import build_index_sign
+    from etl_8million_data__spark.operators.index_fsck import fsck_bucket_purity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "fsck_sign")
+    build_index_sign(emb, idx)
+    r = fsck_bucket_purity(spark, idx, "vec_id").first()
+    assert r.n_rows == emb.count() and r.n_misplaced == 0
+
+    # plant one row into a provably-wrong bucket directory: compute the
+    # planted id's TRUE hash bucket and store it one bucket over
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    victim = spark.read.parquet(idx).limit(1)
+    bad_id = victim.first()["vec_id"] + 10_000_000
+    true_bucket = (
+        spark.createDataFrame([(bad_id,)], "id long")
+        .select(id_bucket(F.col("id"), 16).alias("b"))
+        .first()["b"]
+    )
+    vt = dict(victim.dtypes)["vec_id"]
+    victim.withColumn("vec_id", F.lit(bad_id).cast(vt)).withColumn(
+        "bucket", F.lit((true_bucket + 1) % 16)
+    ).write.mode("append").partitionBy("bucket").parquet(idx)
+    r2 = fsck_bucket_purity(spark, idx, "vec_id").first()
+    assert r2.n_misplaced == 1
+
+    # and the misplaced row indeed SURVIVES the computed-bucket forget
+    # (the quiet failure the audit exists for)
+    vdf = spark.createDataFrame([(bad_id,)], "vec_id long")
+    assert forget_bucketed(spark, idx, vdf, id_col="vec_id") == 0
+    assert (
+        spark.read.parquet(idx).filter(F.col("vec_id") == bad_id).count() == 1
+    )
+
+
 def test_compact_postings_preserves_probes_and_cuts_files(spark, sf_dir, tmp_path):
     """Per-append small files in the pfx-partitioned postings compact
     into the minimal per-partition file set with phrase and BM25 probes
