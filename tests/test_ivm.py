@@ -92,6 +92,50 @@ def test_delta_join_terms_cover_cross_appends(spark, sf_dir):
     assert d2.count() == o_old.count()
 
 
+def test_stream_join_view_equals_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming the orders fact (4 micro-batches) against the static
+    customer dim must leave the view equal to the full batch join, and
+    a full replay under a fresh checkpoint must append nothing
+    (skip-existing by fact PK)."""
+    import os as _os
+
+    from etl_8million_data__spark.operators.ivm import stream_join_view_increment
+
+    o, c = _frames(spark, sf_dir)
+    src = str(tmp_path / "src")
+    o.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    view = str(tmp_path / "view")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_join_view_increment(
+            stream, c, view, ["custkey"], "o_orderkey", str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("c1")
+    got = spark.read.parquet(view)
+    want = o.join(c, "custkey")
+    assert got.count() == want.count()
+    key = ["custkey", "o_orderkey"]
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+    n_files = len(
+        [f for f in _os.listdir(view) if f.endswith(".parquet")]
+    )
+    run("c2")  # replay: every fact key already in the view
+    assert spark.read.parquet(view).count() == want.count()
+    assert (
+        len([f for f in _os.listdir(view) if f.endswith(".parquet")]) == n_files
+    )
+
+
 def test_bounded_scan_pushes_literal_key_filter(spark, sf_dir):
     """The old-side scan of a cross term must carry the delta's keys as
     a pushed literal filter (runtime DPP is unreliable on this build —
