@@ -101,6 +101,74 @@ def refresh_join_view(
     return n
 
 
+def agg_view_delta(
+    base: DataFrame,
+    updates: DataFrame,
+    pk: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Per-group RETRACTION deltas for a keyed aggregate view when
+    ``updates`` (new last-writer-wins versions, possibly new PKs) land
+    on ``base``: each updated PK's OLD row contributes negatively under
+    its old group, the new row positively under its new group — so
+    group-moving updates, in-place value changes, and inserts all fall
+    out of one signed union. Returns (group_cols..., d_n, d_<sum_col>
+    ...) with one row per touched group. The old-row read is bounded to
+    the update batch's PKs via a broadcast semi-join (callers with a
+    partitioned base can literal-prune instead, the upsert discipline);
+    the aggregate-history is NEVER re-scanned."""
+    pks = updates.select(pk).distinct()
+    old = base.join(F.broadcast(pks), pk, "left_semi")
+    neg = old.select(
+        *group_cols,
+        F.lit(-1).cast("bigint").alias("_dn"),
+        *[(-F.col(c)).cast("bigint").alias(f"_d_{c}") for c in sum_cols],
+    )
+    pos = updates.select(
+        *group_cols,
+        F.lit(1).cast("bigint").alias("_dn"),
+        *[F.col(c).cast("bigint").alias(f"_d_{c}") for c in sum_cols],
+    )
+    return (
+        neg.unionByName(pos)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dn").cast("bigint").alias("d_n"),
+            *[
+                F.sum(f"_d_{c}").cast("bigint").alias(f"d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge per-group deltas into the aggregate view: full-outer on
+    the group key, counters coalesce-added, groups whose count reaches
+    zero dropped (they no longer exist in the base). The view is
+    group-cardinality-sized, so this merge never touches fact-scale
+    data."""
+    merged = view.join(delta, group_cols, "full_outer")
+    n = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+    out_cols = [n.cast("bigint").alias("n")]
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d_{c}"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"s_{c}")
+        )
+    return merged.select(*group_cols, *out_cols).filter(F.col("n") > 0)
+
+
 def stream_join_view_increment(
     a_stream: DataFrame,
     b_static: DataFrame,

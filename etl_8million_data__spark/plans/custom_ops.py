@@ -189,3 +189,72 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "ivm_agg_view_upsert",
+    oracle=f"""
+    WITH upd AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'X-MOVED'
+                  ELSE o_orderpriority END AS grp,
+             2 * {sql_cents('o_totalprice')} AS cents
+      FROM orders WHERE o_orderkey % 10 = 0),
+    ins AS (
+      SELECT -o_orderkey AS pk, o_orderpriority AS grp,
+             {sql_cents('o_totalprice')} AS cents
+      FROM orders WHERE o_orderkey % 50 = 0),
+    keep AS (
+      SELECT o_orderkey AS pk, o_orderpriority AS grp,
+             {sql_cents('o_totalprice')} AS cents
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    final AS (
+      SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s_cents
+    FROM final GROUP BY 1
+    """,
+    tags=("ivm", "aggregate", "maintenance", "extension"),
+)
+def ivm_agg_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-aware aggregate-view maintenance under UPSERTS
+    (operators/ivm.agg_view_delta / apply_agg_delta) — the step beyond
+    the rollup family's append-only maintenance: an update batch
+    carrying in-place value changes (cents doubled), GROUP-MOVING
+    updates (priority rewritten to 'X-MOVED' — the old group must
+    shrink and the new group grow), and brand-new keys lands on a
+    per-priority (count, sum) view; each updated PK's old row
+    contributes negatively under its OLD group and the new row
+    positively under its NEW group, the signed union aggregates to
+    per-touched-group deltas, and the group-sized view absorbs them in
+    one full-outer merge. Proven by equivalence: the maintained view
+    hash-matches a recompute over the post-upsert base (the oracle).
+    Scale shape: the only fact-scale reads are the update batch and
+    the old rows of ITS pks (broadcast-semi bounded; literal-pruned on
+    a partitioned base); the view merge is |groups|-sized; the
+    aggregate history is never re-scanned."""
+    from etl_8million_data__spark.operators.ivm import agg_view_delta, apply_agg_delta
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("grp"),
+        cents("o_totalprice").alias("cents"),
+    )
+    upd = base.filter(F.col("pk") % 10 == 0).select(
+        "pk",
+        F.when(F.col("pk") % 20 == 0, F.lit("X-MOVED"))
+        .otherwise(F.col("grp"))
+        .alias("grp"),
+        (F.col("cents") * 2).alias("cents"),
+    )
+    ins = base.filter(F.col("pk") % 50 == 0).select(
+        (-F.col("pk")).alias("pk"), "grp", "cents"
+    )
+    updates = upd.unionByName(ins)
+    view0 = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+    )
+    delta = agg_view_delta(base, updates, "pk", ["grp"], ["cents"])
+    return apply_agg_delta(view0, delta, ["grp"], ["cents"])

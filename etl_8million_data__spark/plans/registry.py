@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "search_eval_ndcg_ann",
     "ivm_join_view_refresh",
     "embedding_pca_two_components",
+    "ivm_agg_view_upsert",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",

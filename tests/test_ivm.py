@@ -136,6 +136,34 @@ def test_stream_join_view_equals_batch_and_replays_idempotently(
     )
 
 
+def test_agg_view_delta_group_move_and_empty_group_drop(spark):
+    """Retraction deltas: an update batch that moves EVERY row out of a
+    group must leave the maintained view without that group (count
+    reaches zero -> dropped), and the merged view must equal a fresh
+    recompute over the post-upsert state."""
+    from etl_8million_data__spark.operators.ivm import agg_view_delta, apply_agg_delta
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "pk long, grp string, cents long",
+    )
+    # both 'a' rows move to 'c' with new values; pk 4 is an insert
+    updates = spark.createDataFrame(
+        [(1, "c", 11), (2, "c", 21), (4, "b", 40)],
+        "pk long, grp string, cents long",
+    )
+    view0 = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+    )
+    delta = agg_view_delta(base, updates, "pk", ["grp"], ["cents"])
+    got = {
+        r.grp: (r.n, r.s_cents)
+        for r in apply_agg_delta(view0, delta, ["grp"], ["cents"]).collect()
+    }
+    assert got == {"b": (2, 70), "c": (2, 32)}  # 'a' gone, 'c' born
+
+
 def test_bounded_scan_pushes_literal_key_filter(spark, sf_dir):
     """The old-side scan of a cross term must carry the delta's keys as
     a pushed literal filter (runtime DPP is unreliable on this build —
