@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivm_join_view_refresh",
     "embedding_pca_two_components",
     "ivm_agg_view_upsert",
+    "search_eval_map_recall",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",

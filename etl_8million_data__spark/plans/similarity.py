@@ -3570,3 +3570,123 @@ def embedding_pca_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         v2.select(F.lit(2).cast("int").alias("component"), "dim", "v_micro")
     )
+
+
+@register(
+    "search_eval_map_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_dot('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec, n2 AS qn2
+          FROM e WHERE vec_id % 100 = 0),
+    nrel AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_relevant
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+      GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             {_dot('q.qvec', 'e.embedding')} / (sqrt(q.qn2) * sqrt(e.n2)) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    top AS (
+      SELECT query_id, rn,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+            FROM scored)
+      WHERE rn <= 10),
+    cum AS (
+      SELECT query_id, rn, rel,
+             CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rn) AS BIGINT)
+               AS hits_at_k
+      FROM top)
+    SELECT c.query_id,
+           CAST(sum(CASE WHEN c.rn <= 5 THEN c.rel ELSE 0 END) AS BIGINT)
+             AS hits_at_5,
+           CAST(sum(c.rel) AS BIGINT) AS hits_at_10,
+           CAST((1000000 * sum(CASE WHEN c.rn <= 5 THEN c.rel ELSE 0 END))
+                // least(r.n_relevant, 5) AS BIGINT) AS recall5_micro,
+           CAST((1000000 * sum(c.rel)) // least(r.n_relevant, 10) AS BIGINT)
+             AS recall10_micro,
+           CAST(sum(CASE WHEN c.rel = 1
+                         THEN (1000000 * c.hits_at_k) // c.rn ELSE 0 END)
+                // least(r.n_relevant, 10) AS BIGINT) AS ap10_micro
+    FROM cum c JOIN nrel r ON r.query_id = c.query_id
+    GROUP BY c.query_id, r.n_relevant
+    """,
+    tags=("search", "evaluation", "extension"),
+)
+def search_eval_map_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AP@10 and recall@{5,10} per query against label-match qrels —
+    completing the retrieval-eval layer next to nDCG/MRR: precision at
+    each hit is the truncating-integer-micro ratio hits_at_k div k
+    (exact on both engines), AP is their sum div min(R, 10), recall
+    divides by the TRUE per-query relevant count (computed in-frame,
+    not assumed). The cumulative-hit window partitions by query over
+    <= 10 rows — bounded state; everything else is the broadcast
+    metric-layer shape of search_eval_ndcg_mrr."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.similarity import (
+        assert_baseline_scale,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_baseline_scale(
+        emb, 200_000, "search_eval_map_recall", "similarity_knn_ivf + the same metrics"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nrel = (
+        qlab.join(labels, F.col("label") == F.col("qlabel"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
+    )
+    ranked = knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id", "rn")
+    top = (
+        ranked.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rn")
+    cum = top.withColumn(
+        "hits_at_k", F.sum("rel").over(w).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(nrel), "query_id")
+        .groupBy("query_id", "n_relevant")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 5, F.col("rel")).otherwise(0))
+            .cast("bigint")
+            .alias("hits_at_5"),
+            F.sum("rel").cast("bigint").alias("hits_at_10"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END))"
+                " div least(n_relevant, 5)"
+            )
+            .cast("bigint")
+            .alias("recall5_micro"),
+            F.expr("(1000000 * sum(rel)) div least(n_relevant, 10)")
+            .cast("bigint")
+            .alias("recall10_micro"),
+            F.expr(
+                "sum(CASE WHEN rel = 1 THEN (1000000 * hits_at_k) div rn"
+                " ELSE 0 END) div least(n_relevant, 10)"
+            )
+            .cast("bigint")
+            .alias("ap10_micro"),
+        )
+        .drop("n_relevant")
+    )
