@@ -26,6 +26,8 @@ ops as every other layout here (operators/maintenance.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -167,6 +169,68 @@ def apply_agg_delta(
             .alias(f"s_{c}")
         )
     return merged.select(*group_cols, *out_cols).filter(F.col("n") > 0)
+
+
+def stream_agg_view_upserts(
+    updates_stream: DataFrame,
+    base_path: str,
+    view_path: str,
+    pk: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the retraction-aware aggregate maintenance:
+    each micro-batch of keyed upserts (1) reduces to one row per PK
+    (last-writer-wins by ``order_col`` — a redelivered or
+    intra-batch-duplicated key resolves identically), (2) computes
+    per-group retraction deltas against the CURRENT base snapshot
+    (old rows bounded to the batch's PKs), (3) merges them into the
+    group-sized view (atomic swap — the view is |groups| rows), and
+    (4) applies the upsert to the base via the keyed upsert operator.
+    Replay safety: a redelivered batch's rows are value-identical to
+    the already-applied versions, so their retraction deltas are all
+    zero (old == new under every group) and the base upsert is
+    idempotent — at-least-once delivery converges to the same view.
+
+    Note the ORDER of (2) before (4): deltas must see the pre-upsert
+    base, the same discipline as agg_view_delta's contract."""
+    import shutil
+    import uuid
+
+    from etl_8million_data__spark.operators.upsert import (
+        last_writer_wins,
+        upsert_parquet,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = last_writer_wins(batch_df, [pk], order_col).localCheckpoint(eager=True)
+        if not b.count():
+            return
+        base = spark.read.parquet(base_path)
+        delta = agg_view_delta(base, b, pk, group_cols, sum_cols).localCheckpoint(
+            eager=True
+        )
+        view = spark.read.parquet(view_path)
+        merged = apply_agg_delta(view, delta, group_cols, sum_cols).localCheckpoint(
+            eager=True
+        )
+        tmp = f"{view_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{view_path}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(view_path, old)
+        os.rename(tmp, view_path)
+        shutil.rmtree(old)
+        upsert_parquet(spark, b, base_path, keys=[pk], order_col=order_col)
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_join_view_increment(

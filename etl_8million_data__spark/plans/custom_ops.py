@@ -201,7 +201,7 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 * {sql_cents('o_totalprice')} AS cents
       FROM orders WHERE o_orderkey % 10 = 0),
     ins AS (
-      SELECT -o_orderkey AS pk, o_orderpriority AS grp,
+      SELECT -(o_orderkey + 1) AS pk, o_orderpriority AS grp,
              {sql_cents('o_totalprice')} AS cents
       FROM orders WHERE o_orderkey % 50 = 0),
     keep AS (
@@ -249,7 +249,7 @@ def ivm_agg_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") * 2).alias("cents"),
     )
     ins = base.filter(F.col("pk") % 50 == 0).select(
-        (-F.col("pk")).alias("pk"), "grp", "cents"
+        (-(F.col("pk") + 1)).alias("pk"), "grp", "cents"
     )
     updates = upd.unionByName(ins)
     view0 = base.groupBy("grp").agg(

@@ -164,6 +164,76 @@ def test_agg_view_delta_group_move_and_empty_group_drop(spark):
     assert got == {"b": (2, 70), "c": (2, 32)}  # 'a' gone, 'c' born
 
 
+def test_stream_agg_view_upserts_equals_recompute_and_replays(spark, sf_dir, tmp_path):
+    """Streaming keyed upserts through the retraction maintainer must
+    leave the view equal to a recompute over the final base state, and
+    a full replay under a fresh checkpoint must change nothing (zero
+    deltas: old == new for every redelivered key)."""
+    from etl_8million_data__spark.operators.ivm import stream_agg_view_upserts
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.lit(0).cast("long").alias("ver"),
+    )
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    o.write.parquet(base)
+    o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+    ).coalesce(1).write.parquet(view)
+
+    # update stream: 2 files -> 2 micro-batches; doubled cents, some
+    # group moves, some brand-new keys, all at ver=1
+    upd = o.filter(F.col("pk") % 10 == 0).select(
+        "pk",
+        F.when(F.col("pk") % 20 == 0, F.lit("X-MOVED")).otherwise(F.col("grp")).alias("grp"),
+        (F.col("cents") * 2).alias("cents"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    ins = o.filter(F.col("pk") % 50 == 0).select(
+        (-(F.col("pk") + 1)).alias("pk"), "grp", "cents", F.lit(1).cast("long").alias("ver")
+    )
+    src = str(tmp_path / "src")
+    upd.unionByName(ins).repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_agg_view_upserts(
+            stream, base, view, "pk", ["grp"], ["cents"], "ver",
+            str(tmp_path / ckpt),
+        ).awaitTermination()
+
+    run("c1")
+    got = {
+        r.grp: (r.n, r.s_cents) for r in spark.read.parquet(view).collect()
+    }
+    want = {
+        r.grp: (r.n, r.s_cents)
+        for r in spark.read.parquet(base)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s_cents"),
+        )
+        .collect()
+    }
+    assert got == want and "X-MOVED" in got
+
+    run("c2")  # replay: zero deltas everywhere
+    got2 = {
+        r.grp: (r.n, r.s_cents) for r in spark.read.parquet(view).collect()
+    }
+    assert got2 == got
+
+
 def test_bounded_scan_pushes_literal_key_filter(spark, sf_dir):
     """The old-side scan of a cross term must carry the delta's keys as
     a pushed literal filter (runtime DPP is unreliable on this build —
