@@ -82,9 +82,19 @@ def main() -> None:
               flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_ISOLATION_r9.json")
+    # merge-preserve: later targeted reruns must not erase earlier
+    # queries' evidence
+    record = {"sf_dir": SF_DIR, "protocol": "warmup + min-of-5, isolated",
+              "queries": out}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        prev["queries"].update(out)
+        record = prev
+    except (OSError, ValueError):
+        pass
     with open(path, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "protocol": "warmup + min-of-5, isolated",
-                   "queries": out}, f, indent=1, sort_keys=True)
+        json.dump(record, f, indent=1, sort_keys=True)
     print(f"wrote {path}")
     spark.stop()
 
