@@ -114,6 +114,7 @@ HEADLINE = [
     "search_eval_ndcg_ann",  # end-task nDCG cost of ANN routing vs exact
     "ivm_join_view_refresh",  # delta-algebra incremental join-view refresh
     "embedding_pca_two_components",  # deflated 2-component fixed-point PCA
+    "search_bm25_persisted",  # lexical retrieval through the persisted index
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

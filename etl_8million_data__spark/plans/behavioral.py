@@ -411,3 +411,54 @@ def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_weighted(edges, n_iter=3).select(
         "node", F.col("rank_fixed")
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             {sql_cents('c_acctbal')} // 100000 AS sens_band
+      FROM customer),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, sens_band,
+             CAST(count(*) AS BIGINT) AS n_v
+      FROM q GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(sum(n_v) AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_distinct_sensitive,
+           (count(*) < 3) AS below_l,
+           CAST((1000000 * max(n_v)) // sum(n_v) AS BIGINT)
+             AS top_sensitive_share_micro
+    FROM cls GROUP BY 1, 2
+    """,
+    tags=("privacy", "audit", "extension"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a
+    quasi-identifier class can be large (k-anonymous) yet reveal its
+    members' SENSITIVE value when every member shares one. Per QI class
+    (nation, market segment): the number of distinct sensitive values
+    (the $1000 balance band plays the sensitive attribute), a below-l
+    flag (l = 3 — distinct l-diversity), and the most-common sensitive
+    value's share in integer micro — the homogeneity measure behind
+    recursive (c,l)-diversity, without the engine-varying log of
+    entropy l-diversity. Two hash aggregates (class × value, then
+    class), nothing else; the band divides exact integer cents with
+    truncation-toward-zero on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (cents(F.col("c_acctbal")) / 100000).cast("long")
+    cls = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("sens_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+    )
+    n = F.count(F.lit(1))
+    return cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_v").cast("bigint").alias("group_size"),
+        n.cast("bigint").alias("n_distinct_sensitive"),
+        (n < 3).alias("below_l"),
+        F.expr("(1000000 * max(n_v)) div sum(n_v)")
+        .cast("bigint")
+        .alias("top_sensitive_share_micro"),
+    )

@@ -3304,3 +3304,105 @@ def search_hybrid_rrf_fusion_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+# --- persisted-text-index probe twins (round 9): the text-search
+# counterpart of the ANN persisted twins — same oracles as the
+# in-memory queries, so parquet persistence (build -> pfx-partitioned
+# postings + _doclen sidecar -> probe) is provably a pure I/O layout
+# choice for lexical retrieval too.
+from etl_8million_data__spark.plans.registry import _REGISTRY as _REG
+
+
+@register(
+    "search_bm25_persisted",
+    oracle=_REG["search_bm25_rsj_topk"].oracle,
+    tags=("search", "bm25", "persisted-index", "extension", "scale-path"),
+)
+def search_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_bm25_rsj_topk through the PERSISTED index path — what a
+    production retrieval deployment runs: postings + the `_doclen`
+    sidecar are built once into the pfx-partitioned parquet layout
+    (operators/search_index.py), the same 5-term workload is derived
+    (the only corpus-side derivation — a deployment's queries arrive
+    externally), and `bm25_probe` scores against the INDEX: tf/df are
+    aggregates over only the probed terms' postings, corpus stats come
+    from the sidecar. Hash-checked against the same oracle as the
+    in-memory query — persistence loses nothing. Amortized story:
+    the build is paid once; every subsequent probe is Σ df(query
+    terms) I/O, the lexical analog of the ANN persisted probes."""
+    from etl_8million_data__spark.operators.search_index import (
+        bm25_probe,
+        build_postings,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _persisted_index_root(sf_dir, "postings_bm25")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    build_postings(d, root)
+
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(5)
+        .select(F.col("token").alias("term"))
+    )
+    return bm25_probe(spark, root, terms, k=10)
+
+
+@register(
+    "search_phrase_persisted",
+    oracle=_REG["search_phrase_positions"].oracle,
+    tags=("search", "inverted-index", "phrase", "persisted-index", "extension"),
+)
+def search_phrase_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_phrase_positions through the PERSISTED index path: the
+    corpus's top-3 trigram phrases probe the pfx-partitioned postings
+    via `phrase_probe`'s anchor alignment (one join + one aggregate for
+    any phrase length, vs the in-memory form's per-word join chain) —
+    and the result still hash-matches the in-memory query's oracle:
+    layout AND algorithm both swap with zero semantic drift. The probe
+    join input is Σ df of the query words (skew-tested in
+    tests/test_search_index_skew.py), never the corpus."""
+    from etl_8million_data__spark.operators.dedup import spread
+    from etl_8million_data__spark.operators.search_index import (
+        build_postings,
+        phrase_probe,
+    )
+    from etl_8million_data__spark.operators.text import word_shingles
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _persisted_index_root(sf_dir, "postings_phrase")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    build_postings(d, root)
+
+    t = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    tri = t.select(F.explode(word_shingles(F.col("toks"), 3)).alias("phrase"))
+    phrases = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(3)
+        .select("phrase")
+    )
+    return phrase_probe(spark, root, phrases)

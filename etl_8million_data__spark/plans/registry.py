@@ -92,6 +92,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pca_two_components",
     "ivm_agg_view_upsert",
     "search_eval_map_recall",
+    "search_bm25_persisted",
+    "search_phrase_persisted",
+    "privacy_l_diversity",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",
