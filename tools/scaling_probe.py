@@ -1366,6 +1366,93 @@ def heaps_vocab_probe() -> list[str]:
     return lines
 
 
+def ivm_refresh_probe() -> list[str]:
+    """Measured evidence for the round-9 join-view maintenance claim:
+    refreshing a materialized orders ⋈ customer view with a 1% order
+    delta must stay DELTA-SIZED while the full rewrite grows with
+    history. At fixture scale the full join is sub-second, so fixed
+    per-job overheads (key collect/broadcast, checkpoint, count)
+    dominate the delta path and the base-size ratio is meaningless;
+    the delta-sized SIGNATURE is the trend — measured at sf0.1 (150k
+    orders) and a 30x synthetic blow-up, the gates are (a) the
+    delta/full ratio falls by >= 3x across the 30x edge and (b) the
+    30x delta refresh costs <= 0.5x the 30x full rewrite. (This probe
+    also caught the operator's original 10k literal-IN threshold: a
+    1,420-value IN measured 2.5x slower than the broadcast semi-join
+    it now falls back to above 200 keys.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("ivm-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.ivm import refresh_join_view
+
+    sf = "/root/testdata/sf0.1"
+    o0 = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    lines = []
+    ratios = []
+    for mult in (1, 30):
+        o = o0
+        if mult > 1:
+            o = o0.crossJoin(
+                spark.range(mult).select(F.col("id").alias("_rep"))
+            ).select(
+                "custkey",
+                (F.col("o_orderkey") * mult + F.col("_rep")).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        o = o.localCheckpoint(eager=True)
+        # materialize the split ONCE: a production delta ARRIVES as its
+        # own small frame — deriving it by filtering the full history
+        # inside the timed region would charge the refresh O(history)
+        # scans that belong to the ingest, not the maintenance
+        seed = o.filter(F.col("o_orderkey") % 100 != 0).localCheckpoint(eager=True)
+        delta = o.filter(F.col("o_orderkey") % 100 == 0).localCheckpoint(eager=True)
+        wd = tempfile.mkdtemp()
+        try:
+            view = f"{wd}/view"
+            refresh_join_view(spark, view, seed, c, o.limit(0), c.limit(0), ["custkey"])
+            t0 = time.time()
+            n = refresh_join_view(spark, view, seed, c, delta, c.limit(0), ["custkey"])
+            t_delta = time.time() - t0
+            t0 = time.time()
+            o.join(c, "custkey").write.mode("overwrite").parquet(f"{wd}/full")
+            t_full = time.time() - t0
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+        r = t_delta / t_full if t_full > 0 else float("nan")
+        ratios.append(r)
+        lines.append(
+            f"| ivm join-view refresh, {150_000 * mult:,} orders, 1% delta | "
+            f"delta {n:,} rows in {t_delta:.2f}s | full rewrite {t_full:.2f}s | "
+            f"ratio {r:.2f} |"
+        )
+        print(lines[-1])
+    spark.stop()
+    assert ratios[1] <= ratios[0] / 3, (
+        f"delta/full ratio did not fall with history ({ratios[0]:.2f} -> "
+        f"{ratios[1]:.2f}) — refresh cost is not delta-sized"
+    )
+    assert ratios[1] <= 0.5, (
+        f"delta refresh not cheap at 30x history: {ratios[1]:.2f}x the full rewrite"
+    )
+    return lines
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
