@@ -462,3 +462,131 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_sensitive_share_micro"),
     )
+
+
+
+
+@register(
+    "linkage_agreement_patterns",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey + 1000000 AS b_key, c_custkey AS orig_key, c_nationkey,
+             substr(c_name, 1, length(c_name) - 1) AS name,
+             CASE WHEN c_custkey % 8 = 0 THEN {sql_cents('c_acctbal')}
+                  ELSE {sql_cents('c_acctbal')} + 1 END AS bal_cents,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 4 = 0),
+    pairs AS (
+      SELECT a.c_custkey AS a_key, b.b_key, b.orig_key,
+             CASE WHEN substr(a.c_name, 1, 15) = substr(b.name, 1, 15)
+                  THEN 1 ELSE 0 END AS ag_name,
+             CASE WHEN {sql_cents('a.c_acctbal')} = b.bal_cents
+                  THEN 1 ELSE 0 END AS ag_bal,
+             CASE WHEN a.c_mktsegment = b.seg THEN 1 ELSE 0 END AS ag_seg
+      FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey),
+    u AS (
+      SELECT CAST((1000000 * sum(ag_name)) // count(*) AS BIGINT) AS u_name,
+             CAST((1000000 * sum(ag_bal)) // count(*) AS BIGINT) AS u_bal,
+             CAST((1000000 * sum(ag_seg)) // count(*) AS BIGINT) AS u_seg
+      FROM pairs)
+    SELECT p.ag_name, p.ag_bal, p.ag_seg,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.a_key = p.orig_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_matches,
+           CAST(  (CASE WHEN p.ag_name = 1
+                        THEN 900000000000 // (u.u_name + 1)
+                        ELSE 100000000000 // (1000001 - u.u_name) END)
+                + (CASE WHEN p.ag_bal = 1
+                        THEN 900000000000 // (u.u_bal + 1)
+                        ELSE 100000000000 // (1000001 - u.u_bal) END)
+                + (CASE WHEN p.ag_seg = 1
+                        THEN 900000000000 // (u.u_seg + 1)
+                        ELSE 100000000000 // (1000001 - u.u_seg) END)
+             AS BIGINT) AS pattern_weight,
+           u.u_name, u.u_bal, u.u_seg
+    FROM pairs p CROSS JOIN u
+    GROUP BY 1, 2, 3, u.u_name, u.u_bal, u.u_seg
+    """,
+    tags=("linkage", "entity-resolution", "extension"),
+)
+def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD LINKAGE (Fellegi–Sunter form): agreement-pattern table
+    for matching the clean customer file against a deterministically
+    CORRUPTED copy (name truncated one char, balance off by one cent
+    for 7/8 of records, segment kept — the classic dirty-merge shape),
+    blocked on nation. Per agreement pattern over (name-prefix-15,
+    balance-cents-exact, segment-exact): candidate-pair count,
+    TRUE-match count (ground truth known by construction — the audit
+    every linkage threshold is tuned against), and the pattern's match
+    weight from IN-FRAME u-probabilities (each field's agreement rate
+    over all candidate pairs — the standard u estimate, matches being
+    rare; segment's u lands near 1/5, name-prefix's near the
+    same-thousand-block share, cents' near zero, so the weights
+    genuinely separate) with assumed m = 0.9. Weights are
+    ratio-of-integer-micro with truncating division and +1 smoothing —
+    log-free so the whole table hash-matches; a deployment takes log
+    downstream (rank-preserving, turning odds products into the
+    familiar weight sums).
+
+    Scale shape: the candidate join is equi on the blocking key (at
+    100 TB block on a name LSH or sorted-neighborhood key — the dedup
+    family's blocking discipline applied to heterogeneous records);
+    comparisons are codegen string/integer ops; the u frame is ONE row
+    broadcast back; output is <= 8 pattern rows."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("b_key"),
+        F.col("c_custkey").alias("orig_key"),
+        "c_nationkey",
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("name"),
+        F.when(F.col("c_custkey") % 8 == 0, cents("c_acctbal"))
+        .otherwise(cents("c_acctbal") + 1)
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    a = c.select("c_custkey", "c_nationkey", "c_name", "c_acctbal", "c_mktsegment")
+    pairs = a.join(b, "c_nationkey").select(
+        F.col("c_custkey").alias("a_key"),
+        "b_key",
+        "orig_key",
+        F.when(
+            F.expr("substr(c_name, 1, 15)") == F.expr("substr(name, 1, 15)"), 1
+        )
+        .otherwise(0)
+        .alias("ag_name"),
+        F.when(cents("c_acctbal") == F.col("bal_cents"), 1)
+        .otherwise(0)
+        .alias("ag_bal"),
+        F.when(F.col("c_mktsegment") == F.col("seg"), 1).otherwise(0).alias("ag_seg"),
+    )
+    u = pairs.agg(
+        F.expr("(1000000 * sum(ag_name)) div count(*)").cast("bigint").alias("u_name"),
+        F.expr("(1000000 * sum(ag_bal)) div count(*)").cast("bigint").alias("u_bal"),
+        F.expr("(1000000 * sum(ag_seg)) div count(*)").cast("bigint").alias("u_seg"),
+    )
+    w = (
+        F.when(
+            F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_name)"))
+        + F.when(
+            F.col("ag_bal") == 1, F.expr("900000000000 div (u_bal + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_bal)"))
+        + F.when(
+            F.col("ag_seg") == 1, F.expr("900000000000 div (u_seg + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_seg)"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(u))
+        .groupBy("ag_name", "ag_bal", "ag_seg", "u_name", "u_bal", "u_seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("a_key") == F.col("orig_key"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_matches"),
+            F.max(w).cast("bigint").alias("pattern_weight"),
+        )
+        .select(
+            "ag_name", "ag_bal", "ag_seg", "n_pairs", "n_true_matches",
+            "pattern_weight", "u_name", "u_bal", "u_seg",
+        )
+    )

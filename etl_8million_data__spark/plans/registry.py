@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "search_bm25_persisted",
     "search_phrase_persisted",
     "privacy_l_diversity",
+    "linkage_agreement_patterns",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",
