@@ -466,10 +466,8 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "linkage_agreement_patterns",
-    oracle=f"""
-    WITH b AS (
+_LINK_CTES = f"""
+    b AS (
       SELECT c_custkey + 1000000 AS b_key, c_custkey AS orig_key, c_nationkey,
              substr(c_name, 1, length(c_name) - 1) AS name,
              CASE WHEN c_custkey % 8 = 0 THEN {sql_cents('c_acctbal')}
@@ -489,6 +487,13 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((1000000 * sum(ag_bal)) // count(*) AS BIGINT) AS u_bal,
              CAST((1000000 * sum(ag_seg)) // count(*) AS BIGINT) AS u_seg
       FROM pairs)
+"""
+
+
+@register(
+    "linkage_agreement_patterns",
+    oracle=f"""
+    WITH {_LINK_CTES}
     SELECT p.ag_name, p.ag_bal, p.ag_seg,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CASE WHEN p.a_key = p.orig_key THEN 1 ELSE 0 END) AS BIGINT)
@@ -589,4 +594,101 @@ def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ag_name", "ag_bal", "ag_seg", "n_pairs", "n_true_matches",
             "pattern_weight", "u_name", "u_bal", "u_seg",
         )
+    )
+
+
+@register(
+    "linkage_threshold_quality",
+    oracle=f"""
+    WITH {_LINK_CTES},
+    pat AS (
+      SELECT p.ag_name, p.ag_bal, p.ag_seg,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN p.a_key = p.orig_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+             CAST(  (CASE WHEN p.ag_name = 1
+                          THEN 900000000000 // (u.u_name + 1)
+                          ELSE 100000000000 // (1000001 - u.u_name) END)
+                  + (CASE WHEN p.ag_bal = 1
+                          THEN 900000000000 // (u.u_bal + 1)
+                          ELSE 100000000000 // (1000001 - u.u_bal) END)
+                  + (CASE WHEN p.ag_seg = 1
+                          THEN 900000000000 // (u.u_seg + 1)
+                          ELSE 100000000000 // (1000001 - u.u_seg) END)
+               AS BIGINT) AS w
+      FROM pairs p CROSS JOIN u
+      GROUP BY 1, 2, 3, u.u_name, u.u_bal, u.u_seg),
+    tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS total_true FROM pat),
+    thr AS (SELECT DISTINCT w AS threshold FROM pat)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN p.w >= t.threshold THEN p.n_true ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p.w >= t.threshold
+                         THEN p.n_pairs - p.n_true ELSE 0 END) AS BIGINT) AS fp,
+           CAST(x.total_true
+                - sum(CASE WHEN p.w >= t.threshold THEN p.n_true ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST((1000000 * sum(CASE WHEN p.w >= t.threshold THEN p.n_true
+                                    ELSE 0 END))
+                // greatest(sum(CASE WHEN p.w >= t.threshold THEN p.n_pairs
+                                     ELSE 0 END), 1) AS BIGINT)
+             AS precision_micro,
+           CAST((1000000 * sum(CASE WHEN p.w >= t.threshold THEN p.n_true
+                                    ELSE 0 END)) // x.total_true AS BIGINT)
+             AS recall_micro
+    FROM thr t CROSS JOIN pat p CROSS JOIN tot x
+    GROUP BY t.threshold, x.total_true
+    """,
+    tags=("linkage", "entity-resolution", "evaluation", "extension"),
+)
+def linkage_threshold_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linkage DECISION layer: precision/recall at every candidate
+    match threshold (the distinct pattern weights — the only points
+    where the decision changes), computed against the constructed
+    ground truth. This is the curve a deployment reads to place the
+    Fellegi–Sunter upper/lower thresholds: patterns above the chosen
+    weight are auto-matches, and the table shows exactly what each
+    choice costs in false positives vs missed matches. All counts are
+    integers over the <= 8-row pattern table crossed with its own
+    distinct weights — after the one blocked candidate join, the whole
+    tuning curve is constant-time however large the files are."""
+    pat = linkage_agreement_patterns(spark, sf_dir).select(
+        F.col("pattern_weight").alias("w"),
+        "n_pairs",
+        F.col("n_true_matches").alias("n_true"),
+    ).localCheckpoint(eager=True)
+    tot = pat.agg(F.sum("n_true").cast("bigint").alias("total_true"))
+    thr = pat.select(F.col("w").alias("threshold")).distinct()
+    hit = F.when(F.col("w") >= F.col("threshold"), F.col("n_true")).otherwise(0)
+    hit_pairs = F.when(F.col("w") >= F.col("threshold"), F.col("n_pairs")).otherwise(0)
+    return (
+        thr.crossJoin(pat)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold", "total_true")
+        .agg(
+            F.sum(hit).cast("bigint").alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("w") >= F.col("threshold"),
+                    F.col("n_pairs") - F.col("n_true"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            (F.col("total_true") - F.sum(hit)).cast("bigint").alias("fn"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN w >= threshold THEN n_true ELSE 0 END))"
+                " div greatest(sum(CASE WHEN w >= threshold THEN n_pairs"
+                " ELSE 0 END), 1)"
+            )
+            .cast("bigint")
+            .alias("precision_micro"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN w >= threshold THEN n_true ELSE 0 END))"
+                " div total_true"
+            )
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+        .drop("total_true")
     )

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "search_phrase_persisted",
     "privacy_l_diversity",
     "linkage_agreement_patterns",
+    "linkage_threshold_quality",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",
