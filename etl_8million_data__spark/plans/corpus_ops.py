@@ -20,7 +20,13 @@ from etl_8million_data__spark.operators.dedup import (
 )
 from etl_8million_data__spark.operators.graph import connected_components
 from etl_8million_data__spark.operators.text import tokens, word_shingles
-from etl_8million_data__spark.plans.dedup import _BANDS, _PAIRS, _SHINGLED, _SIG
+from etl_8million_data__spark.plans.dedup import (
+    _BANDS,
+    _PAIRS,
+    _SHINGLED,
+    _SIG,
+    _WINNOW_SEL,
+)
 from etl_8million_data__spark.plans.registry import register
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -3406,3 +3412,126 @@ def search_phrase_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase")
     )
     return phrase_probe(spark, root, phrases)
+
+
+@register(
+    "dedup_multi_evidence_components",
+    oracle=f"""
+    WITH RECURSIVE shingled AS ({_SHINGLED}), sig AS ({_SIG}),
+    bands AS ({_BANDS}), lshp AS MATERIALIZED ({_PAIRS}),
+    {_WINNOW_SEL},
+    docfp AS (
+      SELECT DISTINCT doc_id, u.e[1] AS fp
+      FROM sel, unnest(sel.fps) AS u(e)),
+    fpdf AS (SELECT fp, count(*) AS df FROM docfp GROUP BY fp),
+    rare AS (
+      SELECT d.doc_id, d.fp FROM docfp d JOIN fpdf USING (fp)
+      WHERE fpdf.df <= 20),
+    winp AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    allp AS MATERIALIZED (
+      -- MATERIALIZED + explicit DISTINCT over UNION ALL: under WITH
+      -- RECURSIVE, DuckDB 1.0's CTE handling was MEASURED breaking a
+      -- bare UNION's distinctness (the pair survived once per
+      -- contributing channel) AND inlined CTEs' SELECT DISTINCT — the
+      -- kcore/MMR inlining lesson, now with two more affected forms
+      SELECT DISTINCT doc_a, doc_b FROM
+        (SELECT doc_a, doc_b FROM lshp UNION ALL SELECT doc_a, doc_b FROM winp)),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM allp
+      UNION ALL SELECT doc_b, doc_a FROM allp),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src),
+    tagged AS (
+      SELECT c.component, p.doc_a, p.doc_b,
+             CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_lsh,
+             CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_win
+      FROM allp p
+      JOIN comp c ON c.node = p.doc_a
+      LEFT JOIN lshp l ON l.doc_a = p.doc_a AND l.doc_b = p.doc_b
+      LEFT JOIN winp w ON w.doc_a = p.doc_a AND w.doc_b = p.doc_b)
+    SELECT t.component,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(t.is_lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST(sum(t.is_win) AS BIGINT) AS n_winnow_pairs,
+           CAST(sum(CASE WHEN t.is_lsh = 1 AND t.is_win = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corroborated
+    FROM tagged t
+    JOIN (SELECT component, count(*) AS n_docs FROM comp GROUP BY 1) n
+      ON n.component = t.component
+    GROUP BY t.component, n.n_docs
+    """,
+    tags=("dedup", "graph", "multi-evidence", "extension"),
+)
+def dedup_multi_evidence_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-EVIDENCE entity graph — the production dedup shape: a
+    near-dup decision rarely rests on one signal, so the whole-document
+    channel (MinHash-LSH band pairs) and the local-overlap channel
+    (winnowing shared-fingerprint pairs, which catch embedded clones
+    LSH structurally cannot) union into ONE edge set, connected
+    components form the entities, and each component reports how many
+    of its edges each channel contributed — `n_corroborated` (edges
+    both channels assert) is the confidence signal reviewers sort by,
+    and a component held together only by single-channel edges is the
+    one to audit before collapsing. Per component (>= 1 edge): member
+    count and per-channel pair counts.
+
+    Scale shape: both channels are the audited sub-quadratic blocked
+    joins (band keys / df-capped rare fingerprints); the union is
+    pair-scale; components use the iterative min-label propagation
+    (rounds = clique diameter); the per-component attribution joins
+    edges to the component map on doc_a — pair-scale, AQE-splittable.
+    Oracle: recursive-CTE transitive closure over the identical union
+    edge set."""
+    from etl_8million_data__spark.plans.dedup import dedup_winnowing_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    lsh = minhash_lsh_candidate_pairs(d).select("doc_a", "doc_b")
+    win = dedup_winnowing_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = lsh.localCheckpoint(eager=True)
+    win = win.localCheckpoint(eager=True)
+    allp = lsh.unionByName(win).distinct().localCheckpoint(eager=True)
+    comp = connected_components(
+        d.select("doc_id"), allp, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tagged = (
+        allp.join(
+            comp.select(F.col("node").alias("doc_a"), "component"), "doc_a"
+        )
+        .join(
+            lsh.withColumn("_l", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .join(win.withColumn("_w", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .select(
+            "component",
+            F.coalesce(F.col("_l"), F.lit(0)).alias("is_lsh"),
+            F.coalesce(F.col("_w"), F.lit(0)).alias("is_win"),
+        )
+    )
+    return (
+        tagged.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("is_lsh").cast("bigint").alias("n_lsh_pairs"),
+            F.sum("is_win").cast("bigint").alias("n_winnow_pairs"),
+            F.sum(F.col("is_lsh") * F.col("is_win"))
+            .cast("bigint")
+            .alias("n_corroborated"),
+        )
+        .join(F.broadcast(sizes), "component")
+        .select(
+            "component", "n_docs", "n_pairs", "n_lsh_pairs", "n_winnow_pairs",
+            "n_corroborated",
+        )
+    )

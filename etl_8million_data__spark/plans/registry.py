@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",
     "linkage_agreement_patterns",
     "linkage_threshold_quality",
+    "dedup_multi_evidence_components",
     # NEW in round 8 (first external evidence)
     "similarity_knn_ivf_kmeans_persisted",
     "similarity_knn_ivf_pq_persisted",
