@@ -275,12 +275,26 @@ def prefix_filter_frames(
         .withColumn("_rn", F.row_number().over(w))
         .join(sz, "_id")
     )
-    # prefix length n - ceil(t*n) + 1, with ceil(t*n) = (t_num*n + t_den - 1) div t_den
+    # PROBE prefix length n - ceil(t*n) + 1, ceil(t*n) = (t_num*n + t_den - 1) div t_den
     ceil_tn = F.floor((F.col("n") * t_num + t_den - 1) / t_den).cast("int")
     prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_tn + 1).select(
         "_id", "g", "_rn", "n"
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # INDEX prefix (All-Pairs / PPJoin asymmetric prefixes): when the
+    # pair is size-ordered so this side is the SMALLER set y, any
+    # qualifying overlap is o >= t/(1+t)·(n_x+n_y) >= 2t/(1+t)·n_y, so
+    # y only needs its first n - ceil(2t/(1+t)·n) + 1 rarest shingles
+    # (~n/3 at t=1/2 vs the probe prefix's ~n/2) — lossless by the
+    # prefix pigeonhole lemma applied at the true overlap. The probe
+    # side's own bound o >= t·n_x needs n_y >= t·n_x, which the length
+    # filter in the join enforces.
+    ceil_2tn = F.floor(
+        (F.col("n") * 2 * t_num + (t_num + t_den) - 1) / (t_num + t_den)
+    ).cast("int")
+    index_prefix = ranked.filter(F.col("_rn") <= F.col("n") - ceil_2tn + 1).select(
+        "_id", "g", "_rn", "n"
+    )
+    a, b = prefix.alias("a"), index_prefix.alias("b")
     # required overlap α = ceil(t/(1+t) * (n_a + n_b)) as exact integers
     alpha = F.floor(
         (
@@ -295,14 +309,22 @@ def prefix_filter_frames(
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("a._id") < F.col("b._id"))
+            # size-ordered roles: a (probe prefix) is the LARGER set,
+            # b (short index prefix) the smaller, ids break ties — every
+            # unordered pair is examined under exactly one role split
+            & (
+                (F.col("a.n") > F.col("b.n"))
+                | ((F.col("a.n") == F.col("b.n")) & (F.col("a._id") > F.col("b._id")))
+            )
             # length filter: smaller set must be >= t * larger set
-            & (F.col("a.n") * t_num <= F.col("b.n") * t_den)
-            & (F.col("b.n") * t_num <= F.col("a.n") * t_den)
+            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
             # position filter: best-case overlap from here must reach α
             & (overlap_bound >= alpha),
         )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("doc_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("doc_b"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -331,14 +353,18 @@ def prefix_filter_pairs(
     the pair via the pure-integer predicate
     ``common * (num + den) >= num * (n_a + n_b)``  (<=> J >= num/den).
 
-    Two further LOSSLESS prunes from the PPJoin literature run inside
+    Three further LOSSLESS prunes from the PPJoin literature run inside
     the candidate join itself: the LENGTH filter (J >= t forces
     t_num*n_b <= t_den*n_a for n_a <= n_b — wildly different set sizes
-    can never qualify) and the POSITION filter (a match on prefix
+    can never qualify), the POSITION filter (a match on prefix
     positions p_a, p_b bounds the best possible overlap by
     1 + min(n_a - p_a, n_b - p_b); if even that bound misses the
     required overlap ceil(t/(1+t)·(n_a+n_b)), the pair is pruned before
-    it ever reaches verification). Both are pure integer predicates.
+    it ever reaches verification), and the ASYMMETRIC INDEX PREFIX
+    (All-Pairs: the size-smaller side of every pair only exposes its
+    first n - ceil(2t/(1+t)·n) + 1 rarest shingles — ~n/3 at t=1/2 vs
+    the probe prefix's ~n/2 — because its qualifying overlap is at
+    least 2t/(1+t)·n). All are pure integer predicates.
 
     Scale shape: the df-rank window partitions by document (bounded by
     set size); prefix blocks are keyed by the RAREST shingles, so block

@@ -121,6 +121,35 @@ def forget_cell_partitioned(
     return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
 
 
+def _check_bucket_range(index_path: str, n_buckets: int) -> None:
+    """Fail loudly when the on-disk ``bucket=`` partition values are
+    incompatible with ``n_buckets``: a computed-bucket forget that
+    hashes victims mod the WRONG modulus prunes to directories the
+    victims do not live in and silently returns 0 deletions — the exact
+    quiet failure :func:`index_fsck.fsck_bucket_purity` audits for.
+    Observed values >= n_buckets prove the index was written with a
+    larger modulus; the converse (smaller modulus) is undetectable from
+    directory names alone, which is why callers must pass the layout's
+    true n_buckets and fsck stays in the loop. Cost: one listdir."""
+    try:
+        entries = os.listdir(index_path)
+    except OSError:
+        return
+    seen = [
+        int(e.split("=", 1)[1])
+        for e in entries
+        if e.startswith("bucket=") and e.split("=", 1)[1].isdigit()
+    ]
+    bad = [b for b in seen if b >= n_buckets]
+    if bad:
+        raise ValueError(
+            f"{index_path}: bucket partitions {sorted(bad)} >= n_buckets="
+            f"{n_buckets} — the index was written with a larger bucket "
+            "modulus; a computed-bucket forget would miss victims. Pass "
+            "the layout's true n_buckets."
+        )
+
+
 def forget_bucketed(
     spark: SparkSession,
     index_path: str,
@@ -128,14 +157,17 @@ def forget_bucketed(
     id_col: str = "doc_id",
     n_buckets: int = 16,
 ) -> int:
-    """Delete ``ids`` from a 16-way md5 id-bucketed index layout. The
-    bucket is a pure function of the id, so the touched partitions are
-    computed from the VICTIM list alone — no index scan to locate them
-    (one better than :func:`forget_partitioned`'s column-pruned lookup);
-    only those partitions are read, filtered, and rewritten via dynamic
-    partition overwrite. A miss (no victim present) never rewrites."""
+    """Delete ``ids`` from an md5 id-bucketed index layout (16-way by
+    default — pass the layout's actual ``n_buckets``). The bucket is a
+    pure function of the id, so the touched partitions are computed from
+    the VICTIM list alone — no index scan to locate them (one better
+    than :func:`forget_partitioned`'s column-pruned lookup); only those
+    partitions are read, filtered, and rewritten via dynamic partition
+    overwrite. A miss (no victim present) never rewrites. On-disk bucket
+    values >= n_buckets fail loudly instead of silently missing."""
     from etl_8million_data__spark.operators.partitioning import id_bucket
 
+    _check_bucket_range(index_path, n_buckets)
     victims = _ids_frame(ids, id_col)
     vb = victims.withColumn("bucket", id_bucket(F.col(id_col), n_buckets))
     touched = [r["bucket"] for r in vb.select("bucket").distinct().collect()]
@@ -171,16 +203,21 @@ def forget_auto(
     index_path: str,
     ids: DataFrame,
     id_col: str = "doc_id",
+    n_buckets: int = 16,
 ) -> int:
     """Dispatch forget on the on-disk layout: ``bucket=`` partitions →
-    the computed-bucket pruned rewrite, ``cell=`` partitions → the
-    located-partition pruned rewrite, flat files (legacy) → the atomic
-    full swap. Lets one erasure pipeline serve indexes written before
-    and after the round-9 bucketed layouts."""
+    the computed-bucket pruned rewrite (pass the layout's true
+    ``n_buckets`` — a wrong modulus hashes victims to directories they
+    don't live in; :func:`forget_bucketed` fails loudly when observed
+    partition values exceed it, and :func:`index_fsck.fsck_bucket_purity`
+    audits the undetectable smaller-modulus case), ``cell=`` partitions
+    → the located-partition pruned rewrite, flat files (legacy) → the
+    atomic full swap. Lets one erasure pipeline serve indexes written
+    before and after the round-9 bucketed layouts."""
     from etl_8million_data__spark.operators.partitioning import is_hive_partitioned
 
     if is_hive_partitioned(index_path, "bucket"):
-        return forget_bucketed(spark, index_path, ids, id_col)
+        return forget_bucketed(spark, index_path, ids, id_col, n_buckets)
     if is_hive_partitioned(index_path, "cell"):
         return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
     return forget_unpartitioned(spark, index_path, ids, id_col)

@@ -100,27 +100,39 @@ def fsck_bucket_purity(
     index_path: str,
     id_col: str,
     n_buckets: int = 16,
+    bucket_col: str = "bucket",
+    expected=None,
 ) -> DataFrame:
-    """One-row health report for an id-bucketed layout (sign index,
-    LSH band index, winnowing fingerprints, or any ``bucket=`` layout
-    written by the id_bucket contract): (n_rows, n_misplaced). A
-    misplaced row — stored bucket != md5-bucket of its id — would be
-    skipped by the computed-bucket forget path (it prunes to the
-    victims' HASH buckets, never scanning others), so a nonzero count
-    means erasure is not trustworthy until the row is re-bucketed
-    (compact_partitions rewrites recover it, since the rewrite
-    re-reads every row and partitionBy re-derives directories from the
-    stored column — pair this audit with a targeted compaction).
-    Column-pruned: only (id, bucket) are read."""
+    """One-row health report for a hash-bucketed layout:
+    (n_rows, n_misplaced). Defaults audit the round-9 ``bucket=``
+    index layouts (sign index, LSH band index, winnowing fingerprints
+    — integer-id ``id_bucket`` contract); pass ``bucket_col`` and
+    ``expected`` (a Column computing the correct bucket from the key)
+    for other layouts, e.g. the financials fact::
+
+        fsck_bucket_purity(spark, fact_path, "stock", bucket_col="stock_bucket",
+                           expected=stock_bucket(F.col("stock"), 64))
+
+    A misplaced row — stored bucket != hash-bucket of its key — would
+    be skipped by the computed-bucket forget path and by the upsert's
+    partition-pruned rewrite (both prune to the keys' HASH buckets,
+    never scanning others), so a nonzero count means erasure/upsert is
+    not trustworthy until the row is re-bucketed (compact_partitions
+    rewrites recover it, since the rewrite re-reads every row and
+    partitionBy re-derives directories from the stored column — pair
+    this audit with a targeted compaction). Column-pruned: only
+    (id, bucket) are read."""
     from etl_8million_data__spark.operators.partitioning import id_bucket
 
+    if expected is None:
+        expected = id_bucket(F.col(id_col), n_buckets)
     idx = spark.read.option("mergeSchema", "true").parquet(index_path)
     checked = idx.select(
         F.col(id_col),
-        F.col("bucket"),
-        id_bucket(F.col(id_col), n_buckets).alias("_want"),
+        F.col(bucket_col).alias("_stored"),
+        expected.alias("_want"),
     )
     return checked.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.when(F.col("bucket") != F.col("_want"), 1)).alias("n_misplaced"),
+        F.count(F.when(F.col("_stored") != F.col("_want"), 1)).alias("n_misplaced"),
     )

@@ -194,10 +194,17 @@ def stream_agg_view_upserts(
     (old rows bounded to the batch's PKs), (3) merges them into the
     group-sized view (atomic swap — the view is |groups| rows), and
     (4) applies the upsert to the base via the keyed upsert operator.
-    Replay safety: a redelivered batch's rows are value-identical to
-    the already-applied versions, so their retraction deltas are all
-    zero (old == new under every group) and the base upsert is
-    idempotent — at-least-once delivery converges to the same view.
+    Replay safety: the applied ``batch_id`` is written INSIDE the view
+    directory (``_applied_batch`` sidecar — parquet readers skip
+    underscore files) by the SAME atomic rename that publishes the
+    merged view, so view-state and which-batch-it-reflects can never
+    diverge. A retried batch whose id matches the sidecar skips the
+    delta/merge entirely and only re-runs the (idempotent, atomic-swap)
+    base upsert — closing the crash window between the view swap and
+    the base upsert where a retry would otherwise recompute NONZERO
+    deltas against the still-pre-upsert base and double-count groups.
+    Whole-batch redelivery after both stores committed also converges:
+    sidecar matches, upsert rewrites value-identical rows.
 
     Note the ORDER of (2) before (4): deltas must see the pre-upsert
     base, the same discipline as agg_view_delta's contract."""
@@ -214,20 +221,30 @@ def stream_agg_view_upserts(
         b = last_writer_wins(batch_df, [pk], order_col).localCheckpoint(eager=True)
         if not b.count():
             return
-        base = spark.read.parquet(base_path)
-        delta = agg_view_delta(base, b, pk, group_cols, sum_cols).localCheckpoint(
-            eager=True
-        )
-        view = spark.read.parquet(view_path)
-        merged = apply_agg_delta(view, delta, group_cols, sum_cols).localCheckpoint(
-            eager=True
-        )
-        tmp = f"{view_path}.__tmp__{uuid.uuid4().hex[:8]}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{view_path}.__old__{uuid.uuid4().hex[:8]}"
-        os.rename(view_path, old)
-        os.rename(tmp, view_path)
-        shutil.rmtree(old)
+        marker = os.path.join(view_path, "_applied_batch")
+        already = None
+        try:
+            with open(marker) as fh:
+                already = int(fh.read().strip())
+        except (OSError, ValueError):
+            pass
+        if already != batch_id:
+            base = spark.read.parquet(base_path)
+            delta = agg_view_delta(base, b, pk, group_cols, sum_cols).localCheckpoint(
+                eager=True
+            )
+            view = spark.read.parquet(view_path)
+            merged = apply_agg_delta(view, delta, group_cols, sum_cols).localCheckpoint(
+                eager=True
+            )
+            tmp = f"{view_path}.__tmp__{uuid.uuid4().hex[:8]}"
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+                fh.write(str(batch_id))
+            old = f"{view_path}.__old__{uuid.uuid4().hex[:8]}"
+            os.rename(view_path, old)
+            os.rename(tmp, view_path)
+            shutil.rmtree(old)
         upsert_parquet(spark, b, base_path, keys=[pk], order_col=order_col)
 
     return (

@@ -436,3 +436,35 @@ def test_stream_forget_requests_propagates_everywhere(spark, sf_dir, tmp_path):
     run("ckpt2")  # replay: idempotent
     assert spark.read.parquet(f"{km}/vectors").count() == n_vec
     assert spark.read.parquet(bands).count() == n_band
+
+
+def test_forget_bucketed_modulus_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE r9: an index written with MORE buckets than the forget
+    call assumes would hash victims to directories they don't live in
+    and silently return 0 deletions. Observed bucket values >= the
+    caller's n_buckets must raise instead of quietly missing; the
+    matching modulus (plumbed through forget_auto) still works."""
+    import pytest
+
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    rows = spark.createDataFrame([(i, f"t{i}") for i in range(200)], "doc_id long, payload string")
+    idx = str(tmp_path / "b32")
+    rows.withColumn("bucket", id_bucket(F.col("doc_id"), 32)).write.partitionBy(
+        "bucket"
+    ).parquet(idx)
+    assert any(int(e[7:]) >= 16 for e in os.listdir(idx) if e.startswith("bucket="))
+
+    victim = spark.createDataFrame([(7,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        forget_auto(spark, idx, victim)  # default 16 < true 32 -> loud
+
+    # the true modulus, plumbed through forget_auto, deletes exactly one
+    assert forget_auto(spark, idx, victim, n_buckets=32) == 1
+    assert (
+        spark.read.option("mergeSchema", "true")
+        .parquet(idx)
+        .filter(F.col("doc_id") == 7)
+        .count()
+        == 0
+    )

@@ -412,3 +412,38 @@ def test_compact_postings_preserves_probes_and_cuts_files(spark, sf_dir, tmp_pat
         for r in phrase_probe(spark, idx, ph).collect()
     }
     assert after_ph == before_ph and after_ph
+
+
+def test_fsck_bucket_purity_stock_bucket_layout(spark, tmp_path):
+    """ADVICE r9: the audit must actually run on the financials fact's
+    (string-keyed, 64-way, ``stock_bucket``-named) layout, not only the
+    integer-id ``bucket`` index layouts — pass the layout's column and
+    hash expression explicitly."""
+    from etl_8million_data__spark.operators.index_fsck import fsck_bucket_purity
+    from etl_8million_data__spark.pipelines.financials import stock_bucket
+
+    rows = spark.createDataFrame(
+        [(f"SYM{i}", i * 10) for i in range(100)], "stock string, value long"
+    ).withColumn("stock_bucket", stock_bucket(F.col("stock"), 64))
+    idx = str(tmp_path / "fact")
+    rows.write.partitionBy("stock_bucket").parquet(idx)
+
+    exp = stock_bucket(F.col("stock"), 64)
+    r = fsck_bucket_purity(
+        spark, idx, "stock", bucket_col="stock_bucket", expected=exp
+    ).first()
+    assert r.n_rows == 100 and r.n_misplaced == 0
+
+    # plant a row one bucket over -> counted
+    true_b = (
+        spark.createDataFrame([("BAD",)], "stock string")
+        .select(stock_bucket(F.col("stock"), 64).alias("b"))
+        .first()["b"]
+    )
+    spark.createDataFrame([("BAD", 1)], "stock string, value long").withColumn(
+        "stock_bucket", F.lit((true_b + 1) % 64)
+    ).write.mode("append").partitionBy("stock_bucket").parquet(idx)
+    r2 = fsck_bucket_purity(
+        spark, idx, "stock", bucket_col="stock_bucket", expected=exp
+    ).first()
+    assert r2.n_misplaced == 1

@@ -1202,22 +1202,27 @@ def heaps_vocab_probe() -> list[str]:
             F.concat_ws(" ", *[tok(j) for j in range(30)]).alias("text"),
         )
 
-    def planted_found(pairs_df, n: int) -> int:
-        # planted pairs are (i, i+1) for i % 20 == 0
-        return (
-            pairs_df.filter(
-                (F.col("doc_a") % 20 == 0) & (F.col("doc_b") == F.col("doc_a") + 1)
-            ).count()
+    def planted_found(pairs_df, truth_ids: frozenset) -> int:
+        # planted pairs are (i, i+1) for i % 20 == 0 — but ONLY those in
+        # the J>=1/2 truth set count toward recall (ADVICE r9: counting
+        # ALL planted pairs let the ratio exceed 1 — winnowing's 66/49
+        # at 2k — and a family could pass its floor on sub-threshold
+        # pairs alone while missing the actual truth set)
+        hits = pairs_df.filter(
+            (F.col("doc_a") % 20 == 0) & (F.col("doc_b") == F.col("doc_a") + 1)
         )
+        found = {r["doc_a"] for r in hits.select("doc_a").distinct().collect()}
+        return len(found & truth_ids)
 
-    def planted_truth(docs) -> int:
-        """Planted pairs whose distinct-3-shingle Jaccard actually
-        meets the PPJoin threshold (J >= 1/2): under Zipf repetition a
-        doc dominated by a few hot tokens has a small distinct-shingle
-        set, so the 3 fresh trailing tokens can push its copy below
-        threshold — those pairs are NOT in an exact join's truth set.
-        Counting the truth directly keeps the recall gates non-vacuous
-        (the fixture-degeneracy lesson)."""
+    def planted_truth(docs) -> frozenset:
+        """Base ids of planted pairs whose distinct-3-shingle Jaccard
+        actually meets the PPJoin threshold (J >= 1/2): under Zipf
+        repetition a doc dominated by a few hot tokens has a small
+        distinct-shingle set, so the 3 fresh trailing tokens can push
+        its copy below threshold — those pairs are NOT in an exact
+        join's truth set. Returning the pair KEYS (not just the count)
+        lets found-pair sets be intersected with the truth set, keeping
+        the recall gates non-vacuous (the fixture-degeneracy lesson)."""
         from etl_8million_data__spark.operators.dedup import doc_shingle_frame
 
         sh = doc_shingle_frame(docs, "text", "doc_id", 3)
@@ -1228,10 +1233,13 @@ def heaps_vocab_probe() -> list[str]:
             (F.col("doc_id") - 1).alias("_b"), F.col("shingles").alias("_sb")
         )
         j = base.join(copy, "_b").select(
+            "_b",
             F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
             F.size(F.array_union("_sa", "_sb")).alias("_u"),
         )
-        return j.filter(F.col("_i") * 2 >= F.col("_u")).count()
+        return frozenset(
+            r["_b"] for r in j.filter(F.col("_i") * 2 >= F.col("_u")).collect()
+        )
 
     sizes = (2_000, 20_000)
     results: dict[str, list[tuple[int, int]]] = {}
@@ -1239,7 +1247,8 @@ def heaps_vocab_probe() -> list[str]:
     truths: list[int] = []
     for n in sizes:
         docs = corpus(n).localCheckpoint(eager=True)
-        truths.append(planted_truth(docs))
+        truth_ids = planted_truth(docs)
+        truths.append(len(truth_ids))
 
         fr = prefix_filter_frames(docs, 1, 2)
         # exact naive-join candidate volume Σ_g C(df_g, 2) — one cheap
@@ -1253,18 +1262,18 @@ def heaps_vocab_probe() -> list[str]:
         )
         pp_cand = fr["cand"]
         results.setdefault("ppjoin", []).append(
-            (pp_cand.count(), planted_found(pp_cand, n))
+            (pp_cand.count(), planted_found(pp_cand, truth_ids))
         )
 
         lsh_cand = minhash_lsh_candidate_pairs(docs).localCheckpoint(eager=True)
         results.setdefault("lsh", []).append(
-            (lsh_cand.count(), planted_found(lsh_cand, n))
+            (lsh_cand.count(), planted_found(lsh_cand, truth_ids))
         )
 
         snm_cand = sorted_neighborhood_frames(docs, window=4)["cands"]
         snm_pairs = sorted_neighborhood_pairs(docs, window=4)
         results.setdefault("snm", []).append(
-            (snm_cand.count(), planted_found(snm_pairs, n))
+            (snm_cand.count(), planted_found(snm_pairs, truth_ids))
         )
         assert results["snm"][-1][0] <= 2 * n * 3, results["snm"][-1]
 
@@ -1285,7 +1294,7 @@ def heaps_vocab_probe() -> list[str]:
             .localCheckpoint(eager=True)
         )
         results.setdefault("winnowing", []).append(
-            (win_cand.count(), planted_found(win_cand, n))
+            (win_cand.count(), planted_found(win_cand, truth_ids))
         )
     spark.stop()
 
