@@ -466,28 +466,194 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# SNM window for the linkage candidate generator: true pairs sit at
+# most ~9 positions apart in the merged name order (the truncated copy
+# sorts as a prefix immediately before its source's 10-key name block,
+# with at most 2 other same-truncation copies between), so 16 covers
+# with margin — gated by tests/test_linkage_blocking.py's recall
+# assertion against the constructed ground truth.
+_LINK_W = 16
+
 _LINK_CTES = f"""
     b AS (
-      SELECT c_custkey + 1000000 AS b_key, c_custkey AS orig_key, c_nationkey,
+      SELECT c_custkey + 1000000 AS rid, c_custkey AS orig_key,
              substr(c_name, 1, length(c_name) - 1) AS name,
              CASE WHEN c_custkey % 8 = 0 THEN {sql_cents('c_acctbal')}
-                  ELSE {sql_cents('c_acctbal')} + 1 END AS bal_cents,
+                  ELSE {sql_cents('c_acctbal')} + 1 END AS bal,
              c_mktsegment AS seg
       FROM customer WHERE c_custkey % 4 = 0),
+    m AS (
+      SELECT c_custkey AS rid, CAST(NULL AS BIGINT) AS orig_key,
+             c_name AS name, {sql_cents('c_acctbal')} AS bal,
+             c_mktsegment AS seg, 0 AS src
+      FROM customer
+      UNION ALL
+      SELECT rid, orig_key, name, bal, seg, 1 AS src FROM b),
+    rk AS (SELECT m.*, row_number() OVER (ORDER BY name, rid) AS pos FROM m),
+    cand AS (
+      SELECT l.src AS src_l, l.rid AS rid_l, l.orig_key AS orig_l,
+             l.name AS name_l, l.bal AS bal_l, l.seg AS seg_l,
+             r.rid AS rid_r, r.orig_key AS orig_r,
+             r.name AS name_r, r.bal AS bal_r, r.seg AS seg_r
+      FROM rk l JOIN rk r
+        ON r.pos > l.pos AND r.pos <= l.pos + {_LINK_W} AND l.src <> r.src),
     pairs AS (
-      SELECT a.c_custkey AS a_key, b.b_key, b.orig_key,
-             CASE WHEN substr(a.c_name, 1, 15) = substr(b.name, 1, 15)
+      SELECT CASE WHEN src_l = 0 THEN rid_l ELSE rid_r END AS a_key,
+             CASE WHEN src_l = 1 THEN rid_l ELSE rid_r END AS b_key,
+             coalesce(orig_l, orig_r) AS orig_key,
+             CASE WHEN substr(CASE WHEN src_l = 0 THEN name_l ELSE name_r END, 1, 15)
+                     = substr(CASE WHEN src_l = 1 THEN name_l ELSE name_r END, 1, 15)
                   THEN 1 ELSE 0 END AS ag_name,
-             CASE WHEN {sql_cents('a.c_acctbal')} = b.bal_cents
+             CASE WHEN (CASE WHEN src_l = 0 THEN bal_l ELSE bal_r END)
+                     = (CASE WHEN src_l = 1 THEN bal_l ELSE bal_r END)
                   THEN 1 ELSE 0 END AS ag_bal,
-             CASE WHEN a.c_mktsegment = b.seg THEN 1 ELSE 0 END AS ag_seg
-      FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey),
+             CASE WHEN (CASE WHEN src_l = 0 THEN seg_l ELSE seg_r END)
+                     = (CASE WHEN src_l = 1 THEN seg_l ELSE seg_r END)
+                  THEN 1 ELSE 0 END AS ag_seg
+      FROM cand),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    mname AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+              (SELECT count(*) AS _n FROM m GROUP BY substr(name, 1, 15)) t),
+    mbal AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+             (SELECT count(*) AS _n FROM m GROUP BY bal) t),
+    mseg AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+             (SELECT count(*) AS _n FROM m GROUP BY seg) t),
     u AS (
-      SELECT CAST((1000000 * sum(ag_name)) // count(*) AS BIGINT) AS u_name,
-             CAST((1000000 * sum(ag_bal)) // count(*) AS BIGINT) AS u_bal,
-             CAST((1000000 * sum(ag_seg)) // count(*) AS BIGINT) AS u_seg
-      FROM pairs)
+      SELECT CAST((1000000 * mname.mass) // (nn.n * (nn.n - 1)) AS BIGINT) AS u_name,
+             CAST((1000000 * mbal.mass) // (nn.n * (nn.n - 1)) AS BIGINT) AS u_bal,
+             CAST((1000000 * mseg.mass) // (nn.n * (nn.n - 1)) AS BIGINT) AS u_seg
+      FROM mname, mbal, mseg, nn)
 """
+
+
+def _linkage_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both linkage files in one frame: the clean customer file
+    (src=0) and its deterministically corrupted copy (src=1 — name
+    truncated one char, balance off by one cent for 7/8 of records,
+    segment kept; every 4th customer). Ground truth is ``orig_key``
+    (null on the clean side)."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.col("c_custkey").alias("orig_key"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("name"),
+        F.when(F.col("c_custkey") % 8 == 0, cents("c_acctbal"))
+        .otherwise(cents("c_acctbal") + 1)
+        .alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("src"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.lit(None).cast("bigint").alias("orig_key"),
+        F.col("c_name").alias("name"),
+        cents("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).alias("src"),
+    )
+    return a.unionByName(b)
+
+
+def _linkage_candidate_pairs(merged: DataFrame) -> DataFrame:
+    """Bounded-volume candidate generator: SORTED-NEIGHBORHOOD over the
+    merged name order (the dedup family's SNM discipline applied to
+    record linkage — replaces round 9's nation blocking whose
+    Σ(block²) candidates grew quadratically). Global name rank comes
+    from the boundary-table :func:`global_rank` (bucket = 14-char name
+    prefix, monotone in the sort key — never an unpartitioned
+    data-sized window); each record pairs with its ``_LINK_W``
+    successors via an EQUI-join on the integer rank, so candidate
+    volume is exactly N·w — linear however large the files are — and
+    only cross-file pairs survive. Output: (a_key, b_key, orig_key,
+    ag_name, ag_bal, ag_seg), one row per unordered cross-file pair."""
+    from etl_8million_data__spark.operators.partitioning import global_rank
+
+    ranked = global_rank(
+        merged, "name", "rid", F.substring("name", 1, 14), out_col="pos"
+    ).localCheckpoint(eager=True)
+    left = (
+        ranked.select(
+            F.col("src").alias("src_l"),
+            F.col("rid").alias("rid_l"),
+            F.col("orig_key").alias("orig_l"),
+            F.col("name").alias("name_l"),
+            F.col("bal").alias("bal_l"),
+            F.col("seg").alias("seg_l"),
+            "pos",
+        )
+        .select("*", F.explode(F.sequence(F.lit(1), F.lit(_LINK_W))).alias("_i"))
+        .withColumn("pos2", F.col("pos") + F.col("_i"))
+    )
+    right = ranked.select(
+        F.col("pos").alias("pos2"),
+        F.col("src").alias("src_r"),
+        F.col("rid").alias("rid_r"),
+        F.col("orig_key").alias("orig_r"),
+        F.col("name").alias("name_r"),
+        F.col("bal").alias("bal_r"),
+        F.col("seg").alias("seg_r"),
+    )
+    cand = left.join(right, "pos2").filter(F.col("src_l") != F.col("src_r"))
+    fa = lambda l, r: F.when(F.col("src_l") == 0, F.col(l)).otherwise(F.col(r))  # noqa: E731
+    fb = lambda l, r: F.when(F.col("src_l") == 1, F.col(l)).otherwise(F.col(r))  # noqa: E731
+    return cand.select(
+        fa("rid_l", "rid_r").alias("a_key"),
+        fb("rid_l", "rid_r").alias("b_key"),
+        F.coalesce("orig_l", "orig_r").alias("orig_key"),
+        F.when(
+            F.substring(fa("name_l", "name_r"), 1, 15)
+            == F.substring(fb("name_l", "name_r"), 1, 15),
+            1,
+        )
+        .otherwise(0)
+        .alias("ag_name"),
+        F.when(fa("bal_l", "bal_r") == fb("bal_l", "bal_r"), 1)
+        .otherwise(0)
+        .alias("ag_bal"),
+        F.when(fa("seg_l", "seg_r") == fb("seg_l", "seg_r"), 1)
+        .otherwise(0)
+        .alias("ag_seg"),
+    )
+
+
+def _linkage_u_frame(merged: DataFrame) -> DataFrame:
+    """One-row frame of FREQUENCY-BASED u-probabilities: u_field =
+    P(two random records from the merged file agree on the field) =
+    Σ_v n_v·(n_v−1) / (N·(N−1)) in integer micro — the textbook
+    chance-agreement estimate computed from per-value counts alone
+    (one narrow groupBy per field, NO pair materialization), so u is
+    independent of the blocking scheme. Round 9 estimated u over the
+    nation-blocked candidate pairs; under SNM blocking that estimate
+    would be contaminated (name-adjacent candidates mostly agree on
+    the name prefix, pushing u_name above m and inverting the weight),
+    which is exactly why deployments estimate u from value frequencies
+    instead."""
+
+    def mass(expr, alias: str) -> DataFrame:
+        return (
+            merged.groupBy(expr.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.expr("_n * (_n - 1)")).cast("bigint").alias(alias))
+        )
+
+    tot = merged.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
+    return (
+        mass(F.substring("name", 1, 15), "_m_name")
+        .crossJoin(F.broadcast(mass(F.col("bal"), "_m_bal")))
+        .crossJoin(F.broadcast(mass(F.col("seg"), "_m_seg")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(1000000 * _m_name) div (_N * (_N - 1))")
+            .cast("bigint")
+            .alias("u_name"),
+            F.expr("(1000000 * _m_bal) div (_N * (_N - 1))")
+            .cast("bigint")
+            .alias("u_bal"),
+            F.expr("(1000000 * _m_seg) div (_N * (_N - 1))")
+            .cast("bigint")
+            .alias("u_seg"),
+        )
+    )
 
 
 @register(
@@ -518,57 +684,31 @@ def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECORD LINKAGE (Fellegi–Sunter form): agreement-pattern table
     for matching the clean customer file against a deterministically
     CORRUPTED copy (name truncated one char, balance off by one cent
-    for 7/8 of records, segment kept — the classic dirty-merge shape),
-    blocked on nation. Per agreement pattern over (name-prefix-15,
-    balance-cents-exact, segment-exact): candidate-pair count,
-    TRUE-match count (ground truth known by construction — the audit
-    every linkage threshold is tuned against), and the pattern's match
-    weight from IN-FRAME u-probabilities (each field's agreement rate
-    over all candidate pairs — the standard u estimate, matches being
-    rare; segment's u lands near 1/5, name-prefix's near the
-    same-thousand-block share, cents' near zero, so the weights
-    genuinely separate) with assumed m = 0.9. Weights are
-    ratio-of-integer-micro with truncating division and +1 smoothing —
-    log-free so the whole table hash-matches; a deployment takes log
-    downstream (rank-preserving, turning odds products into the
-    familiar weight sums).
+    for 7/8 of records, segment kept — the classic dirty-merge shape).
+    Candidates come from a SORTED-NEIGHBORHOOD pass over the merged
+    name order (window 16, boundary-table global rank — see
+    :func:`_linkage_candidate_pairs`), replacing round 9's
+    nation-blocked join whose Σ(block²) candidate count was the one
+    quadratic generator left in the registry: SNM volume is exactly
+    N·w, and the fixture's truncation corruption keeps every true pair
+    within the window (recall gate in tests/test_linkage_blocking.py).
+    Per agreement pattern over (name-prefix-15, balance-cents-exact,
+    segment-exact): candidate-pair count, TRUE-match count (ground
+    truth known by construction), and the pattern's match weight from
+    FREQUENCY-BASED u-probabilities (:func:`_linkage_u_frame` —
+    value-count chance-agreement, blocking-independent) with assumed
+    m = 0.9. Weights are ratio-of-integer-micro with truncating
+    division and +1 smoothing — log-free so the whole table
+    hash-matches; a deployment takes log downstream (rank-preserving,
+    turning odds products into the familiar weight sums).
 
-    Scale shape: the candidate join is equi on the blocking key (at
-    100 TB block on a name LSH or sorted-neighborhood key — the dedup
-    family's blocking discipline applied to heterogeneous records);
-    comparisons are codegen string/integer ops; the u frame is ONE row
-    broadcast back; output is <= 8 pattern rows."""
-    c = load_table(spark, sf_dir, "customer")
-    b = c.filter(F.col("c_custkey") % 4 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("b_key"),
-        F.col("c_custkey").alias("orig_key"),
-        "c_nationkey",
-        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("name"),
-        F.when(F.col("c_custkey") % 8 == 0, cents("c_acctbal"))
-        .otherwise(cents("c_acctbal") + 1)
-        .alias("bal_cents"),
-        F.col("c_mktsegment").alias("seg"),
-    )
-    a = c.select("c_custkey", "c_nationkey", "c_name", "c_acctbal", "c_mktsegment")
-    pairs = a.join(b, "c_nationkey").select(
-        F.col("c_custkey").alias("a_key"),
-        "b_key",
-        "orig_key",
-        F.when(
-            F.expr("substr(c_name, 1, 15)") == F.expr("substr(name, 1, 15)"), 1
-        )
-        .otherwise(0)
-        .alias("ag_name"),
-        F.when(cents("c_acctbal") == F.col("bal_cents"), 1)
-        .otherwise(0)
-        .alias("ag_bal"),
-        F.when(F.col("c_mktsegment") == F.col("seg"), 1).otherwise(0).alias("ag_seg"),
-    )
-    u = pairs.agg(
-        F.expr("(1000000 * sum(ag_name)) div count(*)").cast("bigint").alias("u_name"),
-        F.expr("(1000000 * sum(ag_bal)) div count(*)").cast("bigint").alias("u_bal"),
-        F.expr("(1000000 * sum(ag_seg)) div count(*)").cast("bigint").alias("u_seg"),
-    )
+    Scale shape: one boundary-table global rank + one integer
+    equi-join bounded at N·w rows + three narrow value-count
+    aggregates; the u frame is ONE row broadcast back; output is <= 8
+    pattern rows."""
+    merged = _linkage_merged(spark, sf_dir)
+    pairs = _linkage_candidate_pairs(merged)
+    u = _linkage_u_frame(merged)
     w = (
         F.when(
             F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
@@ -618,7 +758,7 @@ def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS w
       FROM pairs p CROSS JOIN u
       GROUP BY 1, 2, 3, u.u_name, u.u_bal, u.u_seg),
-    tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS total_true FROM pat),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_true FROM b),
     thr AS (SELECT DISTINCT w AS threshold FROM pat)
     SELECT t.threshold,
            CAST(sum(CASE WHEN p.w >= t.threshold THEN p.n_true ELSE 0 END)
@@ -648,16 +788,25 @@ def linkage_threshold_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth. This is the curve a deployment reads to place the
     Fellegi–Sunter upper/lower thresholds: patterns above the chosen
     weight are auto-matches, and the table shows exactly what each
-    choice costs in false positives vs missed matches. All counts are
-    integers over the <= 8-row pattern table crossed with its own
-    distinct weights — after the one blocked candidate join, the whole
-    tuning curve is constant-time however large the files are."""
+    choice costs in false positives vs missed matches. The recall
+    denominator is the TRUE total of corrupted records (|b|), not the
+    candidate-covered subset — so a blocking scheme that silently
+    dropped true pairs would show up as irreducible fn here instead of
+    hiding (blocking-aware evaluation; the SNM window's fixture recall
+    is separately gated at 1.0). All counts are integers over the
+    <= 8-row pattern table crossed with its own distinct weights —
+    after the one bounded candidate pass, the whole tuning curve is
+    constant-time however large the files are."""
     pat = linkage_agreement_patterns(spark, sf_dir).select(
         F.col("pattern_weight").alias("w"),
         "n_pairs",
         F.col("n_true_matches").alias("n_true"),
     ).localCheckpoint(eager=True)
-    tot = pat.agg(F.sum("n_true").cast("bigint").alias("total_true"))
+    tot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_true"))
+    )
     thr = pat.select(F.col("w").alias("threshold")).distinct()
     hit = F.when(F.col("w") >= F.col("threshold"), F.col("n_true")).otherwise(0)
     hit_pairs = F.when(F.col("w") >= F.col("threshold"), F.col("n_pairs")).otherwise(0)

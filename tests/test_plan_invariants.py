@@ -318,3 +318,32 @@ def test_power_iteration_final_plan_is_posexplode_over_checkpoint(spark):
     assert "Join" not in plan, "iteration leaked a join into the final lineage"
     assert "Scan parquet" not in plan, "corpus re-scan in the final lineage"
     assert "Generate" in plan  # the posexplode of the direction
+
+
+def test_linkage_candidate_stage_is_blocked_equi_join(spark):
+    """Round-10 pin: the linkage candidate generator must stay the SNM
+    rank EQUI-join — a CartesianProduct / nested loop over the merged
+    files would be the quadratic regression the blocking swap removed;
+    and no data-sized single-partition window may sneak back in (the
+    global rank must stay the boundary-table form)."""
+    from etl_8million_data__spark.plans.behavioral import (
+        _linkage_candidate_pairs,
+        _linkage_merged,
+    )
+
+    merged = _linkage_merged(spark, SF)
+    plan = _formatted_plan(_linkage_candidate_pairs(merged))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"linkage candidates regressed to {bad}"
+    # the pair join is an equi-join on the integer rank
+    assert "Join" in plan
+    # the only single-partition window allowed is the boundary table's
+    # cumulative count (input = |buckets| rows, aggregated): assert no
+    # window runs directly over the merged-file scan partitioning
+    import re
+
+    for m in re.finditer(r"Window .*", plan):
+        frag = plan[max(0, m.start() - 600): m.start()]
+        assert "HashAggregate" in frag or "Exchange hashpartitioning" in frag, (
+            "window over raw data-sized input:\n" + m.group(0)
+        )
