@@ -680,6 +680,24 @@ def _linkage_u_frame(merged: DataFrame) -> DataFrame:
     """,
     tags=("linkage", "entity-resolution", "extension"),
 )
+def _linkage_weight():
+    """Fellegi–Sunter pattern weight as an integer column (assumed
+    m = 0.9, u columns in micro, truncating division, +1 smoothing —
+    log-free so it hash-matches across engines). Expects the ag_* flags
+    and the broadcast u columns in scope."""
+    return (
+        F.when(
+            F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_name)"))
+        + F.when(
+            F.col("ag_bal") == 1, F.expr("900000000000 div (u_bal + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_bal)"))
+        + F.when(
+            F.col("ag_seg") == 1, F.expr("900000000000 div (u_seg + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_seg)"))
+    )
+
+
 def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECORD LINKAGE (Fellegi–Sunter form): agreement-pattern table
     for matching the clean customer file against a deterministically
@@ -709,17 +727,7 @@ def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = _linkage_merged(spark, sf_dir)
     pairs = _linkage_candidate_pairs(merged)
     u = _linkage_u_frame(merged)
-    w = (
-        F.when(
-            F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_name)"))
-        + F.when(
-            F.col("ag_bal") == 1, F.expr("900000000000 div (u_bal + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_bal)"))
-        + F.when(
-            F.col("ag_seg") == 1, F.expr("900000000000 div (u_seg + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_seg)"))
-    )
+    w = _linkage_weight()
     return (
         pairs.crossJoin(F.broadcast(u))
         .groupBy("ag_name", "ag_bal", "ag_seg", "u_name", "u_bal", "u_seg")
@@ -840,4 +848,190 @@ def linkage_threshold_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_micro"),
         )
         .drop("total_true")
+    )
+
+
+@register(
+    "linkage_e2e_golden_records",
+    oracle=f"""
+    WITH RECURSIVE {_LINK_CTES},
+    wp AS MATERIALIZED (
+      SELECT p.a_key, p.b_key, p.orig_key,
+             CAST(  (CASE WHEN p.ag_name = 1
+                          THEN 900000000000 // (u.u_name + 1)
+                          ELSE 100000000000 // (1000001 - u.u_name) END)
+                  + (CASE WHEN p.ag_bal = 1
+                          THEN 900000000000 // (u.u_bal + 1)
+                          ELSE 100000000000 // (1000001 - u.u_bal) END)
+                  + (CASE WHEN p.ag_seg = 1
+                          THEN 900000000000 // (u.u_seg + 1)
+                          ELSE 100000000000 // (1000001 - u.u_seg) END)
+               AS BIGINT) AS w
+      FROM pairs p CROSS JOIN u),
+    pat AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN a_key = orig_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true
+      FROM wp GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_true FROM b),
+    curve AS (
+      SELECT t.w AS threshold,
+             CAST(sum(CASE WHEN p.w >= t.w THEN p.n_true ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN p.w >= t.w THEN p.n_pairs - p.n_true
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM (SELECT DISTINCT w FROM pat) t CROSS JOIN pat p GROUP BY t.w),
+    best AS (
+      SELECT threshold FROM curve CROSS JOIN tot
+      ORDER BY (2000000 * tp) // (tp + fp + total_true) DESC, threshold DESC
+      LIMIT 1),
+    matched AS MATERIALIZED (
+      SELECT a_key, b_key FROM wp CROSS JOIN best WHERE wp.w >= best.threshold),
+    edges AS (
+      SELECT a_key AS src, b_key AS dst FROM matched
+      UNION ALL SELECT b_key, a_key FROM matched),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT k.src, e.dst FROM walk k JOIN edges e ON k.dst = e.src),
+    compm AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src),
+    rec AS (
+      SELECT m.*, coalesce(c.component, m.rid) AS component
+      FROM m LEFT JOIN compm c ON c.node = m.rid),
+    stats AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT coalesce(orig_key, rid)) AS BIGINT)
+               AS n_true_entities,
+             max(length(name)) AS maxlen
+      FROM rec GROUP BY component)
+    SELECT r.component,
+           s.n_members, s.n_sources, s.n_true_entities,
+           min(r.name) FILTER (length(r.name) = s.maxlen) AS golden_name,
+           coalesce(min(CASE WHEN r.src = 0 THEN r.bal END), min(r.bal))
+             AS golden_bal,
+           coalesce(min(CASE WHEN r.src = 0 THEN r.seg END), min(r.seg))
+             AS golden_seg
+    FROM rec r JOIN stats s USING (component)
+    GROUP BY r.component, s.n_members, s.n_sources, s.n_true_entities, s.maxlen
+    """,
+    tags=("linkage", "entity-resolution", "survivorship", "extension"),
+)
+def linkage_e2e_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-RESOLUTION CAPSTONE — golden records: compose the whole
+    linkage family into its deliverable, mirroring
+    corpus_e2e_curation's composition-of-audited-stages pattern.
+    Stage 1 (decide): per-pair Fellegi–Sunter weights over the SNM
+    candidates, thresholded at the weight the precision/recall curve
+    itself picks — max integer-micro F1 = 2·tp/(2·tp+fp+fn), ties to
+    the HIGHER (more precise) threshold, so the decision point is
+    derived in-frame, not hand-tuned. Stage 2 (resolve): accepted
+    match pairs become undirected edges; connected components over ALL
+    records (singletons stay their own entity) form the entities —
+    the dedup_multi_evidence_components machinery. Stage 3 (survive):
+    one golden record per entity with field-level survivorship —
+    golden_name = most-complete (longest, ties lexicographic min),
+    golden_bal / golden_seg = source-precedence (the clean file is
+    authoritative; corrupted-only entities fall back to their own
+    values) — plus the audit columns a deployment reviews:
+    n_members, n_sources (1 = unmatched record), and n_true_entities
+    (constructed ground truth: >1 exposes an over-merge, which the
+    fixture's (1,0,1)-pattern false positives genuinely produce at the
+    picked threshold).
+
+    Scale shape: every stage is the audited sub-quadratic form — N·w
+    candidates, pattern-table-sized threshold selection, min-label
+    propagation over match edges (clique diameter rounds), and two
+    component-keyed aggregates; nothing rescans the files after the
+    one SNM pass. Oracle: recursive-CTE closure over the identical
+    decided edge set (MATERIALIZED + DISTINCT-over-UNION-ALL per the
+    DuckDB dialect canary)."""
+    from etl_8million_data__spark.operators.graph import connected_components
+
+    merged = _linkage_merged(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _linkage_candidate_pairs(merged)
+    u = _linkage_u_frame(merged)
+    wp = (
+        pairs.crossJoin(F.broadcast(u))
+        .withColumn("w", _linkage_weight().cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    pat = wp.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("a_key") == F.col("orig_key"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+    tot = merged.filter(F.col("src") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_true")
+    )
+    thr = pat.select(F.col("w").alias("threshold")).distinct()
+    curve = (
+        thr.crossJoin(pat)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("w") >= F.col("threshold"), F.col("n_true")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("w") >= F.col("threshold"),
+                    F.col("n_pairs") - F.col("n_true"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    best = (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.expr("(2000000 * tp) div (tp + fp + total_true)").alias("_f1"),
+        )
+        .orderBy(F.desc("_f1"), F.desc("threshold"))
+        .limit(1)
+        .select("threshold")
+    )
+    matched = (
+        wp.crossJoin(F.broadcast(best))
+        .filter(F.col("w") >= F.col("threshold"))
+        .select("a_key", "b_key")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        merged.select("rid"), matched, node_col="rid", src_col="a_key", dst_col="b_key"
+    )
+    rec = merged.join(
+        comp.select(F.col("node").alias("rid"), "component"), "rid"
+    ).localCheckpoint(eager=True)
+    stats = rec.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+        F.countDistinct(F.coalesce("orig_key", "rid"))
+        .cast("bigint")
+        .alias("n_true_entities"),
+        F.max(F.length("name")).alias("maxlen"),
+    )
+    return (
+        rec.join(stats, "component")
+        .groupBy("component", "n_members", "n_sources", "n_true_entities", "maxlen")
+        .agg(
+            F.min(
+                F.when(F.length("name") == F.col("maxlen"), F.col("name"))
+            ).alias("golden_name"),
+            F.coalesce(
+                F.min(F.when(F.col("src") == 0, F.col("bal"))), F.min("bal")
+            ).alias("golden_bal"),
+            F.coalesce(
+                F.min(F.when(F.col("src") == 0, F.col("seg"))), F.min("seg")
+            ).alias("golden_seg"),
+        )
+        .select(
+            "component", "n_members", "n_sources", "n_true_entities",
+            "golden_name", "golden_bal", "golden_seg",
+        )
     )

@@ -85,6 +85,8 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 10 (first external evidence)
+    "linkage_e2e_golden_records",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
