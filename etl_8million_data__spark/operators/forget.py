@@ -106,6 +106,9 @@ def forget_partitioned(
             d = os.path.join(path, *[f"{c}={v}" for c, v in zip(partition_by, key)])
             if os.path.isdir(d):
                 shutil.rmtree(d)
+    # same-session readers must not hit the stale cached file listing
+    # (FAILED_READ_FILE on the removed files)
+    spark.catalog.refreshByPath(path)
     return n_deleted
 
 
@@ -195,6 +198,7 @@ def forget_bucketed(
             d = os.path.join(index_path, f"bucket={b}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+    spark.catalog.refreshByPath(index_path)
     return n_deleted
 
 
@@ -244,6 +248,7 @@ def forget_unpartitioned(
     os.rename(index_path, old)
     os.rename(tmp, index_path)
     shutil.rmtree(old)
+    spark.catalog.refreshByPath(index_path)
     return n_hit
 
 

@@ -108,6 +108,51 @@ def refresh_join_view(
     return n
 
 
+def retract_join_view(
+    spark: SparkSession,
+    view_path: str,
+    victims: DataFrame,
+    key_col: str,
+    locate_partitions: list[str] | None = None,
+    n_buckets: int = 16,
+) -> int:
+    """Signed-delta RETRACTION for materialized join views — the
+    deletes/updates door the append-only algebra lacks: a deletion Δ⁻
+    on either input side propagates as Δ⁻A ⋈ B (resp. A ⋈ Δ⁻B), and
+    because the view MATERIALIZES the join those delta rows are exactly
+    the stored view rows carrying the deleted keys. So the retraction
+    is a keyed delete on the view — no join re-execution, no base
+    re-scan — reusing the forget family's layout disciplines
+    (operators/forget.py), which is what lets a GDPR erase propagate
+    base → derived views in delta time:
+
+    - view id-bucketed by ``key_col``'s hash (the id_bucket contract):
+      computed-bucket pruned rewrite, untouched buckets byte-identical;
+    - deleting on a key the view is NOT bucketed by: pass
+      ``locate_partitions`` (e.g. ``["bucket"]``) for the
+      located-partition pruned rewrite — a column-pruned lookup finds
+      the touched partitions; NEVER let forget_auto hash a non-bucket
+      column into partition names (the fsck_bucket_purity failure mode);
+    - legacy flat view: atomic full swap.
+
+    An UPDATE is retract-then-append: retract the updated keys, then
+    append the re-derived rows via the bounded-old-side append algebra
+    (:func:`join_view_delta`). Returns rows retracted; a miss never
+    rewrites — re-running a retraction is a no-op, which is what makes
+    the streaming twin (stream_forget_requests targeting base AND view)
+    at-least-once safe."""
+    from etl_8million_data__spark.operators.forget import (
+        forget_auto,
+        forget_partitioned,
+    )
+
+    if locate_partitions:
+        return forget_partitioned(
+            spark, view_path, victims, key_col, locate_partitions
+        )
+    return forget_auto(spark, view_path, victims, key_col, n_buckets=n_buckets)
+
+
 def agg_view_delta(
     base: DataFrame,
     updates: DataFrame,

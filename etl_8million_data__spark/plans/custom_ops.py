@@ -258,3 +258,72 @@ def ivm_agg_view_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = agg_view_delta(base, updates, "pk", ["grp"], ["cents"])
     return apply_agg_delta(view0, delta, ["grp"], ["cents"])
+
+
+@register(
+    "ivm_join_view_retract",
+    oracle=f"""
+    SELECT c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 9 <> 0 AND o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+    tags=("ivm", "join", "maintenance", "retraction", "extension", "persisted-view"),
+)
+def ivm_join_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-aware join-view maintenance
+    (operators/ivm.retract_join_view) — the deletes door the round-9
+    append-only algebra lacked: the materialized orders ⋈ customer
+    view (id-bucketed by custkey) absorbs TWO erasure shapes without
+    any join re-execution or base re-scan, because Δ⁻A ⋈ B is exactly
+    the stored view rows carrying the deleted keys:
+    (1) a GDPR erase of customers (custkey % 9 — the BUCKET key):
+    computed-bucket pruned rewrite, victims' buckets derived from the
+    ids alone; (2) a fact-side delete of orders (orderkey % 7 — NOT
+    the bucket key): located-partition pruned rewrite via a
+    column-pruned lookup — never hashing a non-bucket column into
+    partition names (the fsck_bucket_purity failure mode). Proven by
+    equivalence: the maintained view aggregates to a recompute over
+    the post-delete inputs (the oracle). Byte-identity of untouched
+    buckets and miss-is-no-op replay are pinned in tests/test_ivm.py;
+    updates compose as retract-then-append (join_view_delta)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.ivm import retract_join_view
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    root = _persisted_index_root(sf_dir, "ivm_join_view_retract")
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        o.join(c, "custkey")
+        .withColumn("bucket", id_bucket(F.col("custkey"), 16))
+        .write.partitionBy("bucket")
+        .parquet(root)
+    )
+    retract_join_view(
+        spark, root, c.filter(F.col("custkey") % 9 == 0).select("custkey"), "custkey"
+    )
+    retract_join_view(
+        spark,
+        root,
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+        locate_partitions=["bucket"],
+    )
+    view = spark.read.parquet(root)
+    return view.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

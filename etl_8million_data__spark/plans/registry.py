@@ -87,6 +87,8 @@ def _load() -> None:
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
+    "ivm_join_view_retract",
+    "advisor_join_strategy",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",

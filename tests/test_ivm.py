@@ -248,3 +248,143 @@ def test_bounded_scan_pushes_literal_key_filter(spark, sf_dir):
 
     # empty delta: zero rows, no history scan needed
     assert _bounded(o, c.limit(0), ["custkey"]).count() == 0
+
+
+def test_retract_join_view_blast_radius_and_replay(spark, sf_dir, tmp_path):
+    """Round-10 retraction door: deleting on the BUCKET key rewrites
+    only the victims' computed buckets (untouched buckets
+    byte-identical); deleting on a NON-bucket key takes the
+    located-partition path and likewise touches only partitions
+    containing victims; re-running either retraction is a provable
+    no-op (miss never rewrites) — the at-least-once contract."""
+    from etl_8million_data__spark.operators.ivm import retract_join_view
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    o, c = _frames(spark, sf_dir)
+    view = str(tmp_path / "view_b")
+    (
+        o.join(c, "custkey")
+        .withColumn("bucket", id_bucket(F.col("custkey"), 16))
+        .write.partitionBy("bucket")
+        .parquet(view)
+    )
+    full = spark.read.parquet(view).count()
+
+    # (1) bucket-key retraction: GDPR erase of two customers
+    victims = c.orderBy("custkey").limit(2).select("custkey")
+    vkeys = [r["custkey"] for r in victims.collect()]
+    touched = {
+        r["b"]
+        for r in victims.select(id_bucket(F.col("custkey"), 16).alias("b")).collect()
+    }
+    pre = _file_state(view)
+    n1 = retract_join_view(spark, view, victims, "custkey")
+    assert n1 > 0
+    post = _file_state(view)
+    for rel, sig in pre.items():
+        top = rel.split(os.sep)[0]
+        if top.startswith("bucket=") and int(top[7:]) not in touched:
+            assert post.get(rel) == sig, f"untouched bucket rewritten: {rel}"
+    v = spark.read.parquet(view)
+    assert v.filter(F.col("custkey").isin(vkeys)).count() == 0
+    assert v.count() == full - n1
+
+    # replay: miss never rewrites
+    snap = _file_state(view)
+    assert retract_join_view(spark, view, victims, "custkey") == 0
+    assert _file_state(view) == snap
+
+    # (2) non-bucket-key retraction via located partitions
+    okeys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(view)
+        .orderBy("o_orderkey")
+        .limit(3)
+        .select("o_orderkey")
+        .collect()
+    ]
+    # materialized victim frame: a lazy read-plan would pin the PRE-delete
+    # file listing and fail on re-execution after the rewrite
+    ovictims = spark.createDataFrame([(k,) for k in okeys], "o_orderkey long")
+    located = {
+        r["bucket"]
+        for r in spark.read.parquet(view)
+        .filter(F.col("o_orderkey").isin(okeys))
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    pre2 = _file_state(view)
+    n2 = retract_join_view(
+        spark, view, ovictims, "o_orderkey", locate_partitions=["bucket"]
+    )
+    assert n2 == len(okeys)
+    post2 = _file_state(view)
+    for rel, sig in pre2.items():
+        top = rel.split(os.sep)[0]
+        if top.startswith("bucket=") and int(top[7:]) not in located:
+            assert post2.get(rel) == sig, f"untouched bucket rewritten: {rel}"
+    v2 = spark.read.parquet(view)
+    assert v2.filter(F.col("o_orderkey").isin(okeys)).count() == 0
+    assert v2.count() == full - n1 - n2
+
+    # replay no-op on the located path too
+    snap2 = _file_state(view)
+    assert (
+        retract_join_view(
+            spark, view, ovictims, "o_orderkey", locate_partitions=["bucket"]
+        )
+        == 0
+    )
+    assert _file_state(view) == snap2
+
+
+def test_stream_erase_propagates_base_and_view(spark, sf_dir, tmp_path):
+    """Streaming twin of the retraction door: a stream of GDPR erase
+    requests drives stream_forget_requests against BOTH the base fact
+    and the derived join view in one job — after the stream drains the
+    view equals a recompute over the post-delete inputs, and a full
+    replay under a fresh checkpoint changes nothing (forget is
+    idempotent per id)."""
+    from etl_8million_data__spark.operators.forget import stream_forget_requests
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    o, c = _frames(spark, sf_dir)
+    base = str(tmp_path / "base")
+    o.withColumn("bucket", id_bucket(F.col("custkey"), 16)).write.partitionBy(
+        "bucket"
+    ).parquet(base)
+    view = str(tmp_path / "view_s")
+    (
+        o.join(c, "custkey")
+        .withColumn("bucket", id_bucket(F.col("custkey"), 16))
+        .write.partitionBy("bucket")
+        .parquet(view)
+    )
+
+    victims = c.orderBy(F.desc("custkey")).limit(3).select("custkey")
+    vkeys = [r["custkey"] for r in victims.collect()]
+    src = str(tmp_path / "req")
+    victims.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_forget_requests(
+            stream,
+            [(base, "custkey", None), (view, "custkey", None)],
+            str(tmp_path / ckpt),
+        ).awaitTermination()
+
+    run("ck1")
+    got_base = spark.read.parquet(base)
+    got_view = spark.read.parquet(view)
+    assert got_base.filter(F.col("custkey").isin(vkeys)).count() == 0
+    assert got_view.filter(F.col("custkey").isin(vkeys)).count() == 0
+    want = o.filter(~F.col("custkey").isin(vkeys)).join(c, "custkey")
+    assert got_view.count() == want.count()
+
+    snap_b, snap_v = _file_state(base), _file_state(view)
+    run("ck2")  # replay: all victims already erased -> byte-identical
+    assert _file_state(base) == snap_b
+    assert _file_state(view) == snap_v

@@ -1,0 +1,73 @@
+"""Join-strategy advisor (operators/partitioning.advise_join): the
+coordinated bottom-k cardinality sketch feeds a broadcast-vs-shuffle
+decision, thresholds are the MEASURED ones (ivm's 200-key literal-IN
+bound; ~10 MB broadcast), and the advised strategy must actually appear
+in the executed plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.partitioning import (
+    ADVISE_LITERAL_KEYS,
+    advise_join,
+    apply_advice,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_advice_thresholds_and_estimate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = c.select(F.col("c_nationkey").alias("n_nationkey")) if False else None  # noqa: F841
+
+    # nation side: 25 distinct keys <= 200 -> literal
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_custkey"
+    )
+    adv = advise_join(cust_n, n, "n_nationkey")
+    assert adv["strategy"] == "literal" and adv["small_side"] == "b"
+    assert adv["d_b"] <= ADVISE_LITERAL_KEYS
+
+    # orders side vs lineitem: > 200 keys, fits broadcast at fixture scale
+    li2 = li.select(F.col("l_orderkey").alias("key"), "l_quantity")
+    o2 = o.select(F.col("o_orderkey").alias("key"), "o_custkey")
+    adv2 = advise_join(li2, o2, "key")
+    assert adv2["strategy"] == "broadcast" and adv2["small_side"] == "b"
+    # estimate quality: the sketch's measured 2.7-7.6% error band, with slack
+    actual = li2.join(o2, "key").count()
+    assert actual > 0
+    assert abs(adv2["est_join_rows"] - actual) <= 0.15 * actual, (
+        adv2["est_join_rows"],
+        actual,
+    )
+
+    # forcing a tiny broadcast budget must demote to shuffle
+    adv3 = advise_join(li2, o2, "key", broadcast_rows=10)
+    assert adv3["strategy"] == "shuffle"
+
+    # the advised strategy lands in the executed plan, result identical
+    j_lit = apply_advice(cust_n, n, "n_nationkey", adv)
+    p_lit = _plan(j_lit)
+    assert "BroadcastHashJoin" in p_lit
+    # the literal key set is pushed at the big side's scan
+    assert "n_nationkey" in p_lit and ("In(" in p_lit or "IN (" in p_lit or "in(" in p_lit.lower())
+    assert j_lit.count() == cust_n.join(n, "n_nationkey").count()
+
+    j_b = apply_advice(li2, o2, "key", adv2)
+    assert "BroadcastHashJoin" in _plan(j_b)
+    assert j_b.count() == actual
+
+    # 'shuffle' means UNHINTED — the fixture-scale planner may still
+    # broadcast under its own 10 MB threshold (and at 100 TB it won't):
+    # assert the hint's presence/absence at the logical layer instead
+    j_s = apply_advice(li2, o2, "key", adv3)
+    assert "ResolvedHint" not in j_s._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in j_b._jdf.queryExecution().analyzed().toString()
+    assert j_s.count() == actual
