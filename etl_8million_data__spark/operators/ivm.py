@@ -195,6 +195,35 @@ def agg_view_delta(
     )
 
 
+def agg_view_delete_delta(
+    base: DataFrame,
+    victim_pks: DataFrame,
+    pk: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Negative-only retraction delta for DELETED PKs — the erase door
+    of the aggregate-view family (upserts: :func:`agg_view_delta`):
+    each deleted row contributes (−1, −value) under its group, so
+    :func:`apply_agg_delta` shrinks touched groups and drops emptied
+    ones. The only base read is the victims' own rows (broadcast-semi
+    bounded; literal-pruned on a partitioned base — the forget
+    discipline), so composing ``forget_*`` on the base with this delta
+    on the view erases a key from BOTH in delta time, never rescanning
+    the aggregate history. Returns (group_cols..., d_n, d_<sum_col>…)."""
+    pks = victim_pks.select(victim_pks.columns[0]).toDF(pk).distinct()
+    old = base.join(F.broadcast(pks), pk, "left_semi")
+    neg = old.select(
+        *group_cols,
+        F.lit(-1).cast("bigint").alias("_dn"),
+        *[(-F.col(c)).cast("bigint").alias(f"_d_{c}") for c in sum_cols],
+    )
+    return neg.groupBy(*group_cols).agg(
+        F.sum("_dn").cast("bigint").alias("d_n"),
+        *[F.sum(f"_d_{c}").cast("bigint").alias(f"d_{c}") for c in sum_cols],
+    )
+
+
 def apply_agg_delta(
     view: DataFrame,
     delta: DataFrame,

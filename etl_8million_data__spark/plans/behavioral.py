@@ -1035,3 +1035,158 @@ def linkage_e2e_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_name", "golden_bal", "golden_seg",
         )
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             {sql_cents('c_acctbal')} // 100000 AS sens_band
+      FROM customer),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    gv AS (SELECT sens_band, CAST(count(*) AS BIGINT) AS g_v
+           FROM q GROUP BY 1),
+    cls AS (SELECT c_nationkey, c_mktsegment, sens_band,
+                   CAST(count(*) AS BIGINT) AS n_cv
+            FROM q GROUP BY 1, 2, 3),
+    csz AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(n_cv) AS BIGINT) AS n_c
+            FROM cls GROUP BY 1, 2),
+    mat AS (
+      SELECT s.c_nationkey, s.c_mktsegment, s.n_c, g.sens_band, g.g_v,
+             coalesce(c.n_cv, 0) AS n_cv, tot.n
+      FROM csz s CROSS JOIN gv g CROSS JOIN tot
+      LEFT JOIN cls c ON c.c_nationkey = s.c_nationkey
+                     AND c.c_mktsegment = s.c_mktsegment
+                     AND c.sens_band = g.sens_band)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(min(n_c) AS BIGINT) AS group_size,
+           CAST(sum(abs((1000000 * n_cv) // n_c - (1000000 * g_v) // n)) // 2
+             AS BIGINT) AS tv_distance_micro,
+           (CAST(sum(abs((1000000 * n_cv) // n_c - (1000000 * g_v) // n)) // 2
+             AS BIGINT) > 200000) AS above_t
+    FROM mat GROUP BY 1, 2
+    """,
+    tags=("privacy", "audit", "extension"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy-release
+    ladder (k-anonymity: classes big enough; l-diversity: sensitive
+    values varied enough; t-closeness: the class's sensitive
+    DISTRIBUTION close enough to the global one that membership leaks
+    little). Per QI class (nation, market segment) vs the $1000
+    balance band: total-variation distance — ½ Σ_v |p(v|class) −
+    p(v)| — which IS the earth-mover's distance for categorical values
+    under uniform ground distance, so this is the standard categorical
+    t-closeness. Each probability is floored to integer micro BEFORE
+    the difference (both engines truncate identically; no float fold),
+    and the flag marks classes beyond t = 0.2. Scale shape: two hash
+    aggregates + a |classes| × |bands| broadcast matrix (125 × ~11
+    here); the customer file is scanned once."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (cents(F.col("c_acctbal")) / 100000).cast("long")
+    q = c.select("c_nationkey", "c_mktsegment", band.alias("sens_band"))
+    tot = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gv = q.groupBy("sens_band").agg(F.count(F.lit(1)).cast("bigint").alias("g_v"))
+    cls = q.groupBy("c_nationkey", "c_mktsegment", "sens_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cv")
+    )
+    csz = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cv").cast("bigint").alias("n_c")
+    )
+    mat = (
+        csz.crossJoin(F.broadcast(gv))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cls,
+            ["c_nationkey", "c_mktsegment", "sens_band"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "g_v",
+            "n",
+            F.coalesce("n_cv", F.lit(0)).alias("n_cv"),
+        )
+    )
+    term = F.abs(
+        F.expr("(1000000 * n_cv) div n_c") - F.expr("(1000000 * g_v) div n")
+    )
+    tv = (F.sum(term) / 2).cast("bigint")
+    return mat.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("n_c").cast("bigint").alias("group_size"),
+        tv.alias("tv_distance_micro"),
+        (tv > 200000).alias("above_t"),
+    )
+
+
+@register(
+    "linkage_blocking_quality",
+    oracle=f"""
+    WITH {_LINK_CTES},
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM customer),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+    cs AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+                  CAST(sum(CASE WHEN a_key = orig_key THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_found
+           FROM pairs)
+    SELECT cs.n_cand,
+           CAST(na.n_a * nb.n_b AS BIGINT) AS n_product,
+           CAST((1000000 * (na.n_a * nb.n_b - cs.n_cand))
+                // (na.n_a * nb.n_b) AS BIGINT) AS reduction_ratio_micro,
+           CAST((1000000 * cs.n_true_found) // nb.n_b AS BIGINT)
+             AS pairs_completeness_micro,
+           CAST((1000000 * cs.n_true_found) // cs.n_cand AS BIGINT)
+             AS pair_quality_micro
+    FROM cs, na, nb
+    """,
+    tags=("linkage", "entity-resolution", "evaluation", "extension"),
+)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY metrics — the standard record-linkage
+    evaluation triple for a candidate generator (Christen's reduction
+    ratio / pairs completeness / pairs quality), here auditing the SNM
+    blocking that replaced the nation-blocked join: reduction ratio =
+    1 − |candidates|/|A×B| (how much of the cross product the blocking
+    spares — 99.97% at sf0.1), pairs completeness = found true
+    pairs / all true pairs (recall of the BLOCKING stage alone — 1.0
+    on this fixture, the gate test_linkage_blocking enforces), pairs
+    quality = true pairs / candidates (the blocker's precision, before
+    any weight threshold). One row, all integer micro. These three
+    numbers are what you compare when swapping blockers at 100 TB —
+    the volume/recall tradeoff made first-class instead of buried in a
+    probe log."""
+    merged = _linkage_merged(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = _linkage_candidate_pairs(merged)
+    na = merged.filter(F.col("src") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    nb = merged.filter(F.col("src") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    cs = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("a_key") == F.col("orig_key"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_found"),
+    )
+    return (
+        cs.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_cand",
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("n_product"),
+            F.expr("(1000000 * (n_a * n_b - n_cand)) div (n_a * n_b)")
+            .cast("bigint")
+            .alias("reduction_ratio_micro"),
+            F.expr("(1000000 * n_true_found) div n_b")
+            .cast("bigint")
+            .alias("pairs_completeness_micro"),
+            F.expr("(1000000 * n_true_found) div n_cand")
+            .cast("bigint")
+            .alias("pair_quality_micro"),
+        )
+    )

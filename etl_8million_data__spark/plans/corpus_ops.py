@@ -3535,3 +3535,119 @@ def dedup_multi_evidence_components(spark: SparkSession, sf_dir: str) -> DataFra
             "n_corroborated",
         )
     )
+
+
+@register(
+    "search_proximity_min_window",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 2),
+    post AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i + 1] AS token
+      FROM t, unnest(range(len(toks))) AS u(i)),
+    bi AS (
+      SELECT array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS phrase
+      FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+    topq AS (SELECT phrase, count(*) AS n FROM bi GROUP BY phrase),
+    topf AS (SELECT phrase FROM topq
+             WHERE string_split(phrase, ' ')[1] <> string_split(phrase, ' ')[2]
+             ORDER BY n DESC, phrase LIMIT 3),
+    q AS (SELECT phrase, string_split(phrase, ' ') AS w FROM topf),
+    m AS (
+      SELECT q.phrase, p1.doc_id, abs(p1.pos - p2.pos) AS dist
+      FROM q
+      JOIN post p1 ON p1.token = q.w[1]
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.token = q.w[2]),
+    agg AS (
+      SELECT phrase, doc_id, CAST(min(dist) AS BIGINT) AS min_dist,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1, 2),
+    rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY phrase
+               ORDER BY min_dist ASC, n_pairs DESC, doc_id ASC) AS rank
+      FROM agg)
+    SELECT phrase, doc_id, min_dist, n_pairs,
+           CAST(1000000 // (1 + min_dist) AS BIGINT) AS proximity_score_micro,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    tags=("search", "inverted-index", "proximity", "extension"),
+)
+def search_proximity_min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY ranking over the positional inverted index — the
+    retrieval primitive between bag-of-words BM25 (ignores positions)
+    and exact phrase match (demands adjacency): documents where the
+    query terms appear NEAR each other outrank documents where they
+    are far apart. For each query pair (the corpus's top-3 distinct
+    bigrams — deterministic workload, same convention as phrase
+    search), per document: the MINIMUM distance between any occurrence
+    of the two words (the 2-term min-window), the co-occurrence pair
+    count, and an integer proximity score 1e6/(1+min_dist); top-5 docs
+    per query under the (min_dist, n_pairs desc, doc_id) total order.
+    An adjacent pair scores 500000, same-sentence ~1e5, far co-occurrence
+    → tail — exactly the boost a BM25+proximity fusion consumes (the
+    rank-fusion family composes it unchanged, channels being ranks).
+
+    Scale shape: postings filtered to the query words BEFORE any join
+    (input is Σ df(w), never the corpus — the phrase-search
+    discipline); the pair join is equi on doc_id with per-doc fan-out
+    tf(w1)·tf(w2); the ranking window partitions by query. A real
+    deployment persists postings partitioned by token; the plan is
+    unchanged."""
+    from etl_8million_data__spark.operators.dedup import spread
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    post = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    post = post.localCheckpoint(eager=True)
+
+    bi = t.select(F.explode(word_shingles(F.col("toks"), 2)).alias("phrase"))
+    topq = bi.groupBy("phrase").agg(F.count(F.lit(1)).alias("n"))
+    w1 = F.split(F.col("phrase"), " ").getItem(0)
+    w2 = F.split(F.col("phrase"), " ").getItem(1)
+    q = (
+        topq.filter(w1 != w2)
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(3)
+        .select("phrase", w1.alias("w1"), w2.alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    allw = q.select(F.explode(F.array("w1", "w2")).alias("token")).distinct()
+    post = post.join(F.broadcast(allw), "token", "left_semi")
+    p1 = post.join(F.broadcast(q), post["token"] == q["w1"]).select(
+        "phrase", "w2", "doc_id", "pos"
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("pos").alias("_p2"),
+        F.col("token").alias("_t2"),
+    )
+    m = p1.join(p2, "doc_id").filter(F.col("_t2") == F.col("w2")).select(
+        "phrase", "doc_id", F.abs(F.col("pos") - F.col("_p2")).alias("dist")
+    )
+    agg = m.groupBy("phrase", "doc_id").agg(
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    wrk = Window.partitionBy("phrase").orderBy(
+        F.asc("min_dist"), F.desc("n_pairs"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(wrk).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "phrase", "doc_id", "min_dist", "n_pairs",
+            F.expr("1000000 div (1 + min_dist)")
+            .cast("bigint")
+            .alias("proximity_score_micro"),
+            "rank",
+        )
+    )

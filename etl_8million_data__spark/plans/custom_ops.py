@@ -327,3 +327,48 @@ def ivm_join_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "ivm_agg_view_delete",
+    oracle=f"""
+    SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS s_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+    tags=("ivm", "aggregate", "maintenance", "retraction", "extension"),
+)
+def ivm_agg_view_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-retraction maintenance for aggregate views
+    (operators/ivm.agg_view_delete_delta) — completing the maintenance
+    matrix: join views × {{append, delete}} and aggregate views ×
+    {{append (rollups), upsert, delete}}. Erasing every 7th order from
+    a per-priority (count, sum) view contributes (−1, −cents) per
+    deleted row under its group; the signed delta aggregates to
+    |touched groups| rows and the group-sized view absorbs it in one
+    full-outer merge (emptied groups drop). Proven by equivalence to a
+    recompute over the post-delete base (the oracle). The only base
+    read is the victims' own rows — compose with operators/forget on
+    the base file and a GDPR erase updates base AND aggregate view in
+    delta time; the group-move/empty-drop edge cases are pinned in
+    tests/test_ivm.py."""
+    from etl_8million_data__spark.operators.ivm import (
+        agg_view_delete_delta,
+        apply_agg_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("grp"),
+        cents("o_totalprice").alias("cents"),
+    )
+    view0 = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+    )
+    victims = base.filter(F.col("pk") % 7 == 0).select("pk")
+    delta = agg_view_delete_delta(base, victims, "pk", ["grp"], ["cents"])
+    return apply_agg_delta(view0, delta, ["grp"], ["cents"])

@@ -89,6 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",
     "advisor_join_strategy",
+    "privacy_t_closeness",
+    "linkage_blocking_quality",
+    "search_proximity_min_window",
+    "ivm_agg_view_delete",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",

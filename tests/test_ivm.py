@@ -388,3 +388,38 @@ def test_stream_erase_propagates_base_and_view(spark, sf_dir, tmp_path):
     run("ck2")  # replay: all victims already erased -> byte-identical
     assert _file_state(base) == snap_b
     assert _file_state(view) == snap_v
+
+
+def test_agg_view_delete_delta_empties_groups(spark):
+    """Delete retraction: erasing every row of a group must DROP the
+    group from the view (not leave a zero row); partial deletes shrink
+    counts and sums exactly; deleting everything empties the view."""
+    from etl_8million_data__spark.operators.ivm import (
+        agg_view_delete_delta,
+        apply_agg_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "B", 5), (4, "B", 7), (5, "C", 1)],
+        "pk long, grp string, v long",
+    )
+    view0 = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s_v"),
+    )
+    victims = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    delta = agg_view_delete_delta(base, victims, "pk", ["grp"], ["v"])
+    got = {
+        r["grp"]: (r["n"], r["s_v"])
+        for r in apply_agg_delta(view0, delta, ["grp"], ["v"]).collect()
+    }
+    assert got == {"B": (1, 7), "C": (1, 1)}  # A dropped, B shrunk, C intact
+
+    all_victims = base.select("pk")
+    d2 = agg_view_delete_delta(base, all_victims, "pk", ["grp"], ["v"])
+    assert apply_agg_delta(view0, d2, ["grp"], ["v"]).count() == 0
+
+    # deleting a pk that does not exist is a zero delta (replay safety)
+    ghost = spark.createDataFrame([(99,)], "pk long")
+    d3 = agg_view_delete_delta(base, ghost, "pk", ["grp"], ["v"])
+    assert d3.count() == 0
