@@ -115,6 +115,11 @@ HEADLINE = [
     "ivm_join_view_refresh",  # delta-algebra incremental join-view refresh
     "embedding_pca_two_components",  # deflated 2-component fixed-point PCA
     "search_bm25_persisted",  # lexical retrieval through the persisted index
+    # round-10 families
+    "linkage_e2e_golden_records",  # SNM-blocked FS linkage -> components -> survivorship
+    "ivm_join_view_retract",  # keyed-delete retraction on materialized join views
+    "advisor_join_strategy",  # bottom-k sketch -> broadcast/literal/shuffle advice
+    "search_proximity_min_window",  # positional min-distance proximity ranking
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -1,0 +1,176 @@
+"""Incremental record linkage — the streaming door of the
+Fellegi–Sunter family (plans/behavioral.py): new records arrive in
+micro-batches and must be matched against a PERSISTED clean store
+without re-linking the whole history.
+
+Blocking for the incremental shape is an EQUI-join on a name-prefix
+block key (``substring(name, 1, prefix_len)``): a batch record's
+candidate store rows are exactly its block, so the probe input is
+Σ |block(batch record)| — independent of store size, and the store can
+be persisted partitioned by the block key so the probe literal-prunes
+to the batch's blocks (the ANN/upsert discipline). This differs from
+the batch path's sorted-neighborhood window (which needs a global sort
+order — natural for a one-shot pass, wrong for a probe): both are
+bounded-volume blockers, and the fixture's truncation corruption keeps
+every true pair inside BOTH (prefix-14 is untouched by a last-char
+truncation; recall gated in tests).
+
+u-probabilities come from the STORE's value frequencies (the
+blocking-independent estimate — plans/behavioral._linkage_u_frame's
+contract), computed once at stream start and passed to batches as three
+integers; the decision threshold is the deployment's pick from the
+threshold-quality curve. Reference corruption model:
+plans/behavioral._linkage_merged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINKAGE_PREFIX_LEN = 14
+
+
+def prefix_block_candidates(
+    batch: DataFrame, store: DataFrame, prefix_len: int = LINKAGE_PREFIX_LEN
+) -> DataFrame:
+    """Candidate pairs between a batch of incoming records
+    (rid, orig_key, name, bal, seg) and the clean store
+    (rid, name, bal, seg): equi-join on the name-prefix block key, then
+    the agreement flags. Output matches the batch path's pairs schema:
+    (a_key, b_key, orig_key, ag_name, ag_bal, ag_seg)."""
+    bk = lambda c: F.substring(c, 1, prefix_len)  # noqa: E731
+    b = batch.select(
+        F.col("rid").alias("b_key"),
+        "orig_key",
+        F.col("name").alias("b_name"),
+        F.col("bal").alias("b_bal"),
+        F.col("seg").alias("b_seg"),
+        bk(F.col("name")).alias("blk"),
+    )
+    a = store.select(
+        F.col("rid").alias("a_key"),
+        F.col("name").alias("a_name"),
+        F.col("bal").alias("a_bal"),
+        F.col("seg").alias("a_seg"),
+        bk(F.col("name")).alias("blk"),
+    )
+    return b.join(a, "blk").select(
+        "a_key",
+        "b_key",
+        "orig_key",
+        F.when(
+            F.substring("a_name", 1, 15) == F.substring("b_name", 1, 15), 1
+        )
+        .otherwise(0)
+        .alias("ag_name"),
+        F.when(F.col("a_bal") == F.col("b_bal"), 1).otherwise(0).alias("ag_bal"),
+        F.when(F.col("a_seg") == F.col("b_seg"), 1).otherwise(0).alias("ag_seg"),
+    )
+
+
+def weigh_and_decide(
+    pairs: DataFrame, u_name: int, u_bal: int, u_seg: int, threshold: int
+) -> DataFrame:
+    """Fellegi–Sunter decision over candidate pairs with FIXED
+    u-probabilities (integers in micro — store-derived, so a replayed
+    batch decides identically): pattern weight as in
+    plans/behavioral._linkage_weight, pairs at/above ``threshold``
+    become matches."""
+
+    def w(flag: str, u: int):
+        return F.when(
+            F.col(flag) == 1, F.lit(900000000000 // (u + 1))
+        ).otherwise(F.lit(100000000000 // (1000001 - u)))
+
+    weight = (
+        w("ag_name", u_name) + w("ag_bal", u_bal) + w("ag_seg", u_seg)
+    ).cast("bigint")
+    return (
+        pairs.withColumn("weight", weight)
+        .filter(F.col("weight") >= threshold)
+        .select("a_key", "b_key", "orig_key", "weight")
+    )
+
+
+def store_u_micro(store: DataFrame, prefix15: int = 15) -> tuple[int, int, int]:
+    """Frequency-based u-probabilities (integer micro) from the clean
+    store alone — Σ n_v(n_v−1)/(N(N−1)) per compare field. Three narrow
+    aggregates; computed once per stream, not per batch."""
+
+    def mass(expr) -> int:
+        return (
+            store.groupBy(expr.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.expr("_n * (_n - 1)")).cast("bigint"))
+            .first()[0]
+            or 0
+        )
+
+    n = store.count()
+    denom = max(n * (n - 1), 1)
+    return (
+        1000000 * mass(F.substring("name", 1, prefix15)) // denom,
+        1000000 * mass(F.col("bal")) // denom,
+        1000000 * mass(F.col("seg")) // denom,
+    )
+
+
+def linkage_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    matches_path: str,
+    u: tuple[int, int, int],
+    threshold: int,
+    scope: str,
+) -> None:
+    """One micro-batch of streaming linkage, replay-idempotent: match
+    decisions land under a per-batch overwrite partition
+    ``ingest_batch=<tag>`` (a redelivered batch rewrites the same files
+    instead of appending duplicates — the dedup_ingest_batch
+    discipline). The store is read per batch but the candidate join
+    input is Σ |block|, never the store (prefix-block equi-join)."""
+    import hashlib
+
+    spark = batch_df.sparkSession
+    store = spark.read.parquet(store_path)
+    pairs = prefix_block_candidates(batch_df, store)
+    matched = weigh_and_decide(pairs, *u, threshold)
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    tag = f"{scope_h}-{batch_id}"
+    matched.write.mode("overwrite").parquet(
+        os.path.join(matches_path, f"ingest_batch={tag}")
+    )
+
+
+def stream_linkage_matches(
+    batch_stream: DataFrame,
+    store_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    threshold: int,
+):
+    """Streaming incremental linkage: each micro-batch of incoming
+    (possibly corrupted) records is blocked against the persisted clean
+    store, FS-weighted under store-derived u-probabilities, and its
+    match decisions written replay-idempotently. stream == batch is
+    asserted in tests (same blocker, same u, same threshold ⇒ identical
+    decisions however the records are batched)."""
+    spark = batch_stream.sparkSession
+    u = store_u_micro(spark.read.parquet(store_path))
+    scope = os.path.abspath(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        linkage_ingest_batch(
+            batch_df, batch_id, store_path, matches_path, u, threshold, scope
+        )
+
+    return (
+        batch_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -656,6 +656,24 @@ def _linkage_u_frame(merged: DataFrame) -> DataFrame:
     )
 
 
+def _linkage_weight():
+    """Fellegi–Sunter pattern weight as an integer column (assumed
+    m = 0.9, u columns in micro, truncating division, +1 smoothing —
+    log-free so it hash-matches across engines). Expects the ag_* flags
+    and the broadcast u columns in scope."""
+    return (
+        F.when(
+            F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_name)"))
+        + F.when(
+            F.col("ag_bal") == 1, F.expr("900000000000 div (u_bal + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_bal)"))
+        + F.when(
+            F.col("ag_seg") == 1, F.expr("900000000000 div (u_seg + 1)")
+        ).otherwise(F.expr("100000000000 div (1000001 - u_seg)"))
+    )
+
+
 @register(
     "linkage_agreement_patterns",
     oracle=f"""
@@ -680,24 +698,6 @@ def _linkage_u_frame(merged: DataFrame) -> DataFrame:
     """,
     tags=("linkage", "entity-resolution", "extension"),
 )
-def _linkage_weight():
-    """Fellegi–Sunter pattern weight as an integer column (assumed
-    m = 0.9, u columns in micro, truncating division, +1 smoothing —
-    log-free so it hash-matches across engines). Expects the ag_* flags
-    and the broadcast u columns in scope."""
-    return (
-        F.when(
-            F.col("ag_name") == 1, F.expr("900000000000 div (u_name + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_name)"))
-        + F.when(
-            F.col("ag_bal") == 1, F.expr("900000000000 div (u_bal + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_bal)"))
-        + F.when(
-            F.col("ag_seg") == 1, F.expr("900000000000 div (u_seg + 1)")
-        ).otherwise(F.expr("100000000000 div (1000001 - u_seg)"))
-    )
-
-
 def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECORD LINKAGE (Fellegi–Sunter form): agreement-pattern table
     for matching the clean customer file against a deterministically
@@ -1189,4 +1189,89 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pair_quality_micro"),
         )
+    )
+
+
+@register(
+    "linkage_incremental_matches",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey + 1000000 AS rid, c_custkey AS orig_key,
+             substr(c_name, 1, length(c_name) - 1) AS name,
+             CASE WHEN c_custkey % 8 = 0 THEN {sql_cents('c_acctbal')}
+                  ELSE {sql_cents('c_acctbal')} + 1 END AS bal,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 4 = 0),
+    store AS (
+      SELECT c_custkey AS rid, c_name AS name,
+             {sql_cents('c_acctbal')} AS bal, c_mktsegment AS seg
+      FROM customer),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM store),
+    mname AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+              (SELECT count(*) AS _n FROM store GROUP BY substr(name, 1, 15)) t),
+    mbal AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+             (SELECT count(*) AS _n FROM store GROUP BY bal) t),
+    mseg AS (SELECT CAST(sum(_n * (_n - 1)) AS BIGINT) AS mass FROM
+             (SELECT count(*) AS _n FROM store GROUP BY seg) t),
+    u AS (SELECT
+            CAST((1000000 * mname.mass) // greatest(nn.n * (nn.n - 1), 1)
+              AS BIGINT) AS u_name,
+            CAST((1000000 * mbal.mass) // greatest(nn.n * (nn.n - 1), 1)
+              AS BIGINT) AS u_bal,
+            CAST((1000000 * mseg.mass) // greatest(nn.n * (nn.n - 1), 1)
+              AS BIGINT) AS u_seg
+          FROM mname, mbal, mseg, nn),
+    cand AS (
+      SELECT s.rid AS a_key, b.rid AS b_key, b.orig_key,
+             CASE WHEN substr(s.name, 1, 15) = substr(b.name, 1, 15)
+                  THEN 1 ELSE 0 END AS ag_name,
+             CASE WHEN s.bal = b.bal THEN 1 ELSE 0 END AS ag_bal,
+             CASE WHEN s.seg = b.seg THEN 1 ELSE 0 END AS ag_seg
+      FROM b JOIN store s ON substr(s.name, 1, 14) = substr(b.name, 1, 14)),
+    wp AS (
+      SELECT c.a_key, c.b_key, c.orig_key,
+             CAST(  (CASE WHEN c.ag_name = 1
+                          THEN 900000000000 // (u.u_name + 1)
+                          ELSE 100000000000 // (1000001 - u.u_name) END)
+                  + (CASE WHEN c.ag_bal = 1
+                          THEN 900000000000 // (u.u_bal + 1)
+                          ELSE 100000000000 // (1000001 - u.u_bal) END)
+                  + (CASE WHEN c.ag_seg = 1
+                          THEN 900000000000 // (u.u_seg + 1)
+                          ELSE 100000000000 // (1000001 - u.u_seg) END)
+               AS BIGINT) AS weight,
+             CAST(900000000000 // (u.u_name + 1) AS BIGINT) AS thr
+      FROM cand c CROSS JOIN u)
+    SELECT a_key, b_key, orig_key, weight FROM wp WHERE weight >= thr
+    """,
+    tags=("linkage", "entity-resolution", "incremental", "extension"),
+)
+def linkage_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL linkage decisions (operators/linkage.py) as a
+    driver-visible query — the probe shape of the linkage family: the
+    incoming (corrupted) records are blocked against the persisted
+    clean store by a name-prefix EQUI-join (probe input = Σ |block|,
+    independent of store size; at scale the store persists partitioned
+    by the block key and the probe literal-prunes to the batch's
+    blocks), weighted under STORE-derived frequency u-probabilities
+    (fixed per stream — a replayed batch decides identically), and
+    thresholded at the name-agreement weight. Exactly the plan each
+    streaming micro-batch runs (stream==batch asserted in
+    tests/test_linkage_stream.py, with full recall on the constructed
+    truth: a last-char truncation never changes prefix-14)."""
+    from etl_8million_data__spark.operators.linkage import (
+        prefix_block_candidates,
+        store_u_micro,
+        weigh_and_decide,
+    )
+
+    merged = _linkage_merged(spark, sf_dir).localCheckpoint(eager=True)
+    store = merged.filter(F.col("src") == 0).select("rid", "name", "bal", "seg")
+    incoming = merged.filter(F.col("src") == 1).select(
+        "rid", "orig_key", "name", "bal", "seg"
+    )
+    u = store_u_micro(store)
+    threshold = 900000000000 // (u[0] + 1)
+    return weigh_and_decide(
+        prefix_block_candidates(incoming, store), *u, threshold
     )

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_blocking_quality",
     "search_proximity_min_window",
     "ivm_agg_view_delete",
+    "linkage_incremental_matches",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",

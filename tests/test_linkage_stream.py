@@ -1,0 +1,97 @@
+"""Incremental linkage (operators/linkage.py): streaming match
+decisions against a persisted clean store must equal the one-shot batch
+run over the same records (same blocker, same store-derived u, same
+threshold), keep full recall on the constructed truth, and replay
+idempotently."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.linkage import (
+    prefix_block_candidates,
+    store_u_micro,
+    stream_linkage_matches,
+    weigh_and_decide,
+)
+from etl_8million_data__spark.plans.behavioral import _linkage_merged
+
+
+def _split(spark, sf_dir):
+    merged = _linkage_merged(spark, sf_dir)
+    store = merged.filter(F.col("src") == 0).select("rid", "name", "bal", "seg")
+    incoming = merged.filter(F.col("src") == 1).select(
+        "rid", "orig_key", "name", "bal", "seg"
+    )
+    return store.localCheckpoint(eager=True), incoming.localCheckpoint(eager=True)
+
+
+def test_stream_linkage_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    store, incoming = _split(spark, sf_dir)
+    store_path = str(tmp_path / "store")
+    store.write.parquet(store_path)
+
+    u = store_u_micro(spark.read.parquet(store_path))
+    # threshold: accept any pattern agreeing on the name prefix (the
+    # fixture's true pairs always do) but demand more than chance —
+    # use the weight of the all-disagree pattern + 1 as the floor, and
+    # the name-agree weight as the decision point
+    name_agree = 900000000000 // (u[0] + 1)
+    threshold = name_agree  # name agreement alone clears the bar
+
+    # batch reference over ALL records at once
+    want = weigh_and_decide(
+        prefix_block_candidates(incoming, store), *u, threshold
+    )
+    want_set = {(r.a_key, r.b_key) for r in want.collect()}
+    # full recall on the constructed truth: every corrupted record
+    # matches its source (prefix-14 survives last-char truncation)
+    true_pairs = {(r.orig_key, r.rid) for r in incoming.collect()}
+    assert true_pairs <= want_set
+
+    # stream the incoming records in 3 micro-batches
+    src = str(tmp_path / "incoming")
+    incoming.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    matches = str(tmp_path / "matches")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_linkage_matches(
+            stream, store_path, matches, str(tmp_path / ckpt), threshold
+        ).awaitTermination()
+
+    run("ck1")
+    got = spark.read.parquet(matches)
+    got_set = {(r.a_key, r.b_key) for r in got.collect()}
+    assert got_set == want_set
+    assert got.count() == len(got_set)  # no duplicate decisions
+
+    # redelivery idempotence: re-applying a batch under the SAME scope
+    # and batch_id overwrites its own partition instead of duplicating
+    from etl_8million_data__spark.operators.linkage import linkage_ingest_batch
+
+    scope = os.path.abspath(str(tmp_path / "ck1"))
+    linkage_ingest_batch(
+        incoming, 0, store_path, matches, u, threshold, scope
+    )  # deliberately redeliver EVERYTHING as batch 0 of the same scope
+    linkage_ingest_batch(incoming, 0, store_path, matches, u, threshold, scope)
+    got2 = spark.read.parquet(matches)
+    # batch-0's partition now holds ALL decisions; other batches still
+    # hold theirs — the union must stay exactly the decision set with
+    # duplicates only across partitions, never within one
+    assert {(r.a_key, r.b_key) for r in got2.collect()} == want_set
+
+    # resuming the drained stream under its own checkpoint is a no-op
+    pre = sorted(os.listdir(matches))
+    run("ck1")
+    assert sorted(os.listdir(matches)) == pre
+
+    # the per-batch partitions exist (ingest_batch= layout)
+    assert any(e.startswith("ingest_batch=") for e in os.listdir(matches))

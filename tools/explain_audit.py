@@ -107,6 +107,25 @@ AUDIT = {
     # RRF fusion: channel top-10s are checkpointed; the visible plan is
     # the |Q|x10 full-outer fusion join + final window.
     "search_hybrid_rrf_fusion": ["Window"],
+    # round-10 families
+    # golden records: components rounds + weighted pairs are
+    # checkpointed; visible = the survivorship joins/aggregates.
+    "linkage_e2e_golden_records": ["HashAggregate"],
+    # SNM candidate stage: ranked frame checkpointed; visible = the
+    # window-offset Generate + the integer-rank equi join + pattern agg.
+    "linkage_agreement_patterns": ["Generate", "HashAggregate"],
+    "linkage_blocking_quality": ["HashAggregate"],
+    # incremental probe: prefix-block equi join + weight filter only
+    # (u collected once, decisions are a narrow projection).
+    "linkage_incremental_matches": ["Join"],
+    "privacy_t_closeness": ["HashAggregate"],
+    # advisor: stat frames aggregate from checkpointed histograms and
+    # cross as broadcasts; the advised joins never execute.
+    "advisor_join_strategy": ["HashAggregate"],
+    # proximity: checkpointed postings semi-filtered to query words,
+    # doc-keyed pair join, per-query ranking window.
+    "search_proximity_min_window": ["Window", "HashAggregate"],
+    "ivm_agg_view_delete": ["LeftSemi", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
