@@ -3651,3 +3651,207 @@ def search_proximity_min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "search_bm25_proximity_fusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 2),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    post AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i + 1] AS token
+      FROM t, unnest(range(len(toks))) AS u(i)),
+    bi AS (
+      SELECT array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS phrase
+      FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+    topq AS (SELECT phrase, count(*) AS n FROM bi GROUP BY phrase),
+    topf AS (SELECT phrase FROM topq
+             WHERE string_split(phrase, ' ')[1] <> string_split(phrase, ' ')[2]
+             ORDER BY n DESC, phrase LIMIT 3),
+    q AS (SELECT phrase, string_split(phrase, ' ') AS w FROM topf),
+    terms AS (
+      SELECT phrase, u.tok AS token
+      FROM q, unnest(q.w) AS u(tok)),
+    perterm AS (
+      SELECT m.phrase, tf.doc_id,
+             ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + (1.2 * (0.25
+                             + ((0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl)))))
+               AS bm25
+      FROM terms m
+      JOIN tf ON tf.token = m.token
+      JOIN dfreq d ON d.token = m.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    bmdoc AS (SELECT phrase, doc_id, sum(bm25) AS bm25
+              FROM perterm GROUP BY 1, 2),
+    bmrank AS (
+      SELECT phrase, doc_id, row_number() OVER (
+               PARTITION BY phrase ORDER BY bm25 DESC, doc_id) AS rn_b
+      FROM bmdoc),
+    prox AS (
+      SELECT q.phrase, p1.doc_id, abs(p1.pos - p2.pos) AS dist
+      FROM q
+      JOIN post p1 ON p1.token = q.w[1]
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.token = q.w[2]),
+    proxagg AS (
+      SELECT phrase, doc_id, min(dist) AS min_dist, count(*) AS n_pairs
+      FROM prox GROUP BY 1, 2),
+    proxrank AS (
+      SELECT phrase, doc_id, row_number() OVER (
+               PARTITION BY phrase
+               ORDER BY min_dist ASC, n_pairs DESC, doc_id ASC) AS rn_p
+      FROM proxagg),
+    fused AS (
+      SELECT coalesce(b.phrase, p.phrase) AS phrase,
+             coalesce(b.doc_id, p.doc_id) AS doc_id,
+             CAST(coalesce(11 - b.rn_b, 0) + coalesce(11 - p.rn_p, 0)
+               AS BIGINT) AS borda
+      FROM (SELECT * FROM bmrank WHERE rn_b <= 10) b
+      FULL OUTER JOIN (SELECT * FROM proxrank WHERE rn_p <= 10) p
+        ON p.phrase = b.phrase AND p.doc_id = b.doc_id)
+    SELECT phrase, doc_id, borda,
+           CAST(row_number() OVER (
+             PARTITION BY phrase ORDER BY borda DESC, doc_id) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= 5
+    """,
+    tags=("search", "fusion", "proximity", "bm25", "extension"),
+)
+def search_bm25_proximity_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 × PROXIMITY rank fusion — the composition the proximity
+    operator exists for: the lexical channel (per-term RSJ-idf BM25
+    summed over the 2-term query, the search_bm25_rsj_topk scorer) and
+    the positional channel (min-distance proximity,
+    search_proximity_min_window) each produce a per-query top-10 RANK
+    list, and integer Borda fusion combines them — a document that is
+    both term-rich AND has the terms adjacent outranks one that is
+    merely term-rich. Fusion consumes ranks, never scores (the rank-
+    fusion family's standing contract), so the float BM25 channel and
+    the integer proximity channel compose without any score
+    normalization and the fused ranking hashes exactly.
+
+    Scale shape: both channels are the audited standalone plans (two
+    hash aggregates + broadcast query join; semi-filtered postings);
+    the fusion is a full-outer join of two |Q|×10 rank lists — trivial
+    at any corpus size; final top-5 per query under a total order."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.dedup import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    t = t.localCheckpoint(eager=True)
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    post = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+    bi = t.select(F.explode(word_shingles(F.col("toks"), 2)).alias("phrase"))
+    w1 = F.split(F.col("phrase"), " ").getItem(0)
+    w2 = F.split(F.col("phrase"), " ").getItem(1)
+    q = (
+        bi.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(w1 != w2)
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(3)
+        .select("phrase", w1.alias("w1"), w2.alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    terms = q.select(
+        "phrase", F.explode(F.array("w1", "w2")).alias("token")
+    )
+    bm25 = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    ) * (
+        (F.col("tf").cast("double") * 2.2)
+        / (
+            F.col("tf").cast("double")
+            + (1.2 * (0.25 + ((0.75 * F.col("dl").cast("double")) / F.col("avgdl"))))
+        )
+    )
+    perterm = (
+        F.broadcast(terms)
+        .join(tf, "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("phrase", "doc_id", bm25.alias("bm25"))
+    )
+    bmdoc = perterm.groupBy("phrase", "doc_id").agg(F.sum("bm25").alias("bm25"))
+    wb = Window.partitionBy("phrase").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmrank = (
+        bmdoc.withColumn("rn_b", F.row_number().over(wb))
+        .filter(F.col("rn_b") <= 10)
+        .select("phrase", "doc_id", "rn_b")
+        .localCheckpoint(eager=True)
+    )
+
+    allw = q.select(F.explode(F.array("w1", "w2")).alias("token")).distinct()
+    postf = post.join(F.broadcast(allw), "token", "left_semi")
+    p1 = postf.join(F.broadcast(q), postf["token"] == q["w1"]).select(
+        "phrase", "w2", "doc_id", "pos"
+    )
+    p2 = postf.select(
+        "doc_id", F.col("pos").alias("_p2"), F.col("token").alias("_t2")
+    )
+    prox = p1.join(p2, "doc_id").filter(F.col("_t2") == F.col("w2")).select(
+        "phrase", "doc_id", F.abs(F.col("pos") - F.col("_p2")).alias("dist")
+    )
+    proxagg = prox.groupBy("phrase", "doc_id").agg(
+        F.min("dist").alias("min_dist"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    wp = Window.partitionBy("phrase").orderBy(
+        F.asc("min_dist"), F.desc("n_pairs"), F.asc("doc_id")
+    )
+    proxrank = (
+        proxagg.withColumn("rn_p", F.row_number().over(wp))
+        .filter(F.col("rn_p") <= 10)
+        .select("phrase", "doc_id", "rn_p")
+        .localCheckpoint(eager=True)
+    )
+
+    fused = bmrank.join(proxrank, ["phrase", "doc_id"], "full_outer").select(
+        "phrase",
+        "doc_id",
+        (
+            F.coalesce(F.lit(11) - F.col("rn_b"), F.lit(0))
+            + F.coalesce(F.lit(11) - F.col("rn_p"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("borda"),
+    )
+    wf = Window.partitionBy("phrase").orderBy(F.desc("borda"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("phrase", "doc_id", "borda", "rank")
+    )

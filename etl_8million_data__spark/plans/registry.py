@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "search_proximity_min_window",
     "ivm_agg_view_delete",
     "linkage_incremental_matches",
+    "search_bm25_proximity_fusion",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
