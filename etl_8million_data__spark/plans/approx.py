@@ -1494,3 +1494,110 @@ def advisor_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_customer", o, "o_custkey", c, "c_custkey"))
         .unionByName(one("customer_nation", c, "c_nationkey", n, "n_nationkey"))
     )
+
+
+def _skew_arm_sql(p: str, label: str, table: str, key: str) -> str:
+    """One key-distribution arm for the skew report oracle: per-key
+    counts → count-value histogram (tiny) → exact integer percentiles
+    from the cumulative sum."""
+    return f"""
+    {p}k AS (SELECT {key} AS key, CAST(count(*) AS BIGINT) AS n
+             FROM {table} GROUP BY 1),
+    {p}d AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS keys_at
+             FROM {p}k GROUP BY 1),
+    {p}s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(max(n) AS BIGINT) AS max_n FROM {p}k),
+    {p}c AS (SELECT v, keys_at,
+                    CAST(sum(keys_at) OVER (ORDER BY v) AS BIGINT) AS cum
+             FROM {p}d),
+    {p}p AS (SELECT
+               (SELECT min(v) FROM {p}c, {p}s WHERE cum * 2 >= n_keys) AS p50,
+               (SELECT min(v) FROM {p}c, {p}s WHERE cum * 100 >= 99 * n_keys)
+                 AS p99)"""
+
+
+_SKEW_SELECT = """
+    SELECT '{label}' AS keyspace, s.n_keys, s.max_n,
+           CAST(p.p50 AS BIGINT) AS p50, CAST(p.p99 AS BIGINT) AS p99,
+           CAST((1000000 * s.max_n) // p.p50 AS BIGINT) AS skew_ratio_micro
+    FROM {p}s s, {p}p p"""
+
+
+@register(
+    "advisor_shuffle_skew_report",
+    oracle=(
+        "WITH "
+        + _skew_arm_sql("k1", "lineitem.l_orderkey", "lineitem", "l_orderkey")
+        + ","
+        + _skew_arm_sql("k2", "events.user_id", "events", "user_id")
+        + _SKEW_SELECT.format(label="lineitem.l_orderkey", p="k1")
+        + " UNION ALL "
+        + _SKEW_SELECT.format(label="events.user_id", p="k2")
+    ),
+    tags=("advisor", "skew", "diagnostics", "extension", "scale-path"),
+)
+def advisor_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-KEY SKEW diagnosis — the companion measurement to
+    advise_join's strategy pick: before committing a 100 TB shuffle to
+    a key, measure how lopsided its per-key row counts are. Per key
+    space: distinct keys, the heaviest key's row count, exact p50/p99
+    of the per-key distribution, and max/p50 in integer micro — the
+    straggler-partition predictor (a ratio in the thousands means the
+    hot key dominates whatever partition it lands in; the skew suite's
+    AQE-split and salting paths are the remedies this number tells you
+    to reach for).
+
+    Exactness without a data-sized sort: per-key counts collapse to
+    the COUNT-VALUE histogram (rows = |distinct per-key counts|, a few
+    dozen at most — bounded by the heaviest key, not the key count),
+    and the percentiles come from an integer cumulative sum over that
+    tiny frame; the only data-scale work is one map-side-combined
+    aggregate per key space."""
+    from pyspark.sql import Window
+
+    def arm(label: str, df: DataFrame, key: str) -> DataFrame:
+        k = df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        d = k.groupBy(F.col("n").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("keys_at")
+        )
+        s = k.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_n"),
+        )
+        c = d.withColumn(
+            "cum", F.sum("keys_at").over(Window.orderBy("v")).cast("bigint")
+        )
+        pct = (
+            c.crossJoin(F.broadcast(s))
+            .agg(
+                F.min(F.when(F.col("cum") * 2 >= F.col("n_keys"), F.col("v")))
+                .cast("bigint")
+                .alias("p50"),
+                F.min(
+                    F.when(F.col("cum") * 100 >= 99 * F.col("n_keys"), F.col("v"))
+                )
+                .cast("bigint")
+                .alias("p99"),
+            )
+        )
+        return (
+            s.crossJoin(F.broadcast(pct))
+            .select(
+                F.lit(label).alias("keyspace"),
+                "n_keys",
+                "max_n",
+                "p50",
+                "p99",
+                F.expr("(1000000 * max_n) div p50")
+                .cast("bigint")
+                .alias("skew_ratio_micro"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return arm("lineitem.l_orderkey", li, "l_orderkey").unionByName(
+        arm("events.user_id", ev, "user_id")
+    )

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivm_agg_view_delete",
     "linkage_incremental_matches",
     "search_bm25_proximity_fusion",
+    "advisor_shuffle_skew_report",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
