@@ -6,14 +6,27 @@ without re-linking the whole history.
 Blocking for the incremental shape is an EQUI-join on a name-prefix
 block key (``substring(name, 1, prefix_len)``): a batch record's
 candidate store rows are exactly its block, so the probe input is
-Σ |block(batch record)| — independent of store size, and the store can
-be persisted partitioned by the block key so the probe literal-prunes
-to the batch's blocks (the ANN/upsert discipline). This differs from
-the batch path's sorted-neighborhood window (which needs a global sort
-order — natural for a one-shot pass, wrong for a probe): both are
-bounded-volume blockers, and the fixture's truncation corruption keeps
-every true pair inside BOTH (prefix-14 is untouched by a last-char
-truncation; recall gated in tests).
+Σ |block(batch record)|, and the store can be persisted partitioned by
+the block key so the probe literal-prunes to the batch's blocks (the
+ANN/upsert discipline). This differs from the batch path's
+sorted-neighborhood window (which needs a global sort order — natural
+for a one-shot pass, wrong for a probe): both are bounded-volume
+blockers, and the fixture's truncation corruption keeps every true
+pair inside BOTH (a last-char truncation never changes chars 1..17;
+recall gated in tests).
+
+PREFIX LENGTH IS A MEASURED CHOICE, NOT A DEFAULT: the block key's
+entropy decides the volume. This fixture's names are zero-padded
+numerals, so a SHORT prefix is degenerate — prefix-14 ("Customer#" +
+5 leading, mostly-zero digits) collapses the store into 1-2 blocks and
+the "blocked" join silently becomes the full cross product (measured:
+562,500 candidates for 375 incoming × 1,500 store at sf0.01 — every
+pair). prefix-17 keeps 10-key blocks: 3,750 candidates for the same
+probe (exactly 10 per incoming record), 150× less, growing linearly
+(SCALING.md). The block-volume gate
+in tests/test_linkage_stream.py fails loudly if the blocker ever
+degenerates again; at 100 TB, pick the prefix against the measured
+per-block p99 (advisor_shuffle_skew_report's machinery).
 
 u-probabilities come from the STORE's value frequencies (the
 blocking-independent estimate — plans/behavioral._linkage_u_frame's
@@ -30,7 +43,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LINKAGE_PREFIX_LEN = 14
+LINKAGE_PREFIX_LEN = 17
 
 
 def prefix_block_candidates(

@@ -1227,7 +1227,7 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS ag_name,
              CASE WHEN s.bal = b.bal THEN 1 ELSE 0 END AS ag_bal,
              CASE WHEN s.seg = b.seg THEN 1 ELSE 0 END AS ag_seg
-      FROM b JOIN store s ON substr(s.name, 1, 14) = substr(b.name, 1, 14)),
+      FROM b JOIN store s ON substr(s.name, 1, 17) = substr(b.name, 1, 17)),
     wp AS (
       SELECT c.a_key, c.b_key, c.orig_key,
              CAST(  (CASE WHEN c.ag_name = 1
@@ -1258,7 +1258,7 @@ def linkage_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded at the name-agreement weight. Exactly the plan each
     streaming micro-batch runs (stream==batch asserted in
     tests/test_linkage_stream.py, with full recall on the constructed
-    truth: a last-char truncation never changes prefix-14)."""
+    truth: a last-char truncation never changes chars 1..17)."""
     from etl_8million_data__spark.operators.linkage import (
         prefix_block_candidates,
         store_u_micro,

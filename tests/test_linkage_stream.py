@@ -41,10 +41,17 @@ def test_stream_linkage_equals_batch_and_replays(spark, sf_dir, tmp_path):
     name_agree = 900000000000 // (u[0] + 1)
     threshold = name_agree  # name agreement alone clears the bar
 
-    # batch reference over ALL records at once
-    want = weigh_and_decide(
-        prefix_block_candidates(incoming, store), *u, threshold
+    # batch reference over ALL records at once — with the block-volume
+    # gate that caught the prefix-14 degeneracy (zero-padded names made
+    # a short prefix collapse to 1-2 blocks = the full cross product):
+    # candidates must stay O(incoming x block), nowhere near |A x B|
+    cand = prefix_block_candidates(incoming, store)
+    n_cand = cand.count()
+    assert n_cand <= incoming.count() * 50, (
+        f"prefix blocking degenerated: {n_cand} candidates for "
+        f"{incoming.count()} incoming x {store.count()} store"
     )
+    want = weigh_and_decide(cand, *u, threshold)
     want_set = {(r.a_key, r.b_key) for r in want.collect()}
     # full recall on the constructed truth: every corrupted record
     # matches its source (prefix-14 survives last-char truncation)
