@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_incremental_matches",
     "search_bm25_proximity_fusion",
     "advisor_shuffle_skew_report",
+    "linkage_em_parameters",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
