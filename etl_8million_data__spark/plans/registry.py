@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "search_bm25_proximity_fusion",
     "advisor_shuffle_skew_report",
     "linkage_em_parameters",
+    "events_multitouch_attribution",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",

@@ -1090,3 +1090,77 @@ def events_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFram
             "(1000000 * p90_gap_s) div greatest(median_gap_s, 1)"
         ).alias("burstiness_micro"),
     )
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+    np AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_p
+           FROM pairs GROUP BY 1)
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(1000000 // n_p) AS BIGINT) AS credit_micro
+    FROM pairs JOIN np USING (purchase_id)
+    GROUP BY click_id
+    """,
+    tags=("timeseries", "attribution", "behavioral", "extension"),
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH attribution — the credit-assignment layer on top of
+    the range-join family: every purchase splits one unit of credit
+    EQUALLY (1e6 div n, truncating — integer-exact in both engines)
+    across the same user's clicks in the preceding hour, and each click
+    reports its accumulated credit and how many purchases it touched.
+    This is the pair-valued sibling of
+    events_click_attribution_range_join: counting per purchase
+    collapses to signed bounds (no pair materialization), but CREDIT
+    lands on the click side, so the (purchase, click) pairs genuinely
+    exist in the output's provenance and the join materializes them —
+    bounded by Σ_u |P_u|·|C_u within window|, keyed by user (a hot
+    user's fan-out spreads under the binned-key discipline of
+    events_concurrent_sessions if it ever dominates).
+
+    Scale shape: one user-keyed equi join with a range predicate, two
+    hash aggregates (per-purchase touch count — broadcastable, it is
+    |P|-sized — then per-click credit); direct conversions (purchases
+    with zero prior clicks) contribute no rows by definition of
+    credit."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .select("purchase_id", "click_id")
+        .localCheckpoint(eager=True)
+    )
+    np_ = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    return (
+        pairs.join(F.broadcast(np_), "purchase_id")
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+            F.sum(F.expr("1000000 div n_p")).cast("bigint").alias("credit_micro"),
+        )
+    )
