@@ -218,7 +218,11 @@ def main() -> None:
             if p is None or p <= 0:
                 continue
             t_norm = t / boot_factor
-            noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0))
+            # absolute floor alongside the relative rule: a 10 ms query
+            # drifting to 25 ms is timer/JIT jitter, not a plan change —
+            # sub-0.15 s deltas can never be a meaningful regression on
+            # this fixture scale
+            noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0), 0.15)
             if t_norm > p * 1.25 and (t_norm - p) > noise:
                 candidates[name] = (
                     f"{p:.2f}s -> {t:.2f}s raw, {t_norm:.2f}s boot-normalized"
@@ -250,7 +254,7 @@ def main() -> None:
             isolated[name] = iso
             p = prev_q.get(name, 0.0)
             t_norm = iso / boot_factor
-            noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0))
+            noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0), 0.15)
             if t_norm > p * 1.25 and (t_norm - p) > noise:
                 regressions[name] = (
                     candidates[name]
