@@ -1452,3 +1452,96 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ub").alias("u_bal_micro"),
         F.col("us").alias("u_seg_micro"),
     )
+
+
+@register(
+    "cohort_survival_curve",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    horizon AS (SELECT max(wk) AS max_wk FROM weeks),
+    users AS (
+      SELECT user_id, min(wk) AS cohort_week,
+             CAST((max(wk) - min(wk)) / 7 AS BIGINT) AS last_offset
+      FROM weeks GROUP BY user_id),
+    ks AS (SELECT CAST(u.i AS BIGINT) AS k
+           FROM horizon h, weeks w,
+                unnest(range(1 + CAST((h.max_wk
+                  - (SELECT min(wk) FROM weeks)) / 7 AS BIGINT))) AS u(i)
+           GROUP BY 1),
+    cells AS (
+      SELECT u.cohort_week, k.k,
+             CAST(count(*) AS BIGINT) AS n_at_risk,
+             CAST(sum(CASE WHEN u.last_offset >= k.k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_active
+      FROM users u
+      CROSS JOIN horizon h
+      JOIN ks k ON k.k <= CAST((h.max_wk - u.cohort_week) / 7 AS BIGINT)
+      GROUP BY 1, 2)
+    SELECT cohort_week, k, n_at_risk, n_active,
+           CAST((1000000 * n_active) // n_at_risk AS BIGINT) AS survival_micro
+    FROM cells
+    """,
+    tags=("behavioral", "retention", "survival", "extension"),
+)
+def cohort_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENSORING-AWARE retention (survival) curve — the fix for the
+    classic retention-table lie: a young cohort has not EXISTED long
+    enough to be active at large offsets, so dividing by cohort size
+    understates its survival. Per (cohort week, offset k): n_at_risk
+    counts only users whose OBSERVATION HORIZON reaches k (cohort_week
+    + k·7d <= the dataset's last active week — right-censoring), and
+    survival = still-active users (last activity offset >= k) over
+    those at risk, in integer micro. Offsets where a cohort is entirely
+    censored produce NO row instead of a misleading zero.
+
+    Scale shape: one user-level aggregate (first/last week), a
+    broadcast 1-row horizon, and an offset spine bounded by the span in
+    weeks — the at-risk join fans out |users| × |their horizon| rows,
+    all integer arithmetic; no data-sized windows."""
+    e = load_table(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    horizon = weeks.agg(F.max("wk").alias("max_wk"), F.min("wk").alias("min_wk"))
+    users = weeks.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week"),
+        F.floor(F.datediff(F.max("wk"), F.min("wk")) / 7)
+        .cast("bigint")
+        .alias("last_offset"),
+    )
+    ks = (
+        horizon.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.datediff("max_wk", "min_wk") / 7).cast("bigint"),
+                )
+            ).alias("k")
+        )
+    )
+    cells = (
+        users.crossJoin(F.broadcast(horizon))
+        .join(
+            F.broadcast(ks),
+            F.col("k")
+            <= F.floor(F.datediff("max_wk", "cohort_week") / 7).cast("bigint"),
+        )
+        .groupBy("cohort_week", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_risk"),
+            F.sum(F.when(F.col("last_offset") >= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active"),
+        )
+    )
+    return cells.select(
+        "cohort_week",
+        "k",
+        "n_at_risk",
+        "n_active",
+        F.expr("(1000000 * n_active) div n_at_risk")
+        .cast("bigint")
+        .alias("survival_micro"),
+    )

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "advisor_shuffle_skew_report",
     "linkage_em_parameters",
     "events_multitouch_attribution",
+    "tpch_q5_local_supplier_volume",
+    "cohort_survival_curve",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
