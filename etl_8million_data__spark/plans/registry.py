@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_multitouch_attribution",
     "tpch_q5_local_supplier_volume",
     "cohort_survival_curve",
+    "text_langid_confusion",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",

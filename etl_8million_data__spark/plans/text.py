@@ -390,3 +390,62 @@ def corpus_length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataF
             cov / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("pearson_r"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_sql_count_in(_LANG_MARKERS["en"])} AS s_en,
+                 {_sql_count_in(_LANG_MARKERS["de"])} AS s_de,
+                 {_sql_count_in(_LANG_MARKERS["es"])} AS s_es,
+                 {_sql_count_in(_LANG_MARKERS["fr"])} AS s_fr
+          FROM t),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM s),
+    cm AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+    SELECT cm.lang, cm.predicted_lang, cm.n,
+           CAST((1000000 * cm.n) // tot.n_true AS BIGINT)
+             AS share_of_true_micro,
+           (cm.lang = cm.predicted_lang) AS is_correct
+    FROM cm JOIN tot USING (lang)
+    """,
+    tags=("text", "langid", "evaluation", "extension"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID CONFUSION MATRIX — the evaluation layer on the
+    marker-word heuristic (text_lang_id), using the fixture's labeled
+    ``lang`` column as ground truth: per (true lang, predicted lang)
+    cell the document count and its integer-micro share of the true
+    class (the row-normalized confusion matrix — diagonal = per-class
+    recall), plus the correctness flag reviewers filter on. The cell a
+    curation pipeline watches is 'true non-en predicted en' — the
+    failure mode that silently floods an English-filtered corpus with
+    mislabeled text. Two hash aggregates over the per-doc predictions;
+    the matrix is |langs|² rows at any corpus size."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_true"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.expr("(1000000 * n) div n_true")
+            .cast("bigint")
+            .alias("share_of_true_micro"),
+            (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
+    )
