@@ -1462,6 +1462,102 @@ def ivm_refresh_probe() -> list[str]:
     return lines
 
 
+def retraction_probe() -> list[str]:
+    """Measured evidence for the round-10 retraction claim: erasing k
+    keys from a materialized id-bucketed join view must stay
+    BLAST-RADIUS-SIZED (read+rewrite only the victims' buckets) while
+    the naive alternative — recompute the filtered join and rewrite the
+    whole view — grows with history. Same protocol as ivm_refresh_probe:
+    measure both at sf0.1 and a 30x synthetic blow-up; gates are (a) the
+    retract/rewrite ratio falls >= 2x across the 30x edge and (b) at 30x
+    the retraction costs <= 0.5x the full rewrite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("retract-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.ivm import retract_join_view
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    sf = "/root/testdata/sf0.1"
+    o0 = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    # GDPR shape: erase 3 customers (keys chosen to land in <= 3 buckets)
+    victims = c.orderBy("custkey").limit(3).select("custkey").localCheckpoint(
+        eager=True
+    )
+    vkeys = [r["custkey"] for r in victims.collect()]
+    lines = []
+    ratios = []
+    for mult in (1, 30):
+        o = o0
+        if mult > 1:
+            o = o0.crossJoin(
+                spark.range(mult).select(F.col("id").alias("_rep"))
+            ).select(
+                "custkey",
+                (F.col("o_orderkey") * mult + F.col("_rep")).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        o = o.localCheckpoint(eager=True)
+        wd = tempfile.mkdtemp()
+        try:
+            view = f"{wd}/view"
+            (
+                o.join(c, "custkey")
+                .withColumn("bucket", id_bucket(F.col("custkey"), 16))
+                .write.partitionBy("bucket")
+                .parquet(view)
+            )
+            t0 = time.time()
+            n = retract_join_view(spark, view, victims, "custkey")
+            t_retract = time.time() - t0
+            # the naive alternative: filtered recompute + full rewrite
+            t0 = time.time()
+            (
+                o.filter(~F.col("custkey").isin(vkeys))
+                .join(c.filter(~F.col("custkey").isin(vkeys)), "custkey")
+                .withColumn("bucket", id_bucket(F.col("custkey"), 16))
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(f"{wd}/full")
+            )
+            t_full = time.time() - t0
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+        r = t_retract / t_full if t_full > 0 else float("nan")
+        ratios.append(r)
+        lines.append(
+            f"| join-view retraction, {150_000 * mult:,} orders, 3-key GDPR erase | "
+            f"retracted {n:,} rows in {t_retract:.2f}s | "
+            f"filtered full rewrite {t_full:.2f}s | ratio {r:.2f} |"
+        )
+        print(lines[-1])
+    spark.stop()
+    assert ratios[1] <= ratios[0] / 2, (
+        f"retract/rewrite ratio did not fall with history "
+        f"({ratios[0]:.2f} -> {ratios[1]:.2f}) — retraction is not "
+        "blast-radius-sized"
+    )
+    assert ratios[1] <= 0.5, (
+        f"retraction not cheap at 30x history: {ratios[1]:.2f}x the rewrite"
+    )
+    return lines
+
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
