@@ -478,6 +478,14 @@ def main() -> None:
     snm_lines = snm_sweep_probe()
     contam_lines = contamination_sweep_probe()
 
+    # NOTE: this writer regenerates only the SWEEP sections. The
+    # regime/maintenance sections further down SCALING.md (Zipf-Heaps
+    # vocabulary + round-10 addendum, IVM refresh, join-view retraction,
+    # linkage SNM-vs-nation volumes, prefix-entropy lesson) are produced
+    # by their dedicated probes (heaps_vocab_probe, ivm_refresh_probe,
+    # retraction_probe, tests/test_linkage_blocking measurements) and
+    # appended by hand — a full regen must re-run those probes and
+    # re-append their sections (or git-restore them) before committing.
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
             "# SCALING — warm wall-clock across fixture scale factors\n\n"
