@@ -802,3 +802,88 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_micro"),
         )
     )
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    d AS (SELECT priority, days, CAST(count(*) AS BIGINT) AS n_at
+          FROM lat GROUP BY 1, 2),
+    c AS (SELECT priority, days, n_at,
+                 CAST(sum(n_at) OVER (PARTITION BY priority ORDER BY days)
+                   AS BIGINT) AS cum
+          FROM d),
+    s AS (SELECT priority, CAST(sum(n_at) AS BIGINT) AS n,
+                 CAST(max(days) AS BIGINT) AS max_days
+          FROM d GROUP BY 1)
+    SELECT s.priority, s.n,
+           (SELECT min(days) FROM c WHERE c.priority = s.priority
+             AND c.cum * 2 >= s.n) AS p50_days,
+           (SELECT min(days) FROM c WHERE c.priority = s.priority
+             AND c.cum * 10 >= 9 * s.n) AS p90_days,
+           (SELECT min(days) FROM c WHERE c.priority = s.priority
+             AND c.cum * 100 >= 99 * s.n) AS p99_days,
+           s.max_days
+    FROM s
+    """,
+    tags=("analytics", "percentiles", "latency", "extension"),
+)
+def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-to-ship latency percentiles per priority — the SLA
+    dashboard query, computed WITHOUT a data-sized sort or an
+    unpartitioned rank window: day-granular latencies live in a tiny
+    value domain, so per (priority, days) counts collapse the fact to
+    a VALUE HISTOGRAM (rows = |priorities| × |distinct day-counts|,
+    bounded by the latency spread, not the row count) and exact
+    p50/p90/p99 fall out of an integer cumulative sum over it — the
+    same discipline as advisor_shuffle_skew_report, applied to an SLA
+    metric. Approx-percentile sketches are the WRONG tool when the
+    domain is small: exactness here is free.
+
+    Scale shape: one fact join (lineitem ⋈ orders on the shared key)
+    + one map-side-combined histogram aggregate; the percentile
+    extraction windows run over the histogram only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    d = lat.groupBy("priority", "days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at")
+    )
+    w = Window.partitionBy("priority").orderBy("days")
+    c = d.withColumn("cum", F.sum("n_at").over(w).cast("bigint"))
+    s = d.groupBy("priority").agg(
+        F.sum("n_at").cast("bigint").alias("n"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+    pct = (
+        c.join(s, "priority")
+        .groupBy("priority")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("days"))).alias(
+                "p50_days"
+            ),
+            F.min(
+                F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("days"))
+            ).alias("p90_days"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("days"))
+            ).alias("p99_days"),
+        )
+    )
+    return s.join(pct, "priority").select(
+        "priority", "n", "p50_days", "p90_days", "p99_days", "max_days"
+    )

@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "cohort_survival_curve",
     "text_langid_confusion",
+    "orders_ship_latency_percentiles",
     # NEW in round 9 (first external evidence)
     "search_eval_ndcg_mrr",
     "search_eval_ndcg_ann",
