@@ -1,0 +1,454 @@
+"""Persisted golden-record state with DELTA maintenance — the
+incremental door of the entity-resolution capstone
+(plans/behavioral.linkage_e2e_golden_records): once records are linked
+into entities and survived into golden records, NEW match edges and
+GDPR erasures must update the persisted deliverable WITHOUT re-linking
+the whole history, the same discipline IVM gives views and the ANN
+indexes give vectors.
+
+State layout under one root (all four tables hash-bucketed so every
+maintenance call rewrites only the touched buckets — untouched bucket
+partitions stay byte-identical, the forget/upsert blast-radius
+contract):
+
+- ``members/``  (rid, orig_key, name, bal, seg, src, component),
+  partitioned by ``cb`` = id_bucket(component): a component's full
+  membership lives in exactly one bucket, so re-surviving a touched
+  component reads only its bucket.
+- ``edges/``    (a_key, b_key, component), partitioned by ``cb``: the
+  accepted match edges, kept because ERASING a record can SPLIT its
+  component (the erased node may be the only bridge) — correctness of
+  the split requires re-clustering the touched components' remaining
+  edges, never the whole graph.
+- ``golden/``   (component, n_members, n_sources, n_true_entities,
+  golden_name, golden_bal, golden_seg), partitioned by ``cb``: the
+  deliverable — field-level survivorship identical to the one-shot
+  capstone (longest-name most-complete, clean-source precedence).
+- ``ridmap/``   (rid, component), partitioned by ``rb`` =
+  id_bucket(rid): the pruned rid -> component lookup that starts every
+  delta — victims'/endpoints' buckets only, never a members scan.
+
+Component ids are the component's MINIMUM rid (the
+connected-components convention), so labels are deterministic and a
+delta's relabeled components can never collide with untouched ones.
+
+Every maintenance call is delta-neighborhood bounded: the only state
+reads are (1) the ridmap buckets of the delta's rids, (2) the members/
+edges buckets of the TOUCHED components, and (3) the affected buckets
+being rewritten; connected components re-runs on the touched subgraph
+only. Measured flat across 10x history growth in SCALING.md; byte
+identity of untouched buckets and oracle equivalence to a full
+re-link are pinned in tests/test_golden_state.py.
+
+Reference semantics: the reference repo has no linkage surface; this
+extends the Fellegi–Sunter family (SURVEY §7.2's extension brief) the
+way operators/ivm.py extends the rollup family.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.graph import connected_components
+from etl_8million_data__spark.operators.partitioning import id_bucket
+
+GOLDEN_NB = 16
+
+_MEMBER_COLS = ["rid", "orig_key", "name", "bal", "seg", "src"]
+
+
+def _nb(root: str) -> int:
+    with open(os.path.join(root, "_nb")) as fh:
+        return int(fh.read().strip())
+
+
+def survivorship(members: DataFrame) -> DataFrame:
+    """One golden record per component with the capstone's exact
+    field-level survivorship (behavioral.linkage_e2e_golden_records
+    stage 3): golden_name = most-complete (longest, ties lexicographic
+    min); golden_bal / golden_seg = source precedence (clean src=0
+    authoritative, corrupted-only components fall back); audit columns
+    n_members / n_sources / n_true_entities (constructed ground
+    truth). Two component-keyed aggregates; output is |components|
+    rows."""
+    stats = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+        F.countDistinct(F.coalesce("orig_key", "rid"))
+        .cast("bigint")
+        .alias("n_true_entities"),
+        F.max(F.length("name")).alias("maxlen"),
+    )
+    return (
+        members.join(stats, "component")
+        .groupBy("component", "n_members", "n_sources", "n_true_entities", "maxlen")
+        .agg(
+            F.min(
+                F.when(F.length("name") == F.col("maxlen"), F.col("name"))
+            ).alias("golden_name"),
+            F.coalesce(
+                F.min(F.when(F.col("src") == 0, F.col("bal"))), F.min("bal")
+            ).alias("golden_bal"),
+            F.coalesce(
+                F.min(F.when(F.col("src") == 0, F.col("seg"))), F.min("seg")
+            ).alias("golden_seg"),
+        )
+        .select(
+            "component", "n_members", "n_sources", "n_true_entities",
+            "golden_name", "golden_bal", "golden_seg",
+        )
+    )
+
+
+def _cluster(records: DataFrame, edges: DataFrame) -> DataFrame:
+    """(rid, ..., component) for ``records`` under min-label connected
+    components over ``edges`` (a_key, b_key); singletons keep their own
+    rid as component."""
+    comp = connected_components(
+        records.select("rid"),
+        edges.select("a_key", "b_key"),
+        node_col="rid",
+        src_col="a_key",
+        dst_col="b_key",
+    )
+    return records.join(
+        comp.select(F.col("node").alias("rid"), "component"), "rid"
+    )
+
+
+def _write_table(df: DataFrame, path: str, part_col: str) -> None:
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+def golden_init(
+    spark: SparkSession,
+    root: str,
+    records: DataFrame,
+    edges: DataFrame,
+    nb: int = GOLDEN_NB,
+) -> None:
+    """Full (one-shot) build of the golden state: cluster all records
+    over all accepted edges, survive, and persist the four bucketed
+    tables. ``records``: (rid, orig_key, name, bal, seg, src) with rid
+    unique; ``edges``: accepted match pairs (a_key, b_key), endpoints
+    within the record set."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_nb"), "w") as fh:
+        fh.write(str(nb))
+    members = _cluster(
+        records.select(*_MEMBER_COLS), edges
+    ).localCheckpoint(eager=True)
+    _write_table(
+        members.withColumn("cb", id_bucket(F.col("component"), nb)),
+        os.path.join(root, "members"),
+        "cb",
+    )
+    lab = members.select(F.col("rid").alias("a_key"), "component")
+    _write_table(
+        edges.select("a_key", "b_key").join(lab, "a_key")
+        .withColumn("cb", id_bucket(F.col("component"), nb)),
+        os.path.join(root, "edges"),
+        "cb",
+    )
+    _write_table(
+        survivorship(members).withColumn("cb", id_bucket(F.col("component"), nb)),
+        os.path.join(root, "golden"),
+        "cb",
+    )
+    _write_table(
+        members.select("rid", "component").withColumn(
+            "rb", id_bucket(F.col("rid"), nb)
+        ),
+        os.path.join(root, "ridmap"),
+        "rb",
+    )
+
+
+def read_golden(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "golden")).drop("cb")
+
+
+def _bucket_values(df: DataFrame, col: str, nb: int) -> list[int]:
+    """Distinct id_bucket values of ``col`` — a <= nb-element driver
+    list (the literal-prune discipline: bucket count is bounded by the
+    layout, never by data size)."""
+    return [
+        r["_b"]
+        for r in df.select(id_bucket(F.col(col), nb).alias("_b")).distinct().collect()
+    ]
+
+
+def _pruned(spark: SparkSession, path: str, part_col: str, buckets: list[int]):
+    df = spark.read.parquet(path)
+    return df.filter(F.col(part_col).isin(buckets)) if buckets else df.filter(
+        F.lit(False)
+    )
+
+
+def _overwrite_buckets(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    new_content: DataFrame,
+    affected: list[int],
+) -> None:
+    """Replace exactly the ``affected`` bucket partitions of ``path``
+    with ``new_content`` (which must hold those buckets' FULL new
+    rows): dynamic partition overwrite rewrites the buckets that
+    receive rows; a bucket emptied outright keeps a ghost directory
+    dynamic overwrite cannot touch, so it is dropped explicitly (the
+    forget_partitioned discipline)."""
+    new_content = new_content.localCheckpoint(eager=True)
+    surviving = {
+        r["_b"] for r in new_content.select(F.col(part_col).alias("_b")).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving:
+            new_content.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in affected:
+        if b not in surviving:
+            d = os.path.join(path, f"{part_col}={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    spark.catalog.refreshByPath(path)
+
+
+def _touched_components(
+    spark: SparkSession, root: str, nb: int, rids: DataFrame
+) -> DataFrame:
+    """Old components of the given rids, via the rb-pruned ridmap
+    lookup (rids missing from the state simply do not match — a brand
+    new record or an already-erased victim)."""
+    rbs = _bucket_values(rids, "rid", nb)
+    rm = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs)
+    return (
+        rm.join(F.broadcast(rids.select("rid").distinct()), "rid")
+        .select("component")
+        .distinct()
+    )
+
+
+def _apply_delta(
+    spark: SparkSession,
+    root: str,
+    nb: int,
+    old_comps: DataFrame,
+    new_members: DataFrame,
+    new_edges: DataFrame,
+    dropped_rids: DataFrame,
+) -> None:
+    """Shared rewrite tail of increment and forget: the components in
+    ``old_comps`` are REPLACED by the freshly clustered ``new_members``
+    / ``new_edges`` (already labeled), survivorship recomputed for the
+    new components only, and every table rewritten only in its affected
+    buckets. ``dropped_rids``: rids leaving the state entirely (erase
+    victims) — removed from ridmap alongside the relabel."""
+    old_comps = old_comps.localCheckpoint(eager=True)
+    new_members = new_members.localCheckpoint(eager=True)
+    new_edges = new_edges.localCheckpoint(eager=True)
+
+    cbs = sorted(
+        set(_bucket_values(old_comps, "component", nb))
+        | set(_bucket_values(new_members, "component", nb))
+    )
+
+    def replace(path: str, new_rows: DataFrame) -> None:
+        old_keep = _pruned(spark, os.path.join(root, path), "cb", cbs).join(
+            F.broadcast(old_comps), "component", "left_anti"
+        )
+        content = old_keep.unionByName(
+            new_rows.withColumn("cb", id_bucket(F.col("component"), nb))
+        )
+        _overwrite_buckets(spark, os.path.join(root, path), "cb", content, cbs)
+
+    replace("members", new_members.select(*_MEMBER_COLS, "component"))
+    replace("edges", new_edges.select("a_key", "b_key", "component"))
+    replace("golden", survivorship(new_members))
+
+    # ridmap: every relabeled rid (the touched components' membership)
+    # plus every dropped rid leaves its old row; relabeled rids re-enter
+    moved = new_members.select("rid").unionByName(
+        dropped_rids.select("rid")
+    ).distinct().localCheckpoint(eager=True)
+    rbs = _bucket_values(moved, "rid", nb)
+    rm_keep = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs).join(
+        F.broadcast(moved), "rid", "left_anti"
+    )
+    rm_content = rm_keep.unionByName(
+        new_members.select("rid", "component").withColumn(
+            "rb", id_bucket(F.col("rid"), nb)
+        )
+    )
+    _overwrite_buckets(spark, os.path.join(root, "ridmap"), "rb", rm_content, rbs)
+
+
+def golden_increment(
+    spark: SparkSession,
+    root: str,
+    new_records: DataFrame,
+    new_edges: DataFrame,
+) -> None:
+    """Absorb a delta of new records and new accepted match edges into
+    the persisted golden state in DELTA time: the touched components
+    (old components of the new edges' endpoints) are re-clustered
+    together with the delta over THEIR OWN edges plus the new ones —
+    min-label propagation seeded from the delta's neighborhood only —
+    then survivorship recomputes for the touched components and only
+    their buckets rewrite. New records unreferenced by any edge become
+    singleton golden records. Endpoints of ``new_edges`` must be
+    existing state rids or rids in ``new_records``; new rids must not
+    already be in the state (dedup upstream — the skip-existing
+    anti-join family)."""
+    new_records = new_records.select(*_MEMBER_COLS).localCheckpoint(eager=True)
+    new_edges = new_edges.select("a_key", "b_key").localCheckpoint(eager=True)
+    nb = _nb(root)
+
+    delta_rids = (
+        new_edges.select(F.col("a_key").alias("rid"))
+        .unionByName(new_edges.select(F.col("b_key").alias("rid")))
+        .unionByName(new_records.select("rid"))
+        .distinct()
+    )
+    old_comps = _touched_components(spark, root, nb, delta_rids).localCheckpoint(
+        eager=True
+    )
+    cbs = _bucket_values(old_comps, "component", nb)
+    touched_members = (
+        _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+        .join(F.broadcast(old_comps), "component")
+        .select(*_MEMBER_COLS)
+    )
+    touched_edges = (
+        _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+        .join(F.broadcast(old_comps), "component")
+        .select("a_key", "b_key")
+    )
+    all_records = touched_members.unionByName(new_records)
+    all_edges = touched_edges.unionByName(new_edges)
+    relabeled = _cluster(all_records, all_edges).localCheckpoint(eager=True)
+    lab = relabeled.select(F.col("rid").alias("a_key"), "component")
+    edges_labeled = all_edges.join(lab, "a_key")
+    _apply_delta(
+        spark,
+        root,
+        nb,
+        old_comps,
+        relabeled,
+        edges_labeled,
+        new_records.select("rid").limit(0),
+    )
+
+
+def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
+    """GDPR erase through the WHOLE linkage chain in delta time:
+    erasing a person removes their member row, every match edge
+    incident to them, and re-derives the golden records of the
+    components they belonged to — including the SPLIT case (the victim
+    was the only bridge between two sub-entities: the remaining edges
+    re-cluster into separate components) and the fallback case (the
+    clean source leaves, survivorship falls back to the corrupted
+    copy's values). Components erased outright drop their golden rows
+    (ghost partition cleanup included). Only the victims' components'
+    buckets are read or rewritten; a miss (unknown rid) is a no-op —
+    replaying an erase is safe (the stream_forget_requests
+    at-least-once contract)."""
+    victims = (
+        rids.select(F.col(rids.columns[0]).alias("rid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = _nb(root)
+    old_comps = _touched_components(spark, root, nb, victims).localCheckpoint(
+        eager=True
+    )
+    cbs = _bucket_values(old_comps, "component", nb)
+    touched_members = (
+        _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+        .join(F.broadcast(old_comps), "component")
+        .select(*_MEMBER_COLS)
+    )
+    touched_edges = (
+        _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+        .join(F.broadcast(old_comps), "component")
+        .select("a_key", "b_key")
+    )
+    remaining_members = touched_members.join(F.broadcast(victims), "rid", "left_anti")
+    remaining_edges = touched_edges.join(
+        F.broadcast(victims.select(F.col("rid").alias("a_key"))), "a_key", "left_anti"
+    ).join(
+        F.broadcast(victims.select(F.col("rid").alias("b_key"))), "b_key", "left_anti"
+    )
+    relabeled = _cluster(remaining_members, remaining_edges).localCheckpoint(
+        eager=True
+    )
+    lab = relabeled.select(F.col("rid").alias("a_key"), "component")
+    edges_labeled = remaining_edges.join(lab, "a_key")
+    _apply_delta(spark, root, nb, old_comps, relabeled, edges_labeled, victims)
+
+
+def stream_golden_ingest(
+    batch_stream: DataFrame,
+    store_path: str,
+    root: str,
+    checkpoint_dir: str,
+    threshold: int,
+):
+    """Streaming twin of the incremental golden-record maintenance —
+    the full chain per micro-batch: incoming records are matched
+    against the persisted clean store (block-pruned probe +
+    Fellegi–Sunter decision, operators/linkage.py), and the accepted
+    edges + the batch's records absorb into the golden state via
+    :func:`golden_increment`. Replay safety: the applied batch_id is
+    written as a ``_applied_batch`` sidecar inside the state root
+    AFTER the increment commits (the stream_agg_view_upserts
+    discipline) — a redelivered batch whose id matches the sidecar
+    skips the (non-idempotent) increment entirely; checkpointed batch
+    tracking skips earlier batches. stream == batch asserted in
+    tests/test_golden_state.py."""
+    from etl_8million_data__spark.operators.linkage import (
+        probe_store_candidates,
+        store_u_micro,
+        weigh_and_decide,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(root, "_applied_batch")
+        try:
+            with open(marker) as fh:
+                if int(fh.read().strip()) == batch_id:
+                    return
+        except (OSError, ValueError):
+            pass
+        b = batch_df.localCheckpoint(eager=True)
+        if not b.count():
+            return
+        u = store_u_micro(spark.read.parquet(store_path))
+        edges = weigh_and_decide(
+            probe_store_candidates(spark, store_path, b), *u, threshold
+        ).select("a_key", "b_key")
+        golden_increment(
+            spark,
+            root,
+            b.select("rid", "orig_key", "name", "bal", "seg").withColumn(
+                "src", F.lit(1)
+            ),
+            edges,
+        )
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return (
+        batch_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

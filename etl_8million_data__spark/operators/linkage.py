@@ -6,9 +6,17 @@ without re-linking the whole history.
 Blocking for the incremental shape is an EQUI-join on a name-prefix
 block key (``substring(name, 1, prefix_len)``): a batch record's
 candidate store rows are exactly its block, so the probe input is
-Σ |block(batch record)|, and the store can be persisted partitioned by
-the block key so the probe literal-prunes to the batch's blocks (the
-ANN/upsert discipline). This differs from the batch path's
+Σ |block(batch record)|. The store IS persisted partitioned by the
+block key (:func:`write_clean_store` — ``partitionBy(blk)``) and the
+probe (:func:`probe_store_candidates`) pushes the batch's bounded
+block set as a LITERAL partition filter before the join — the
+ANN/upsert discipline (operators/incremental_ann._literal_cell_prune):
+only the probed blocks' files are ever listed or read, asserted on
+executed-scan metrics in tests/test_linkage_stream.py and measured
+flat across 10x store growth in SCALING.md. A legacy flat store still
+works (detected via layout sniffing) but full-scans per batch — the
+partitioned layout is the at-scale contract. This differs from the
+batch path's
 sorted-neighborhood window (which needs a global sort order — natural
 for a one-shot pass, wrong for a probe): both are bounded-volume
 blockers, and the fixture's truncation corruption keeps every true
@@ -46,30 +54,21 @@ from pyspark.sql import functions as F
 LINKAGE_PREFIX_LEN = 17
 
 
-def prefix_block_candidates(
-    batch: DataFrame, store: DataFrame, prefix_len: int = LINKAGE_PREFIX_LEN
-) -> DataFrame:
-    """Candidate pairs between a batch of incoming records
-    (rid, orig_key, name, bal, seg) and the clean store
-    (rid, name, bal, seg): equi-join on the name-prefix block key, then
-    the agreement flags. Output matches the batch path's pairs schema:
-    (a_key, b_key, orig_key, ag_name, ag_bal, ag_seg)."""
-    bk = lambda c: F.substring(c, 1, prefix_len)  # noqa: E731
-    b = batch.select(
+def _batch_side(batch: DataFrame, prefix_len: int) -> DataFrame:
+    return batch.select(
         F.col("rid").alias("b_key"),
         "orig_key",
         F.col("name").alias("b_name"),
         F.col("bal").alias("b_bal"),
         F.col("seg").alias("b_seg"),
-        bk(F.col("name")).alias("blk"),
+        F.substring("name", 1, prefix_len).alias("blk"),
     )
-    a = store.select(
-        F.col("rid").alias("a_key"),
-        F.col("name").alias("a_name"),
-        F.col("bal").alias("a_bal"),
-        F.col("seg").alias("a_seg"),
-        bk(F.col("name")).alias("blk"),
-    )
+
+
+def _flag_pairs(b: DataFrame, a: DataFrame) -> DataFrame:
+    """Equi-join the two block-keyed sides and emit the agreement
+    flags — the shared tail of the flat and partitioned probe paths, so
+    both produce byte-identical candidate schemas."""
     return b.join(a, "blk").select(
         "a_key",
         "b_key",
@@ -82,6 +81,87 @@ def prefix_block_candidates(
         F.when(F.col("a_bal") == F.col("b_bal"), 1).otherwise(0).alias("ag_bal"),
         F.when(F.col("a_seg") == F.col("b_seg"), 1).otherwise(0).alias("ag_seg"),
     )
+
+
+def prefix_block_candidates(
+    batch: DataFrame, store: DataFrame, prefix_len: int = LINKAGE_PREFIX_LEN
+) -> DataFrame:
+    """Candidate pairs between a batch of incoming records
+    (rid, orig_key, name, bal, seg) and the clean store
+    (rid, name, bal, seg): equi-join on the name-prefix block key, then
+    the agreement flags. Output matches the batch path's pairs schema:
+    (a_key, b_key, orig_key, ag_name, ag_bal, ag_seg). This is the
+    in-memory/one-shot form; the persisted-store probe that partition-
+    prunes the scan is :func:`probe_store_candidates`."""
+    a = store.select(
+        F.col("rid").alias("a_key"),
+        F.col("name").alias("a_name"),
+        F.col("bal").alias("a_bal"),
+        F.col("seg").alias("a_seg"),
+        F.substring("name", 1, prefix_len).alias("blk"),
+    )
+    return _flag_pairs(_batch_side(batch, prefix_len), a)
+
+
+def write_clean_store(
+    store: DataFrame, store_path: str, prefix_len: int = LINKAGE_PREFIX_LEN
+) -> None:
+    """Persist the clean store PARTITIONED BY the name-prefix block key
+    (``blk=`` Hive layout) — the layout contract that makes every probe
+    literal-prunable: a micro-batch's candidate read is bounded by its
+    own blocks' files, independent of store size."""
+    (
+        store.withColumn("blk", F.substring("name", 1, prefix_len))
+        .write.mode("overwrite")
+        .partitionBy("blk")
+        .parquet(store_path)
+    )
+
+
+def probe_store_candidates(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    prefix_len: int = LINKAGE_PREFIX_LEN,
+) -> DataFrame:
+    """Candidate pairs between a batch and the PERSISTED clean store,
+    with the scan pruned to the batch's blocks: the batch's distinct
+    block-key set is bounded by the batch size (collected driver-side —
+    the _literal_cell_prune discipline), and pushing it as a literal
+    ``blk IN (…)`` filter prunes the partitioned store at file-listing
+    time, so the probe reads Σ |block(batch)| rows however large the
+    store is (scan-metrics asserted in tests; flat across 10x store
+    growth in SCALING.md). A legacy UNPARTITIONED store is detected and
+    still answered correctly — via a derived block key, full-scanning
+    the store — so the pruning is an I/O optimization, never a
+    semantic fork."""
+    from etl_8million_data__spark.operators.partitioning import is_hive_partitioned
+
+    b = _batch_side(batch, prefix_len).localCheckpoint(eager=True)
+    store = spark.read.parquet(store_path)
+    if is_hive_partitioned(store_path, "blk"):
+        blocks = [r["blk"] for r in b.select("blk").distinct().collect()]
+        store = (
+            store.filter(F.col("blk").isin(blocks))
+            if blocks
+            else store.filter(F.lit(False))
+        )
+        a = store.select(
+            F.col("rid").alias("a_key"),
+            F.col("name").alias("a_name"),
+            F.col("bal").alias("a_bal"),
+            F.col("seg").alias("a_seg"),
+            "blk",
+        )
+        return _flag_pairs(b, a)
+    a = store.select(
+        F.col("rid").alias("a_key"),
+        F.col("name").alias("a_name"),
+        F.col("bal").alias("a_bal"),
+        F.col("seg").alias("a_seg"),
+        F.substring("name", 1, prefix_len).alias("blk"),
+    )
+    return _flag_pairs(b, a)
 
 
 def weigh_and_decide(
@@ -110,24 +190,41 @@ def weigh_and_decide(
 
 def store_u_micro(store: DataFrame, prefix15: int = 15) -> tuple[int, int, int]:
     """Frequency-based u-probabilities (integer micro) from the clean
-    store alone — Σ n_v(n_v−1)/(N(N−1)) per compare field. Three narrow
-    aggregates; computed once per stream, not per batch."""
-
-    def mass(expr) -> int:
-        return (
-            store.groupBy(expr.alias("_v"))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.sum(F.expr("_n * (_n - 1)")).cast("bigint"))
-            .first()[0]
-            or 0
+    store alone — Σ n_v(n_v−1)/(N(N−1)) per compare field. ONE job:
+    every row explodes into three (field, value) entries, one two-level
+    aggregate yields each field's collision mass AND the row count, and
+    a single 3-row collect returns all four numbers (previously three
+    ``.first()`` aggregates plus a ``.count()`` — four driver
+    round-trips over the same store scan). Computed once per stream,
+    not per batch. Values group by their STRING image (bigint→string is
+    injective), so the masses are identical to per-field groupBys."""
+    fv = store.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("f"),
+                    F.substring("name", 1, prefix15).cast("string").alias("v"),
+                ),
+                F.struct(F.lit(1).alias("f"), F.col("bal").cast("string").alias("v")),
+                F.struct(F.lit(2).alias("f"), F.col("seg").cast("string").alias("v")),
+            )
+        ).alias("fv")
+    ).select("fv.f", "fv.v")
+    rows = (
+        fv.groupBy("f", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("f")
+        .agg(
+            F.sum(F.expr("_n * (_n - 1)")).cast("bigint").alias("mass"),
+            F.sum("_n").cast("bigint").alias("n"),
         )
-
-    n = store.count()
+        .collect()
+    )
+    by_f = {r["f"]: r for r in rows}
+    n = by_f[0]["n"] if by_f else 0
     denom = max(n * (n - 1), 1)
-    return (
-        1000000 * mass(F.substring("name", 1, prefix15)) // denom,
-        1000000 * mass(F.col("bal")) // denom,
-        1000000 * mass(F.col("seg")) // denom,
+    return tuple(
+        1000000 * (by_f[f]["mass"] if f in by_f else 0) // denom for f in (0, 1, 2)
     )
 
 
@@ -144,13 +241,14 @@ def linkage_ingest_batch(
     decisions land under a per-batch overwrite partition
     ``ingest_batch=<tag>`` (a redelivered batch rewrites the same files
     instead of appending duplicates — the dedup_ingest_batch
-    discipline). The store is read per batch but the candidate join
-    input is Σ |block|, never the store (prefix-block equi-join)."""
+    discipline). The candidate read is :func:`probe_store_candidates`:
+    on a block-partitioned store the batch's block set literal-prunes
+    the scan, so each micro-batch reads Σ |block(batch)| store rows,
+    never the store."""
     import hashlib
 
     spark = batch_df.sparkSession
-    store = spark.read.parquet(store_path)
-    pairs = prefix_block_candidates(batch_df, store)
+    pairs = probe_store_candidates(spark, store_path, batch_df)
     matched = weigh_and_decide(pairs, *u, threshold)
     scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
     tag = f"{scope_h}-{batch_id}"

@@ -1251,9 +1251,12 @@ def linkage_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-visible query — the probe shape of the linkage family: the
     incoming (corrupted) records are blocked against the persisted
     clean store by a name-prefix EQUI-join (probe input = Σ |block|,
-    independent of store size; at scale the store persists partitioned
-    by the block key and the probe literal-prunes to the batch's
-    blocks), weighted under STORE-derived frequency u-probabilities
+    independent of store size; the persisted path writes the store
+    ``partitionBy(blk)`` and literal-prunes the probe scan to the
+    batch's blocks — operators/linkage.write_clean_store /
+    probe_store_candidates, scan-metrics asserted in
+    tests/test_linkage_stream.py), weighted under STORE-derived
+    frequency u-probabilities
     (fixed per stream — a replayed batch decides identically), and
     thresholded at the name-agreement weight. Exactly the plan each
     streaming micro-batch runs (stream==batch asserted in
@@ -1347,9 +1350,10 @@ _EM_CHAIN = ",".join(
                    CAST(900000 AS BIGINT) AS mn,
                    CAST(900000 AS BIGINT) AS mb,
                    CAST(900000 AS BIGINT) AS ms,
-                   CAST(100000 AS BIGINT) AS un,
-                   CAST(100000 AS BIGINT) AS ub,
-                   CAST(100000 AS BIGINT) AS us),
+                   u.u_name AS un,
+                   u.u_bal AS ub,
+                   u.u_seg AS us
+            FROM u),
     {_EM_CHAIN}
     SELECT p AS p_match_micro,
            mn AS m_name_micro, mb AS m_bal_micro, ms AS m_seg_micro,
@@ -1369,16 +1373,26 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-micro fixed point — three scaled truncating multiplies
     keep every intermediate <= 1e12, both engines share the exact
     expression tree, so the learned parameters HASH-MATCH (the PCA
-    unrolled-chain discipline). The honest finding (measured, sf0.01):
-    EM finds A latent two-class structure — p=0.13, m_name=1.0,
-    m_seg=0.96, u_bal=0 — but its "match" class is ~3x the true match
-    set: under SNM blocking nearly every candidate agrees on the name
-    prefix (the field is blocking-saturated and uninformative), so the
-    mixture drifts toward the segment-agreement cluster. That is the
-    textbook identifiability caveat of unsupervised EM on few binary
-    fields, and exactly why the family keeps the frequency-based u
-    (blocking-independent) and the ground-truth threshold curve
-    alongside this estimator rather than trusting EM's labels.
+    unrolled-chain discipline).
+
+    IDENTIFIABILITY HARDENING (round 11): with the naive symmetric
+    init (u=0.1 per field) EM found a latent two-class structure whose
+    "match" class was ~3x the true match set (measured p=0.13 vs true
+    0.039; m_bal=0.15 vs true 0.50) — under SNM blocking nearly every
+    candidate agrees on the name prefix, so the mixture drifted toward
+    the segment-agreement cluster: the textbook identifiability caveat
+    of unsupervised EM on few binary fields. The standard guard
+    (Winkler/Jaro practice) is to initialize u at the FREQUENCY-BASED
+    chance-agreement estimate — already computed blocking-independently
+    by :func:`_linkage_u_frame` — which anchors the non-match class at
+    the population agreement rates. Measured recovery at sf0.01:
+    p=0.037 (true 0.039), m_bal=0.53 (true 0.50), m_name=1.0,
+    m_seg=1.0. The label-switching direction is PINNED by a driver-side
+    assertion after training: m_f >= u_f for every field and strictly
+    greater for at least one (a violation raises instead of silently
+    returning swapped classes); a recovered-parameter tolerance gate
+    against the fixture's constructed corruption rates lives in
+    tests/test_linkage_em.py.
 
     Scale shape: ONE pass builds the pattern table (the SNM-blocked
     candidate aggregate); every EM round is arithmetic over 8 rows
@@ -1392,9 +1406,16 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pat"))
         .localCheckpoint(eager=True)
     )
-    params = spark.createDataFrame(
-        [(100000, 900000, 900000, 900000, 100000, 100000, 100000)],
-        "p bigint, mn bigint, mb bigint, ms bigint, un bigint, ub bigint, us bigint",
+    # init: assumed m = 0.9; u = the frequency-based chance-agreement
+    # estimate (blocking-independent) — the identifiability anchor
+    params = _linkage_u_frame(merged).select(
+        F.lit(100000).cast("bigint").alias("p"),
+        F.lit(900000).cast("bigint").alias("mn"),
+        F.lit(900000).cast("bigint").alias("mb"),
+        F.lit(900000).cast("bigint").alias("ms"),
+        F.col("u_name").alias("un"),
+        F.col("u_bal").alias("ub"),
+        F.col("u_seg").alias("us"),
     )
 
     # INTEGER div expressions shared verbatim with the oracle: float
@@ -1443,6 +1464,21 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(mstep("ag_bal", "1000000 - g")).alias("ub"),
             F.expr(mstep("ag_seg", "1000000 - g")).alias("us"),
         ).localCheckpoint(eager=True)
+    # label-switching guard: the "match" class must agree MORE than the
+    # non-match class on every field, strictly on at least one — a
+    # swapped or collapsed mixture must fail loudly, never return
+    # plausible-looking swapped parameters (1-row frame: bounded read)
+    learned = params.first()
+    pins = [
+        (learned["mn"], learned["un"], "name"),
+        (learned["mb"], learned["ub"], "bal"),
+        (learned["ms"], learned["us"], "seg"),
+    ]
+    if not all(m >= u for m, u, _ in pins) or not any(m > u for m, u, _ in pins):
+        raise RuntimeError(
+            "EM label direction lost (m < u or m == u on every field): "
+            + ", ".join(f"{f}: m={m} u={u}" for m, u, f in pins)
+        )
     return params.select(
         F.col("p").alias("p_match_micro"),
         F.col("mn").alias("m_name_micro"),

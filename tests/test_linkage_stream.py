@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 
 from etl_8million_data__spark.operators.linkage import (
     prefix_block_candidates,
+    probe_store_candidates,
     store_u_micro,
     stream_linkage_matches,
     weigh_and_decide,
+    write_clean_store,
 )
 from etl_8million_data__spark.plans.behavioral import _linkage_merged
 
@@ -31,7 +33,7 @@ def _split(spark, sf_dir):
 def test_stream_linkage_equals_batch_and_replays(spark, sf_dir, tmp_path):
     store, incoming = _split(spark, sf_dir)
     store_path = str(tmp_path / "store")
-    store.write.parquet(store_path)
+    write_clean_store(store, store_path)
 
     u = store_u_micro(spark.read.parquet(store_path))
     # threshold: accept any pattern agreeing on the name prefix (the
@@ -102,3 +104,44 @@ def test_stream_linkage_equals_batch_and_replays(spark, sf_dir, tmp_path):
 
     # the per-batch partitions exist (ingest_batch= layout)
     assert any(e.startswith("ingest_batch=") for e in os.listdir(matches))
+
+
+def test_probe_prunes_to_batch_blocks_and_matches_flat(spark, sf_dir, tmp_path):
+    """The persisted-store probe must (a) answer identically to the
+    in-memory blocker and (b) READ only the batch's blocks' partitions —
+    asserted on the executed scan's numPartitions metric (the
+    incremental_ann literal-prune contract: plan-text dynamicpruning
+    was measured degrading to `true`; the literal filter prunes at
+    file-listing time)."""
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    store, incoming = _split(spark, sf_dir)
+    store_path = str(tmp_path / "blkstore")
+    write_clean_store(store, store_path)
+    n_blocks_total = len(
+        [e for e in os.listdir(store_path) if e.startswith("blk=")]
+    )
+    assert n_blocks_total > 4, "fixture store must have enough blocks to prune"
+
+    # a small batch covering few blocks
+    batch = incoming.orderBy("rid").limit(3).localCheckpoint(eager=True)
+    got = probe_store_candidates(spark, store_path, batch)
+    want = prefix_block_candidates(batch, store)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+
+    metrics = _scan_partition_metrics(got, "blkstore")
+    assert metrics, "no store scan found in executed plan"
+    for m in metrics:
+        assert m["numPartitions"] <= 3, m
+        assert m["numPartitions"] < n_blocks_total, (m, n_blocks_total)
+
+    # an empty batch short-circuits without reading anything
+    empty = batch.limit(0)
+    assert probe_store_candidates(spark, store_path, empty).count() == 0
+
+    # legacy flat store: same answers through the derived-key fallback
+    flat_path = str(tmp_path / "flatstore")
+    store.write.parquet(flat_path)
+    got_flat = probe_store_candidates(spark, flat_path, batch)
+    assert as_set(got_flat) == as_set(want)
