@@ -120,6 +120,10 @@ HEADLINE = [
     "ivm_join_view_retract",  # keyed-delete retraction on materialized join views
     "advisor_join_strategy",  # bottom-k sketch -> broadcast/literal/shuffle advice
     "search_proximity_min_window",  # positional min-distance proximity ranking
+    # round-11 families
+    "linkage_golden_records_increment",  # delta-maintained golden-record state
+    "linkage_forget_golden",  # GDPR erase through the linkage chain
+    "advisor_salted_join_exec",  # skew-escalated advice executed (salted join)
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -60,6 +60,24 @@ GOLDEN_NB = 16
 
 _MEMBER_COLS = ["rid", "orig_key", "name", "bal", "seg", "src"]
 
+# Declared schemas so an EMPTY state table (e.g. a store initialized
+# with no accepted edges yet, or fully erased) reads back as an empty
+# frame instead of failing schema inference (the incremental_ann
+# _read_index discipline).
+_SCHEMAS = {
+    "members": (
+        "rid bigint, orig_key bigint, name string, bal bigint, seg string,"
+        " src int, component bigint, cb int"
+    ),
+    "edges": "a_key bigint, b_key bigint, component bigint, cb int",
+    "golden": (
+        "component bigint, n_members bigint, n_sources bigint,"
+        " n_true_entities bigint, golden_name string, golden_bal bigint,"
+        " golden_seg string, cb int"
+    ),
+    "ridmap": "rid bigint, component bigint, rb int",
+}
+
 
 def _nb(root: str) -> int:
     with open(os.path.join(root, "_nb")) as fh:
@@ -169,7 +187,12 @@ def golden_init(
 
 
 def read_golden(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "golden")).drop("cb")
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(os.path.join(root, "golden")).drop("cb")
+    except AnalysisException:
+        return spark.createDataFrame([], _SCHEMAS["golden"]).drop("cb")
 
 
 def _bucket_values(df: DataFrame, col: str, nb: int) -> list[int]:
@@ -183,7 +206,13 @@ def _bucket_values(df: DataFrame, col: str, nb: int) -> list[int]:
 
 
 def _pruned(spark: SparkSession, path: str, part_col: str, buckets: list[int]):
-    df = spark.read.parquet(path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # empty state table: written with zero rows -> no parquet files
+        df = spark.createDataFrame([], _SCHEMAS[os.path.basename(path)])
     return df.filter(F.col(part_col).isin(buckets)) if buckets else df.filter(
         F.lit(False)
     )
@@ -254,6 +283,8 @@ def _apply_delta(
     old_comps = old_comps.localCheckpoint(eager=True)
     new_members = new_members.localCheckpoint(eager=True)
     new_edges = new_edges.localCheckpoint(eager=True)
+    if not old_comps.count() and not new_members.count():
+        return  # complete miss (e.g. erasing unknown rids): a no-op
 
     cbs = sorted(
         set(_bucket_values(old_comps, "component", nb))

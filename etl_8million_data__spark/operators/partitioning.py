@@ -221,6 +221,15 @@ def global_rank(
 #   row; callers with wide rows pass their own bound.
 ADVISE_LITERAL_KEYS = 200
 ADVISE_BROADCAST_ROWS = 1_000_000
+# Skew gate for the shuffle arm (the advisor_shuffle_skew_report
+# machinery folded into the decision): a shuffled join key is HOT when
+# the heaviest key carries >= ADVISE_SKEW_RATIO x the median per-key
+# row count AND >= ADVISE_SKEW_SHARE of its whole side — both must
+# hold, so a uniformly-heavy keyspace (high p50) or a large-but-diluted
+# max never trips it. Remedy: 'salted' (operators/skew.py's
+# replicate-join, exact for any join semantics).
+ADVISE_SKEW_RATIO = 8
+ADVISE_SKEW_SHARE = 20  # max_n * SHARE >= n  <=>  hot key >= 5% of side
 
 
 def advise_join(
@@ -245,12 +254,24 @@ def advise_join(
       (<= broadcast_rows rows);
     - ``shuffle``  — both sides are big: shuffle on the join key and
       let AQE split skew; the estimate sizes
-      spark.sql.shuffle.partitions (est_join_rows / rows-per-task).
+      spark.sql.shuffle.partitions (est_join_rows / rows-per-task);
+    - ``salted``   — the shuffle's BIG-side key distribution is hot
+      (heaviest key >= ADVISE_SKEW_RATIO x its p50 per-key count AND
+      >= 1/ADVISE_SKEW_SHARE of the side — both measured from the
+      already-built key histogram via its count-value histogram, the
+      advisor_shuffle_skew_report machinery): execute through
+      operators/skew.salted_broadcast_replicate_join so the hot key
+      fans across salt buckets instead of straggling one reducer.
+      Paths where AQE's skew split is unavailable (streaming
+      micro-batches) or insufficient (one KEY hotter than any split
+      granularity) are exactly where this advice matters.
 
     Costs three map-side-combined aggregates + a k-row
-    TakeOrderedAndProject — never the join itself. Returns a dict:
+    TakeOrderedAndProject (+ one tiny count-value-histogram collect on
+    the shuffle arm) — never the join itself. Returns a dict:
     strategy, est_join_rows, n_a/n_b (rows), d_a/d_b (distinct keys),
-    small_side, k_used."""
+    small_side, k_used, and on the shuffle/salted arms skew_max_n /
+    skew_p50 of the big side."""
     from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
 
     on = [on] if isinstance(on, str) else list(on)
@@ -302,7 +323,7 @@ def advise_join(
         strategy = "broadcast"
     else:
         strategy = "shuffle"
-    return {
+    out = {
         "strategy": strategy,
         "est_join_rows": est,
         "n_a": sa["n"],
@@ -312,6 +333,39 @@ def advise_join(
         "small_side": small,
         "k_used": th["k_used"],
     }
+    if strategy == "shuffle":
+        # skew check on the BIG side's per-key counts (salting spreads
+        # the big side; a hot SMALL-side key is an output-size problem
+        # salting cannot fix). The per-key histogram is already built;
+        # its count-value histogram is bounded by the heaviest key's
+        # count, not the key count (the skew-report argument).
+        big_hist, cnt = (bk, "b_k") if small == "a" else (ak, "a_k")
+        n_big = (sb if small == "a" else sa)["n"]
+        hist = sorted(
+            (
+                (r["v"], r["keys_at"])
+                for r in big_hist.groupBy(F.col(cnt).alias("v"))
+                .agg(F.count(F.lit(1)).alias("keys_at"))
+                .collect()
+            )
+        )
+        n_keys = sum(k for _, k in hist)
+        cum = 0
+        p50 = hist[-1][0] if hist else 1
+        for v, k in hist:
+            cum += k
+            if cum * 2 >= n_keys:
+                p50 = v
+                break
+        max_n = hist[-1][0] if hist else 0
+        out["skew_max_n"] = max_n
+        out["skew_p50"] = p50
+        if (
+            max_n >= ADVISE_SKEW_RATIO * max(p50, 1)
+            and max_n * ADVISE_SKEW_SHARE >= n_big
+        ):
+            out["strategy"] = "salted"
+    return out
 
 
 def apply_advice(
@@ -321,12 +375,22 @@ def apply_advice(
     the small side's (bounded, <= ADVISE_LITERAL_KEYS) key set and
     pushes it as an IN filter into the BIG side's scan before a
     broadcast join; ``broadcast`` hints the small side; ``shuffle``
-    leaves the planner's exchange in place (AQE handles skew). The
-    result set is identical under every strategy — only the physical
-    plan moves."""
+    leaves the planner's exchange in place (AQE handles skew);
+    ``salted`` runs the two-phase replicate join (big side salted,
+    small side exploded across salt buckets — exact for any join
+    semantics, operators/skew.py). The result set is identical under
+    every strategy — only the physical plan moves."""
+    from etl_8million_data__spark.operators.skew import (
+        salted_broadcast_replicate_join,
+    )
+
     on = [on] if isinstance(on, str) else list(on)
     small, big = (a, b) if advice["small_side"] == "a" else (b, a)
-    if advice["strategy"] == "literal":
+    if advice["strategy"] == "salted":
+        if len(on) != 1:
+            raise ValueError("salted execution supports single-key joins")
+        joined = salted_broadcast_replicate_join(big, small, on[0])
+    elif advice["strategy"] == "literal":
         if len(on) == 1:
             keys = [r[on[0]] for r in small.select(on[0]).distinct().collect()]
             big = big.filter(F.col(on[0]).isin(keys))

@@ -1406,9 +1406,15 @@ def advisor_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's 10 MB autoBroadcastJoinThreshold) -> 'broadcast', else
     'shuffle' (unhinted; AQE splits skew; the estimate sizes the
     shuffle). At sf0.1 the three joins land one in each bucket.
-    operators/partitioning.advise_join is the programmatic twin
-    (same sketch, same thresholds) and apply_advice executes the
-    advised plan — plan-asserted in tests/test_join_advisor.py.
+    operators/partitioning.advise_join is the programmatic twin —
+    same sketch, same literal threshold; this query pins the broadcast
+    bound at a FIXTURE-SCALED 100k rows so the three joins exercise
+    all three arms at sf0.1, while advise_join's default
+    ADVISE_BROADCAST_ROWS (1M ~ 10 MB of narrow rows) is the
+    production bound callers override per row width. apply_advice
+    executes the advised plan — plan-asserted in
+    tests/test_join_advisor.py; the skew-escalation arm ('salted') is
+    exercised by advisor_salted_join_exec.
 
     Scale shape: per-side histograms are map-side-combined aggregates;
     the domain sample is TakeOrderedAndProject; nothing ever runs the
@@ -1600,4 +1606,68 @@ def advisor_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return arm("lineitem.l_orderkey", li, "l_orderkey").unionByName(
         arm("events.user_id", ev, "user_id")
+    )
+
+
+@register(
+    "advisor_salted_join_exec",
+    oracle="""
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_orderkey END AS key,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem),
+    dim AS (SELECT DISTINCT key FROM big),
+    dim2 AS (SELECT key, key % 7 AS flag FROM dim)
+    SELECT 'salted' AS advised, d.flag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(b.qty_c) AS BIGINT) AS qty_cents
+    FROM big b JOIN dim2 d USING (key)
+    GROUP BY d.flag
+    """,
+    tags=("advisor", "skew", "join", "salted", "extension", "scale-path"),
+)
+def advisor_salted_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-AWARE ADVICE, EXECUTED — the composition the two advisor
+    queries prepare for (advise_join picks the strategy,
+    advisor_shuffle_skew_report measures the key distribution): a
+    planted-hot-key join (a third of lineitem's order keys folded onto
+    one key — the EAV hot-metric shape from SURVEY §4) is advised under
+    a fixture-scaled broadcast budget, the advisor's skew gate
+    escalates the would-be shuffle to 'salted'
+    (operators/partitioning.ADVISE_SKEW_RATIO / ADVISE_SKEW_SHARE,
+    measured from the count-value histogram of the already-built key
+    histogram), and apply_advice EXECUTES the two-phase replicate join
+    (operators/skew.salted_broadcast_replicate_join — big side salted,
+    small side exploded across salt buckets; exact for any join
+    semantics). The output carries the advised strategy as a column, so
+    the oracle's hard-coded 'salted' GATES the advice itself: if the
+    skew gate ever stops firing on this distribution, the hash
+    mismatches. Plan assertion (the salt column in the executed join)
+    lives in tests/test_join_advisor.py.
+
+    Scale shape: the advice costs the histogram aggregates, never the
+    join; the salted execution bounds every reducer at hot_key/8
+    rows — the difference between a straggler pinned at 33% of the
+    table and 8 even tasks at 100 TB."""
+    from etl_8million_data__spark.functions.exact import cents
+    from etl_8million_data__spark.operators.partitioning import (
+        advise_join,
+        apply_advice,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("key"),
+        cents("l_quantity").alias("qty_c"),
+    )
+    small = big.select("key").distinct().withColumn("flag", F.col("key") % 7)
+    adv = advise_join(big, small, "key", broadcast_rows=10)
+    joined = apply_advice(big, small, "key", adv)
+    return joined.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty_c").cast("bigint").alias("qty_cents"),
+    ).select(
+        F.lit(adv["strategy"]).alias("advised"), "flag", "n_rows", "qty_cents"
     )

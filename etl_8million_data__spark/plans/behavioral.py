@@ -1192,10 +1192,12 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "linkage_incremental_matches",
-    oracle=f"""
-    WITH b AS (
+# Incremental-linkage CTE group: the clean store, the corrupted batch,
+# store-derived frequency u, prefix-17 block candidates, and FS weights
+# with the name-agree threshold — shared by linkage_incremental_matches
+# and the golden-record maintenance oracles.
+_INC_LINK_CTES = f"""
+    b AS (
       SELECT c_custkey + 1000000 AS rid, c_custkey AS orig_key,
              substr(c_name, 1, length(c_name) - 1) AS name,
              CASE WHEN c_custkey % 8 = 0 THEN {sql_cents('c_acctbal')}
@@ -1241,7 +1243,13 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ELSE 100000000000 // (1000001 - u.u_seg) END)
                AS BIGINT) AS weight,
              CAST(900000000000 // (u.u_name + 1) AS BIGINT) AS thr
-      FROM cand c CROSS JOIN u)
+      FROM cand c CROSS JOIN u)"""
+
+
+@register(
+    "linkage_incremental_matches",
+    oracle=f"""
+    WITH {_INC_LINK_CTES}
     SELECT a_key, b_key, orig_key, weight FROM wp WHERE weight >= thr
     """,
     tags=("linkage", "entity-resolution", "incremental", "extension"),
@@ -1278,6 +1286,186 @@ def linkage_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weigh_and_decide(
         prefix_block_candidates(incoming, store), *u, threshold
     )
+
+
+def _golden_full_sql(
+    rec_a_where: str = "TRUE",
+    rec_b_where: str = "TRUE",
+    edge_where: str = "TRUE",
+) -> str:
+    """Full golden-record build as ONE DuckDB statement — the oracle
+    both maintenance queries are proven against: the incremental-match
+    edge set (``_INC_LINK_CTES``, optionally edge-filtered), recursive
+    closure into components, and the capstone's exact survivorship.
+    The maintenance paths never run this plan; equality to it is the
+    correctness claim (the IVM equivalence discipline)."""
+    return f"""
+    WITH RECURSIVE {_INC_LINK_CTES},
+    matched AS MATERIALIZED (
+      SELECT a_key, b_key FROM wp WHERE weight >= thr AND ({edge_where})),
+    recs AS (
+      SELECT rid, CAST(NULL AS BIGINT) AS orig_key, name, bal, seg, 0 AS src
+      FROM store WHERE ({rec_a_where})
+      UNION ALL
+      SELECT rid, orig_key, name, bal, seg, 1 AS src
+      FROM b WHERE ({rec_b_where})),
+    edges AS (
+      SELECT a_key AS src, b_key AS dst FROM matched
+      UNION ALL SELECT b_key, a_key FROM matched),
+    walk(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT k.src, e.dst FROM walk k JOIN edges e ON k.dst = e.src),
+    compm AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM walk GROUP BY src),
+    rec AS (
+      SELECT r.*, coalesce(c.component, r.rid) AS component
+      FROM recs r LEFT JOIN compm c ON c.node = r.rid),
+    stats AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT coalesce(orig_key, rid)) AS BIGINT)
+               AS n_true_entities,
+             max(length(name)) AS maxlen
+      FROM rec GROUP BY component)
+    SELECT r.component,
+           s.n_members, s.n_sources, s.n_true_entities,
+           min(r.name) FILTER (length(r.name) = s.maxlen) AS golden_name,
+           coalesce(min(CASE WHEN r.src = 0 THEN r.bal END), min(r.bal))
+             AS golden_bal,
+           coalesce(min(CASE WHEN r.src = 0 THEN r.seg END), min(r.seg))
+             AS golden_seg
+    FROM rec r JOIN stats s USING (component)
+    GROUP BY r.component, s.n_members, s.n_sources, s.n_true_entities, s.maxlen
+    """
+
+
+def _golden_fixture(spark: SparkSession, sf_dir: str):
+    """(records, edges): the merged linkage records and their accepted
+    incremental-match edges — the shared input of the golden-state
+    maintenance queries."""
+    from etl_8million_data__spark.operators.linkage import (
+        prefix_block_candidates,
+        store_u_micro,
+        weigh_and_decide,
+    )
+
+    merged = _linkage_merged(spark, sf_dir).localCheckpoint(eager=True)
+    store = merged.filter(F.col("src") == 0).select("rid", "name", "bal", "seg")
+    incoming = merged.filter(F.col("src") == 1).select(
+        "rid", "orig_key", "name", "bal", "seg"
+    )
+    u = store_u_micro(store)
+    threshold = 900000000000 // (u[0] + 1)
+    edges = (
+        weigh_and_decide(prefix_block_candidates(incoming, store), *u, threshold)
+        .select("a_key", "b_key")
+        .localCheckpoint(eager=True)
+    )
+    return merged, edges
+
+
+@register(
+    "linkage_golden_records_increment",
+    oracle=_golden_full_sql(),
+    tags=(
+        "linkage", "entity-resolution", "survivorship", "incremental",
+        "extension", "persisted-view",
+    ),
+)
+def linkage_golden_records_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL golden records (operators/golden.py) — the
+    maintenance door the round-10 capstone lacked: the golden state is
+    initialized from a PARTIAL history (every-3rd incoming record and
+    its match edges held out), the held-out delta then absorbs via
+    :func:`golden_increment` — touched components re-cluster with the
+    delta over their OWN persisted edges, survivorship recomputes for
+    those components only, untouched buckets byte-identical
+    (tests/test_golden_state.py) — and the final state is read back.
+    Proven by equivalence: the oracle is the FULL one-shot build over
+    all records and edges (split-independence IS the correctness claim,
+    the refresh_join_view discipline). Scale shape: the increment's
+    only state reads are the delta rids' ridmap buckets and the touched
+    components' members/edges buckets; connected components re-runs on
+    the touched subgraph only; measured flat across 10x history in
+    SCALING.md."""
+    import shutil
+
+    from etl_8million_data__spark.operators.golden import (
+        golden_increment,
+        golden_init,
+        read_golden,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    records, edges = _golden_fixture(spark, sf_dir)
+    is_delta = (F.col("src") == 1) & (F.col("orig_key") % 3 == 0)
+    root = _persisted_index_root(sf_dir, "linkage_golden_inc")
+    shutil.rmtree(root, ignore_errors=True)
+    golden_init(
+        spark,
+        root,
+        records.filter(~is_delta),
+        edges.filter((F.col("b_key") - 1000000) % 3 != 0),
+    )
+    golden_increment(
+        spark,
+        root,
+        records.filter(is_delta),
+        edges.filter((F.col("b_key") - 1000000) % 3 == 0),
+    )
+    return read_golden(spark, root)
+
+
+@register(
+    "linkage_forget_golden",
+    oracle=_golden_full_sql(
+        rec_a_where="rid % 40 <> 0",
+        rec_b_where="orig_key % 5 <> 0",
+        edge_where="a_key % 40 <> 0 AND (b_key - 1000000) % 5 <> 0",
+    ),
+    tags=(
+        "linkage", "entity-resolution", "survivorship", "forget", "gdpr",
+        "extension", "persisted-view",
+    ),
+)
+def linkage_forget_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR ERASE through the whole linkage chain
+    (operators/golden.golden_forget) — composing the forget family's
+    blast-radius discipline with entity resolution: erasing a person
+    removes their member row, every match edge incident to them, and
+    re-derives the golden records of exactly the components they
+    belonged to — including the SPLIT case (an erased incoming record
+    was the only bridge between two store records: the remaining edges
+    re-cluster into separate entities) and the survivorship FALLBACK
+    case (the clean source leaves, golden_bal/seg fall back to the
+    corrupted copy's values). Victims here: every 40th store record +
+    every 5th incoming record. Proven by equivalence: the oracle is the
+    full build over the post-erase records and edges. Only the victims'
+    components' buckets are read or rewritten (byte-identity and
+    miss-is-no-op replay pinned in tests/test_golden_state.py); blast
+    radius measured flat across 10x history in SCALING.md."""
+    import shutil
+
+    from etl_8million_data__spark.operators.golden import (
+        golden_forget,
+        golden_init,
+        read_golden,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    records, edges = _golden_fixture(spark, sf_dir)
+    root = _persisted_index_root(sf_dir, "linkage_golden_forget")
+    shutil.rmtree(root, ignore_errors=True)
+    golden_init(spark, root, records, edges)
+    victims = records.filter(
+        ((F.col("src") == 0) & (F.col("rid") % 40 == 0))
+        | ((F.col("src") == 1) & (F.col("orig_key") % 5 == 0))
+    ).select("rid")
+    golden_forget(spark, root, victims)
+    return read_golden(spark, root)
 
 
 def _em_iter_sql(prev: str, cur: str) -> str:

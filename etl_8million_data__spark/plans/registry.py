@@ -85,6 +85,10 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 11 (first external evidence)
+    "linkage_golden_records_increment",
+    "linkage_forget_golden",
+    "advisor_salted_join_exec",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",

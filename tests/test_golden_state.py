@@ -1,0 +1,245 @@
+"""Persisted golden-record state (operators/golden.py): delta
+increments and GDPR erasures must leave the state EQUAL to a full
+re-link over the post-delta inputs (the IVM equivalence discipline),
+rewrite only the touched components' buckets (byte-identity of
+untouched partitions — the blast-radius contract), split components
+whose bridge record is erased, fall survivorship back when the clean
+source leaves, and replay idempotently through the streaming twin."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.golden import (
+    golden_forget,
+    golden_increment,
+    golden_init,
+    read_golden,
+    stream_golden_ingest,
+)
+from etl_8million_data__spark.operators.linkage import (
+    prefix_block_candidates,
+    store_u_micro,
+    weigh_and_decide,
+    write_clean_store,
+)
+from etl_8million_data__spark.plans.behavioral import _linkage_merged
+
+
+def _fixture(spark, sf_dir):
+    """(records, edges, threshold): the full merged linkage fixture and
+    its accepted incremental-match edges."""
+    merged = _linkage_merged(spark, sf_dir).localCheckpoint(eager=True)
+    store = merged.filter(F.col("src") == 0).select("rid", "name", "bal", "seg")
+    incoming = merged.filter(F.col("src") == 1).select(
+        "rid", "orig_key", "name", "bal", "seg"
+    )
+    u = store_u_micro(store)
+    threshold = 900000000000 // (u[0] + 1)
+    edges = (
+        weigh_and_decide(prefix_block_candidates(incoming, store), *u, threshold)
+        .select("a_key", "b_key")
+        .localCheckpoint(eager=True)
+    )
+    return merged, edges, threshold
+
+
+def _golden_set(spark, root):
+    return {tuple(r) for r in read_golden(spark, root).collect()}
+
+
+def _full_build(spark, tmp_path, records, edges, name):
+    root = str(tmp_path / name)
+    golden_init(spark, root, records, edges)
+    return _golden_set(spark, root)
+
+
+def _snapshot(path):
+    """{relative file -> (size, bytes)} for every parquet data file."""
+    out = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_increment_equals_full_relink_and_bounds_blast_radius(
+    spark, sf_dir, tmp_path
+):
+    records, edges, _ = _fixture(spark, sf_dir)
+    # a NARROW delta (3 records at sf0.001) so most buckets stay
+    # untouched and the blast-radius claim is actually testable
+    is_delta = (F.col("src") == 1) & (F.col("orig_key") % 40 == 0)
+    init_rec = records.filter(~is_delta)
+    delta_rec = records.filter(is_delta)
+    init_edges = edges.filter((F.col("b_key") - 1000000) % 40 != 0)
+    delta_edges = edges.filter((F.col("b_key") - 1000000) % 40 == 0)
+
+    root = str(tmp_path / "state")
+    golden_init(spark, root, init_rec, init_edges)
+    before = {t: _snapshot(os.path.join(root, t)) for t in ("members", "golden")}
+
+    golden_increment(spark, root, delta_rec, delta_edges)
+
+    # equivalence: the maintained state equals a full re-link
+    want = _full_build(spark, tmp_path, records, edges, "full")
+    assert _golden_set(spark, root) == want
+
+    # blast radius: buckets not touched by the delta are byte-identical
+    from etl_8million_data__spark.operators.golden import (
+        _nb,
+        _touched_components,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    nb = _nb(root)
+    delta_rids = (
+        delta_edges.select(F.col("a_key").alias("rid"))
+        .unionByName(delta_edges.select(F.col("b_key").alias("rid")))
+        .unionByName(delta_rec.select("rid"))
+        .distinct()
+    )
+    # affected cb buckets: old comps of endpoints + all new labels are
+    # within the touched neighborhood; over-approximate with the buckets
+    # of every touched rid's old AND new component
+    touched_old = _touched_components(spark, root, nb, delta_rids)
+    new_assign = spark.read.parquet(os.path.join(root, "ridmap")).join(
+        delta_rids, "rid"
+    )
+    affected = {
+        r["_b"]
+        for df in (touched_old, new_assign.select("component"))
+        for r in df.select(
+            id_bucket(F.col("component"), nb).alias("_b")
+        ).distinct().collect()
+    }
+    assert affected, "fixture delta must touch at least one bucket"
+    untouched_seen = 0
+    for table in ("members", "golden"):
+        after = _snapshot(os.path.join(root, table))
+        for rel, data in before[table].items():
+            bucket = int(rel.split("=")[1].split(os.sep)[0])
+            if bucket not in affected:
+                assert rel in after and after[rel] == data, (table, rel)
+                untouched_seen += 1
+    assert untouched_seen > 0, "no untouched bucket to verify (delta too wide)"
+
+
+def test_forget_splits_components_and_falls_back_survivorship(
+    spark, sf_dir, tmp_path
+):
+    records, edges, _ = _fixture(spark, sf_dir)
+    root = str(tmp_path / "state")
+    golden_init(spark, root, records, edges)
+    pre = read_golden(spark, root).localCheckpoint(eager=True)
+
+    # fixture topology: every candidate pair clears the name-agree
+    # threshold, so components are whole prefix-17 blocks (10 store
+    # records + their corrupted twins). Victims are chosen to force
+    # both erase shapes: (a) the ENTIRE store side of block 2 (keys
+    # 20-29) — its surviving corrupted twins fall back to
+    # corrupted-only survivorship; (b) every incoming twin of block 4
+    # (orig 40-49) — the store records lose all their bridges and the
+    # component SPLITS into singletons
+    victims = records.filter(
+        ((F.col("src") == 0) & F.col("rid").between(20, 29))
+        | ((F.col("src") == 1) & F.col("orig_key").between(40, 49))
+    ).select("rid")
+    pre_block4 = (
+        spark.read.parquet(os.path.join(root, "ridmap"))
+        .filter(F.col("rid").between(40, 49))
+        .select("component")
+        .distinct()
+        .count()
+    )
+    assert pre_block4 == 1, "block 4 must start as one component"
+    assert pre.filter(F.length("golden_name") == 17).count() == 0, (
+        "no corrupted-only entity may exist before the erase"
+    )
+
+    golden_forget(spark, root, victims)
+
+    # equivalence to a full rebuild over the post-erase inputs
+    v = victims.localCheckpoint(eager=True)
+    keep_rec = records.join(v, "rid", "left_anti")
+    keep_edges = edges.join(
+        v.select(F.col("rid").alias("a_key")), "a_key", "left_anti"
+    ).join(v.select(F.col("rid").alias("b_key")), "b_key", "left_anti")
+    want = _full_build(spark, tmp_path, keep_rec, keep_edges, "full")
+    assert _golden_set(spark, root) == want
+
+    # fallback witness: the clean side of block 2 is gone, so its
+    # surviving corrupted twins now head corrupted-only golden records
+    # (truncated 17-char golden_name, single source)
+    post = read_golden(spark, root)
+    fell_back = post.filter(
+        (F.length("golden_name") == 17) & (F.col("n_sources") == 1)
+    )
+    assert fell_back.count() > 0, "no survivorship fallback observed"
+
+    # split witness: block 4's store records, bridged only through the
+    # erased incoming twins, now span multiple components
+    post_block4 = (
+        spark.read.parquet(os.path.join(root, "ridmap"))
+        .filter(F.col("rid").between(40, 49))
+        .select("component")
+        .distinct()
+        .count()
+    )
+    assert post_block4 > 1, "erasing the bridges must split the component"
+
+    # erasing unknown rids is a no-op (replay-safe erase door)
+    files_before = _snapshot(os.path.join(root, "golden"))
+    golden_forget(
+        spark, root, spark.createDataFrame([(10_000_000,)], "rid bigint")
+    )
+    assert _snapshot(os.path.join(root, "golden")) == files_before
+
+
+def test_stream_golden_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    records, edges, threshold = _fixture(spark, sf_dir)
+    store = records.filter(F.col("src") == 0)
+    incoming = records.filter(F.col("src") == 1).select(
+        "rid", "orig_key", "name", "bal", "seg"
+    )
+    store_path = str(tmp_path / "store")
+    write_clean_store(
+        store.select("rid", "name", "bal", "seg"), store_path
+    )
+    root = str(tmp_path / "state")
+    golden_init(
+        spark,
+        root,
+        store,
+        spark.createDataFrame([], "a_key bigint, b_key bigint"),
+    )
+
+    src = str(tmp_path / "incoming")
+    incoming.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_golden_ingest(
+            stream, store_path, root, str(tmp_path / ckpt), threshold
+        ).awaitTermination()
+
+    run("ck1")
+    want = _full_build(spark, tmp_path, records, edges, "full")
+    assert _golden_set(spark, root) == want
+
+    # resuming the drained stream is a no-op; the sidecar blocks a
+    # re-applied final batch
+    files = _snapshot(os.path.join(root, "golden"))
+    run("ck1")
+    assert _snapshot(os.path.join(root, "golden")) == files
+    assert _golden_set(spark, root) == want

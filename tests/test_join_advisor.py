@@ -23,9 +23,7 @@ def _plan(df) -> str:
 def test_advice_thresholds_and_estimate(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cn = c.select(F.col("c_nationkey").alias("n_nationkey")) if False else None  # noqa: F841
 
     # nation side: 25 distinct keys <= 200 -> literal
     cust_n = load_table(spark, sf_dir, "customer").select(
@@ -71,3 +69,57 @@ def test_advice_thresholds_and_estimate(spark, sf_dir):
     assert "ResolvedHint" not in j_s._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in j_b._jdf.queryExecution().analyzed().toString()
     assert j_s.count() == actual
+
+
+def test_skew_aware_advice_salts_the_hot_key(spark, sf_dir):
+    """Planted-skew fixture: folding a third of lineitem's order keys
+    onto ONE hot key makes the shuffled join's key distribution
+    pathological (max/p50 in the thousands); the advisor must (a)
+    measure it (skew_max_n / skew_p50 reported), (b) escalate the
+    'shuffle' pick to 'salted', and (c) execute the salted two-phase
+    join with a result identical to the plain join. A uniform keyspace
+    under the same forced-shuffle budget must NOT salt."""
+    from etl_8million_data__spark.operators.partitioning import (
+        ADVISE_SKEW_RATIO,
+        ADVISE_SKEW_SHARE,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("key"),
+        "l_quantity",
+    )
+    small = big.select("key").distinct().withColumn("flag", F.col("key") % 7)
+
+    # force both sides past the broadcast budget so the base pick is
+    # shuffle; the skew gate must then escalate
+    adv = advise_join(big, small, "key", broadcast_rows=10)
+    assert adv["strategy"] == "salted", adv
+    assert adv["skew_max_n"] >= ADVISE_SKEW_RATIO * adv["skew_p50"]
+    assert adv["skew_max_n"] * ADVISE_SKEW_SHARE >= max(adv["n_a"], adv["n_b"])
+
+    j = apply_advice(big, small, "key", adv)
+    # the executed plan really goes through the salt: the join key set
+    # includes the salt column and the small side carries the explode
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    want = big.join(small, "key")
+    assert j.count() == want.count()
+    got_agg = {
+        (r["flag"], r["cnt"])
+        for r in j.groupBy("flag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    want_agg = {
+        (r["flag"], r["cnt"])
+        for r in want.groupBy("flag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_agg == want_agg
+
+    # uniform keyspace: same forced-shuffle budget, no hot key -> stays
+    # an unhinted shuffle and still reports the measured distribution
+    uni = li.select(F.col("l_orderkey").alias("key"), "l_quantity")
+    adv_u = advise_join(uni, small, "key", broadcast_rows=10)
+    assert adv_u["strategy"] == "shuffle", adv_u
+    assert "skew_max_n" in adv_u and "skew_p50" in adv_u
