@@ -139,7 +139,12 @@ def _cluster(records: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def _write_table(df: DataFrame, path: str, part_col: str) -> None:
-    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    # one file per bucket (repartition on the partition column), so a
+    # pruned read schedules |touched buckets| tasks, not
+    # |buckets| x |write tasks| tiny files
+    df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(path)
 
 
 def golden_init(
@@ -239,7 +244,9 @@ def _overwrite_buckets(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         if surviving:
-            new_content.write.mode("overwrite").partitionBy(part_col).parquet(path)
+            new_content.repartition(F.col(part_col)).write.mode(
+                "overwrite"
+            ).partitionBy(part_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     for b in affected:

@@ -165,6 +165,10 @@ def probe_index(
     would (asserted in tests), so index persistence is a pure I/O
     optimization, not a semantic fork."""
     idx = _read_index(spark, index_path)
+    # the routed query frame is consumed TWICE — the literal-prune
+    # collect and the scoring join — so it is materialized once
+    # (|Q|*nprobe rows) instead of re-running the routing math per
+    # consumer (measured as pure constant overhead at toy scale)
     qp = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
@@ -174,7 +178,7 @@ def probe_index(
                 projections(F.col(query_vec_col), weights, n_bits), n_bits, nprobe
             )
         ).alias("cell"),
-    )
+    ).localCheckpoint(eager=True)
     idx = _literal_cell_prune(idx, qp)
     # Unhinted equi-join on the partition column: AQE broadcasts qp when
     # |Q| is genuinely small and falls back to a skew-splittable shuffle
@@ -572,6 +576,9 @@ def probe_index_ivfpq(
         .select(
             "query_id", "cell", F.zip_with("x", "c", lambda a, b: a - b).alias("qr")
         )
+        # consumed twice (literal-prune collect + LUT build): checkpoint
+        # the |Q|*nprobe routed rows so the routing window runs ONCE
+        .localCheckpoint(eager=True)
     )
     subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
     pc = codebook.select(
@@ -775,6 +782,9 @@ def probe_index_kmeans(
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "_qvec", "_qn2", "cell")
+        # consumed twice (literal-prune collect + scoring join):
+        # checkpoint so the routing window runs once
+        .localCheckpoint(eager=True)
     )
     idx = _literal_cell_prune(idx, probes)
     scored = (

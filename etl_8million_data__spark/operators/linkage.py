@@ -109,9 +109,13 @@ def write_clean_store(
     """Persist the clean store PARTITIONED BY the name-prefix block key
     (``blk=`` Hive layout) — the layout contract that makes every probe
     literal-prunable: a micro-batch's candidate read is bounded by its
-    own blocks' files, independent of store size."""
+    own blocks' files, independent of store size. Rows are repartitioned
+    on the block key before the write so each block directory holds ONE
+    file instead of one-per-write-task — the small-files discipline
+    that keeps a pruned probe at |batch blocks| scheduled tasks."""
     (
         store.withColumn("blk", F.substring("name", 1, prefix_len))
+        .repartition(F.col("blk"))
         .write.mode("overwrite")
         .partitionBy("blk")
         .parquet(store_path)

@@ -1,0 +1,39 @@
+"""bench.py's regression adjudication path: the shared regression rule
+(boot-normalized 25% + noise floor) and the committed-baseline policy
+(isolated min carries forward so a cleared flag cannot re-flag next
+round off its own inflated in-run sample)."""
+
+from __future__ import annotations
+
+from bench import commit_baseline, regressed
+
+
+def test_regression_rule():
+    # no prior -> never regressed
+    assert not regressed(5.0, None, 0.15, 1.0)
+    assert not regressed(5.0, 0.0, 0.15, 1.0)
+    # clear regression: 1.0 -> 2.0, beyond 25% and noise
+    assert regressed(2.0, 1.0, 0.15, 1.0)
+    # within the 25% band
+    assert not regressed(1.2, 1.0, 0.15, 1.0)
+    # beyond 25% but inside the noise floor (tiny absolute delta)
+    assert not regressed(0.05, 0.02, 0.15, 1.0)
+    # boot factor normalizes a slow host out of the comparison
+    assert not regressed(2.0, 1.0, 0.15, 2.1)
+    assert regressed(4.0, 1.0, 0.15, 2.0)
+    # measured spread wider than the delta -> noise, not regression
+    assert not regressed(2.0, 1.0, 1.5, 1.0)
+
+
+def test_commit_baseline_carries_isolated_min_forward():
+    timings = {"a": 2.0, "b": 1.0, "c": 3.0}
+    isolated = {"a": 1.1, "c": 3.4}  # a cleared in isolation; c did not improve
+    out = commit_baseline(timings, isolated)
+    # cleared flag: the isolated (reproducible) min is committed
+    assert out["a"] == 1.1
+    # isolation never WORSENS the committed baseline
+    assert out["c"] == 3.0
+    # un-flagged queries keep their in-run time
+    assert out["b"] == 1.0
+    # inputs are not mutated
+    assert timings["a"] == 2.0

@@ -126,6 +126,14 @@ AUDIT = {
     # doc-keyed pair join, per-query ranking window.
     "search_proximity_min_window": ["Window", "HashAggregate"],
     "ivm_agg_view_delete": ["LeftSemi", "HashAggregate"],
+    # round-11 families
+    # golden maintenance: ridmap/members/edges reads are bucket-pruned
+    # scans behind the operator; the returned frame is the golden read.
+    "linkage_golden_records_increment": ["ReadSchema"],
+    "linkage_forget_golden": ["ReadSchema"],
+    # salted advice executed: small side exploded across salt buckets
+    # (Generate), join on (key, _salt), map-side-partial final agg.
+    "advisor_salted_join_exec": ["Generate", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
