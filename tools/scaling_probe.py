@@ -1678,9 +1678,12 @@ def golden_increment_probe() -> list[str]:
     a corrupted twin per 4th (pair components), nb=256 buckets so the
     ~20 touched components prune to <= ~40 of 256 bucket partitions.
     Also measures the GDPR erase of 10 records through the chain.
-    Gates: increment and forget each <= 0.5x the full re-link at BOTH
-    sizes, and their ratios must not grow across the 10x edge (cost is
-    bucket-bounded, not history-bounded)."""
+    Measured signature (50k -> 1.5M store records, 30x): the
+    increment's ABSOLUTE cost is flat (fixed job overhead dominates a
+    10-record delta at any history size) while the full re-link grows
+    with history — so the gates are (a) increment and forget absolute
+    cost each <= 1.6x across the 30x edge (delta-bounded, not
+    history-bounded) and (b) each <= 0.5x the full re-link at 30x."""
     import shutil
     import tempfile
 
@@ -1725,8 +1728,9 @@ def golden_increment_probe() -> list[str]:
         return records, edges
 
     lines = []
+    inc_times, fgt_times = [], []
     inc_ratios, fgt_ratios = [], []
-    for n in (50_000, 500_000):
+    for n in (50_000, 1_500_000):
         records, edges = fixture(n)
         # FIXED delta: 10 incoming records, keys <= 50k so the delta is
         # identical at both sizes (rid%4==0 & rid%5000==4 -> 5004,
@@ -1763,6 +1767,8 @@ def golden_increment_probe() -> list[str]:
         finally:
             shutil.rmtree(wd, ignore_errors=True)
         ri, rf = t_inc / t_full, t_fgt / t_full
+        inc_times.append(t_inc)
+        fgt_times.append(t_fgt)
         inc_ratios.append(ri)
         fgt_ratios.append(rf)
         lines.append(
@@ -1772,13 +1778,17 @@ def golden_increment_probe() -> list[str]:
         )
         print(lines[-1])
     spark.stop()
-    for label, ratios in (("increment", inc_ratios), ("forget", fgt_ratios)):
-        assert ratios[1] <= 0.5, (
-            f"golden {label} not cheap at 10x history: {ratios[1]:.2f}x full"
+    for label, times, ratios in (
+        ("increment", inc_times, inc_ratios),
+        ("forget", fgt_times, fgt_ratios),
+    ):
+        assert times[1] <= times[0] * 1.6, (
+            f"golden {label} absolute cost grew with history "
+            f"({times[0]:.2f}s -> {times[1]:.2f}s over 30x) — not "
+            "delta-bounded"
         )
-        assert ratios[1] <= ratios[0] * 1.25, (
-            f"golden {label} ratio grew with history "
-            f"({ratios[0]:.2f} -> {ratios[1]:.2f}) — not bucket-bounded"
+        assert ratios[1] <= 0.5, (
+            f"golden {label} not cheap at 30x history: {ratios[1]:.2f}x full"
         )
     return lines
 
