@@ -432,6 +432,37 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
     _apply_delta(spark, root, nb, old_comps, relabeled, edges_labeled, victims)
 
 
+def stream_golden_forget(
+    requests: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    id_col: str = "rid",
+):
+    """Streaming right-to-be-forgotten THROUGH the linkage chain — the
+    golden-state analog of operators/forget.stream_forget_requests: a
+    stream of erase requests drives :func:`golden_forget` per
+    micro-batch (member rows, incident match edges, golden
+    re-survivorship of the touched components). golden_forget is
+    idempotent per rid (a miss is a no-op), so at-least-once redelivery
+    is safe by construction — no marker sidecar needed, unlike the
+    (non-idempotent) ingest twin."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = id_col if id_col in batch_df.columns else batch_df.columns[0]
+        ids = batch_df.select(F.col(src).alias("rid")).filter(
+            F.col("rid").isNotNull()
+        )
+        golden_forget(spark, root, ids)
+
+    return (
+        requests.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_golden_ingest(
     batch_stream: DataFrame,
     store_path: str,

@@ -201,6 +201,52 @@ def test_forget_splits_components_and_falls_back_survivorship(
     assert _snapshot(os.path.join(root, "golden")) == files_before
 
 
+def test_stream_golden_forget_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """Streaming erase requests through the golden chain must equal the
+    one-shot erase over the same victims however the requests are
+    batched, and replaying the drained stream must be a no-op (erase
+    idempotence carries the at-least-once contract)."""
+    from etl_8million_data__spark.operators.golden import stream_golden_forget
+
+    records, edges, _ = _fixture(spark, sf_dir)
+    root = str(tmp_path / "state")
+    golden_init(spark, root, records, edges)
+
+    victims = (
+        records.filter((F.col("src") == 1) & (F.col("orig_key") % 8 == 4))
+        .select("rid")
+        .localCheckpoint(eager=True)
+    )
+    src = str(tmp_path / "requests")
+    victims.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_golden_forget(
+            stream, root, str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    run("ckf")
+    # equivalence to the one-shot erase (itself rebuild-equivalent,
+    # proven in the forget test): compare against a full rebuild
+    keep_rec = records.join(victims, "rid", "left_anti")
+    keep_edges = edges.join(
+        victims.select(F.col("rid").alias("b_key")), "b_key", "left_anti"
+    )
+    want = _full_build(spark, tmp_path, keep_rec, keep_edges, "full")
+    assert _golden_set(spark, root) == want
+
+    # drained-stream replay is a no-op
+    files = _snapshot(os.path.join(root, "golden"))
+    run("ckf")
+    assert _snapshot(os.path.join(root, "golden")) == files
+
+
 def test_stream_golden_equals_batch_and_replays(spark, sf_dir, tmp_path):
     records, edges, threshold = _fixture(spark, sf_dir)
     store = records.filter(F.col("src") == 0)
