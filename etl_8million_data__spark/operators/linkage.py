@@ -122,6 +122,45 @@ def write_clean_store(
     )
 
 
+def append_clean_store(
+    new_records: DataFrame, store_path: str, prefix_len: int = LINKAGE_PREFIX_LEN
+) -> int:
+    """SKIP-EXISTING append into the block-partitioned clean store —
+    the growth door (the ANN index append_vectors discipline): new
+    clean records (rid, name, bal, seg) land in their block partitions;
+    records whose rid already exists are dropped, and the existence
+    read is PRUNED to the batch's own blocks (literal partition filter)
+    and COLUMN-pruned to rid — a replayed batch appends nothing, at any
+    store size. Rows repartition on the block key before the write (one
+    new file per touched block). Returns rows appended."""
+    from pyspark.errors import AnalysisException
+
+    b = (
+        new_records.select("rid", "name", "bal", "seg")
+        .withColumn("blk", F.substring("name", 1, prefix_len))
+        .localCheckpoint(eager=True)
+    )
+    spark = new_records.sparkSession
+    blocks = [r["blk"] for r in b.select("blk").distinct().collect()]
+    try:
+        existing = (
+            spark.read.parquet(store_path)
+            .filter(F.col("blk").isin(blocks) if blocks else F.lit(False))
+            .select("rid")
+        )
+        fresh = b.join(existing, "rid", "left_anti").localCheckpoint(eager=True)
+    except AnalysisException:
+        # first batch: store doesn't exist yet
+        fresh = b
+    n = fresh.count()
+    if n:
+        fresh.repartition(F.col("blk")).write.mode("append").partitionBy(
+            "blk"
+        ).parquet(store_path)
+        spark.catalog.refreshByPath(store_path)
+    return n
+
+
 def probe_store_candidates(
     spark,
     store_path: str,

@@ -145,3 +145,33 @@ def test_probe_prunes_to_batch_blocks_and_matches_flat(spark, sf_dir, tmp_path):
     store.write.parquet(flat_path)
     got_flat = probe_store_candidates(spark, flat_path, batch)
     assert as_set(got_flat) == as_set(want)
+
+
+def test_append_clean_store_skip_existing_and_pruned(spark, sf_dir, tmp_path):
+    """The store growth door: appends land in their block partitions,
+    a replayed batch appends nothing, appended records become probe
+    candidates, and the skip-existing existence read is PRUNED to the
+    batch's blocks (scan metrics)."""
+    from etl_8million_data__spark.operators.linkage import append_clean_store
+
+    store, incoming = _split(spark, sf_dir)
+    store_path = str(tmp_path / "growstore")
+    seed = store.filter(F.col("rid") % 10 != 0)
+    write_clean_store(seed, store_path)
+    n_seed = seed.count()
+
+    new = store.filter(F.col("rid") % 10 == 0)
+    assert append_clean_store(new, store_path) == new.count()
+    assert spark.read.parquet(store_path).count() == store.count()
+    # replay: every rid already present -> nothing appended
+    assert append_clean_store(new, store_path) == 0
+    # overlap batch: mixed old/new appends only the new
+    more = store.limit(0)
+    assert append_clean_store(more, store_path) == 0
+    assert spark.read.parquet(store_path).count() == n_seed + new.count()
+
+    # appended records are probe candidates (their own block probes hit)
+    batch = incoming.filter((F.col("orig_key") % 10 == 0)).limit(2)
+    got = probe_store_candidates(spark, store_path, batch)
+    hit_rids = {r["a_key"] for r in got.collect()}
+    assert hit_rids & {r["rid"] for r in new.collect()}
