@@ -124,6 +124,7 @@ HEADLINE = [
     "linkage_golden_records_increment",  # delta-maintained golden-record state
     "linkage_forget_golden",  # GDPR erase through the linkage chain
     "advisor_salted_join_exec",  # skew-escalated advice executed (salted join)
+    "events_scd2_incremental",  # delta-maintained SCD2 interval table
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

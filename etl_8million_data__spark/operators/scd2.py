@@ -1,0 +1,210 @@
+"""Incremental SCD2 (slowly-changing-dimension type 2) maintenance —
+the temporal-dimension door of the maintenance family: the islands
+construction (plans/timeseries.events_scd2_type_intervals) builds the
+interval table one-shot; a real dimension RECEIVES change batches and
+must absorb them without re-windowing the whole history, the way
+operators/ivm.py maintains views and operators/golden.py maintains
+golden records.
+
+State: one interval table (key, attr, valid_from, valid_to, n_events,
+is_current) partitioned by ``kb`` = id_bucket(key). A change batch
+touches only its keys' buckets:
+
+- the batch's NEW segments are islands over the batch alone, except at
+  the seam with each key's CURRENT open interval — elegantly handled by
+  re-emitting the current row as one PSEUDO-EVENT carrying its
+  n_events as a weight at ts = valid_from (sorted before the batch by
+  a sentinel sequence number), and running the SAME islands pass over
+  pseudo ∪ batch: a batch whose first change repeats the current
+  attribute extends the open interval (weights sum), a different
+  attribute closes it — one code path for init, seam, and new keys;
+- CLOSED rows of touched keys are byte-preserved (the merge only
+  re-derives from the current interval's start onward);
+- untouched keys' buckets are never read or rewritten (the golden/
+  forget blast-radius contract).
+
+ORDER CONTRACT (checked loudly, not assumed): SCD2 merge against only
+the current row is correct iff the batch's changes are not OLDER than
+the key's open interval — a violation (late data) raises instead of
+silently splicing wrong intervals; the remedy for late-heavy sources
+is a per-key re-derivation from a retained change log, a different
+operator by design.
+
+Reference semantics: the reference has no temporal surface; this
+extends the SCD2 family (SURVEY §7.2's extension brief).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.golden import _overwrite_buckets
+from etl_8million_data__spark.operators.partitioning import id_bucket
+
+SCD2_NB = 16
+
+
+def _nb(root: str) -> int:
+    with open(os.path.join(root, "_nb")) as fh:
+        return int(fh.read().strip())
+
+
+def build_intervals(changes: DataFrame, weight: str | None = None) -> DataFrame:
+    """Islands-and-gaps SCD2 build over a change stream
+    (key, seq, ts, attr[, weight]): consecutive repeats of ``attr``
+    per key collapse into [valid_from, valid_to) intervals with
+    NULL valid_to / is_current = 1 on the open row. ``weight`` (event
+    multiplicity, default 1 per row) makes the pass reusable for the
+    seam merge, where the current interval re-enters as one weighted
+    pseudo-event. Identical semantics to the registered one-shot query
+    (plans/timeseries.events_scd2_type_intervals)."""
+    w_expr = F.col(weight) if weight else F.lit(1)
+    e = changes.select(
+        "key", "seq", "ts", "attr", w_expr.cast("bigint").alias("_w")
+    )
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    chg = F.when(
+        F.lag("attr").over(w).isNull()
+        | (F.col("attr") != F.lag("attr").over(w)),
+        1,
+    ).otherwise(0)
+    seg = e.withColumn("_chg", chg).withColumn(
+        "seg_no",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = seg.groupBy("key", "seg_no").agg(
+        F.min("attr").alias("attr"),
+        F.min("ts").alias("valid_from"),
+        F.sum("_w").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("key").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return g.select(
+        "key",
+        "attr",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+def scd2_init(changes: DataFrame, root: str, nb: int = SCD2_NB) -> None:
+    """One-shot build of the persisted interval table from the full
+    change history (key, seq, ts, attr), bucketed by key hash."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_nb"), "w") as fh:
+        fh.write(str(nb))
+    (
+        build_intervals(changes)
+        .withColumn("kb", id_bucket(F.col("key"), nb))
+        .repartition(F.col("kb"))
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(os.path.join(root, "intervals"))
+    )
+
+
+def read_intervals(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "intervals")).drop("kb")
+
+
+def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """Absorb a change batch (key, seq, ts, attr) into the persisted
+    interval table in DELTA time: only the batch keys' buckets are
+    read; only their CURRENT rows are re-derived (closed history is
+    value-preserved); a batch change OLDER than a key's open interval
+    raises (the order contract). Replay note: re-applying an already-
+    absorbed batch violates the order check (its ts equal the open
+    interval's span) or inflates weights — drive this through
+    checkpointed streaming (exactly-once batch ids) or dedup upstream,
+    the stream_golden_ingest discipline."""
+    nb = _nb(root)
+    path = os.path.join(root, "intervals")
+    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=True)
+    keys = b.select("key").distinct()
+    kbs = [
+        r["_b"]
+        for r in keys.select(id_bucket(F.col("key"), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    old = spark.read.parquet(path)
+    old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
+    old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=True)
+    cur = old_touched.filter(F.col("is_current") == 1)
+
+    # order contract: the batch must be strictly after each key's open
+    # interval start (equal-ts collisions with the open row would
+    # reorder nondeterministically against the pseudo-event)
+    viol = (
+        cur.join(b.groupBy("key").agg(F.min("ts").alias("_mn")), "key")
+        .filter(F.col("valid_from") >= F.col("_mn"))
+        .limit(1)
+        .count()
+    )
+    if viol:
+        raise ValueError(
+            "scd2_apply received changes at or before a key's open "
+            "interval start (late data): re-derive that key from the "
+            "retained change log instead of merging against the current row"
+        )
+
+    pseudo = cur.select(
+        "key",
+        F.lit(-1).cast("long").alias("seq"),
+        F.col("valid_from").alias("ts"),
+        "attr",
+        F.col("n_events").alias("_w"),
+    )
+    merged = build_intervals(
+        pseudo.unionByName(
+            b.select("key", "seq", "ts", "attr", F.lit(1).alias("_w"))
+        ),
+        weight="_w",
+    )
+    content = (
+        old.join(F.broadcast(keys), "key", "left_anti")
+        .unionByName(
+            old_touched.filter(F.col("is_current") == 0).drop("kb").withColumn(
+                "kb", id_bucket(F.col("key"), nb)
+            )
+        )
+        .unionByName(merged.withColumn("kb", id_bucket(F.col("key"), nb)))
+    )
+    _overwrite_buckets(spark, path, "kb", content, kbs)
+
+
+def stream_scd2_changes(
+    changes_stream: DataFrame, root: str, checkpoint_dir: str
+):
+    """Streaming twin: each micro-batch of dimension changes absorbs
+    via :func:`scd2_apply`. Replay safety via the ``_applied_batch``
+    sidecar (scd2_apply is NOT idempotent — a redelivered batch would
+    trip the order check or inflate weights), the stream_golden_ingest
+    discipline."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(root, "_applied_batch")
+        try:
+            with open(marker) as fh:
+                if int(fh.read().strip()) == batch_id:
+                    return
+        except (OSError, ValueError):
+            pass
+        bd = batch_df.localCheckpoint(eager=True)
+        if bd.count():
+            scd2_apply(spark, root, bd)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

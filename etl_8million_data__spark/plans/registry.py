@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_golden_records_increment",
     "linkage_forget_golden",
     "advisor_salted_join_exec",
+    "events_scd2_incremental",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",

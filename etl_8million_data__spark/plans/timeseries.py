@@ -448,6 +448,84 @@ def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_scd2_incremental",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg_no
+      FROM ordered),
+    g AS (
+      SELECT user_id, seg_no, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM seg GROUP BY user_id, seg_no)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM g
+    """,
+    tags=("timeseries", "scd2", "temporal", "incremental", "extension",
+          "persisted-view"),
+)
+def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance (operators/scd2.py) — the
+    temporal-dimension door of the maintenance family: the interval
+    table is initialized from the FIRST HALF of the change history
+    (events at or before the time-range midpoint), the second half then
+    absorbs via :func:`scd2_apply` — only the batch keys' buckets are
+    read, only their CURRENT open intervals re-derive (the current row
+    re-enters the islands pass as one weighted pseudo-event, so seam
+    extension vs closure falls out of the same code path), closed
+    history is value-preserved — and the final table is read back.
+    Proven by equivalence: the oracle is the one-shot islands build
+    over ALL events (split-independence IS the correctness claim, the
+    refresh_join_view / golden_increment discipline). Late-data safety:
+    a batch change at or before a key's open interval start raises
+    loudly instead of splicing wrong intervals (order contract,
+    tests/test_scd2.py)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.scd2 import (
+        read_intervals,
+        scd2_apply,
+        scd2_init,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.col("event_type").alias("attr"),
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    root = _persisted_index_root(sf_dir, "scd2_incr")
+    shutil.rmtree(root, ignore_errors=True)
+    scd2_init(e.filter(F.col("ts") <= F.lit(cutoff)), root)
+    scd2_apply(spark, root, e.filter(F.col("ts") > F.lit(cutoff)))
+    return read_intervals(spark, root).select(
+        F.col("key").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "is_current",
+    )
+
+
+@register(
     "events_concurrent_sessions",
     oracle="""
     WITH marked AS (

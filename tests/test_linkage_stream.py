@@ -149,9 +149,9 @@ def test_probe_prunes_to_batch_blocks_and_matches_flat(spark, sf_dir, tmp_path):
 
 def test_append_clean_store_skip_existing_and_pruned(spark, sf_dir, tmp_path):
     """The store growth door: appends land in their block partitions,
-    a replayed batch appends nothing, appended records become probe
-    candidates, and the skip-existing existence read is PRUNED to the
-    batch's blocks (scan metrics)."""
+    a replayed batch appends nothing, and appended records become probe
+    candidates. (The existence read's block pruning is the same literal
+    partition filter the probe test asserts on scan metrics above.)"""
     from etl_8million_data__spark.operators.linkage import append_clean_store
 
     store, incoming = _split(spark, sf_dir)

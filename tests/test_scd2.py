@@ -1,0 +1,148 @@
+"""Incremental SCD2 maintenance (operators/scd2.py): split-independent
+equivalence to the one-shot islands build, late-data order contract,
+blast-radius bucket rewrites, and the replay-safe streaming twin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.scd2 import (
+    build_intervals,
+    read_intervals,
+    scd2_apply,
+    scd2_init,
+    stream_scd2_changes,
+)
+
+
+def _changes(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("seq"),
+            "ts",
+            F.col("event_type").alias("attr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _cuts(e, k):
+    """k+1 time slices of the change set with strictly increasing
+    global cutoffs."""
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    return [lo + (hi - lo) * i / (k + 1) for i in range(1, k + 1)]
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_multi_batch_apply_equals_one_shot(spark, sf_dir, tmp_path):
+    e = _changes(spark, sf_dir)
+    c1, c2 = _cuts(e, 2)
+    root = str(tmp_path / "scd2")
+    scd2_init(e.filter(F.col("ts") <= F.lit(c1)), root)
+    scd2_apply(
+        spark, root, e.filter((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2)))
+    )
+    scd2_apply(spark, root, e.filter(F.col("ts") > F.lit(c2)))
+    want = _as_set(build_intervals(e))
+    assert _as_set(read_intervals(spark, root)) == want
+
+
+def test_late_data_raises_and_blast_radius(spark, sf_dir, tmp_path):
+    e = _changes(spark, sf_dir)
+    (c1,) = _cuts(e, 1)
+    root = str(tmp_path / "scd2")
+    init = e.filter(F.col("ts") <= F.lit(c1))
+    scd2_init(init, root)
+
+    # late data: re-sending part of the already-absorbed history must
+    # raise the order contract, never splice silently
+    with pytest.raises(ValueError, match="late data"):
+        scd2_apply(spark, root, init.orderBy("ts").limit(5))
+
+    # blast radius: a single-key batch rewrites only that key's bucket
+    def snap():
+        out = {}
+        base = os.path.join(root, "intervals")
+        for dirpath, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, base)] = fh.read()
+        return out
+
+    before = snap()
+    one = (
+        e.filter(F.col("ts") > F.lit(c1))
+        .orderBy("ts", "seq")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+    from etl_8million_data__spark.operators.scd2 import _nb
+
+    kb = one.select(id_bucket(F.col("key"), _nb(root)).alias("b")).first()["b"]
+    scd2_apply(spark, root, one)
+    after = snap()
+    changed = {
+        rel
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed, "the touched bucket must rewrite"
+    assert all(rel.startswith(f"kb={kb}{os.sep}") for rel in changed), changed
+    # and the merge is still correct for that key
+    want = _as_set(
+        build_intervals(init.unionByName(one)).filter(
+            F.col("key") == one.first()["key"]
+        )
+    )
+    got = _as_set(
+        read_intervals(spark, root).filter(F.col("key") == one.first()["key"])
+    )
+    assert got == want
+
+
+def test_stream_scd2_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    e = _changes(spark, sf_dir)
+    (c1,) = _cuts(e, 1)
+    root = str(tmp_path / "scd2")
+    scd2_init(e.filter(F.col("ts") <= F.lit(c1)), root)
+
+    # stream the tail in ts-ordered micro-batches (the order contract
+    # holds across batches when files are time-sliced)
+    tail = e.filter(F.col("ts") > F.lit(c1))
+    (lo, hi) = tail.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "changes")
+    tail.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(src)
+    tail.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # maxFilesPerTrigger would not guarantee file ORDER; apply the two
+    # slices as two explicit availableNow runs instead
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        stream_scd2_changes(stream, root, str(tmp_path / ckpt)).awaitTermination()
+
+    # single availableNow batch over both files == one apply
+    run("ck1")
+    want = _as_set(build_intervals(e))
+    assert _as_set(read_intervals(spark, root)) == want
+
+    # drained-stream replay is a no-op (sidecar blocks the re-apply)
+    run("ck1")
+    assert _as_set(read_intervals(spark, root)) == want

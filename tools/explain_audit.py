@@ -134,6 +134,9 @@ AUDIT = {
     # salted advice executed: small side exploded across salt buckets
     # (Generate), join on (key, _salt), map-side-partial final agg.
     "advisor_salted_join_exec": ["Generate", "HashAggregate"],
+    # SCD2 increments: bucket-pruned state reads inside the operator;
+    # the returned frame is the interval-table read.
+    "events_scd2_incremental": ["ReadSchema"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
