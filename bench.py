@@ -125,6 +125,7 @@ HEADLINE = [
     "linkage_forget_golden",  # GDPR erase through the linkage chain
     "advisor_salted_join_exec",  # skew-escalated advice executed (salted join)
     "events_scd2_incremental",  # delta-maintained SCD2 interval table
+    "advisor_layout_zonemap",  # sort-key scan-skipping advisor
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

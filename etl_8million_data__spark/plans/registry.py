@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_forget_golden",
     "advisor_salted_join_exec",
     "events_scd2_incremental",
+    "advisor_layout_zonemap",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",

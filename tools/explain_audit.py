@@ -137,6 +137,9 @@ AUDIT = {
     # SCD2 increments: bucket-pruned state reads inside the operator;
     # the returned frame is the interval-table read.
     "events_scd2_incremental": ["ReadSchema"],
+    # layout advisor: per-layout bucket histogram + co-partitioned
+    # rank; zone tables are 64 rows; preds broadcast-crossed.
+    "advisor_layout_zonemap": ["HashAggregate", "Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
