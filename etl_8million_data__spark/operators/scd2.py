@@ -26,9 +26,12 @@ touches only its keys' buckets:
 ORDER CONTRACT (checked loudly, not assumed): SCD2 merge against only
 the current row is correct iff the batch's changes are not OLDER than
 the key's open interval — a violation (late data) raises instead of
-silently splicing wrong intervals; the remedy for late-heavy sources
-is a per-key re-derivation from a retained change log, a different
-operator by design.
+silently splicing wrong intervals. The late-data door is
+:func:`scd2_apply_late`: when the state retains its change LOG
+(``scd2_init(..., keep_log=True)``), a late batch appends to the log
+and re-derives ONLY the touched keys' intervals from their full
+(bucket-pruned) log — per-key re-derivation instead of a seam merge,
+correct under any arrival order, still bucket-bounded.
 
 Reference semantics: the reference has no temporal surface; this
 extends the SCD2 family (SURVEY §7.2's extension brief).
@@ -92,12 +95,19 @@ def build_intervals(changes: DataFrame, weight: str | None = None) -> DataFrame:
     )
 
 
-def scd2_init(changes: DataFrame, root: str, nb: int = SCD2_NB) -> None:
+def scd2_init(
+    changes: DataFrame, root: str, nb: int = SCD2_NB, keep_log: bool = False
+) -> None:
     """One-shot build of the persisted interval table from the full
-    change history (key, seq, ts, attr), bucketed by key hash."""
+    change history (key, seq, ts, attr), bucketed by key hash.
+    ``keep_log=True`` also persists the raw change log (same bucketing)
+    — the prerequisite for the late-data door
+    (:func:`scd2_apply_late`); sources guaranteed in-order can skip the
+    log and live on the cheap seam merge alone."""
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "_nb"), "w") as fh:
         fh.write(str(nb))
+    changes = changes.select("key", "seq", "ts", "attr")
     (
         build_intervals(changes)
         .withColumn("kb", id_bucket(F.col("key"), nb))
@@ -106,10 +116,90 @@ def scd2_init(changes: DataFrame, root: str, nb: int = SCD2_NB) -> None:
         .partitionBy("kb")
         .parquet(os.path.join(root, "intervals"))
     )
+    if keep_log:
+        (
+            changes.withColumn("kb", id_bucket(F.col("key"), nb))
+            .repartition(F.col("kb"))
+            .write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(os.path.join(root, "log"))
+        )
 
 
 def read_intervals(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "intervals")).drop("kb")
+
+
+def _append_log(
+    spark: SparkSession, root: str, b: DataFrame, kbs: list[int], nb: int
+) -> None:
+    """Skip-existing append of a change batch into the retained log (no
+    log -> no-op): the existence read is pruned to the batch's buckets
+    and column-pruned to (key, seq), so a replayed batch appends
+    nothing — the append_clean_store discipline."""
+    log_path = os.path.join(root, "log")
+    if not os.path.isdir(log_path):
+        return
+    existing = (
+        spark.read.parquet(log_path)
+        .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
+        .select("key", "seq")
+    )
+    fresh = b.join(existing, ["key", "seq"], "left_anti").localCheckpoint(
+        eager=True
+    )
+    if fresh.count():
+        (
+            fresh.withColumn("kb", id_bucket(F.col("key"), nb))
+            .repartition(F.col("kb"))
+            .write.mode("append")
+            .partitionBy("kb")
+            .parquet(log_path)
+        )
+        spark.catalog.refreshByPath(log_path)
+
+
+def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """The LATE-DATA door: absorb a change batch in ANY arrival order by
+    re-deriving the touched keys' intervals from their full retained
+    change log instead of seam-merging against the current row. Requires
+    ``scd2_init(..., keep_log=True)``. Still bucket-bounded: the log
+    read, the rebuild, and the rewrite all prune to the batch keys'
+    buckets; closed history of touched keys is REPLACED (a late change
+    can legitimately rewrite it — that is the point), untouched keys'
+    buckets stay byte-identical. Replay-idempotent end to end: the log
+    append is skip-existing on (key, seq) and the rebuild is a pure
+    function of the log."""
+    nb = _nb(root)
+    log_path = os.path.join(root, "log")
+    if not os.path.isdir(log_path):
+        raise ValueError(
+            "scd2_apply_late requires the retained change log "
+            "(scd2_init(..., keep_log=True))"
+        )
+    path = os.path.join(root, "intervals")
+    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=True)
+    keys = b.select("key").distinct()
+    kbs = [
+        r["_b"]
+        for r in keys.select(id_bucket(F.col("key"), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    _append_log(spark, root, b, kbs, nb)
+    log_touched = (
+        spark.read.parquet(log_path)
+        .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
+        .join(F.broadcast(keys), "key")
+        .select("key", "seq", "ts", "attr")
+    )
+    merged = build_intervals(log_touched)
+    old = spark.read.parquet(path)
+    old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
+    content = old.join(F.broadcast(keys), "key", "left_anti").unionByName(
+        merged.withColumn("kb", id_bucket(F.col("key"), nb))
+    )
+    _overwrite_buckets(spark, path, "kb", content, kbs)
 
 
 def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
@@ -117,7 +207,11 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     interval table in DELTA time: only the batch keys' buckets are
     read; only their CURRENT rows are re-derived (closed history is
     value-preserved); a batch change OLDER than a key's open interval
-    raises (the order contract). Replay note: re-applying an already-
+    raises (the order contract). The log append deliberately happens
+    BEFORE the order check: a batch rejected as late is already safely
+    in the log, so the caller's recovery is exactly one
+    :func:`scd2_apply_late` call (whose skip-existing append makes the
+    half-applied state harmless). Replay note: re-applying an already-
     absorbed batch violates the order check (its ts equal the open
     interval's span) or inflates weights — drive this through
     checkpointed streaming (exactly-once batch ids) or dedup upstream,
@@ -132,6 +226,9 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
         .distinct()
         .collect()
     ]
+    # keep the retained log (when present) in sync, so a later
+    # scd2_apply_late sees the full per-key history
+    _append_log(spark, root, b, kbs, nb)
     old = spark.read.parquet(path)
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=True)

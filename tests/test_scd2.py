@@ -112,6 +112,44 @@ def test_late_data_raises_and_blast_radius(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_late_data_door_rederives_from_log(spark, sf_dir, tmp_path):
+    """scd2_apply_late must absorb OUT-OF-ORDER batches correctly by
+    per-key re-derivation from the retained log: delivering the change
+    history with its middle slice LAST still converges to the one-shot
+    build, replaying the late batch is a no-op (skip-existing log
+    append + pure rebuild), and the fast path keeps the log in sync."""
+    e = _changes(spark, sf_dir)
+    c1, c2 = _cuts(e, 2)
+    early = e.filter(F.col("ts") <= F.lit(c1))
+    middle = e.filter((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2)))
+    tail = e.filter(F.col("ts") > F.lit(c2))
+
+    root = str(tmp_path / "scd2")
+    scd2_init(early, root, keep_log=True)
+    # fast path first (in order): tail after early — log stays in sync
+    from etl_8million_data__spark.operators.scd2 import scd2_apply_late
+
+    scd2_apply(spark, root, tail)
+    # the middle arrives LAST (late): the fast path would raise; the
+    # late door re-derives the touched keys from the full log
+    with pytest.raises(ValueError, match="late data"):
+        scd2_apply(spark, root, middle)
+    scd2_apply_late(spark, root, middle)
+
+    want = _as_set(build_intervals(e))
+    assert _as_set(read_intervals(spark, root)) == want
+
+    # replaying the late batch changes nothing
+    scd2_apply_late(spark, root, middle)
+    assert _as_set(read_intervals(spark, root)) == want
+
+    # without a retained log the late door refuses loudly
+    root2 = str(tmp_path / "scd2_nolog")
+    scd2_init(early, root2)
+    with pytest.raises(ValueError, match="retained change log"):
+        scd2_apply_late(spark, root2, middle)
+
+
 def test_stream_scd2_equals_batch_and_replays(spark, sf_dir, tmp_path):
     e = _changes(spark, sf_dir)
     (c1,) = _cuts(e, 1)
