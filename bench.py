@@ -148,10 +148,19 @@ def regressed(
 ) -> bool:
     """The regression rule applied in BOTH passes (first flag and
     isolated adjudication): boot-normalized time must exceed the prior
-    by >25% AND by more than the measured noise floor."""
+    by >25% AND by more than the measured noise floor. The boot factor
+    is CLAMPED at 1.0: dividing by a sub-1 factor (this boot's
+    sentinels ran FASTER than the committed run's) inflates every raw
+    time and flags queries whose raw cost merely stayed flat — nothing
+    got worse, they just didn't share the sentinel speedup (measured in
+    round 11: three 'confirmed' flags whose isolated raw times matched
+    their priors within noise). Slow boots (factor > 1) still normalize
+    down, which is the masking direction the factor exists for; on fast
+    boots a real regression must show RAW growth, which it does by
+    definition."""
     if prev is None or prev <= 0:
         return False
-    t_norm = t / boot_factor
+    t_norm = t / max(boot_factor, 1.0)
     return t_norm > prev * 1.25 and (t_norm - prev) > noise
 
 

@@ -21,6 +21,11 @@ def test_regression_rule():
     # boot factor normalizes a slow host out of the comparison
     assert not regressed(2.0, 1.0, 0.15, 2.1)
     assert regressed(4.0, 1.0, 0.15, 2.0)
+    # FAST boots clamp to raw comparison: a flat raw time is never a
+    # regression just because the sentinels sped up...
+    assert not regressed(1.0, 1.0, 0.15, 0.7)
+    # ...but raw growth on a fast boot still flags
+    assert regressed(1.6, 1.0, 0.15, 0.7)
     # measured spread wider than the delta -> noise, not regression
     assert not regressed(2.0, 1.0, 1.5, 1.0)
 
