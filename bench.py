@@ -126,6 +126,7 @@ HEADLINE = [
     "advisor_salted_join_exec",  # skew-escalated advice executed (salted join)
     "events_scd2_incremental",  # delta-maintained SCD2 interval table
     "advisor_layout_zonemap",  # sort-key scan-skipping advisor
+    "corpus_incremental_curation",  # batch-by-batch curation vs persisted index
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -3855,3 +3855,89 @@ def search_bm25_proximity_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("phrase", "doc_id", "borda", "rank")
     )
+
+
+@register(
+    "corpus_incremental_curation",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLED}), sig AS ({_SIG}), bands AS ({_BANDS}),
+    qual AS (
+      SELECT doc_id FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 10),
+    hb AS (SELECT b.* FROM bands b JOIN qual USING (doc_id)
+           WHERE doc_id % 5 <> 0),
+    db AS (SELECT b.* FROM bands b JOIN qual USING (doc_id)
+           WHERE doc_id % 5 = 0),
+    hist_drop AS (
+      SELECT DISTINCT a.doc_id FROM hb a
+      JOIN hb b ON a.band = b.band AND a.band_key = b.band_key
+               AND b.doc_id < a.doc_id),
+    hist_kept AS (
+      SELECT doc_id FROM qual
+      WHERE doc_id % 5 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM hist_drop)),
+    idx AS (
+      SELECT DISTINCT band, band_key FROM hb JOIN hist_kept USING (doc_id)),
+    delta_drop AS (
+      SELECT DISTINCT d.doc_id FROM db d
+      JOIN idx i ON d.band = i.band AND d.band_key = i.band_key
+      UNION
+      SELECT DISTINCT a.doc_id FROM db a
+      JOIN db b ON a.band = b.band AND a.band_key = b.band_key
+               AND b.doc_id < a.doc_id),
+    delta_kept AS (
+      SELECT doc_id FROM qual
+      WHERE doc_id % 5 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM delta_drop))
+    SELECT 'history' AS batch, doc_id FROM hist_kept
+    UNION ALL
+    SELECT 'delta' AS batch, doc_id FROM delta_kept
+    """,
+    tags=("corpus", "dedup", "incremental", "curation", "extension",
+          "persisted-view"),
+)
+def corpus_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus curation end to end — the operational twin of
+    the corpus_e2e_curation flagship: a continuously-growing training
+    corpus is curated batch by batch against PERSISTED state instead of
+    re-deduping history on every ingest. Each batch (here: a history
+    load, then a delta of every 5th doc) passes the quality gate
+    (>= 10 normalized tokens), then
+    operators/incremental_dedup.dedup_increment probes the persisted
+    LSH band index — a new doc is dropped on any band collision with
+    the ACCEPTED corpus (recall-biased, the module's documented
+    tradeoff) or with a smaller-id doc in its own batch — and only the
+    survivors' bands extend the index. The oracle replays BOTH stages'
+    decision rules in SQL over the same minhash/band fragments the
+    batch LSH queries mirror, so the hash gate covers the exact
+    accept/drop semantics, not just row counts. Returns (batch,
+    doc_id) of the curated corpus.
+
+    Scale shape: each batch computes signatures for ITS OWN docs only
+    and equi-joins the compact (band, band_key) index — never re-reads
+    corpus text; the index append is survivors-only and id-bucketed
+    (forget/compaction rewrite only touched buckets); the streaming
+    twin with replay idempotence is streaming/jobs.stream_dedup_increment
+    (tested in tests/test_incremental_dedup.py)."""
+    import os
+    import shutil
+
+    from etl_8million_data__spark.operators.incremental_dedup import (
+        dedup_increment,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.filter(F.size(tokens(F.col("text"))) >= 10).localCheckpoint(
+        eager=True
+    )
+    hist = qual.filter(F.col("doc_id") % 5 != 0)
+    delta = qual.filter(F.col("doc_id") % 5 == 0)
+    root = _persisted_index_root(sf_dir, "inc_curation")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "bands")
+    kept_h = dedup_increment(hist, idx)
+    kept_d = dedup_increment(delta, idx)
+    return kept_h.select(F.lit("history").alias("batch"), "doc_id").unionByName(
+        kept_d.select(F.lit("delta").alias("batch"), "doc_id")
+    )

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "advisor_salted_join_exec",
     "events_scd2_incremental",
     "advisor_layout_zonemap",
+    "corpus_incremental_curation",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",

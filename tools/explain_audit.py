@@ -88,9 +88,10 @@ AUDIT = {
     # scan + the unpack Generate + the ADC hash aggregate.
     "similarity_knn_ivf_pq_persisted": ["PartitionFilters", "Generate", "HashAggregate"],
     # MMR: each greedy round's join/argmax-window sits UPSTREAM of its
-    # round's localCheckpoint (lineage truncation, like kcore); the
-    # final visible plan is the union of the 5 checkpointed picks.
-    "search_mmr_diversified": ["Union"],
+    # round's localCheckpoint (lineage truncation, like kcore) and the
+    # assembled picks union is itself checkpointed — the final visible
+    # plan is exactly the checkpointed RDD scan (audited r11).
+    "search_mmr_diversified": ["ExistingRDD"],
     # bottom-k quantile sketch: the 256-row hash sample must be
     # per-partition heaps (TakeOrderedAndProject), never a global sort;
     # the exact-audit side ranks through bucket-partitioned windows.
@@ -140,6 +141,9 @@ AUDIT = {
     # layout advisor: per-layout bucket histogram + co-partitioned
     # rank; zone tables are 64 rows; preds broadcast-crossed.
     "advisor_layout_zonemap": ["HashAggregate", "Window"],
+    # incremental curation: per-batch signature build + compact
+    # index equi-join; visible = the kept-set union.
+    "corpus_incremental_curation": ["Union"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
