@@ -276,13 +276,21 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
 
 
 def stream_scd2_changes(
-    changes_stream: DataFrame, root: str, checkpoint_dir: str
+    changes_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    allow_late: bool = False,
 ):
     """Streaming twin: each micro-batch of dimension changes absorbs
     via :func:`scd2_apply`. Replay safety via the ``_applied_batch``
     sidecar (scd2_apply is NOT idempotent — a redelivered batch would
     trip the order check or inflate weights), the stream_golden_ingest
-    discipline."""
+    discipline. ``allow_late=True`` (requires the retained log) turns
+    an order-contract violation into the LATE DOOR instead of killing
+    the stream: the cheap seam merge stays the common path and only a
+    genuinely late batch pays the per-key re-derivation — safe because
+    scd2_apply logs the batch BEFORE its order check, so the fallback's
+    skip-existing append sees it already recorded."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -295,7 +303,12 @@ def stream_scd2_changes(
             pass
         bd = batch_df.localCheckpoint(eager=True)
         if bd.count():
-            scd2_apply(spark, root, bd)
+            try:
+                scd2_apply(spark, root, bd)
+            except ValueError:
+                if not allow_late:
+                    raise
+                scd2_apply_late(spark, root, bd)
         with open(marker, "w") as fh:
             fh.write(str(batch_id))
 

@@ -150,6 +150,40 @@ def test_late_data_door_rederives_from_log(spark, sf_dir, tmp_path):
         scd2_apply_late(spark, root2, middle)
 
 
+def test_stream_allow_late_falls_back_to_log_rederivation(
+    spark, sf_dir, tmp_path
+):
+    """allow_late=True streaming: an out-of-order micro-batch routes
+    through the late door instead of killing the stream, and the final
+    table still equals the one-shot build."""
+    from etl_8million_data__spark.operators.scd2 import stream_scd2_changes
+
+    e = _changes(spark, sf_dir)
+    c1, c2 = _cuts(e, 2)
+    early = e.filter(F.col("ts") <= F.lit(c1))
+    middle = e.filter((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2)))
+    tail = e.filter(F.col("ts") > F.lit(c2))
+
+    root = str(tmp_path / "scd2")
+    scd2_init(early, root, keep_log=True)
+    # file order: tail FIRST, middle second -> the second micro-batch
+    # is late relative to the open intervals the first one created
+    src = str(tmp_path / "changes")
+    tail.coalesce(1).write.parquet(src)
+    middle.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_scd2_changes(
+        stream, root, str(tmp_path / "ck"), allow_late=True
+    ).awaitTermination()
+    want = _as_set(build_intervals(e))
+    assert _as_set(read_intervals(spark, root)) == want
+
+
 def test_stream_scd2_equals_batch_and_replays(spark, sf_dir, tmp_path):
     e = _changes(spark, sf_dir)
     (c1,) = _cuts(e, 1)
