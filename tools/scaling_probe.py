@@ -481,11 +481,15 @@ def main() -> None:
     # NOTE: this writer regenerates only the SWEEP sections. The
     # regime/maintenance sections further down SCALING.md (Zipf-Heaps
     # vocabulary + round-10 addendum, IVM refresh, join-view retraction,
-    # linkage SNM-vs-nation volumes, prefix-entropy lesson) are produced
-    # by their dedicated probes (heaps_vocab_probe, ivm_refresh_probe,
-    # retraction_probe, tests/test_linkage_blocking measurements) and
-    # appended by hand — a full regen must re-run those probes and
-    # re-append their sections (or git-restore them) before committing.
+    # linkage SNM-vs-nation volumes, prefix-entropy lesson, and the
+    # round-11 sections: linkage store rows-read, persisted-IVFADC
+    # probe crossover, golden-record maintenance, SCD2 maintenance) are
+    # produced by their dedicated probes (heaps_vocab_probe,
+    # ivm_refresh_probe, retraction_probe, linkage_store_probe,
+    # ivfpq_probe_crossover_probe, golden_increment_probe, scd2_probe,
+    # tests/test_linkage_blocking measurements) and appended by hand —
+    # a full regen must re-run those probes and re-append their
+    # sections (or git-restore them) before committing.
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
             "# SCALING — warm wall-clock across fixture scale factors\n\n"
