@@ -127,6 +127,7 @@ HEADLINE = [
     "events_scd2_incremental",  # delta-maintained SCD2 interval table
     "advisor_layout_zonemap",  # sort-key scan-skipping advisor
     "corpus_incremental_curation",  # batch-by-batch curation vs persisted index
+    "ops_table_diff",  # Merkle bucket-checksum table diff
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -1,0 +1,132 @@
+"""Merkle-style table diff — the ops tool for validating a migration,
+backfill, or replica at 100 TB: comparing two table versions row by row
+is a full-shuffle full-outer join of BOTH tables, but almost all of a
+real pair is identical, so the join should only ever see the parts that
+differ. Two phases (the Merkle-tree discipline applied to the id-bucket
+layout the persisted stores already use):
+
+1. BUCKET CHECKSUMS: each side aggregates one order-insensitive
+   fingerprint per key bucket — sum of per-row xxhash64 over the
+   columns under comparison, plus the row count. Map-side partials;
+   the shuffle carries |buckets| rows however large the tables are.
+   Buckets whose (checksum, count) match on both sides are PROVEN
+   equal (up to 2^-64 hash collision) and never touched again.
+2. ROW DIFF, differing buckets only: the bounded differing-bucket set
+   is pushed as a literal partition filter into BOTH sides' fresh
+   scans (file-listing pruning on `kb=` layouts — asserted on executed
+   scan metrics in tests), and a full-outer join by key classifies
+   added / removed / changed.
+
+At 1% drift the expensive phase reads and shuffles ~1% of the data
+(bucket granularity); identical tables short-circuit after phase 1.
+The row hash is engine-internal (never oracle-compared): a changed row
+is one whose two versions hash differently, so a 2^-64 collision could
+misclassify a changed row as unchanged — the registered query's DuckDB
+oracle compares real column values, so the hash gate itself would
+surface such a collision.
+
+Reference semantics: the reference validates loads by row counts only
+(details.py's read-back counting); this is the content-level upgrade,
+SURVEY §7.2's ops-extension brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.partitioning import (
+    id_bucket,
+    is_hive_partitioned,
+)
+
+DIFF_NB = 16
+
+
+def _prep(
+    spark: SparkSession, path: str, keys: list[str], cols: list[str], nb: int
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    if not is_hive_partitioned(path, "kb"):
+        # unbucketed legacy input: derive the bucket (phase 2 loses
+        # file-listing pruning but keeps the early filter)
+        df = df.withColumn("kb", id_bucket(F.col(keys[0]), nb))
+    return df.select(*keys, *cols, "kb")
+
+
+def _row_hash(keys: list[str], cols: list[str]):
+    # deterministic column order; null-safe via explicit marker
+    ordered = list(keys) + sorted(cols)
+    return F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in ordered]
+    )
+
+
+def diff_tables(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    keys: list[str],
+    cols: list[str],
+    nb: int = DIFF_NB,
+) -> DataFrame:
+    """Row-level diff of table B vs table A over ``keys`` (unique per
+    table), comparing ``cols``: returns (keys..., change) with change
+    in {'added', 'removed', 'changed'}; unchanged rows never appear.
+    Phase-1 bucket checksums prove identical buckets equal; phase 2
+    joins only the differing buckets (literal-pruned scans)."""
+    a = _prep(spark, path_a, keys, cols, nb)
+    b = _prep(spark, path_b, keys, cols, nb)
+    rh = _row_hash(keys, cols)
+
+    def sums(df: DataFrame, side: str) -> DataFrame:
+        # decimal(38,0) sum: exact and overflow-free under ANSI for any
+        # realistic bucket (full-range int64 hashes x up to ~1e19 rows)
+        return df.groupBy("kb").agg(
+            F.sum(rh.cast("decimal(38,0)")).alias(f"cs_{side}"),
+            F.count(F.lit(1)).alias(f"n_{side}"),
+        )
+
+    budget = (
+        sums(a, "a")
+        .join(sums(b, "b"), "kb", "full_outer")
+        .filter(
+            ~(
+                F.col("cs_a").eqNullSafe(F.col("cs_b"))
+                & F.col("n_a").eqNullSafe(F.col("n_b"))
+            )
+        )
+        .select("kb")
+    )
+    diff_kbs = [r["kb"] for r in budget.collect()]  # <= nb rows
+    if not diff_kbs:
+        return spark.createDataFrame(
+            [], ", ".join(f"{k} bigint" for k in keys) + ", change string"
+        )
+    a2 = _prep(spark, path_a, keys, cols, nb).filter(F.col("kb").isin(diff_kbs))
+    b2 = _prep(spark, path_b, keys, cols, nb).filter(F.col("kb").isin(diff_kbs))
+    ja = a2.select(*keys, rh.alias("_h_a"))
+    jb = b2.select(*keys, rh.alias("_h_b"))
+    j = ja.join(jb, keys, "full_outer")
+    return j.select(
+        *keys,
+        F.when(F.col("_h_a").isNull(), F.lit("added"))
+        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())
+
+
+def write_bucketed(
+    df: DataFrame, path: str, key: str, nb: int = DIFF_NB
+) -> None:
+    """Persist a table in the diffable layout: `kb=` key-bucket
+    partitions, one file per bucket (the write_clean_store small-files
+    discipline)."""
+    (
+        df.withColumn("kb", id_bucket(F.col(key), nb))
+        .repartition(F.col("kb"))
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(path)
+    )

@@ -372,3 +372,92 @@ def ivm_agg_view_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = base.filter(F.col("pk") % 7 == 0).select("pk")
     delta = agg_view_delete_delta(base, victims, "pk", ["grp"], ["cents"])
     return apply_agg_delta(view0, delta, ["grp"], ["cents"])
+
+
+@register(
+    "ops_table_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             o_orderpriority AS prio, o_custkey AS cust
+      FROM orders),
+    b AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN price_c * 2 ELSE price_c END AS price_c,
+             prio, cust
+      FROM a WHERE k % 13 <> 0
+      UNION ALL
+      SELECT -(k + 1), price_c, prio, cust FROM a WHERE k % 11 = 0),
+    j AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.price_c IS DISTINCT FROM b.price_c
+                       OR a.prio IS DISTINCT FROM b.prio
+                       OR a.cust IS DISTINCT FROM b.cust THEN 'changed'
+             END AS change
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT k, change FROM j WHERE change IS NOT NULL
+    """,
+    tags=("ops", "diff", "validation", "extension", "scale-path"),
+)
+def ops_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE-STYLE TABLE DIFF (operators/diff.py) — the
+    migration/backfill validator: two versions of the orders table
+    (version B deletes every 13th key, doubles every 7th's price, and
+    inserts a new negative-key row per 11th) are persisted in the
+    `kb=` bucket layout and diffed in two phases: per-bucket
+    order-insensitive checksums prove identical buckets equal with
+    |buckets| shuffled rows, then ONLY the differing buckets' files are
+    re-read (literal partition filter, scan-metrics asserted in
+    tests/test_table_diff.py) and full-outer joined by key into
+    (k, change) rows — added / removed / changed, unchanged rows never
+    emitted. The oracle recomputes the diff by comparing REAL column
+    values, so the engine's row-hash classification is itself gated
+    (a hash collision would hash-mismatch here). At 1% drift the
+    expensive phase touches ~1% of the data; identical tables
+    short-circuit after phase 1.
+
+    Scale shape: phase 1 is one map-side-combined aggregate per side
+    (shuffle = |buckets| rows); phase 2's scans and join are bounded by
+    the differing buckets; nothing ever full-outer joins the whole
+    tables."""
+    import os
+    import shutil
+
+    from etl_8million_data__spark.operators.diff import diff_tables, write_bucketed
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("cust"),
+    )
+    b = (
+        o.filter(F.col("k") % 13 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("price_c") * 2)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "prio",
+            "cust",
+        )
+        .unionByName(
+            o.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "price_c", "prio", "cust"
+            )
+        )
+    )
+    root = _persisted_index_root(sf_dir, "table_diff")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, os.path.join(root, "a"), "k")
+    write_bucketed(b, os.path.join(root, "b"), "k")
+    return diff_tables(
+        spark,
+        os.path.join(root, "a"),
+        os.path.join(root, "b"),
+        ["k"],
+        ["price_c", "prio", "cust"],
+    )

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_scd2_incremental",
     "advisor_layout_zonemap",
     "corpus_incremental_curation",
+    "ops_table_diff",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",

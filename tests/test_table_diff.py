@@ -1,0 +1,117 @@
+"""Merkle-style table diff (operators/diff.py): bucket checksums must
+prove identical buckets equal so phase 2 reads ONLY the differing
+buckets' files (executed scan metrics), identical tables short-circuit
+entirely, and the classification matches a naive full-outer reference
+on bucketed and legacy-unbucketed layouts alike."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.catalog import load_table
+from etl_8million_data__spark.operators.diff import (
+    DIFF_NB,
+    diff_tables,
+    write_bucketed,
+)
+
+
+def _versions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("cust"),
+    )
+    return o.localCheckpoint(eager=True)
+
+
+def _naive(a, b):
+    ja = a.select("k", F.struct("prio", "cust").alias("_a"))
+    jb = b.select("k", F.struct("prio", "cust").alias("_b"))
+    j = ja.join(jb, "k", "full_outer")
+    return {
+        (r["k"], r["change"])
+        for r in j.select(
+            "k",
+            F.when(F.col("_a").isNull(), "added")
+            .when(F.col("_b").isNull(), "removed")
+            .when(F.col("_a") != F.col("_b"), "changed")
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+        .collect()
+    }
+
+
+def test_diff_prunes_to_differing_buckets(spark, sf_dir, tmp_path):
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    o = _versions(spark, sf_dir)
+    # B changes exactly ONE key -> exactly one bucket differs
+    victim = o.orderBy("k").first()["k"]
+    b = o.withColumn(
+        "prio",
+        F.when(F.col("k") == victim, F.lit("X-EDITED")).otherwise(F.col("prio")),
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k")
+    write_bucketed(b, pb, "k")
+    df = diff_tables(spark, pa, pb, ["k"], ["prio", "cust"])
+    rows = {(r["k"], r["change"]) for r in df.collect()}
+    assert rows == {(victim, "changed")}
+    # phase-2 scans read exactly the one differing bucket's files
+    for frag in ("a", "b"):
+        metrics = _scan_partition_metrics(df, f"{tmp_path}/{frag}")
+        assert metrics, f"no {frag} scan found"
+        for m in metrics:
+            assert m["numPartitions"] == 1, (frag, m)
+
+    # identical tables short-circuit: empty diff frame
+    assert diff_tables(spark, pa, pa, ["k"], ["prio", "cust"]).count() == 0
+
+
+def test_diff_classification_matches_naive_and_legacy_layout(
+    spark, sf_dir, tmp_path
+):
+    o = _versions(spark, sf_dir)
+    b = (
+        o.filter(F.col("k") % 13 != 0)
+        .withColumn(
+            "prio",
+            F.when(F.col("k") % 7 == 0, F.lit("Z-MOVED")).otherwise(
+                F.col("prio")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "prio", "cust"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    want = _naive(o, b)
+    assert want, "fixture must produce a non-empty diff"
+
+    # bucketed layout
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k")
+    write_bucketed(b, pb, "k")
+    got = {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa, pb, ["k"], ["prio", "cust"]).collect()
+    }
+    assert got == want
+
+    # legacy unbucketed inputs: derived buckets, same answer
+    fa, fb = str(tmp_path / "fa"), str(tmp_path / "fb")
+    o.write.parquet(fa)
+    b.write.parquet(fb)
+    got_flat = {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, fa, fb, ["k"], ["prio", "cust"]).collect()
+    }
+    assert got_flat == want
+
+    # every change class present
+    assert {c for _, c in want} == {"added", "removed", "changed"}
+    assert DIFF_NB == 16

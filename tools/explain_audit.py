@@ -144,6 +144,9 @@ AUDIT = {
     # incremental curation: per-batch signature build + compact
     # index equi-join; visible = the kept-set union.
     "corpus_incremental_curation": ["Union"],
+    # table diff: phase-1 checksums are map-side-combined aggregates;
+    # phase 2 is the differing-buckets-only full-outer join.
+    "ops_table_diff": ["HashAggregate", "FullOuter"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
