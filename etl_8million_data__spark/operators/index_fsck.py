@@ -136,3 +136,113 @@ def fsck_bucket_purity(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("_stored") != F.col("_want"), 1)).alias("n_misplaced"),
     )
+
+
+def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
+    """One-row health report for the golden-record state
+    (operators/golden.py) — the cross-table invariants a delta
+    maintenance bug would quietly break, checked as pure column-pruned
+    reads + hash aggregates:
+
+    - ``n_bucket_impurity``: members/edges/golden/ridmap rows whose
+      stored bucket differs from the hash of their component/rid — a
+      misplaced row is INVISIBLE to every bucket-pruned delta
+      (the fsck_bucket_purity failure mode applied to all four tables);
+    - ``n_member_ridmap_mismatch``: members whose ridmap row is missing
+      or carries a different component (the pruned lookup would route a
+      delta to the wrong component), plus orphan ridmap rows;
+    - ``n_golden_component_mismatch``: components present in members
+      but missing a golden row, or golden rows for components with no
+      members (a failed partial rewrite);
+    - ``n_edge_endpoint_escapes``: edge rows whose a_key endpoint is
+      not a member of the edge's own component (the erase path depends
+      on an edge living with its component);
+    - ``n_label_violations``: components whose id is not their minimum
+      member rid (the min-label convention every delta relies on to
+      keep labels collision-free).
+    """
+    import os
+
+    from etl_8million_data__spark.operators.golden import _nb
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    nb = _nb(root)
+    members = spark.read.parquet(os.path.join(root, "members"))
+    edges = spark.read.parquet(os.path.join(root, "edges"))
+    golden = spark.read.parquet(os.path.join(root, "golden"))
+    ridmap = spark.read.parquet(os.path.join(root, "ridmap"))
+
+    def impurity(df: DataFrame, col: str, part: str) -> DataFrame:
+        return df.select(
+            F.sum(
+                F.when(
+                    F.col(part) != id_bucket(F.col(col), nb), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n")
+        )
+
+    imp = (
+        impurity(members, "component", "cb")
+        .unionByName(impurity(edges, "component", "cb"))
+        .unionByName(impurity(golden, "component", "cb"))
+        .unionByName(impurity(ridmap, "rid", "rb"))
+        .agg(F.sum("n").cast("bigint").alias("n_bucket_impurity"))
+    )
+    m = members.select("rid", "component")
+    rm_join = m.join(
+        ridmap.select("rid", F.col("component").alias("_rm_comp")),
+        "rid",
+        "full_outer",
+    )
+    rm_bad = rm_join.agg(
+        F.sum(
+            F.when(
+                F.col("component").isNull()
+                | F.col("_rm_comp").isNull()
+                | (F.col("component") != F.col("_rm_comp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_member_ridmap_mismatch")
+    )
+    # missing golden rows AND orphan golden rows, one full-outer pass
+    gc = (
+        m.select("component")
+        .distinct()
+        .withColumn("_m", F.lit(1))
+        .join(golden.select("component").withColumn("_g", F.lit(1)), "component", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("_m").isNull() | F.col("_g").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_golden_component_mismatch")
+        )
+    )
+    ee = edges.select(
+        F.col("a_key").alias("rid"), F.col("component").alias("_e_comp")
+    ).join(m, "rid", "left").agg(
+        F.sum(
+            F.when(
+                F.col("component").isNull()
+                | (F.col("component") != F.col("_e_comp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_edge_endpoint_escapes")
+    )
+    lv = m.groupBy("component").agg(F.min("rid").alias("_minrid")).agg(
+        F.sum(F.when(F.col("component") != F.col("_minrid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_label_violations")
+    )
+    return (
+        imp.crossJoin(F.broadcast(rm_bad))
+        .crossJoin(F.broadcast(gc))
+        .crossJoin(F.broadcast(ee))
+        .crossJoin(F.broadcast(lv))
+    )
