@@ -117,6 +117,58 @@ def diff_tables(
     ).filter(F.col("change").isNotNull())
 
 
+def sync_tables(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    keys: list[str],
+    cols: list[str],
+    nb: int = DIFF_NB,
+) -> int:
+    """REPAIR companion of :func:`diff_tables` — make table A equal
+    table B in diff time: the Merkle diff finds the differing buckets,
+    and ONLY those buckets rewrite (removed keys drop, changed keys
+    take B's row, added keys copy in); identical buckets are never
+    read for the repair and stay byte-identical — the replica-sync /
+    backfill-fix shape at 100 TB. A must be in the `kb=` bucketed
+    layout (the rewrite is partition-targeted); returns the number of
+    diff rows applied (0 = already in sync, nothing rewritten).
+    Idempotent: a second sync diffs empty."""
+    if not is_hive_partitioned(path_a, "kb"):
+        raise ValueError(
+            "sync_tables repairs in place by bucket partition: write "
+            "table A with write_bucketed first"
+        )
+    d = diff_tables(spark, path_a, path_b, keys, cols, nb).localCheckpoint(
+        eager=True
+    )
+    n = d.count()
+    if not n:
+        return 0
+    kbs = [
+        r["_b"]
+        for r in d.select(id_bucket(F.col(keys[0]), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    a = _prep(spark, path_a, keys, cols, nb).filter(F.col("kb").isin(kbs))
+    b = _prep(spark, path_b, keys, cols, nb).filter(F.col("kb").isin(kbs))
+    dk = d.select(*keys)
+    take_from_b = b.join(
+        F.broadcast(
+            d.filter(F.col("change").isin("added", "changed")).select(*keys)
+        ),
+        keys,
+        "left_semi",
+    )
+    keep = a.join(F.broadcast(dk), keys, "left_anti")
+    content = keep.unionByName(take_from_b)
+    from etl_8million_data__spark.operators.golden import _overwrite_buckets
+
+    _overwrite_buckets(spark, path_a, "kb", content, kbs)
+    return n
+
+
 def write_bucketed(
     df: DataFrame, path: str, key: str, nb: int = DIFF_NB
 ) -> None:

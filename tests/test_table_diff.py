@@ -115,3 +115,57 @@ def test_diff_classification_matches_naive_and_legacy_layout(
     # every change class present
     assert {c for _, c in want} == {"added", "removed", "changed"}
     assert DIFF_NB == 16
+
+
+def test_sync_repairs_only_differing_buckets(spark, sf_dir, tmp_path):
+    """sync_tables must converge A to B (post-sync diff empty), rewrite
+    ONLY the differing buckets (untouched bucket files byte-identical),
+    report the applied diff size, and be idempotent (second sync = 0,
+    zero rewrites)."""
+    import os
+
+    import pytest
+
+    from etl_8million_data__spark.operators.diff import sync_tables
+
+    o = _versions(spark, sf_dir)
+    victim = o.orderBy("k").first()["k"]
+    b = o.withColumn(
+        "prio",
+        F.when(F.col("k") == victim, F.lit("X-EDITED")).otherwise(F.col("prio")),
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k")
+    write_bucketed(b, pb, "k")
+
+    def snap():
+        out = {}
+        for dirpath, _, files in os.walk(pa):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, pa)] = fh.read()
+        return out
+
+    before = snap()
+    assert sync_tables(spark, pa, pb, ["k"], ["prio", "cust"]) == 1
+    assert diff_tables(spark, pa, pb, ["k"], ["prio", "cust"]).count() == 0
+    after = snap()
+    changed_buckets = {
+        rel.split(os.sep)[0]
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert len(changed_buckets) == 1, changed_buckets
+
+    # idempotent: second sync applies nothing and rewrites nothing
+    files = snap()
+    assert sync_tables(spark, pa, pb, ["k"], ["prio", "cust"]) == 0
+    assert snap() == files
+
+    # unbucketed A refuses loudly
+    fa = str(tmp_path / "flat")
+    o.write.parquet(fa)
+    with pytest.raises(ValueError, match="write_bucketed"):
+        sync_tables(spark, fa, pb, ["k"], ["prio", "cust"])
