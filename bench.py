@@ -128,6 +128,7 @@ HEADLINE = [
     "advisor_layout_zonemap",  # sort-key scan-skipping advisor
     "corpus_incremental_curation",  # batch-by-batch curation vs persisted index
     "ops_table_diff",  # Merkle bucket-checksum table diff
+    "linkage_golden_fsck",  # full-lifecycle state invariant gate
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -1468,6 +1468,69 @@ def linkage_forget_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_golden(spark, root)
 
 
+@register(
+    "linkage_golden_fsck",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_bucket_impurity,
+           CAST(0 AS BIGINT) AS n_member_ridmap_mismatch,
+           CAST(0 AS BIGINT) AS n_golden_component_mismatch,
+           CAST(0 AS BIGINT) AS n_edge_endpoint_escapes,
+           CAST(0 AS BIGINT) AS n_label_violations
+    """,
+    tags=("linkage", "fsck", "consistency", "extension", "persisted-view"),
+)
+def linkage_golden_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-STATE CONSISTENCY GATE
+    (operators/index_fsck.fsck_golden_state) as a driver-visible query:
+    the state is built through the FULL maintenance lifecycle — init
+    from a partial history, a delta increment, then a GDPR erase — and
+    the fsck's five cross-table invariant counters (bucket purity
+    across all four tables, member/ridmap component agreement,
+    golden/member component-set equality, edge-endpoint containment,
+    min-label convention) are returned. The oracle is the all-zeros
+    row: this is deliberately an INVARIANT gate, not a computation
+    check — if any maintenance path ever leaves the persisted state
+    inconsistent at this scale, the driver's hash compare fails here
+    even when the value-level queries still happen to answer correctly
+    (planted-corruption sensitivity of the counters themselves is
+    pinned in tests/test_golden_state.py). Pure column-pruned reads +
+    hash aggregates; one pass over the narrow audit columns."""
+    import shutil
+
+    from etl_8million_data__spark.operators.golden import (
+        golden_forget,
+        golden_increment,
+        golden_init,
+    )
+    from etl_8million_data__spark.operators.index_fsck import fsck_golden_state
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    records, edges = _golden_fixture(spark, sf_dir)
+    is_delta = (F.col("src") == 1) & (F.col("orig_key") % 3 == 0)
+    root = _persisted_index_root(sf_dir, "linkage_golden_fsck")
+    shutil.rmtree(root, ignore_errors=True)
+    golden_init(
+        spark,
+        root,
+        records.filter(~is_delta),
+        edges.filter((F.col("b_key") - 1000000) % 3 != 0),
+    )
+    golden_increment(
+        spark,
+        root,
+        records.filter(is_delta),
+        edges.filter((F.col("b_key") - 1000000) % 3 == 0),
+    )
+    golden_forget(
+        spark,
+        root,
+        records.filter(
+            (F.col("src") == 1) & (F.col("orig_key") % 16 == 8)
+        ).select("rid"),
+    )
+    return fsck_golden_state(spark, root)
+
+
 def _em_iter_sql(prev: str, cur: str) -> str:
     """One unrolled EM iteration over the 8-row agreement-pattern table
     for the oracle: E-step responsibilities g in integer micro (three

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "advisor_layout_zonemap",
     "corpus_incremental_curation",
     "ops_table_diff",
+    "linkage_golden_fsck",
     # NEW in round 10 (first external evidence)
     "linkage_e2e_golden_records",
     "ivm_join_view_retract",
