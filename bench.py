@@ -269,8 +269,12 @@ def main() -> None:
             # this fixture scale
             noise = max(spreads.get(name, 0.0), prev_spread.get(name, 0.0), 0.15)
             if regressed(t, p, noise, boot_factor):
+                # print the same clamped normalization regressed() gates
+                # on — on fast boots (factor < 1) the unclamped division
+                # would report a number the rule never used
+                bf = max(boot_factor, 1.0)
                 candidates[name] = (
-                    f"{p:.2f}s -> {t:.2f}s raw, {t / boot_factor:.2f}s"
+                    f"{p:.2f}s -> {t:.2f}s raw, {t / bf:.2f}s"
                     f" boot-normalized (factor {boot_factor:.2f})"
                 )
     except (OSError, ValueError):
@@ -302,7 +306,7 @@ def main() -> None:
                 regressions[name] = (
                     candidates[name]
                     + f"; isolated rerun {iso:.2f}s"
-                    f" ({iso / boot_factor:.2f}s normalized) CONFIRMED"
+                    f" ({iso / max(boot_factor, 1.0):.2f}s normalized) CONFIRMED"
                 )
     # the committed per-query baseline carries the isolated min forward
     # (see commit_baseline) — the headline total follows the committed

@@ -167,10 +167,26 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
     from etl_8million_data__spark.operators.partitioning import id_bucket
 
     nb = _nb(root)
-    members = spark.read.parquet(os.path.join(root, "members"))
-    edges = spark.read.parquet(os.path.join(root, "edges"))
-    golden = spark.read.parquet(os.path.join(root, "golden"))
-    ridmap = spark.read.parquet(os.path.join(root, "ridmap"))
+
+    def _state(name: str) -> DataFrame:
+        # a legitimately emptied state table (e.g. golden_forget erased
+        # every component, dropping the ghost partition dirs) has no
+        # parquet files: fall back to golden.py's declared schema so the
+        # health check reports zeros instead of raising (same `_pruned`
+        # discipline as the delta doors).
+        from pyspark.errors import AnalysisException
+
+        from etl_8million_data__spark.operators.golden import _SCHEMAS
+
+        try:
+            return spark.read.parquet(os.path.join(root, name))
+        except AnalysisException:
+            return spark.createDataFrame([], _SCHEMAS[name])
+
+    members = _state("members")
+    edges = _state("edges")
+    golden = _state("golden")
+    ridmap = _state("ridmap")
 
     def impurity(df: DataFrame, col: str, part: str) -> DataFrame:
         return df.select(
@@ -188,7 +204,13 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
         .unionByName(impurity(edges, "component", "cb"))
         .unionByName(impurity(golden, "component", "cb"))
         .unionByName(impurity(ridmap, "rid", "rb"))
-        .agg(F.sum("n").cast("bigint").alias("n_bucket_impurity"))
+        # coalesce: sums over legitimately EMPTY state tables are NULL;
+        # the health row must read zeros, not nulls
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bucket_impurity")
+        )
     )
     m = members.select("rid", "component")
     rm_join = m.join(
@@ -197,13 +219,16 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
         "full_outer",
     )
     rm_bad = rm_join.agg(
-        F.sum(
-            F.when(
-                F.col("component").isNull()
-                | F.col("_rm_comp").isNull()
-                | (F.col("component") != F.col("_rm_comp")),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("component").isNull()
+                    | F.col("_rm_comp").isNull()
+                    | (F.col("component") != F.col("_rm_comp")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_member_ridmap_mismatch")
@@ -215,8 +240,13 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
         .withColumn("_m", F.lit(1))
         .join(golden.select("component").withColumn("_g", F.lit(1)), "component", "full_outer")
         .agg(
-            F.sum(
-                F.when(F.col("_m").isNull() | F.col("_g").isNull(), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_m").isNull() | F.col("_g").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_golden_component_mismatch")
@@ -225,18 +255,26 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
     ee = edges.select(
         F.col("a_key").alias("rid"), F.col("component").alias("_e_comp")
     ).join(m, "rid", "left").agg(
-        F.sum(
-            F.when(
-                F.col("component").isNull()
-                | (F.col("component") != F.col("_e_comp")),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("component").isNull()
+                    | (F.col("component") != F.col("_e_comp")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_edge_endpoint_escapes")
     )
     lv = m.groupBy("component").agg(F.min("rid").alias("_minrid")).agg(
-        F.sum(F.when(F.col("component") != F.col("_minrid"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("component") != F.col("_minrid"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n_label_violations")
     )

@@ -363,6 +363,11 @@ def advise_join(
         if (
             max_n >= ADVISE_SKEW_RATIO * max(p50, 1)
             and max_n * ADVISE_SKEW_SHARE >= n_big
+            # the salted executor replicates on ONE key; for composite
+            # joins keep 'shuffle' (the skew report still rides along
+            # so the caller sees the hot-key evidence) instead of
+            # emitting advice apply_advice would refuse.
+            and len(on) == 1
         ):
             out["strategy"] = "salted"
     return out

@@ -341,3 +341,21 @@ def test_stream_golden_equals_batch_and_replays(spark, sf_dir, tmp_path):
     run("ck1")
     assert _snapshot(os.path.join(root, "golden")) == files
     assert _golden_set(spark, root) == want
+
+
+def test_fsck_golden_state_survives_fully_emptied_state(
+    spark, sf_dir, tmp_path
+):
+    """Erasing EVERY record through golden_forget legitimately leaves
+    state tables with zero parquet files (ghost partition dirs are
+    dropped); the health check must report a consistent zeros row via
+    the declared-schema fallback instead of raising AnalysisException."""
+    from etl_8million_data__spark.operators.index_fsck import fsck_golden_state
+
+    records, edges, _ = _fixture(spark, sf_dir)
+    root = str(tmp_path / "state")
+    golden_init(spark, root, records, edges)
+    golden_forget(spark, root, records.select("rid"))
+
+    r = fsck_golden_state(spark, root).first().asDict()
+    assert all(v == 0 for v in r.values()), r

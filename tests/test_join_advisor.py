@@ -123,3 +123,28 @@ def test_skew_aware_advice_salts_the_hot_key(spark, sf_dir):
     adv_u = advise_join(uni, small, "key", broadcast_rows=10)
     assert adv_u["strategy"] == "shuffle", adv_u
     assert "skew_max_n" in adv_u and "skew_p50" in adv_u
+
+
+def test_composite_key_skew_stays_shuffle_and_executes(spark, sf_dir):
+    """A hot key under a COMPOSITE join key must NOT escalate to
+    'salted' (the salted executor replicates on one key and would
+    refuse the advice) — the advisor keeps 'shuffle', still reports
+    the measured skew, and apply_advice executes its own advice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k1"),
+        F.lit(1).alias("k2"),
+        "l_quantity",
+    )
+    small = big.select("k1", "k2").distinct().withColumn("flag", F.col("k1") % 7)
+
+    adv = advise_join(big, small, ["k1", "k2"], broadcast_rows=10)
+    # same planted skew that salts the single-key twin...
+    assert adv["skew_max_n"] >= 2 * adv["skew_p50"], adv
+    # ...but composite keys keep the shuffle pick, and the executor
+    # accepts it
+    assert adv["strategy"] == "shuffle", adv
+    j = apply_advice(big, small, ["k1", "k2"], adv)
+    assert j.count() == big.join(small, ["k1", "k2"]).count()
