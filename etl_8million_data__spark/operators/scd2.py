@@ -26,9 +26,12 @@ touches only its keys' buckets:
   and at 1.5M change history while the one-shot rebuild grows.
 
 ORDER CONTRACT (checked loudly, not assumed): SCD2 merge against only
-the current row is correct iff the batch's changes are not OLDER than
-the key's open interval — a violation (late data) raises instead of
-silently splicing wrong intervals. The late-data door is
+the current row is correct iff the batch's changes are strictly AFTER
+every event the key has already absorbed — the current row persists
+``last_ts`` (the open interval's latest absorbed event) exactly so the
+check can see late data landing INSIDE the open span, which a
+valid_from-only comparison would silently splice wrong; a violation
+raises. The late-data door is
 :func:`scd2_apply_late`: when the state retains its change LOG
 (``scd2_init(..., keep_log=True)``), a late batch appends to the log
 and re-derives ONLY the touched keys' intervals from their full
@@ -57,18 +60,33 @@ def _nb(root: str) -> int:
         return int(fh.read().strip())
 
 
-def build_intervals(changes: DataFrame, weight: str | None = None) -> DataFrame:
+def build_intervals(
+    changes: DataFrame, weight: str | None = None, last: str | None = None
+) -> DataFrame:
     """Islands-and-gaps SCD2 build over a change stream
     (key, seq, ts, attr[, weight]): consecutive repeats of ``attr``
     per key collapse into [valid_from, valid_to) intervals with
-    NULL valid_to / is_current = 1 on the open row. ``weight`` (event
-    multiplicity, default 1 per row) makes the pass reusable for the
-    seam merge, where the current interval re-enters as one weighted
-    pseudo-event. Identical semantics to the registered one-shot query
+    NULL valid_to / is_current = 1 on the open row, plus ``last_ts`` =
+    the latest absorbed event's ts per interval (the order-contract
+    watermark: a later batch is on time only if strictly after the open
+    interval's last_ts, not merely its valid_from — a change landing
+    INSIDE the open interval's absorbed span is late data). ``weight``
+    (event multiplicity, default 1 per row) makes the pass reusable for
+    the seam merge, where the current interval re-enters as one
+    weighted pseudo-event; ``last`` (default ts) lets that pseudo-event
+    carry the interval's true last_ts through the merge so the
+    watermark never regresses to valid_from. Interval semantics
+    identical to the registered one-shot query
     (plans/timeseries.events_scd2_type_intervals)."""
     w_expr = F.col(weight) if weight else F.lit(1)
+    lt_expr = F.col(last) if last else F.col("ts")
     e = changes.select(
-        "key", "seq", "ts", "attr", w_expr.cast("bigint").alias("_w")
+        "key",
+        "seq",
+        "ts",
+        "attr",
+        w_expr.cast("bigint").alias("_w"),
+        lt_expr.alias("_lt"),
     )
     w = Window.partitionBy("key").orderBy("ts", "seq")
     chg = F.when(
@@ -83,6 +101,7 @@ def build_intervals(changes: DataFrame, weight: str | None = None) -> DataFrame:
     g = seg.groupBy("key", "seg_no").agg(
         F.min("attr").alias("attr"),
         F.min("ts").alias("valid_from"),
+        F.max("_lt").alias("last_ts"),
         F.sum("_w").cast("bigint").alias("n_events"),
     )
     w2 = Window.partitionBy("key").orderBy("valid_from")
@@ -92,6 +111,7 @@ def build_intervals(changes: DataFrame, weight: str | None = None) -> DataFrame:
         "attr",
         "valid_from",
         valid_to.alias("valid_to"),
+        "last_ts",
         "n_events",
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
     )
@@ -197,6 +217,8 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
     )
     merged = build_intervals(log_touched)
     old = spark.read.parquet(path)
+    if "last_ts" not in old.columns:
+        old = old.withColumn("last_ts", F.col("valid_from"))
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     content = old.join(F.broadcast(keys), "key", "left_anti").unionByName(
         merged.withColumn("kb", id_bucket(F.col("key"), nb))
@@ -232,23 +254,30 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     # scd2_apply_late sees the full per-key history
     _append_log(spark, root, b, kbs, nb)
     old = spark.read.parquet(path)
+    if "last_ts" not in old.columns:
+        # pre-last_ts layout: valid_from is the only watermark available
+        # (the original, weaker order check); rewritten buckets carry
+        # the true last_ts forward from this apply on
+        old = old.withColumn("last_ts", F.col("valid_from"))
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=True)
     cur = old_touched.filter(F.col("is_current") == 1)
 
-    # order contract: the batch must be strictly after each key's open
-    # interval start (equal-ts collisions with the open row would
-    # reorder nondeterministically against the pseudo-event)
+    # order contract: the batch must be strictly after each key's LAST
+    # ABSORBED event (not merely the open interval's start — a change
+    # whose ts falls inside the open interval's absorbed span would
+    # pass a valid_from check and silently splice wrong intervals:
+    # the seam merge cannot re-open a segment mid-span)
     viol = (
         cur.join(b.groupBy("key").agg(F.min("ts").alias("_mn")), "key")
-        .filter(F.col("valid_from") >= F.col("_mn"))
+        .filter(F.col("last_ts") >= F.col("_mn"))
         .limit(1)
         .count()
     )
     if viol:
         raise ValueError(
-            "scd2_apply received changes at or before a key's open "
-            "interval start (late data): re-derive that key from the "
+            "scd2_apply received changes at or before a key's last "
+            "absorbed event (late data): re-derive that key from the "
             "retained change log instead of merging against the current row"
         )
 
@@ -258,12 +287,21 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
         F.col("valid_from").alias("ts"),
         "attr",
         F.col("n_events").alias("_w"),
+        F.col("last_ts").alias("_lt"),
     )
     merged = build_intervals(
         pseudo.unionByName(
-            b.select("key", "seq", "ts", "attr", F.lit(1).alias("_w"))
+            b.select(
+                "key",
+                "seq",
+                "ts",
+                "attr",
+                F.lit(1).alias("_w"),
+                F.col("ts").alias("_lt"),
+            )
         ),
         weight="_w",
+        last="_lt",
     )
     content = (
         old.join(F.broadcast(keys), "key", "left_anti")

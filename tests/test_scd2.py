@@ -218,3 +218,65 @@ def test_stream_scd2_equals_batch_and_replays(spark, sf_dir, tmp_path):
     # drained-stream replay is a no-op (sidecar blocks the re-apply)
     run("ck1")
     assert _as_set(read_intervals(spark, root)) == want
+
+
+def test_late_change_inside_open_span_raises_not_splices(
+    spark, sf_dir, tmp_path
+):
+    """The order-contract hole a valid_from-only check leaves open: a
+    late DIFFERING change whose ts falls strictly between the open
+    interval's valid_from and its last absorbed event passes a
+    valid_from comparison, and the seam merge would silently produce
+    wrong intervals (missing re-opened segment, misattributed
+    n_events). The persisted last_ts watermark must catch it — raise —
+    and the late door must then absorb it into exactly the one-shot
+    result."""
+    from etl_8million_data__spark.operators.scd2 import scd2_apply_late
+
+    spark.createDataFrame(
+        [
+            (1, 10, 100, "A"),
+            (1, 11, 200, "A"),  # open interval absorbs through ts=200
+            (2, 20, 100, "B"),
+        ],
+        "key long, seq long, ts long, attr string",
+    ).createOrReplaceTempView("_scd2_hole")
+    hist = spark.table("_scd2_hole")
+    root = str(tmp_path / "scd2")
+    scd2_init(hist, root, keep_log=True)
+
+    # ts=150: after valid_from (100) but before last absorbed (200),
+    # with a DIFFERENT attr -> the true history is A[100,150) C[150,?]
+    # ... no: C at 150 then A again at 200 re-opens A. The seam merge
+    # cannot represent that; it must raise.
+    late = spark.createDataFrame(
+        [(1, 12, 150, "C")], "key long, seq long, ts long, attr string"
+    )
+    with pytest.raises(ValueError, match="late data"):
+        scd2_apply(spark, root, late)
+
+    scd2_apply_late(spark, root, late)
+    want = _as_set(build_intervals(hist.unionByName(late)))
+    assert _as_set(read_intervals(spark, root)) == want
+    # the re-opened A segment exists and weights are attributed right
+    segs = {
+        (r["attr"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in read_intervals(spark, root).filter(F.col("key") == 1).collect()
+    }
+    assert segs == {("A", 100, 150, 1), ("C", 150, 200, 1), ("A", 200, None, 1)}
+
+    # an on-time batch (strictly after every absorbed event) still
+    # takes the fast path
+    scd2_apply(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 13, 300, "C")], "key long, seq long, ts long, attr string"
+        ),
+    )
+    assert (
+        read_intervals(spark, root)
+        .filter((F.col("key") == 1) & (F.col("is_current") == 1))
+        .first()["attr"]
+        == "C"
+    )
