@@ -151,8 +151,26 @@ def sync_tables(
         .distinct()
         .collect()
     ]
-    a = _prep(spark, path_a, keys, cols, nb).filter(F.col("kb").isin(kbs))
-    b = _prep(spark, path_b, keys, cols, nb).filter(F.col("kb").isin(kbs))
+    # the REPAIR reads FULL rows, not the compared projection: a
+    # rewritten bucket must keep every column of A, including ones
+    # outside the diffed set (rewriting from the keys+cols projection
+    # would silently drop them — unrecoverable data loss in exactly
+    # the buckets the sync touched)
+    a = spark.read.parquet(path_a).filter(F.col("kb").isin(kbs))
+    b = spark.read.parquet(path_b)
+    if "kb" not in b.columns:
+        b = b.withColumn("kb", id_bucket(F.col(keys[0]), nb))
+    b = b.filter(F.col("kb").isin(kbs))
+    if set(a.columns) != set(b.columns):
+        # copying B's rows into A only round-trips when the schemas
+        # agree beyond the compared set; anything else needs a real
+        # migration, not a bucket splice
+        raise ValueError(
+            "sync_tables copies full rows from B into A's buckets: the "
+            f"tables' columns must match (A-only: "
+            f"{sorted(set(a.columns) - set(b.columns))}, B-only: "
+            f"{sorted(set(b.columns) - set(a.columns))})"
+        )
     dk = d.select(*keys)
     take_from_b = b.join(
         F.broadcast(

@@ -169,3 +169,43 @@ def test_sync_repairs_only_differing_buckets(spark, sf_dir, tmp_path):
     o.write.parquet(fa)
     with pytest.raises(ValueError, match="write_bucketed"):
         sync_tables(spark, fa, pb, ["k"], ["prio", "cust"])
+
+
+def test_sync_preserves_columns_outside_the_compared_set(
+    spark, sf_dir, tmp_path
+):
+    """The repair must rewrite differing buckets from FULL rows: a
+    column of A outside the compared (keys+cols) set survives the
+    bucket rewrite byte-for-value, and a B missing that column refuses
+    loudly instead of silently splicing a mixed-schema table."""
+    import pytest
+
+    from etl_8million_data__spark.operators.diff import sync_tables
+
+    o = _versions(spark, sf_dir).withColumn(
+        "extra", F.col("k") * 1000 + 7
+    )
+    victim = o.orderBy("k").first()["k"]
+    b = o.withColumn(
+        "prio",
+        F.when(F.col("k") == victim, F.lit("X-EDITED")).otherwise(F.col("prio")),
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k")
+    write_bucketed(b, pb, "k")
+
+    # diff/sync compare only (prio, cust) — 'extra' rides along
+    assert sync_tables(spark, pa, pb, ["k"], ["prio", "cust"]) == 1
+    got = spark.read.parquet(pa)
+    assert "extra" in got.columns
+    bad = got.filter(
+        F.col("extra").isNull() | (F.col("extra") != F.col("k") * 1000 + 7)
+    ).count()
+    assert bad == 0, "sync dropped or corrupted the un-compared column"
+    assert got.filter(F.col("k") == victim).first()["prio"] == "X-EDITED"
+
+    # B lacking A's extra column: the full-row splice can't round-trip
+    pb2 = str(tmp_path / "b2")
+    write_bucketed(b.drop("extra").withColumn("prio", F.lit("Y")), pb2, "k")
+    with pytest.raises(ValueError, match="columns must match"):
+        sync_tables(spark, pa, pb2, ["k"], ["prio", "cust"])
