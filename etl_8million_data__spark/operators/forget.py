@@ -44,6 +44,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_8million_data__spark.operators.bucket_store import read_store
+
 
 def _ids_frame(ids: DataFrame, id_col: str) -> DataFrame:
     return ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
@@ -55,6 +57,7 @@ def forget_partitioned(
     ids: DataFrame,
     id_col: str,
     partition_by: list[str],
+    schema: str | None = None,
 ) -> int:
     """Delete ``ids`` from a Hive-partitioned table, rewriting only the
     partitions that contain them: a column-pruned (id + partition cols)
@@ -67,9 +70,8 @@ def forget_partitioned(
     id (the same contract as the partitioned upsert): ANN ``cell=``
     indexes, the financials fact's (statement_type, stock_bucket), …"""
     victims = _ids_frame(ids, id_col)
-    located = (
-        spark.read.parquet(path).select(id_col, *partition_by).join(victims, id_col)
-    )
+    _rd = lambda: read_store(spark, path, schema)  # noqa: E731
+    located = _rd().select(id_col, *partition_by).join(victims, id_col)
     touched = located.select(*partition_by).distinct().collect()
     if not touched:
         return 0
@@ -84,7 +86,7 @@ def forget_partitioned(
             cond = c if cond is None else (cond | c)
         return cond
 
-    relevant = spark.read.parquet(path).filter(tuple_cond(touched))
+    relevant = _rd().filter(tuple_cond(touched))
     kept = relevant.join(victims, id_col, "left_anti").localCheckpoint(eager=True)
     n_deleted = relevant.count() - kept.count()
     surviving = {
@@ -117,11 +119,12 @@ def forget_cell_partitioned(
     index_path: str,
     ids: DataFrame,
     id_col: str = "vec_id",
+    schema: str | None = None,
 ) -> int:
     """Delete ``ids`` from a ``cell=``-partitioned ANN index, rewriting
     only the cells that contain them (the :func:`forget_partitioned`
     contract specialized to the index layouts)."""
-    return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
+    return forget_partitioned(spark, index_path, ids, id_col, ["cell"], schema)
 
 
 def _check_bucket_range(index_path: str, n_buckets: int) -> None:
@@ -159,6 +162,7 @@ def forget_bucketed(
     ids: DataFrame,
     id_col: str = "doc_id",
     n_buckets: int = 16,
+    schema: str | None = None,
 ) -> int:
     """Delete ``ids`` from an md5 id-bucketed index layout (16-way by
     default — pass the layout's actual ``n_buckets``). The bucket is a
@@ -176,10 +180,8 @@ def forget_bucketed(
     touched = [r["bucket"] for r in vb.select("bucket").distinct().collect()]
     if not touched:
         return 0
-    relevant = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(index_path)
-        .filter(F.col("bucket").isin(touched))
+    relevant = read_store(spark, index_path, schema).filter(
+        F.col("bucket").isin(touched)
     )
     kept = relevant.join(victims, id_col, "left_anti").localCheckpoint(eager=True)
     n_deleted = relevant.count() - kept.count()
@@ -208,6 +210,7 @@ def forget_auto(
     ids: DataFrame,
     id_col: str = "doc_id",
     n_buckets: int = 16,
+    schema: str | None = None,
 ) -> int:
     """Dispatch forget on the on-disk layout: ``bucket=`` partitions →
     the computed-bucket pruned rewrite (pass the layout's true
@@ -221,10 +224,10 @@ def forget_auto(
     from etl_8million_data__spark.operators.partitioning import is_hive_partitioned
 
     if is_hive_partitioned(index_path, "bucket"):
-        return forget_bucketed(spark, index_path, ids, id_col, n_buckets)
+        return forget_bucketed(spark, index_path, ids, id_col, n_buckets, schema)
     if is_hive_partitioned(index_path, "cell"):
-        return forget_partitioned(spark, index_path, ids, id_col, ["cell"])
-    return forget_unpartitioned(spark, index_path, ids, id_col)
+        return forget_partitioned(spark, index_path, ids, id_col, ["cell"], schema)
+    return forget_unpartitioned(spark, index_path, ids, id_col, schema)
 
 
 def forget_unpartitioned(
@@ -232,12 +235,13 @@ def forget_unpartitioned(
     index_path: str,
     ids: DataFrame,
     id_col: str = "doc_id",
+    schema: str | None = None,
 ) -> int:
     """Delete ``ids`` from an unpartitioned index by filter + atomic
     swap (same swap discipline as the unpartitioned upsert). Returns
     rows removed; a miss is a no-op that never rewrites."""
     victims = _ids_frame(ids, id_col)
-    idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+    idx = read_store(spark, index_path, schema)
     n_hit = idx.select(id_col).join(victims, id_col).count()
     if not n_hit:
         return 0
@@ -310,7 +314,10 @@ def stream_forget_requests(
 
 
 def compact_partitions(
-    spark: SparkSession, index_path: str, partition_col: str = "cell"
+    spark: SparkSession,
+    index_path: str,
+    partition_col: str = "cell",
+    schema: str | None = None,
 ) -> tuple[int, int]:
     """Rewrite every populated partition of a Hive-partitioned index
     into its minimal file set (AQE REBALANCE by the partition column —
@@ -333,8 +340,7 @@ def compact_partitions(
 
     before = _count_files()
     full = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(index_path)
+        read_store(spark, index_path, schema)
         .hint("rebalance", partition_col)
         .localCheckpoint(eager=True)
     )

@@ -77,8 +77,16 @@ def _read_index(
 ) -> DataFrame:
     from pyspark.errors import AnalysisException
 
+    from etl_8million_data__spark.operators.bucket_store import read_store
+
     try:
-        return spark.read.option("mergeSchema", "true").parquet(index_path)
+        # STATIC declared schema: zero footer reads at plan time, so a
+        # literal-pruned probe touches only the probed partitions'
+        # files (a mergeSchema read launched a footer-merge over EVERY
+        # cell before the filter pruned anything — asserted by the
+        # corrupt-unprobed-cell test); legacy pre-batch-tagging files
+        # surface _batch as NULL exactly as the merged schema did.
+        return read_store(spark, index_path, schema or INDEX_SCHEMA)
     except AnalysisException:
         # first batch: index doesn't exist yet; any other failure
         # (corrupt files, permissions) must propagate.

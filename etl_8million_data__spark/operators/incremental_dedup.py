@@ -71,26 +71,28 @@ def _batch_bands(
     )
 
 
-def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession, index_path: str, schema: str = INDEX_SCHEMA
+) -> DataFrame:
     from pyspark.errors import AnalysisException
 
+    from etl_8million_data__spark.operators.bucket_store import read_store
+
     try:
-        # mergeSchema: an index directory can mix pre-batch-tagging files
-        # (no _batch column) with tagged appends.  Without it Spark picks
-        # the schema of an arbitrary footer — if that file is legacy, the
-        # _batch column silently vanishes, the same-tag probe exclusion
-        # becomes a no-op, and a redelivered micro-batch collides with
-        # its own previous append (the exact bug tagging prevents).
-        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
+        # DECLARED schema, not mergeSchema: the probe must not pay a
+        # footer-merge job over every accumulated append before its
+        # filters apply. The legacy concern the footer-merge used to
+        # cover — pre-batch-tagging files without _batch, where an
+        # arbitrary-footer inference would silently drop the column and
+        # turn the same-tag probe exclusion into a no-op — is covered
+        # by the declared schema itself: files missing _batch surface
+        # it as NULL.
+        return read_store(spark, index_path, schema)
     except AnalysisException:
         # first batch: index doesn't exist yet. Any OTHER failure
         # (corrupt files, permissions) must propagate — silently
         # treating a broken index as empty would re-admit duplicates.
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    if "_batch" not in idx.columns:
-        # index written entirely before batch tagging existed
-        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
-    return idx
+        return spark.createDataFrame([], schema)
 
 
 def dedup_increment(
@@ -218,14 +220,7 @@ def media_dedup_increment(
     )
     bands_new = band_rows.localCheckpoint(eager=True)
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
-    except AnalysisException:
-        idx = spark.createDataFrame([], MEDIA_INDEX_SCHEMA)
-    if "_batch" not in idx.columns:
-        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
+    idx = _read_index(spark, index_path, MEDIA_INDEX_SCHEMA)
     if batch_tag is not None:
         idx = idx.filter(~F.col("_batch").eqNullSafe(F.lit(batch_tag)))
 
@@ -318,14 +313,7 @@ def winnowing_increment(
         .localCheckpoint(eager=True)
     )
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        idx = spark.read.option("mergeSchema", "true").parquet(index_path)
-    except AnalysisException:
-        idx = spark.createDataFrame([], WINNOW_INDEX_SCHEMA)
-    if "_batch" not in idx.columns:
-        idx = idx.withColumn("_batch", F.lit(None).cast("string"))
+    idx = _read_index(spark, index_path, WINNOW_INDEX_SCHEMA)
     if batch_tag is not None:
         idx = idx.filter(~F.col("_batch").eqNullSafe(F.lit(batch_tag)))
     idx = idx.select("doc_id", "fp").distinct()

@@ -688,3 +688,63 @@ def test_kmeans_probe_reads_only_probed_partitions(spark, sf_dir, tmp_path):
     for m in metrics:
         assert m["numPartitions"] <= 4, m
         assert m["numPartitions"] < n_cells_total, (m, n_cells_total)
+
+
+def test_probe_plans_without_footer_pass_over_unprobed_cells(
+    spark, sf_dir, tmp_path
+):
+    """The static-schema read contract: a probe must not run schema
+    inference over unprobed partitions. Proven physically — a GARBAGE
+    parquet file planted in a cell the probe does not touch leaves the
+    probe's answer intact (the declared schema plans with zero footer
+    reads and the literal cell filter skips the file), while the old
+    eager mergeSchema read provably fails on the same store (it merges
+    EVERY file's footer before any filter prunes)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    emb = _emb(spark, sf_dir)
+    n_bits = adaptive_n_bits(emb.count())
+    idx = str(tmp_path / "ann_index")
+    build_index(emb, idx, _W, n_bits)
+
+    q = _queries(emb).limit(2)
+    want = _rows(probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3))
+
+    # which cells does this probe touch?
+    from etl_8million_data__spark.operators.similarity import (
+        projections,
+        srp_probe_cells,
+    )
+
+    probed = {
+        c
+        for r in q.select(
+            F.explode(
+                srp_probe_cells(
+                    projections(F.col("query_vec"), _W, n_bits), n_bits, 3
+                )
+            ).alias("cell")
+        ).collect()
+        for c in [r["cell"]]
+    }
+    unprobed = [
+        d
+        for d in os.listdir(idx)
+        if d.startswith("cell=") and int(d.split("=")[1]) not in probed
+    ]
+    assert unprobed, "fixture must leave at least one unprobed cell"
+    victim_dir = os.path.join(idx, unprobed[0])
+    with open(os.path.join(victim_dir, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet footer")
+    spark.catalog.refreshByPath(idx)
+
+    # the counterfactual: the eager footer-merge path cannot even plan
+    # over this store
+    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+        spark.read.option("mergeSchema", "true").parquet(idx).schema
+
+    # the static-schema probe never opens the unprobed cell's footer
+    got = _rows(probe_index(spark, idx, q, _W, n_bits, k=5, nprobe=3))
+    assert got == want
