@@ -181,9 +181,9 @@ def sync_tables(
     )
     keep = a.join(F.broadcast(dk), keys, "left_anti")
     content = keep.unionByName(take_from_b)
-    from etl_8million_data__spark.operators.golden import _overwrite_buckets
+    from etl_8million_data__spark.operators.bucket_store import overwrite_buckets
 
-    _overwrite_buckets(spark, path_a, "kb", content, kbs)
+    overwrite_buckets(spark, path_a, "kb", content, kbs)
     return n
 
 
@@ -193,10 +193,8 @@ def write_bucketed(
     """Persist a table in the diffable layout: `kb=` key-bucket
     partitions, one file per bucket (the write_clean_store small-files
     discipline)."""
-    (
-        df.withColumn("kb", id_bucket(F.col(key), nb))
-        .repartition(F.col("kb"))
-        .write.mode("overwrite")
-        .partitionBy("kb")
-        .parquet(path)
+    from etl_8million_data__spark.operators.bucket_store import (
+        write_table_bucketed,
     )
+
+    write_table_bucketed(df.withColumn("kb", id_bucket(F.col(key), nb)), path, "kb")

@@ -53,6 +53,16 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_8million_data__spark.operators.bucket_store import (
+    applied_batch,
+    bucket_values as _bucket_values,
+    mark_applied,
+    overwrite_buckets as _overwrite_buckets,
+    pruned_read,
+    read_nb as _nb,
+    write_nb,
+    write_table_bucketed as _write_table,
+)
 from etl_8million_data__spark.operators.graph import connected_components
 from etl_8million_data__spark.operators.partitioning import id_bucket
 
@@ -77,11 +87,6 @@ _SCHEMAS = {
     ),
     "ridmap": "rid bigint, component bigint, rb int",
 }
-
-
-def _nb(root: str) -> int:
-    with open(os.path.join(root, "_nb")) as fh:
-        return int(fh.read().strip())
 
 
 def survivorship(members: DataFrame) -> DataFrame:
@@ -138,15 +143,6 @@ def _cluster(records: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _write_table(df: DataFrame, path: str, part_col: str) -> None:
-    # one file per bucket (repartition on the partition column), so a
-    # pruned read schedules |touched buckets| tasks, not
-    # |buckets| x |write tasks| tiny files
-    df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(path)
-
-
 def golden_init(
     spark: SparkSession,
     root: str,
@@ -159,9 +155,7 @@ def golden_init(
     tables. ``records``: (rid, orig_key, name, bal, seg, src) with rid
     unique; ``edges``: accepted match pairs (a_key, b_key), endpoints
     within the record set."""
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, "_nb"), "w") as fh:
-        fh.write(str(nb))
+    write_nb(root, nb)
     members = _cluster(
         records.select(*_MEMBER_COLS), edges
     ).localCheckpoint(eager=True)
@@ -200,61 +194,13 @@ def read_golden(spark: SparkSession, root: str) -> DataFrame:
         return spark.createDataFrame([], _SCHEMAS["golden"]).drop("cb")
 
 
-def _bucket_values(df: DataFrame, col: str, nb: int) -> list[int]:
-    """Distinct id_bucket values of ``col`` — a <= nb-element driver
-    list (the literal-prune discipline: bucket count is bounded by the
-    layout, never by data size)."""
-    return [
-        r["_b"]
-        for r in df.select(id_bucket(F.col(col), nb).alias("_b")).distinct().collect()
-    ]
-
-
 def _pruned(spark: SparkSession, path: str, part_col: str, buckets: list[int]):
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException:
-        # empty state table: written with zero rows -> no parquet files
-        df = spark.createDataFrame([], _SCHEMAS[os.path.basename(path)])
-    return df.filter(F.col(part_col).isin(buckets)) if buckets else df.filter(
-        F.lit(False)
+    # declared-schema pruned read: zero footer inference, and an empty
+    # state table (written with zero rows -> no parquet files) reads
+    # back as an empty frame of the declared schema
+    return pruned_read(
+        spark, path, part_col, buckets, _SCHEMAS[os.path.basename(path)]
     )
-
-
-def _overwrite_buckets(
-    spark: SparkSession,
-    path: str,
-    part_col: str,
-    new_content: DataFrame,
-    affected: list[int],
-) -> None:
-    """Replace exactly the ``affected`` bucket partitions of ``path``
-    with ``new_content`` (which must hold those buckets' FULL new
-    rows): dynamic partition overwrite rewrites the buckets that
-    receive rows; a bucket emptied outright keeps a ghost directory
-    dynamic overwrite cannot touch, so it is dropped explicitly (the
-    forget_partitioned discipline)."""
-    new_content = new_content.localCheckpoint(eager=True)
-    surviving = {
-        r["_b"] for r in new_content.select(F.col(part_col).alias("_b")).distinct().collect()
-    }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if surviving:
-            new_content.repartition(F.col(part_col)).write.mode(
-                "overwrite"
-            ).partitionBy(part_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for b in affected:
-        if b not in surviving:
-            d = os.path.join(path, f"{part_col}={b}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-    spark.catalog.refreshByPath(path)
 
 
 def _touched_components(
@@ -490,13 +436,8 @@ def stream_golden_ingest(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(root, "_applied_batch")
-        try:
-            with open(marker) as fh:
-                if int(fh.read().strip()) == batch_id:
-                    return
-        except (OSError, ValueError):
-            pass
+        if applied_batch(root) == batch_id:
+            return
         b = batch_df.localCheckpoint(eager=True)
         if not b.count():
             return
@@ -512,8 +453,7 @@ def stream_golden_ingest(
             ),
             edges,
         )
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        mark_applied(root, batch_id)
 
     return (
         batch_stream.writeStream.foreachBatch(apply_batch)

@@ -163,7 +163,7 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
     """
     import os
 
-    from etl_8million_data__spark.operators.golden import _nb
+    from etl_8million_data__spark.operators.bucket_store import read_nb as _nb
     from etl_8million_data__spark.operators.partitioning import id_bucket
 
     nb = _nb(root)

@@ -295,14 +295,11 @@ def stream_agg_view_upserts(
         b = last_writer_wins(batch_df, [pk], order_col).localCheckpoint(eager=True)
         if not b.count():
             return
-        marker = os.path.join(view_path, "_applied_batch")
-        already = None
-        try:
-            with open(marker) as fh:
-                already = int(fh.read().strip())
-        except (OSError, ValueError):
-            pass
-        if already != batch_id:
+        from etl_8million_data__spark.operators.bucket_store import (
+            applied_batch,
+        )
+
+        if applied_batch(view_path) != batch_id:
             base = spark.read.parquet(base_path)
             delta = agg_view_delta(base, b, pk, group_cols, sum_cols).localCheckpoint(
                 eager=True

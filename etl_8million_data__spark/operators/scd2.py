@@ -49,15 +49,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_8million_data__spark.operators.golden import _overwrite_buckets
+from etl_8million_data__spark.operators.bucket_store import (
+    applied_batch,
+    mark_applied,
+    overwrite_buckets as _overwrite_buckets,
+    read_nb as _nb,
+    write_nb,
+)
 from etl_8million_data__spark.operators.partitioning import id_bucket
 
 SCD2_NB = 16
-
-
-def _nb(root: str) -> int:
-    with open(os.path.join(root, "_nb")) as fh:
-        return int(fh.read().strip())
 
 
 def build_intervals(
@@ -126,9 +127,7 @@ def scd2_init(
     — the prerequisite for the late-data door
     (:func:`scd2_apply_late`); sources guaranteed in-order can skip the
     log and live on the cheap seam merge alone."""
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, "_nb"), "w") as fh:
-        fh.write(str(nb))
+    write_nb(root, nb)
     changes = changes.select("key", "seq", "ts", "attr")
     (
         build_intervals(changes)
@@ -334,13 +333,8 @@ def stream_scd2_changes(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(root, "_applied_batch")
-        try:
-            with open(marker) as fh:
-                if int(fh.read().strip()) == batch_id:
-                    return
-        except (OSError, ValueError):
-            pass
+        if applied_batch(root) == batch_id:
+            return
         bd = batch_df.localCheckpoint(eager=True)
         if bd.count():
             try:
@@ -349,8 +343,7 @@ def stream_scd2_changes(
                 if not allow_late:
                     raise
                 scd2_apply_late(spark, root, bd)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        mark_applied(root, batch_id)
 
     return (
         changes_stream.writeStream.foreachBatch(apply_batch)
