@@ -128,6 +128,8 @@ HEADLINE = [
     "advisor_layout_zonemap",  # sort-key scan-skipping advisor
     "corpus_incremental_curation",  # batch-by-batch curation vs persisted index
     "ops_table_diff",  # Merkle bucket-checksum table diff
+    # round-12 families
+    "ops_replica_audit",  # flat-cost replica audit via persisted summaries
     "linkage_golden_fsck",  # full-lifecycle state invariant gate
 ]
 

@@ -182,3 +182,13 @@ def overwrite_buckets(
             if os.path.isdir(d):
                 shutil.rmtree(d)
     spark.catalog.refreshByPath(path)
+    if part_col == "kb" and os.path.isfile(
+        os.path.join(path, "_checksums", "_meta.json")
+    ):
+        # the table carries a diff/sync checksum summary: keep it
+        # honest from the rows already in hand — the affected buckets'
+        # full new content — so the routine replica audit
+        # (diff_tables' summarized phase 1) never re-scans the table
+        from etl_8million_data__spark.operators.diff import update_checksums
+
+        update_checksums(spark, path, affected, new_content)

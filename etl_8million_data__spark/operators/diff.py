@@ -32,6 +32,9 @@ SURVEY §7.2's ops-extension brief.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +44,20 @@ from etl_8million_data__spark.operators.partitioning import (
 )
 
 DIFF_NB = 16
+
+# Persisted bucket-checksum summary: the routine "is my replica in
+# sync" audit at 100 TB should not scan both tables fully every call —
+# phase 1's per-bucket (checksum, count) rows are tiny (<= nb) and
+# every bucket-writing door already knows exactly which buckets it
+# touched, so the summary lives as a `_checksums/` sidecar inside the
+# table root (underscore prefix: invisible to parquet readers of the
+# table) and is re-derived ONLY for touched buckets on each rewrite
+# (bucket_store.overwrite_buckets hooks it automatically; the sidecar's
+# _meta.json pins the fingerprinted keys/cols/nb so a diff over a
+# DIFFERENT column set falls back to the full scan instead of trusting
+# a mismatched summary).
+CK_DIR = "_checksums"
+CK_SCHEMA = "kb int, cs decimal(38,0), n bigint"
 
 
 def _prep(
@@ -62,6 +79,153 @@ def _row_hash(keys: list[str], cols: list[str]):
     )
 
 
+def _bucket_sums(
+    df: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    rh = _row_hash(keys, cols)
+    # decimal(38,0) sum: exact and overflow-free under ANSI for any
+    # realistic bucket (full-range int64 hashes x up to ~1e19 rows)
+    return df.groupBy("kb").agg(
+        F.sum(rh.cast("decimal(38,0)")).alias("cs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _ck_meta_path(path: str) -> str:
+    return os.path.join(path, CK_DIR, "_meta.json")
+
+
+def _write_summary(
+    spark: SparkSession, summ_rows, path: str, meta: dict
+) -> None:
+    """Persist the <= nb summary rows + the meta pin. The rows arrive
+    COLLECTED (the summary is bounded by the layout's bucket count,
+    never by data size) so the overwrite never reads the directory it
+    replaces."""
+    d = os.path.join(path, CK_DIR)
+    spark.createDataFrame(summ_rows, CK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    with open(_ck_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+    spark.catalog.refreshByPath(d)
+
+
+def checksums_init(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    cols: list[str],
+    nb: int = DIFF_NB,
+) -> None:
+    """One full pass over the table to seed the persisted summary;
+    thereafter every rewrite through bucket_store.overwrite_buckets
+    (sync/scd2/golden/IVM doors) re-derives ONLY its touched buckets'
+    rows, so the routine replica audit reads 2 x nb summary rows
+    instead of two full tables."""
+    meta = {"keys": list(keys), "cols": sorted(cols), "nb": nb}
+    summ = _bucket_sums(_prep(spark, path, keys, cols, nb), keys, cols)
+    _write_summary(spark, summ.collect(), path, meta)
+
+
+def read_checksums(spark: SparkSession, path: str):
+    """(meta, summary DataFrame) — or (None, None) when the table has
+    no summary sidecar."""
+    mp = _ck_meta_path(path)
+    if not os.path.isfile(mp):
+        return None, None
+    with open(mp) as fh:
+        meta = json.load(fh)
+    return meta, spark.read.schema(CK_SCHEMA).parquet(os.path.join(path, CK_DIR))
+
+
+def update_checksums(
+    spark: SparkSession,
+    path: str,
+    affected: list[int],
+    new_content: DataFrame | None = None,
+) -> None:
+    """Incremental summary maintenance: re-derive ONLY the ``affected``
+    buckets' (cs, n) rows — from ``new_content`` (those buckets' full
+    new rows, already in hand at every door's rewrite) when given,
+    else from a literal-pruned re-read — and splice them into the
+    persisted summary. A table without a summary is a no-op; a bucket
+    emptied outright drops its row (matching what a fresh full-scan
+    summary would produce)."""
+    meta, cur = read_checksums(spark, path)
+    if meta is None:
+        return
+    keys, cols, nb = meta["keys"], meta["cols"], meta["nb"]
+    if new_content is not None:
+        src = new_content.select(*keys, *cols, "kb").filter(
+            F.col("kb").isin(affected) if affected else F.lit(False)
+        )
+    else:
+        src = _prep(spark, path, keys, cols, nb).filter(
+            F.col("kb").isin(affected) if affected else F.lit(False)
+        )
+    fresh = {r["kb"]: r for r in _bucket_sums(src, keys, cols).collect()}
+    kept = [
+        (r["kb"], r["cs"], r["n"])
+        for r in cur.collect()
+        if r["kb"] not in set(affected)
+    ]
+    rows = kept + [(r["kb"], r["cs"], r["n"]) for r in fresh.values()]
+    _write_summary(spark, rows, path, meta)
+
+
+def _summary_if_match(
+    spark: SparkSession, path: str, keys: list[str], cols: list[str], nb: int
+):
+    meta, df = read_checksums(spark, path)
+    if meta is None:
+        return None
+    if (
+        meta.get("keys") != list(keys)
+        or meta.get("cols") != sorted(cols)
+        or meta.get("nb") != nb
+    ):
+        # the summary fingerprints a different comparison: never trust
+        # it for this one
+        return None
+    return df
+
+
+def checksums_fsck(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """One-row audit of a persisted summary against a fresh full-scan
+    recompute (the trust anchor for the incremental maintenance):
+    (n_buckets_summary, n_buckets_actual, n_mismatched). All-zero
+    n_mismatched = the doors kept the summary honest."""
+    meta, cur = read_checksums(spark, path)
+    if meta is None:
+        raise ValueError(f"{path}: no checksum summary to audit")
+    keys, cols, nb = meta["keys"], meta["cols"], meta["nb"]
+    want = _bucket_sums(_prep(spark, path, keys, cols, nb), keys, cols)
+    j = cur.withColumnsRenamed({"cs": "cs_s", "n": "n_s"}).join(
+        want, "kb", "full_outer"
+    )
+    return j.agg(
+        F.coalesce(F.count(F.col("cs_s")), F.lit(0)).alias("n_buckets_summary"),
+        F.coalesce(F.count(F.col("cs")), F.lit(0)).alias("n_buckets_actual"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("cs_s").eqNullSafe(F.col("cs"))
+                        & F.col("n_s").eqNullSafe(F.col("n"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+    )
+
+
 def diff_tables(
     spark: SparkSession,
     path_a: str,
@@ -69,27 +233,35 @@ def diff_tables(
     keys: list[str],
     cols: list[str],
     nb: int = DIFF_NB,
+    use_summary: bool = True,
 ) -> DataFrame:
     """Row-level diff of table B vs table A over ``keys`` (unique per
     table), comparing ``cols``: returns (keys..., change) with change
     in {'added', 'removed', 'changed'}; unchanged rows never appear.
     Phase-1 bucket checksums prove identical buckets equal; phase 2
-    joins only the differing buckets (literal-pruned scans)."""
-    a = _prep(spark, path_a, keys, cols, nb)
-    b = _prep(spark, path_b, keys, cols, nb)
+    joins only the differing buckets (literal-pruned scans). When BOTH
+    sides carry a door-maintained summary for this exact comparison
+    (:func:`checksums_init`), phase 1 reads 2 x nb summary rows
+    instead of scanning either table — the flat-cost replica audit;
+    any mismatch in the fingerprinted (keys, cols, nb) falls back to
+    the full-scan phase 1, never a wrong answer."""
     rh = _row_hash(keys, cols)
 
-    def sums(df: DataFrame, side: str) -> DataFrame:
-        # decimal(38,0) sum: exact and overflow-free under ANSI for any
-        # realistic bucket (full-range int64 hashes x up to ~1e19 rows)
-        return df.groupBy("kb").agg(
-            F.sum(rh.cast("decimal(38,0)")).alias(f"cs_{side}"),
-            F.count(F.lit(1)).alias(f"n_{side}"),
+    def sums(side_path: str, side: str) -> DataFrame:
+        summ = (
+            _summary_if_match(spark, side_path, keys, cols, nb)
+            if use_summary
+            else None
         )
+        if summ is None:
+            summ = _bucket_sums(
+                _prep(spark, side_path, keys, cols, nb), keys, cols
+            )
+        return summ.withColumnsRenamed({"cs": f"cs_{side}", "n": f"n_{side}"})
 
     budget = (
-        sums(a, "a")
-        .join(sums(b, "b"), "kb", "full_outer")
+        sums(path_a, "a")
+        .join(sums(path_b, "b"), "kb", "full_outer")
         .filter(
             ~(
                 F.col("cs_a").eqNullSafe(F.col("cs_b"))
@@ -188,13 +360,25 @@ def sync_tables(
 
 
 def write_bucketed(
-    df: DataFrame, path: str, key: str, nb: int = DIFF_NB
+    df: DataFrame, path: str, key: str, nb: int = DIFF_NB, checksums: bool = False
 ) -> None:
     """Persist a table in the diffable layout: `kb=` key-bucket
     partitions, one file per bucket (the write_clean_store small-files
-    discipline)."""
+    discipline). ``checksums=True`` additionally seeds the persisted
+    bucket-checksum summary over all non-key columns — from then on
+    rewrites through bucket_store.overwrite_buckets maintain it
+    incrementally and :func:`diff_tables` audits this table without
+    scanning it."""
     from etl_8million_data__spark.operators.bucket_store import (
         write_table_bucketed,
     )
 
     write_table_bucketed(df.withColumn("kb", id_bucket(F.col(key), nb)), path, "kb")
+    if checksums:
+        checksums_init(
+            df.sparkSession,
+            path,
+            [key],
+            [c for c in df.columns if c != key],
+            nb,
+        )

@@ -461,3 +461,93 @@ def ops_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["k"],
         ["price_c", "prio", "cust"],
     )
+
+
+@register(
+    "ops_replica_audit",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             o_orderpriority AS prio, o_custkey AS cust
+      FROM orders),
+    b AS (
+      SELECT k, price_c,
+             prio,
+             CASE WHEN k % 5 = 0 THEN cust + 1000000 ELSE cust END AS cust
+      FROM a WHERE k % 17 <> 0
+      UNION ALL
+      SELECT -(k + 2), price_c, prio, cust FROM a WHERE k % 19 = 0),
+    j AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.price_c IS DISTINCT FROM b.price_c
+                       OR a.prio IS DISTINCT FROM b.prio
+                       OR a.cust IS DISTINCT FROM b.cust THEN 'changed'
+             END AS change
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT k, change FROM j WHERE change IS NOT NULL
+    """,
+    tags=("ops", "diff", "validation", "incremental", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_replica_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAT-COST REPLICA AUDIT (operators/diff.py checksum summaries) —
+    the routine "is my replica in sync" check at 100 TB: both table
+    versions are written with a persisted per-bucket (checksum, count)
+    summary (`_checksums/` sidecar, seeded once at write; every later
+    rewrite through bucket_store.overwrite_buckets re-derives ONLY its
+    touched buckets' rows), so diff_tables' phase 1 reads 2 x nb
+    summary rows instead of scanning either table — proven physically
+    in tests/test_table_diff.py, where a garbage file planted in a
+    non-differing bucket breaks the full-scan phase 1 but not this
+    path. Phase 2 still literal-prunes to the differing buckets and
+    compares real rows, and the DuckDB oracle recomputes the whole
+    diff from column values, so the summary acceleration is gated
+    end-to-end. Version B drops every 17th key, bumps every 5th's
+    custkey, and inserts a negative-key row per 19th.
+
+    Scale shape: phase 1 = 2 x nb summary rows (flat in table size —
+    gated by the --diff-summary scaling probe); phase 2 bounded by the
+    drift. The doors pay one bounded per-rewrite summary splice, which
+    is the right trade for any table audited more often than every
+    bucket is rewritten."""
+    import os
+    import shutil
+
+    from etl_8million_data__spark.operators.diff import diff_tables, write_bucketed
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("cust"),
+    )
+    b = (
+        o.filter(F.col("k") % 17 != 0)
+        .select(
+            "k",
+            "price_c",
+            "prio",
+            F.when(F.col("k") % 5 == 0, F.col("cust") + 1000000)
+            .otherwise(F.col("cust"))
+            .alias("cust"),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 19 == 0).select(
+                (-(F.col("k") + 2)).alias("k"), "price_c", "prio", "cust"
+            )
+        )
+    )
+    root = _persisted_index_root(sf_dir, "replica_audit")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, os.path.join(root, "a"), "k", checksums=True)
+    write_bucketed(b, os.path.join(root, "b"), "k", checksums=True)
+    return diff_tables(
+        spark,
+        os.path.join(root, "a"),
+        os.path.join(root, "b"),
+        ["k"],
+        ["price_c", "prio", "cust"],
+    )

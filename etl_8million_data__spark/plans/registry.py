@@ -85,6 +85,8 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 12 (first external evidence)
+    "ops_replica_audit",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

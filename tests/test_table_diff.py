@@ -209,3 +209,153 @@ def test_sync_preserves_columns_outside_the_compared_set(
     write_bucketed(b.drop("extra").withColumn("prio", F.lit("Y")), pb2, "k")
     with pytest.raises(ValueError, match="columns must match"):
         sync_tables(spark, pa, pb2, ["k"], ["prio", "cust"])
+
+
+def _versions_edits(o):
+    return (
+        o.filter(F.col("k") % 13 != 0)
+        .withColumn(
+            "prio",
+            F.when(F.col("k") % 7 == 0, F.lit("Z-MOVED")).otherwise(F.col("prio")),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "prio", "cust"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_summary_diff_equals_full_scan_without_reading_the_tables(
+    spark, sf_dir, tmp_path
+):
+    """With door-maintained summaries on BOTH sides, phase 1 must read
+    2 x nb summary rows instead of either table. Proven physically: a
+    GARBAGE parquet file planted in a NON-differing bucket of A breaks
+    the full-scan phase 1 (it must read every bucket) but leaves the
+    summarized diff's answer intact — phase 1 never opens the table
+    and phase 2 literal-prunes to the differing buckets only."""
+    import os
+
+    import pytest
+
+    from etl_8million_data__spark.operators.diff import checksums_fsck
+
+    o = _versions(spark, sf_dir)
+    b = _versions_edits(o)
+    want = _naive(o, b)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k", checksums=True)
+    write_bucketed(b, pb, "k", checksums=True)
+
+    keys, cols = ["k"], ["prio", "cust"]
+    got_full = {
+        (r["k"], r["change"])
+        for r in diff_tables(
+            spark, pa, pb, keys, cols, use_summary=False
+        ).collect()
+    }
+    got_sum = {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa, pb, keys, cols).collect()
+    }
+    assert got_sum == got_full == want
+
+    # freshly seeded summaries audit clean
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    # physical pruning proof on a SINGLE-key edit (one differing
+    # bucket): plant garbage in a non-differing bucket of A — the
+    # full-scan phase 1 must fail on it, the summarized diff must not
+    # even notice it
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    victim = o.orderBy("k").first()["k"]
+    b1 = o.withColumn(
+        "prio",
+        F.when(F.col("k") == victim, F.lit("X-EDITED")).otherwise(F.col("prio")),
+    )
+    pa1, pb1 = str(tmp_path / "a1"), str(tmp_path / "b1")
+    write_bucketed(o, pa1, "k", checksums=True)
+    write_bucketed(b1, pb1, "k", checksums=True)
+    victim_kb = o.filter(F.col("k") == victim).select(
+        id_bucket(F.col("k"), 16).alias("_b")
+    ).first()["_b"]
+    clean = next(
+        d
+        for d in os.listdir(pa1)
+        if d.startswith("kb=") and int(d.split("=")[1]) != victim_kb
+    )
+    with open(os.path.join(pa1, clean, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+    spark.catalog.refreshByPath(pa1)
+
+    with pytest.raises(Exception):
+        diff_tables(spark, pa1, pb1, keys, cols, use_summary=False).collect()
+    got_pruned = {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa1, pb1, keys, cols).collect()
+    }
+    assert got_pruned == {(victim, "changed")}
+
+    # a comparison over a DIFFERENT column set must not trust the
+    # summary (falls back to the full scan, still correct)
+    sub = {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa, pb, keys, ["prio"]).collect()
+    }
+    want_sub = {
+        (k, c)
+        for (k, c) in _naive(
+            o.withColumn("cust", F.lit(0)), b.withColumn("cust", F.lit(0))
+        )
+    }
+    assert sub == want_sub
+
+
+def test_sync_keeps_summaries_honest_and_audit_goes_flat_quiet(
+    spark, sf_dir, tmp_path
+):
+    """sync_tables rewrites differing buckets through overwrite_buckets,
+    which must keep A's summary honest WITHOUT a full recompute: after
+    the sync the fsck audit shows zero mismatches, the summarized diff
+    reads empty, and a replayed sync applies nothing. An emptied bucket
+    drops its summary row (matching a fresh full scan)."""
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        read_checksums,
+        sync_tables,
+    )
+
+    o = _versions(spark, sf_dir)
+    b = _versions_edits(o)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(o, pa, "k", checksums=True)
+    write_bucketed(b, pb, "k", checksums=True)
+
+    n = sync_tables(spark, pa, pb, ["k"], ["prio", "cust"])
+    assert n > 0
+    # the door updated ONLY the touched buckets' summary rows, yet the
+    # summary equals a fresh full-scan recompute
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # and the flat-cost audit now reads clean
+    assert diff_tables(spark, pa, pb, ["k"], ["prio", "cust"]).count() == 0
+    assert sync_tables(spark, pa, pb, ["k"], ["prio", "cust"]) == 0
+
+    # emptied bucket: make B drop EVERY key of one bucket of A
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    victim_kb = (
+        o.select(id_bucket(F.col("k"), 16).alias("_b")).first()["_b"]
+    )
+    b2 = o.withColumn("_b", id_bucket(F.col("k"), 16)).filter(
+        F.col("_b") != victim_kb
+    ).drop("_b")
+    pb2 = str(tmp_path / "b2")
+    write_bucketed(b2, pb2, "k", checksums=True)
+    assert sync_tables(spark, pa, pb2, ["k"], ["prio", "cust"]) > 0
+    meta, summ = read_checksums(spark, pa)
+    assert victim_kb not in {r["kb"] for r in summ.collect()}
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    assert diff_tables(spark, pa, pb2, ["k"], ["prio", "cust"]).count() == 0

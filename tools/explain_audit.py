@@ -147,6 +147,7 @@ AUDIT = {
     # table diff: phase-1 checksums are map-side-combined aggregates;
     # phase 2 is the differing-buckets-only full-outer join.
     "ops_table_diff": ["HashAggregate", "FullOuter"],
+    "ops_replica_audit": ["FullOuter"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.

@@ -1976,6 +1976,145 @@ def ivfpq_probe_crossover_probe() -> list[str]:
     return lines
 
 
+
+
+def diff_summary_probe() -> list[str]:
+    """Measured evidence for the round-12 claim: with door-maintained
+    checksum summaries on both sides, diff_tables' phase 1 reads a
+    BOUNDED number of summary rows (<= nb per side) however large the
+    tables grow, while the full-scan phase 1 reads every row of both
+    tables. Tables: n synthetic keyed rows in the kb= layout (B edits a
+    FIXED set of 10 keys present at both sizes, so the true diff — and
+    phase 2's work — is identical as the tables grow 10x). The gated
+    quantity is the one that scales: ROWS READ off the executed
+    phase-1 scans (the plan-invariants ground-truth metrics); at local
+    toy scale wall-time is task-overhead dominated, so it is reported,
+    not gated. Gates: (a) identical diff decisions through both
+    phase-1 paths at both sizes (the summary is an acceleration, not a
+    semantic fork), (b) every summarized phase-1 scan under the table
+    root reads <= nb rows (i.e. only the _checksums sidecar, flat
+    across the 10x edge), (c) the full-scan phase 1's table read grows
+    >= 5x across the same edge."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("diff-summary-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.diff import (
+        DIFF_NB,
+        _bucket_sums,
+        _prep,
+        _summary_if_match,
+        diff_tables,
+        write_bucketed,
+    )
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    keys, cols = ["k"], ["v", "w"]
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+            (F.col("id") % 97).alias("w"),
+        )
+
+    def budget_frame(sa, sb):
+        return (
+            sa.withColumnsRenamed({"cs": "cs_a", "n": "n_a"})
+            .join(
+                sb.withColumnsRenamed({"cs": "cs_b", "n": "n_b"}),
+                "kb",
+                "full_outer",
+            )
+            .filter(
+                ~(
+                    F.col("cs_a").eqNullSafe(F.col("cs_b"))
+                    & F.col("n_a").eqNullSafe(F.col("n_b"))
+                )
+            )
+            .select("kb")
+        )
+
+    out = []
+    work = tempfile.mkdtemp(prefix="diffsum_probe_")
+    try:
+        rows_sum, rows_full, walls = {}, {}, {}
+        for n in (50_000, 500_000):
+            ta, tb = f"{work}/a_{n}", f"{work}/b_{n}"
+            a = table(n)
+            b = a.withColumn(
+                "v",
+                F.when(F.col("k") < 10, F.col("v") + 1).otherwise(F.col("v")),
+            )
+            write_bucketed(a, ta, "k", checksums=True)
+            write_bucketed(b, tb, "k", checksums=True)
+
+            # summarized phase 1: every scan under the table root must
+            # be the _checksums sidecar (<= nb rows)
+            bs = budget_frame(
+                _summary_if_match(spark, ta, keys, cols, DIFF_NB),
+                _summary_if_match(spark, tb, keys, cols, DIFF_NB),
+            )
+            kbs_sum = sorted(r["kb"] for r in bs.collect())
+            ms = _scan_partition_metrics(bs, ta)
+            assert ms, "no summarized phase-1 scan found"
+            got = max(m.get("numOutputRows", 0) for m in ms)
+            assert got <= DIFF_NB, (n, got)
+            rows_sum[n] = got
+
+            # full phase 1 reads the tables
+            bf = budget_frame(
+                _bucket_sums(_prep(spark, ta, keys, cols, DIFF_NB), keys, cols),
+                _bucket_sums(_prep(spark, tb, keys, cols, DIFF_NB), keys, cols),
+            )
+            kbs_full = sorted(r["kb"] for r in bf.collect())
+            assert kbs_sum == kbs_full, (kbs_sum, kbs_full)
+            mf = _scan_partition_metrics(bf, ta)
+            rows_full[n] = max(m.get("numOutputRows", 0) for m in mf)
+
+            # end-to-end wall (reported, not gated) + decision equality
+            t0 = _t.time()
+            d_sum = {
+                tuple(r)
+                for r in diff_tables(spark, ta, tb, keys, cols).collect()
+            }
+            walls[n] = _t.time() - t0
+            d_full = {
+                tuple(r)
+                for r in diff_tables(
+                    spark, ta, tb, keys, cols, use_summary=False
+                ).collect()
+            }
+            assert d_sum == d_full and len(d_sum) == 10, len(d_sum)
+
+        lo, hi = 50_000, 500_000
+        assert rows_sum[hi] <= rows_sum[lo], (rows_sum, "summary read must stay flat")
+        assert rows_full[hi] >= 5 * rows_full[lo], (rows_full, "full scan must grow")
+        for n in (lo, hi):
+            line = (
+                f"diff-summary n={n}: phase1 rows read summarized="
+                f"{rows_sum[n]} (<= nb={DIFF_NB}, flat) vs full={rows_full[n]}"
+                f" (grows with table); e2e summarized diff {walls[n]:.2f}s,"
+                f" 10 decisions identical through both paths"
+            )
+            print(line)
+            out.append(line)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return out
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
@@ -1987,5 +2126,7 @@ if __name__ == "__main__":
         scd2_probe()
     elif "--ivfpq-crossover" in sys.argv:
         ivfpq_probe_crossover_probe()
+    elif "--diff-summary" in sys.argv:
+        diff_summary_probe()
     else:
         main()
