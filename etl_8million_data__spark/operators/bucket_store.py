@@ -160,7 +160,9 @@ def overwrite_buckets(
 
     from pyspark.sql import functions as F
 
-    new_content = new_content.localCheckpoint(eager=True)
+    # lazy checkpoint: the surviving-buckets collect below reads the
+    # content in full and is the job that materializes it
+    new_content = new_content.localCheckpoint(eager=False)
     surviving = {
         r["_b"]
         for r in new_content.select(

@@ -312,7 +312,7 @@ def sync_tables(
             "table A with write_bucketed first"
         )
     d = diff_tables(spark, path_a, path_b, keys, cols, nb).localCheckpoint(
-        eager=True
+        eager=False
     )
     n = d.count()
     if not n:

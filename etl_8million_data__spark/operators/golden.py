@@ -226,21 +226,33 @@ def _apply_delta(
     new_members: DataFrame,
     new_edges: DataFrame,
     dropped_rids: DataFrame,
+    old_cbs: list[int] | None = None,
 ) -> None:
     """Shared rewrite tail of increment and forget: the components in
     ``old_comps`` are REPLACED by the freshly clustered ``new_members``
     / ``new_edges`` (already labeled), survivorship recomputed for the
     new components only, and every table rewritten only in its affected
     buckets. ``dropped_rids``: rids leaving the state entirely (erase
-    victims) — removed from ridmap alongside the relabel."""
-    old_comps = old_comps.localCheckpoint(eager=True)
-    new_members = new_members.localCheckpoint(eager=True)
-    new_edges = new_edges.localCheckpoint(eager=True)
-    if not old_comps.count() and not new_members.count():
+    victims) — removed from ridmap alongside the relabel. ``old_comps``
+    arrives CHECKPOINTED by the caller (both callers materialize it
+    for their own pruned reads) and is not re-materialized here;
+    ``old_cbs`` lets the caller pass its already-collected bucket list
+    instead of paying the collect twice (the round-12 job-fusion
+    discipline: a 10-record apply is fixed-job-chain bound, not
+    data bound)."""
+    new_members = new_members.localCheckpoint(eager=False)
+    new_edges = new_edges.localCheckpoint(eager=False)
+    # common case first: a non-empty delta short-circuits after ONE
+    # count, and that count is the job that materializes new_members
+    if not new_members.count() and not old_comps.count():
         return  # complete miss (e.g. erasing unknown rids): a no-op
 
     cbs = sorted(
-        set(_bucket_values(old_comps, "component", nb))
+        set(
+            old_cbs
+            if old_cbs is not None
+            else _bucket_values(old_comps, "component", nb)
+        )
         | set(_bucket_values(new_members, "component", nb))
     )
 
@@ -261,7 +273,7 @@ def _apply_delta(
     # plus every dropped rid leaves its old row; relabeled rids re-enter
     moved = new_members.select("rid").unionByName(
         dropped_rids.select("rid")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     rbs = _bucket_values(moved, "rid", nb)
     rm_keep = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs).join(
         F.broadcast(moved), "rid", "left_anti"
@@ -291,8 +303,11 @@ def golden_increment(
     existing state rids or rids in ``new_records``; new rids must not
     already be in the state (dedup upstream — the skip-existing
     anti-join family)."""
-    new_records = new_records.select(*_MEMBER_COLS).localCheckpoint(eager=True)
-    new_edges = new_edges.select("a_key", "b_key").localCheckpoint(eager=True)
+    # lazy checkpoints throughout: the cbs collect below reads the
+    # whole chain (batch -> delta rids -> touched components) in full
+    # and is the ONE job that materializes all three frames
+    new_records = new_records.select(*_MEMBER_COLS).localCheckpoint(eager=False)
+    new_edges = new_edges.select("a_key", "b_key").localCheckpoint(eager=False)
     nb = _nb(root)
 
     delta_rids = (
@@ -302,7 +317,7 @@ def golden_increment(
         .distinct()
     )
     old_comps = _touched_components(spark, root, nb, delta_rids).localCheckpoint(
-        eager=True
+        eager=False
     )
     cbs = _bucket_values(old_comps, "component", nb)
     touched_members = (
@@ -317,7 +332,10 @@ def golden_increment(
     )
     all_records = touched_members.unionByName(new_records)
     all_edges = touched_edges.unionByName(new_edges)
-    relabeled = _cluster(all_records, all_edges).localCheckpoint(eager=True)
+    # _cluster's output is already checkpoint-backed (the CC loop
+    # checkpoints every round); _apply_delta lazily checkpoints its
+    # derived frames
+    relabeled = _cluster(all_records, all_edges)
     lab = relabeled.select(F.col("rid").alias("a_key"), "component")
     edges_labeled = all_edges.join(lab, "a_key")
     _apply_delta(
@@ -328,6 +346,7 @@ def golden_increment(
         relabeled,
         edges_labeled,
         new_records.select("rid").limit(0),
+        old_cbs=cbs,
     )
 
 
@@ -347,11 +366,12 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
     victims = (
         rids.select(F.col(rids.columns[0]).alias("rid"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nb = _nb(root)
+    # the cbs collect materializes victims + old_comps in one job
     old_comps = _touched_components(spark, root, nb, victims).localCheckpoint(
-        eager=True
+        eager=False
     )
     cbs = _bucket_values(old_comps, "component", nb)
     touched_members = (
@@ -370,12 +390,13 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
     ).join(
         F.broadcast(victims.select(F.col("rid").alias("b_key"))), "b_key", "left_anti"
     )
-    relabeled = _cluster(remaining_members, remaining_edges).localCheckpoint(
-        eager=True
-    )
+    relabeled = _cluster(remaining_members, remaining_edges)
     lab = relabeled.select(F.col("rid").alias("a_key"), "component")
     edges_labeled = remaining_edges.join(lab, "a_key")
-    _apply_delta(spark, root, nb, old_comps, relabeled, edges_labeled, victims)
+    _apply_delta(
+        spark, root, nb, old_comps, relabeled, edges_labeled, victims,
+        old_cbs=cbs,
+    )
 
 
 def stream_golden_forget(

@@ -47,23 +47,23 @@ def connected_components(
     changed = 0
     for _ in range(max_iter):
         # A node's new label: min of its own and all neighbours' labels.
+        # ONE job per iteration: the old label rides along into the
+        # lazily-checkpointed frame and the convergence check's full
+        # count is the action that materializes it (the round-12
+        # delta-door job-fusion discipline — the previous shape paid a
+        # separate eager-checkpoint job plus a changed-count job).
         nbr = labels.join(e, labels.node == e.src).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .join(labels.select("node", F.col("label").alias("_old")), "node")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("_old")).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     if changed != 0:

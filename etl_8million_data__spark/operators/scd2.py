@@ -166,8 +166,9 @@ def _append_log(
         .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
         .select("key", "seq")
     )
+    # lazy checkpoint: the count below is the job that materializes it
     fresh = b.join(existing, ["key", "seq"], "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
     if fresh.count():
         (
@@ -199,7 +200,9 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
             "(scd2_init(..., keep_log=True))"
         )
     path = os.path.join(root, "intervals")
-    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=True)
+    # lazy checkpoint: the kbs collect below reads b in full and is the
+    # job that materializes it (one job instead of checkpoint + collect)
+    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=False)
     keys = b.select("key").distinct()
     kbs = [
         r["_b"]
@@ -241,7 +244,8 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     the stream_golden_ingest discipline."""
     nb = _nb(root)
     path = os.path.join(root, "intervals")
-    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=True)
+    # lazy checkpoint: materialized in full by the kbs collect
+    b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=False)
     keys = b.select("key").distinct()
     kbs = [
         r["_b"]
@@ -259,7 +263,9 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
         # the true last_ts forward from this apply on
         old = old.withColumn("last_ts", F.col("valid_from"))
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
-    old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=True)
+    # lazy checkpoint fused with the order check: the violation count
+    # below reads old_touched in full and materializes it
+    old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=False)
     cur = old_touched.filter(F.col("is_current") == 1)
 
     # order contract: the batch must be strictly after each key's LAST
@@ -270,7 +276,6 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     viol = (
         cur.join(b.groupBy("key").agg(F.min("ts").alias("_mn")), "key")
         .filter(F.col("last_ts") >= F.col("_mn"))
-        .limit(1)
         .count()
     )
     if viol:

@@ -1687,7 +1687,12 @@ def golden_increment_probe() -> list[str]:
     10-record delta at any history size) while the full re-link grows
     with history — so the gates are (a) increment and forget absolute
     cost each <= 1.6x across the 30x edge (delta-bounded, not
-    history-bounded) and (b) each <= 0.5x the full re-link at 30x."""
+    history-bounded) and (b) each <= 0.5x the full re-link at 30x.
+    Round-12 addition: jobs-per-increment counted via a per-size job
+    group; the lazy-checkpoint fusion (incl. the 1-job-per-CC-round
+    loop) cut it 91 -> 75 on this fixture (84 -> 68 on an 8-partition
+    calibration), gated <= 80 against regression back to eager
+    checkpoint+action pairs."""
     import shutil
     import tempfile
 
@@ -1759,9 +1764,14 @@ def golden_increment_probe() -> list[str]:
                 edges.join(delta_edges, ["a_key", "b_key"], "left_anti"),
                 nb=256,
             )
+            sc = spark.sparkContext
+            grp = f"golden-inc-{n}"
+            sc.setJobGroup(grp, grp)
             t0 = time.time()
             golden_increment(spark, state, delta_rec, delta_edges)
             t_inc = time.time() - t0
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup(grp))
+            sc.setJobGroup("rest", "rest")
             t0 = time.time()
             golden_forget(spark, state, delta_rec.select("rid"))
             t_fgt = time.time() - t0
@@ -1777,10 +1787,15 @@ def golden_increment_probe() -> list[str]:
         fgt_ratios.append(rf)
         lines.append(
             f"| golden state, {n:,} store records, {n_delta}-record delta | "
-            f"increment {t_inc:.2f}s | erase {t_fgt:.2f}s | "
+            f"increment {t_inc:.2f}s ({n_jobs} jobs) | erase {t_fgt:.2f}s | "
             f"full re-link {t_full:.2f}s | ratios {ri:.2f}/{rf:.2f} |"
         )
         print(lines[-1])
+        assert n_jobs <= 80, (
+            f"golden_increment ran {n_jobs} jobs for a 10-record delta — "
+            "the fused fixed chain is <= 80 on this fixture; an eager "
+            "checkpoint+action pair crept back in"
+        )
     spark.stop()
     for label, times, ratios in (
         ("increment", inc_times, inc_ratios),
@@ -1811,7 +1826,13 @@ def scd2_probe() -> list[str]:
     the crossover sits beyond 1.5M rows on this host (ratio 4.5 -> 1.7
     and falling — the ivm_refresh_probe "overhead floor" honesty).
     Gates: apply absolute <= 1.6x across the 30x edge AND the
-    apply/rebuild ratio falls >= 2x."""
+    apply/rebuild ratio falls >= 2x. Round-12 addition: jobs-per-apply
+    counted via a per-size job group (the fixed chain the round-11
+    verdict flagged); the lazy-checkpoint fusion (checkpoint
+    materialization rides the first full action instead of paying its
+    own job) cut it 17 -> 14 on this fixture (26 -> 22 on an
+    8-partition calibration), gated <= 16 so a regression back to
+    eager checkpoint+action pairs fails loudly."""
     import shutil
     import tempfile
 
@@ -1857,9 +1878,14 @@ def scd2_probe() -> list[str]:
         try:
             root = f"{wd}/scd2"
             scd2_init(hist, root, nb=256)
+            sc = spark.sparkContext
+            grp = f"scd2-apply-{n}"
+            sc.setJobGroup(grp, grp)
             t0 = time.time()
             scd2_apply(spark, root, batch)
             t_apply = time.time() - t0
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup(grp))
+            sc.setJobGroup("rest", "rest")
             t0 = time.time()
             build_intervals(hist.unionByName(batch)).write.mode(
                 "overwrite"
@@ -1872,10 +1898,15 @@ def scd2_probe() -> list[str]:
         ratios.append(r)
         lines.append(
             f"| scd2 maintenance, {n:,} changes, 10-change batch | "
-            f"apply {t_apply:.2f}s | full rebuild {t_full:.2f}s | "
-            f"ratio {r:.2f} |"
+            f"apply {t_apply:.2f}s ({n_jobs} jobs) | "
+            f"full rebuild {t_full:.2f}s | ratio {r:.2f} |"
         )
         print(lines[-1])
+        assert n_jobs <= 16, (
+            f"scd2_apply ran {n_jobs} jobs for a 10-change batch — the "
+            "fused fixed chain is <= 16 on this fixture; an eager "
+            "checkpoint+action pair crept back in"
+        )
     spark.stop()
     assert times[1] <= times[0] * 1.6, (
         f"scd2 apply absolute cost grew with history "
