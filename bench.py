@@ -128,9 +128,10 @@ HEADLINE = [
     "advisor_layout_zonemap",  # sort-key scan-skipping advisor
     "corpus_incremental_curation",  # batch-by-batch curation vs persisted index
     "ops_table_diff",  # Merkle bucket-checksum table diff
+    "linkage_golden_fsck",  # full-lifecycle state invariant gate
     # round-12 families
     "ops_replica_audit",  # flat-cost replica audit via persisted summaries
-    "linkage_golden_fsck",  # full-lifecycle state invariant gate
+    "advisor_layout_exec",  # layout advice executed: range-sort backfill + pruned scan
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -408,3 +408,35 @@ def apply_advice(
     else:
         joined = big.join(small, on)
     return joined
+
+
+def apply_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str] | str,
+    n_files: int = 64,
+) -> None:
+    """EXECUTE the layout advisor's winning sort key
+    (plans/approx.advisor_layout_zonemap simulates; this door rewrites):
+    range-repartition into ``n_files`` contiguous key ranges and sort
+    within each, so every parquet file/row group carries a TIGHT
+    min/max zone map on the sort key and the reader's predicate
+    pushdown actually skips the non-overlapping ones. Verification that
+    the simulation's predicted skip materializes on the rewritten
+    table is on executed scan metrics (numOutputRows — the rows
+    surviving parquet row-group pruning), never plan text:
+    tests/test_layout_apply.py gates measured-vs-predicted.
+
+    Range boundaries come from Spark's reservoir sampling
+    (repartitionByRange), so file populations are approximately — not
+    exactly — the simulation's equal-count ntile split; the gate
+    carries a boundary-slop margin for that. One shuffle + one sorted
+    write: the backfill cost the advisor's skip_ratio is weighed
+    against."""
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -87,6 +87,7 @@ def _load() -> None:
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 12 (first external evidence)
     "ops_replica_audit",
+    "advisor_layout_exec",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

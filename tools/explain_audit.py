@@ -148,6 +148,7 @@ AUDIT = {
     # phase 2 is the differing-buckets-only full-outer join.
     "ops_table_diff": ["HashAggregate", "FullOuter"],
     "ops_replica_audit": ["FullOuter"],
+    "advisor_layout_exec": ["PushedFilters", "HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
