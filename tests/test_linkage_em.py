@@ -68,3 +68,25 @@ def test_em_recovers_constructed_mixture(spark):
             ("m_seg_micro", "u_seg_micro"),
         )
     )
+
+
+def test_em_recovers_nonmatch_agreement_rates(spark):
+    """The u side of the mixture, same construction-truth discipline:
+    recovered non-match agreement rates must land within a band of the
+    EMPIRICAL agreement rates over the candidate pairs that are not
+    true matches (round-12 completion of the r10 tolerance ask — the m
+    side and prevalence are gated above)."""
+    got = linkage_em_parameters(spark, SF).first()
+    pairs = _linkage_candidate_pairs(_linkage_merged(spark, SF))
+    nm = pairs.filter(
+        F.col("orig_key").isNull() | (F.col("a_key") != F.col("orig_key"))
+    )
+    truth = nm.agg(
+        F.avg("ag_name").alias("u_name"),
+        F.avg("ag_bal").alias("u_bal"),
+        F.avg("ag_seg").alias("u_seg"),
+    ).first()
+    for field in ("name", "bal", "seg"):
+        rec = got[f"u_{field}_micro"] / 1e6
+        want = truth[f"u_{field}"]
+        assert abs(rec - want) <= 0.05, (field, rec, want)
