@@ -185,6 +185,27 @@ def commit_baseline(
     }
 
 
+TAIL_PER_ROUND = 30
+
+
+def tail_rotation(
+    all_names, benched, round_no: int, k: int = TAIL_PER_ROUND
+) -> list[str]:
+    """Deterministic rotating sample of the NON-headline tail: the
+    sorted tail is walked in a window of ``k`` names advancing by k per
+    round (wrapping), so every registered query gets timed within
+    ceil(|tail|/k) rounds and a silent regression in a query outside
+    the headline lane is caught within a few rounds instead of never.
+    Pure function of (names, round_no) — the adjudication-path test
+    pins coverage and determinism."""
+    tail = sorted(n for n in all_names if n not in set(benched))
+    if not tail:
+        return []
+    k = min(k, len(tail))
+    start = (round_no * k) % len(tail)
+    return sorted(tail[(start + i) % len(tail)] for i in range(k))
+
+
 def main() -> None:
     spark = get_spark("etl8m-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -311,6 +332,75 @@ def main() -> None:
                     + f"; isolated rerun {iso:.2f}s"
                     f" ({iso / max(boot_factor, 1.0):.2f}s normalized) CONFIRMED"
                 )
+    # ---- rotating TAIL lane: the registered queries outside the
+    # headline/baseline lanes, a deterministic 30-per-round window so
+    # every query is re-timed within a few rounds. Each tail query
+    # compares against the LAST round it was sampled (tail_history in
+    # the committed BENCH_FULL.json), boot-normalized by the same
+    # sentinel factor, with the same isolated-rerun adjudication; the
+    # committed history carries the reproducible min forward.
+    prev_tail_round = int(prev.get("tail_round", 0)) if prev_q else 0
+    tail_history: dict[str, dict] = (
+        dict(prev.get("tail_history", {})) if prev_q else {}
+    )
+    tail_round = prev_tail_round + 1
+    tail_sampled = tail_rotation(
+        queries.keys(), HEADLINE + BASELINE_LANE + SENTINELS, tail_round
+    )
+    tail_timings: dict[str, float] = {}
+    tail_spreads: dict[str, float] = {}
+    for name in tail_sampled:
+        samples = []
+        for _ in range(2):
+            df = queries[name].build(spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        tail_timings[name] = round(min(samples), 3)
+        tail_spreads[name] = round(max(samples) - min(samples), 3)
+    tail_candidates: dict[str, str] = {}
+    for name, t in tail_timings.items():
+        h = tail_history.get(name) or {}
+        noise = max(tail_spreads.get(name, 0.0), h.get("spread", 0.0), 0.15)
+        if regressed(t, h.get("t"), noise, boot_factor):
+            bf = max(boot_factor, 1.0)
+            tail_candidates[name] = (
+                f"{h.get('t'):.2f}s (round {h.get('round')}) -> {t:.2f}s raw,"
+                f" {t / bf:.2f}s boot-normalized (factor {boot_factor:.2f})"
+            )
+    tail_regressions: dict[str, str] = {}
+    tail_isolated: dict[str, float] = {}
+    if tail_candidates:
+        spark.catalog.clearCache()
+        for name in tail_candidates:
+            samples = []
+            for _ in range(3):
+                df = queries[name].build(spark, SF_DIR)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            iso = round(min(samples), 3)
+            tail_isolated[name] = iso
+            h = tail_history.get(name) or {}
+            noise = max(
+                tail_spreads.get(name, 0.0), h.get("spread", 0.0), 0.15
+            )
+            if regressed(iso, h.get("t"), noise, boot_factor):
+                tail_regressions[name] = (
+                    tail_candidates[name]
+                    + f"; isolated rerun {iso:.2f}s"
+                    f" ({iso / max(boot_factor, 1.0):.2f}s normalized)"
+                    " CONFIRMED"
+                )
+    committed_tail = commit_baseline(tail_timings, tail_isolated)
+    for name, t in committed_tail.items():
+        tail_history[name] = {
+            "t": t,
+            "spread": tail_spreads.get(name, 0.0),
+            "round": tail_round,
+        }
+    tail_total = round(sum(committed_tail.values()), 3)
+
     # the committed per-query baseline carries the isolated min forward
     # (see commit_baseline) — the headline total follows the committed
     # values so BENCH_FULL stays internally consistent
@@ -336,6 +426,16 @@ def main() -> None:
         "regressions_vs_prev": regressions,
         "sf": sf,
         "n_queries": len(timings),
+        "tail_round": tail_round,
+        "tail_sampled": tail_sampled,
+        "tail_queries": committed_tail,
+        "tail_first_pass": tail_timings,
+        "tail_spread": tail_spreads,
+        "tail_total": tail_total,
+        "tail_candidates": tail_candidates,
+        "tail_isolated_rerun": tail_isolated,
+        "tail_regressions_vs_last_sample": tail_regressions,
+        "tail_history": tail_history,
     }
     with open(bench_full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -352,6 +452,12 @@ def main() -> None:
             "baseline_lane_total": baseline_total,
             "sentinel_total": round(sentinel_total, 3),
             "regressions": len(regressions),
+            "tail": {
+                "round": tail_round,
+                "n": len(tail_sampled),
+                "total": tail_total,
+                "regressions": len(tail_regressions),
+            },
             "full": "BENCH_FULL.json",
         }
     )

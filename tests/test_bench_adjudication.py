@@ -42,3 +42,31 @@ def test_commit_baseline_carries_isolated_min_forward():
     assert out["b"] == 1.0
     # inputs are not mutated
     assert timings["a"] == 2.0
+
+
+def test_tail_rotation_covers_everything_deterministically():
+    from bench import TAIL_PER_ROUND, tail_rotation
+
+    names = [f"q{i:03d}" for i in range(137)]
+    benched = {f"q{i:03d}" for i in range(0, 137, 5)}  # 28 "headline" names
+    tail = sorted(set(names) - benched)
+
+    # deterministic: same inputs -> same sample
+    assert tail_rotation(names, benched, 3) == tail_rotation(names, benched, 3)
+    # never samples a headline/baseline query, always <= k names
+    for r in range(1, 10):
+        s = tail_rotation(names, benched, r)
+        assert not set(s) & benched
+        assert len(s) == min(TAIL_PER_ROUND, len(tail))
+    # full coverage within ceil(|tail|/k) consecutive rounds
+    import math
+
+    need = math.ceil(len(tail) / TAIL_PER_ROUND)
+    covered = set()
+    for r in range(1, need + 1):
+        covered |= set(tail_rotation(names, benched, r))
+    assert covered == set(tail)
+    # a tail smaller than k is fully sampled every round
+    assert tail_rotation(["a", "b"], [], 7) == ["a", "b"]
+    # empty tail is fine
+    assert tail_rotation(list(benched), benched, 1) == []
