@@ -132,6 +132,7 @@ HEADLINE = [
     # round-12 families
     "ops_replica_audit",  # flat-cost replica audit via persisted summaries
     "advisor_layout_exec",  # layout advice executed: range-sort backfill + pruned scan
+    "ops_version_cdc",  # manifest-pruned CDC between bucketed table versions
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

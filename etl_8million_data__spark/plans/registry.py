@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW in round 12 (first external evidence)
     "ops_replica_audit",
     "advisor_layout_exec",
+    "ops_version_cdc",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

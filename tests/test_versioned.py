@@ -185,3 +185,122 @@ def test_delete_where_erasure_contract(spark, table):
     assert removed
     with pytest.raises(Exception):
         V.read(spark, table, version=1).collect()
+
+
+def test_table_changes_pruned_equals_full_and_skips_clean_buckets(
+    spark, sf_dir, table
+):
+    """Manifest-summary CDC: with both versions committed through
+    commit_bucketed, the differing-bucket set comes from manifest
+    metadata alone and only those buckets' rows join — proven
+    physically by a garbage parquet file planted in a NON-differing
+    bucket of BOTH snapshots (the full-join CDC must fail on it; the
+    pruned CDC must not notice), with the output contract identical to
+    table_changes across all three change classes."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v1 = V.commit_bucketed(spark, o, table, "k")
+    # single-key edit so most buckets are provably clean
+    victim = o.orderBy("k").first()["k"]
+    o2 = o.withColumn(
+        "prio",
+        F.when(F.col("k") == victim, F.lit("X-EDITED")).otherwise(F.col("prio")),
+    )
+    v2 = V.commit_bucketed(spark, o2, table, "k")
+
+    got = {
+        tuple(r)
+        for r in V.table_changes_pruned(spark, table, ["k"], v1, v2).collect()
+    }
+    assert got == {("update", victim, "X-EDITED",
+                    o.filter(F.col("k") == victim).first()["cust"])}
+
+    # all three change classes, pruned == full
+    o3 = (
+        o2.filter(F.col("k") % 13 != 0)
+        .unionByName(
+            o2.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "prio", "cust"
+            )
+        )
+        .withColumn(
+            "cust",
+            F.when(F.col("k") % 7 == 0, F.col("cust") + 1).otherwise(
+                F.col("cust")
+            ),
+        )
+    )
+    v3 = V.commit_bucketed(spark, o3, table, "k", op="upsert")
+    full = {
+        tuple(r) for r in V.table_changes(spark, table, ["k"], v2, v3).drop(
+            "kb"
+        ).collect()
+    }
+    # table_changes sees the kb column too — compare on the shared shape
+    full = {
+        tuple(r)
+        for r in V._classify_changes(
+            V.read(spark, table, v2).drop("kb"),
+            V.read(spark, table, v3).drop("kb"),
+            ["k"],
+        ).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in V.table_changes_pruned(spark, table, ["k"], v2, v3).collect()
+    }
+    assert pruned == full
+    assert {t[0] for t in pruned} == {"insert", "update", "delete"}
+
+    # physical proof on the single-edit pair: garbage in a clean bucket
+    import os
+
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    victim_kb = o.filter(F.col("k") == victim).select(
+        id_bucket(F.col("k"), 16).alias("b")
+    ).first()["b"]
+    for ver_dir in ("v00001", "v00002"):
+        clean = next(
+            d
+            for d in os.listdir(os.path.join(table, ver_dir))
+            if d.startswith("kb=") and int(d.split("=")[1]) != victim_kb
+        )
+        with open(
+            os.path.join(table, ver_dir, clean, "junk.parquet"), "wb"
+        ) as fh:
+            fh.write(b"not parquet")
+    spark.catalog.refreshByPath(table)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        V.table_changes(spark, table, ["k"], v1, v2).collect()
+    got2 = {
+        tuple(r)
+        for r in V.table_changes_pruned(spark, table, ["k"], v1, v2).collect()
+    }
+    assert {t[:2] for t in got2} == {("update", victim)}
+
+    # identical versions: metadata alone proves no change (reads nothing)
+    assert V.table_changes_pruned(spark, table, ["k"], v1, v1).count() == 0
+
+
+def test_table_changes_pruned_falls_back_without_summaries(spark, table):
+    v1 = V.commit(spark, _rows(spark, [("a", 1, 1), ("b", 2, 1)]), table)
+    v2 = V.commit(spark, _rows(spark, [("a", 1, 1), ("b", 3, 2)]), table)
+    got = {
+        (r["_change_type"], r["k"])
+        for r in V.table_changes_pruned(spark, table, ["k"], v1, v2).collect()
+    }
+    assert got == {("update", "b")}

@@ -149,6 +149,7 @@ AUDIT = {
     "ops_table_diff": ["HashAggregate", "FullOuter"],
     "ops_replica_audit": ["FullOuter"],
     "advisor_layout_exec": ["PushedFilters", "HashAggregate"],
+    "ops_version_cdc": ["FullOuter"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
