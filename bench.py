@@ -133,6 +133,7 @@ HEADLINE = [
     "ops_replica_audit",  # flat-cost replica audit via persisted summaries
     "advisor_layout_exec",  # layout advice executed: range-sort backfill + pruned scan
     "ops_version_cdc",  # manifest-pruned CDC between bucketed table versions
+    "advisor_layout_drift",  # sorted-layout decay quantified, recompaction advice
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

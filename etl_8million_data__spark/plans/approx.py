@@ -1867,3 +1867,154 @@ def advisor_layout_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty_c").cast("bigint").alias("qty_c"),
         )
     )
+
+
+@register(
+    "advisor_layout_drift",
+    oracle=f"""
+    WITH tb AS (
+      SELECT l_shipdate, l_orderkey,
+             l_orderkey * 10 + l_linenumber AS tb
+      FROM lineitem),
+    basef AS (
+      SELECT l_shipdate,
+             ntile(48) OVER (ORDER BY l_shipdate, tb) AS file_id
+      FROM tb WHERE l_orderkey % 4 <> 0),
+    appf AS (
+      SELECT l_shipdate,
+             48 + ntile(16) OVER (ORDER BY l_orderkey, tb) AS file_id
+      FROM tb WHERE l_orderkey % 4 = 0),
+    drifted AS (
+      SELECT file_id, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+      FROM (SELECT * FROM basef UNION ALL SELECT * FROM appf)
+      GROUP BY file_id),
+    resorted AS (
+      SELECT file_id, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+      FROM (SELECT l_shipdate,
+                   ntile(64) OVER (ORDER BY l_shipdate, tb) AS file_id
+            FROM tb)
+      GROUP BY file_id),
+    preds(pred, p_lo, p_hi) AS (VALUES {_ZONE_PRED_VALUES}),
+    d AS (
+      SELECT p.pred,
+             CAST(sum(CASE WHEN z.mx >= p.p_lo AND z.mn <= p.p_hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS drifted_files_read
+      FROM drifted z CROSS JOIN preds p GROUP BY p.pred),
+    r AS (
+      SELECT p.pred,
+             CAST(sum(CASE WHEN z.mx >= p.p_lo AND z.mn <= p.p_hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS resorted_files_read
+      FROM resorted z CROSS JOIN preds p GROUP BY p.pred)
+    SELECT d.pred, d.drifted_files_read, r.resorted_files_read,
+           CAST(64 AS BIGINT) AS n_files,
+           CAST((1000000 * d.drifted_files_read)
+                // greatest(r.resorted_files_read, 1) AS BIGINT)
+             AS read_amp_micro,
+           CASE WHEN d.drifted_files_read >= 2 * r.resorted_files_read
+                THEN 'recompact' ELSE 'keep' END AS advice
+    FROM d JOIN r ON d.pred = r.pred
+    """,
+    tags=("advisor", "layout", "zone-map", "maintenance", "extension",
+          "scale-path"),
+)
+def advisor_layout_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT DRIFT ADVISOR — the maintenance companion of
+    advisor_layout_zonemap/advisor_layout_exec: a sorted layout decays
+    as appends arrive in INGEST order (uncorrelated with the sort key),
+    because every appended file's zone map spans the whole key range
+    and overlaps every predicate. The advisor quantifies the decay
+    relationally — the current table simulated as 48 shipdate-sorted
+    base files plus 16 ingest-ordered append files (25% appended rows),
+    zone maps per file, the advisor's 4-predicate workload counted
+    against them — and compares against the 64-file re-sorted ideal:
+    per predicate, (drifted_files_read, resorted_files_read,
+    read_amp_micro) and the 'recompact' advice when the drifted layout
+    reads >= 2x the files the re-sort would. Measured on the fixture:
+    the quarter predicate reads 18/64 drifted vs 3/64 re-sorted
+    (amp 6x -> recompact), while the full-range predicate reads
+    64/64 either way (amp 1x -> keep: recompaction cannot help a
+    non-selective workload — the advisor knows the difference).
+
+    Scale shape: identical to the zonemap advisor — boundary-table
+    ntile per layout (never a 1-partition window), 64-row zone tables,
+    a broadcast pred cross. The real-parquet twin (actual appends
+    degrading actual scan metrics, recompaction via apply_layout
+    restoring them) is measured in tests/test_layout_apply.py."""
+    from etl_8million_data__spark.operators.partitioning import global_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_orderkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    base = global_ntile(
+        li.filter(F.col("l_orderkey") % 4 != 0),
+        48,
+        "l_shipdate",
+        "tb",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint"),
+        out_col="file_id",
+    )
+    app = global_ntile(
+        li.filter(F.col("l_orderkey") % 4 == 0),
+        16,
+        "l_orderkey",
+        "tb",
+        F.expr("l_orderkey div 500"),
+        out_col="file_id",
+    ).withColumn("file_id", F.col("file_id") + 48)
+    drifted = (
+        base.unionByName(app)
+        .groupBy("file_id")
+        .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
+    )
+    resorted = (
+        global_ntile(
+            li,
+            64,
+            "l_shipdate",
+            "tb",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint"),
+            out_col="file_id",
+        )
+        .groupBy("file_id")
+        .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
+    )
+    import datetime as _dt
+
+    preds = spark.createDataFrame(
+        [
+            (n, _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi))
+            for n, lo, hi in _ZONE_PREDS
+        ],
+        "pred string, p_lo timestamp, p_hi timestamp",
+    )
+    hit = F.when(
+        (F.col("mx") >= F.col("p_lo")) & (F.col("mn") <= F.col("p_hi")), 1
+    ).otherwise(0)
+
+    def reads(zones: DataFrame, out: str) -> DataFrame:
+        return (
+            zones.crossJoin(F.broadcast(preds))
+            .groupBy("pred")
+            .agg(F.sum(hit).cast("bigint").alias(out))
+        )
+
+    d = reads(drifted, "drifted_files_read")
+    r = reads(resorted, "resorted_files_read")
+    return d.join(r, "pred").select(
+        "pred",
+        "drifted_files_read",
+        "resorted_files_read",
+        F.lit(64).cast("bigint").alias("n_files"),
+        F.expr(
+            "CAST((1000000 * drifted_files_read)"
+            " div greatest(resorted_files_read, 1) AS BIGINT)"
+        ).alias("read_amp_micro"),
+        F.when(
+            F.col("drifted_files_read") >= 2 * F.col("resorted_files_read"),
+            F.lit("recompact"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("advice"),
+    )

@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "ops_replica_audit",
     "advisor_layout_exec",
     "ops_version_cdc",
+    "advisor_layout_drift",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

@@ -114,3 +114,58 @@ def test_apply_layout_is_content_preserving(spark, sf_dir, tmp_path):
         os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
     ]
     assert len(files) >= 8
+
+
+def test_drift_degrades_real_scans_and_recompaction_recovers(
+    spark, sf_dir, tmp_path
+):
+    """The drift advisor's claim on REAL parquet: ingest-ordered
+    appends to a shipdate-sorted table blow up the advised predicate's
+    scan (every append file's zone map spans the whole key range);
+    recompacting through apply_layout restores it. Measured on
+    executed scan numOutputRows, mirroring the advisor's simulated
+    read-amplification."""
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    li = _li(spark, sf_dir).localCheckpoint(eager=True)
+    base = li.filter(F.col("l_orderkey") % 4 != 0)
+    appends = li.filter(F.col("l_orderkey") % 4 == 0)
+    p = str(tmp_path / "drifting")
+    apply_layout(base, p, "ship_d", 48)
+
+    def read_rows():
+        df = spark.read.parquet(p).filter(
+            (F.col("ship_d") >= F.lit(LO)) & (F.col("ship_d") <= F.lit(HI))
+        )
+        n = df.count()
+        m = _scan_partition_metrics(df, p)
+        return n, max(x.get("numOutputRows", 0) for x in m)
+
+    n0, read0 = read_rows()
+    # ingest-ordered appends: 16 files keyed by orderkey, each spanning
+    # the whole shipdate range
+    appends.repartitionByRange(16, F.col("l_orderkey")).write.mode(
+        "append"
+    ).parquet(p)
+    spark.catalog.refreshByPath(p)
+    n1, read1 = read_rows()
+    assert n1 > n0  # the appends add matching rows
+    app_total = appends.count()
+    # degradation: the scan now reads (almost) every appended row on
+    # top of the pruned base — the advisor's read-amplification is real
+    assert read1 >= read0 + app_total * 0.95, (read0, read1, app_total)
+
+    # recompaction door: re-sort the whole table, skip restored
+    p2 = str(tmp_path / "recompacted")
+    apply_layout(spark.read.parquet(p), p2, "ship_d", 64)
+    df2 = spark.read.parquet(p2).filter(
+        (F.col("ship_d") >= F.lit(LO)) & (F.col("ship_d") <= F.lit(HI))
+    )
+    n2 = df2.count()
+    read2 = max(
+        x.get("numOutputRows", 0) for x in _scan_partition_metrics(df2, p2)
+    )
+    assert n2 == n1, "recompaction changed the answer"
+    total = li.count()
+    assert read2 <= total * 0.12, (read2, total)
+    assert read2 * 3 <= read1, (read2, read1)

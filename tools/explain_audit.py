@@ -150,6 +150,7 @@ AUDIT = {
     "ops_replica_audit": ["FullOuter"],
     "advisor_layout_exec": ["PushedFilters", "HashAggregate"],
     "ops_version_cdc": ["FullOuter"],
+    "advisor_layout_drift": ["HashAggregate", "Window"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
