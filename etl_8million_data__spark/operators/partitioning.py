@@ -363,12 +363,10 @@ def advise_join(
         if (
             max_n >= ADVISE_SKEW_RATIO * max(p50, 1)
             and max_n * ADVISE_SKEW_SHARE >= n_big
-            # the salted executor replicates on ONE key; for composite
-            # joins keep 'shuffle' (the skew report still rides along
-            # so the caller sees the hot-key evidence) instead of
-            # emitting advice apply_advice would refuse.
-            and len(on) == 1
         ):
+            # composite keys salt identically (the salt spreads rows,
+            # not key columns) — salted_broadcast_replicate_join joins
+            # on (keys..., salt)
             out["strategy"] = "salted"
     return out
 
@@ -392,9 +390,7 @@ def apply_advice(
     on = [on] if isinstance(on, str) else list(on)
     small, big = (a, b) if advice["small_side"] == "a" else (b, a)
     if advice["strategy"] == "salted":
-        if len(on) != 1:
-            raise ValueError("salted execution supports single-key joins")
-        joined = salted_broadcast_replicate_join(big, small, on[0])
+        joined = salted_broadcast_replicate_join(big, small, on)
     elif advice["strategy"] == "literal":
         if len(on) == 1:
             keys = [r[on[0]] for r in small.select(on[0]).distinct().collect()]

@@ -45,25 +45,28 @@ def salted_agg(
 def salted_broadcast_replicate_join(
     big: DataFrame,
     small: DataFrame,
-    key: str,
+    key: str | list[str],
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Manual skew-join salting for when the small side is too big to
     broadcast outright but the big side has hot keys: the big side gets
     a row-spread salt, the small side is replicated ``salt_buckets``
     times (explode over the salt range), and the equi-join runs on
-    (key, salt) — each hot key now fans across ``salt_buckets``
+    (keys..., salt) — each hot key now fans across ``salt_buckets``
     reducers instead of one straggler. Exact for any join semantics
     (every big row still meets every matching small row exactly once,
-    in exactly one salt bucket).
+    in exactly one salt bucket); composite keys salt identically — the
+    salt spreads ROWS, so it is independent of how many columns make
+    up the key.
 
     AQE's skew-join split (on in session.py) usually makes this
     unnecessary; keep it for engines/paths where AQE is off (streaming
     micro-batches) or when the skew is known ahead of time.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     big_s = big.withColumn("_salt", F.monotonically_increasing_id() % salt_buckets)
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
-    out = big_s.join(small_r, [key, "_salt"])
+    out = big_s.join(small_r, [*keys, "_salt"])
     return out.drop("_salt")

@@ -125,26 +125,36 @@ def test_skew_aware_advice_salts_the_hot_key(spark, sf_dir):
     assert "skew_max_n" in adv_u and "skew_p50" in adv_u
 
 
-def test_composite_key_skew_stays_shuffle_and_executes(spark, sf_dir):
-    """A hot key under a COMPOSITE join key must NOT escalate to
-    'salted' (the salted executor replicates on one key and would
-    refuse the advice) — the advisor keeps 'shuffle', still reports
-    the measured skew, and apply_advice executes its own advice."""
+def test_composite_key_skew_salts_and_executes(spark, sf_dir):
+    """A hot key under a COMPOSITE join key escalates to 'salted' like
+    the single-key case (the salt spreads rows, independent of key
+    arity), and apply_advice executes the advice with a result
+    identical to the plain join — composite keys through the salt path
+    end to end."""
     li = load_table(spark, sf_dir, "lineitem")
     big = li.select(
         F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
         .otherwise(F.col("l_orderkey"))
         .alias("k1"),
-        F.lit(1).alias("k2"),
+        (F.col("l_orderkey") % 2).alias("k2"),
         "l_quantity",
     )
     small = big.select("k1", "k2").distinct().withColumn("flag", F.col("k1") % 7)
 
     adv = advise_join(big, small, ["k1", "k2"], broadcast_rows=10)
-    # same planted skew that salts the single-key twin...
     assert adv["skew_max_n"] >= 2 * adv["skew_p50"], adv
-    # ...but composite keys keep the shuffle pick, and the executor
-    # accepts it
-    assert adv["strategy"] == "shuffle", adv
+    assert adv["strategy"] == "salted", adv
     j = apply_advice(big, small, ["k1", "k2"], adv)
-    assert j.count() == big.join(small, ["k1", "k2"]).count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    want = big.join(small, ["k1", "k2"])
+    assert j.count() == want.count()
+    got_agg = {
+        (r["flag"], r["cnt"])
+        for r in j.groupBy("flag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    want_agg = {
+        (r["flag"], r["cnt"])
+        for r in want.groupBy("flag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_agg == want_agg
