@@ -134,6 +134,7 @@ HEADLINE = [
     "advisor_layout_exec",  # layout advice executed: range-sort backfill + pruned scan
     "ops_version_cdc",  # manifest-pruned CDC between bucketed table versions
     "advisor_layout_drift",  # sorted-layout decay quantified, recompaction advice
+    "ops_store_lifecycle_audit",  # append/delete doors keep the summary honest
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

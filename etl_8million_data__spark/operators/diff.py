@@ -382,3 +382,83 @@ def write_bucketed(
             [c for c in df.columns if c != key],
             nb,
         )
+
+
+def append_checksums(
+    spark: SparkSession, path: str, appended: DataFrame
+) -> None:
+    """ADDITIVE summary maintenance for append doors: the per-bucket
+    checksum is a SUM of row hashes, so an append's effect on the
+    summary is pure addition — one map-side aggregate over the batch
+    (never a re-read of the table), added driver-side to the stored
+    rows. A table without a summary is a no-op."""
+    meta, cur = read_checksums(spark, path)
+    if meta is None:
+        return
+    keys, cols = meta["keys"], meta["cols"]
+    delta = {
+        r["kb"]: (r["cs"], r["n"])
+        for r in _bucket_sums(
+            appended.select(*keys, *cols, "kb"), keys, cols
+        ).collect()
+    }
+    rows = {r["kb"]: (r["cs"], r["n"]) for r in cur.collect()}
+    for kb, (cs, n) in delta.items():
+        ocs, on = rows.get(kb, (0, 0))
+        rows[kb] = (ocs + cs, on + n)
+    _write_summary(
+        spark, [(kb, cs, n) for kb, (cs, n) in rows.items()], path, meta
+    )
+
+
+def append_bucketed(
+    df: DataFrame, path: str, key: str, nb: int = DIFF_NB
+) -> None:
+    """Append door for the diffable layout: rows land in their ``kb=``
+    bucket partitions (one file per touched bucket per batch — the
+    write_clean_store discipline) and a summary, when present, updates
+    ADDITIVELY from the batch alone. With :func:`write_bucketed`,
+    :func:`delete_keys_bucketed`, and the overwrite doors, every write
+    path keeps the summary honest, so the flat-cost replica audit
+    never needs a rescan."""
+    staged = df.withColumn("kb", id_bucket(F.col(key), nb)).repartition(
+        F.col("kb")
+    ).localCheckpoint(eager=False)
+    staged.write.mode("append").partitionBy("kb").parquet(path)
+    df.sparkSession.catalog.refreshByPath(path)
+    append_checksums(df.sparkSession, path, staged)
+
+
+def delete_keys_bucketed(
+    spark: SparkSession,
+    path: str,
+    victims: DataFrame,
+    key: str,
+    nb: int = DIFF_NB,
+) -> int:
+    """Keyed delete for the diffable layout: the victims' buckets are
+    computed from the victim list alone (pure hash function — no table
+    scan to locate them), only those partitions read, anti-join, and
+    rewrite through bucket_store.overwrite_buckets — which keeps the
+    summary honest automatically. Returns rows removed; a miss never
+    rewrites."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+    )
+
+    v = victims.select(F.col(victims.columns[0]).alias(key)).distinct()
+    kbs = [
+        r["_b"]
+        for r in v.select(id_bucket(F.col(key), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    if not kbs:
+        return 0
+    relevant = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
+    kept = relevant.join(v, key, "left_anti").localCheckpoint(eager=False)
+    n_deleted = relevant.count() - kept.count()
+    if not n_deleted:
+        return 0
+    overwrite_buckets(spark, path, "kb", kept, kbs)
+    return n_deleted

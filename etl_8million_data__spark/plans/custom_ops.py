@@ -638,3 +638,79 @@ def ops_version_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.table_changes_pruned(spark, root, ["k"], v1, v2).select(
         F.col("_change_type").alias("change_type"), "k", "price_c", "prio"
     )
+
+
+@register(
+    "ops_store_lifecycle_audit",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT
+                  ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 16)
+                AS BIGINT) AS n_buckets,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST(sum(price_c) AS BIGINT) AS price_c_total
+    FROM final
+    """,
+    tags=("ops", "diff", "incremental", "maintenance", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_store_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-DOOR LIFECYCLE AUDIT for the checksummed bucket store
+    (operators/diff.py): one table lives through every write door —
+    seeded with a third of orders (checksummed write), grown to full
+    through :func:`append_bucketed` (ADDITIVE summary update: the
+    batch's per-bucket hash sums add onto the stored rows, no table
+    rescan), shrunk through :func:`delete_keys_bucketed` (victims'
+    buckets computed from the victim list, pruned rewrite, overwrite
+    hook) — and the audit row proves the summary stayed honest
+    throughout: n_mismatched comes from checksums_fsck (summary vs
+    fresh full recompute), n_buckets from the summary's own rows, and
+    n_rows/price_c_total from the final table. The oracle recomputes
+    everything from the construction — including n_buckets via the
+    SAME md5 bucket hash (engine-portable by design) — so a drifted
+    summary fails the hash compare, not just the fsck column.
+
+    Scale shape: the append's summary cost is one map-side aggregate
+    over the batch; the delete reads only the victims' buckets; the
+    fsck is the one deliberate full pass (the trust anchor a real
+    deployment runs on a schedule, not per write)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        delete_keys_bucketed,
+        read_checksums,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "store_lifecycle")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o.filter(F.col("k") % 3 != 0), root, "k", checksums=True)
+    append_bucketed(o.filter(F.col("k") % 3 == 0), root, "k")
+    delete_keys_bucketed(
+        spark, root, o.filter(F.col("k") % 5 == 0).select("k"), "k"
+    )
+    fsck = checksums_fsck(spark, root).select("n_mismatched")
+    _, summ = read_checksums(spark, root)
+    n_buckets = summ.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    totals = (
+        spark.read.parquet(root)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price_c").cast("bigint").alias("price_c_total"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(n_buckets))
+        .crossJoin(F.broadcast(fsck))
+        .select("n_rows", "n_buckets", "n_mismatched", "price_c_total")
+    )

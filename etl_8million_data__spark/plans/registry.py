@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "advisor_layout_exec",
     "ops_version_cdc",
     "advisor_layout_drift",
+    "ops_store_lifecycle_audit",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

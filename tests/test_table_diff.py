@@ -359,3 +359,73 @@ def test_sync_keeps_summaries_honest_and_audit_goes_flat_quiet(
     assert victim_kb not in {r["kb"] for r in summ.collect()}
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
     assert diff_tables(spark, pa, pb2, ["k"], ["prio", "cust"]).count() == 0
+
+
+def test_append_and_delete_doors_keep_summary_honest(spark, sf_dir, tmp_path):
+    """The full write-door lifecycle against one summary: seed with
+    write_bucketed(checksums=True), grow through append_bucketed
+    (ADDITIVE summary update — one aggregate over the batch, never a
+    table rescan), shrink through delete_keys_bucketed (pruned rewrite,
+    overwrite hook), and at EVERY step the summary must equal a fresh
+    full-scan recompute (checksums_fsck zero mismatches) and the
+    summarized diff against an independently built expected table must
+    read empty."""
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        delete_keys_bucketed,
+        sync_tables,
+    )
+
+    o = _versions(spark, sf_dir)
+    pa = str(tmp_path / "t")
+    write_bucketed(o.filter(F.col("k") % 3 != 0), pa, "k", checksums=True)
+
+    def fsck_ok():
+        r = checksums_fsck(spark, pa).first()
+        assert r["n_mismatched"] == 0, r.asDict()
+
+    fsck_ok()
+
+    append_bucketed(o.filter(F.col("k") % 3 == 0), pa, "k")
+    fsck_ok()
+    assert spark.read.parquet(pa).count() == o.count()
+
+    n = delete_keys_bucketed(
+        spark, pa, o.filter(F.col("k") % 5 == 0).select("k"), "k"
+    )
+    assert n == o.filter(F.col("k") % 5 == 0).count()
+    fsck_ok()
+
+    # deleting unknown keys is a no-op that rewrites nothing
+    import os
+
+    def snap():
+        out = {}
+        for dirpath, _, files in os.walk(pa):
+            for f in files:
+                if f.endswith(".parquet"):
+                    with open(os.path.join(dirpath, f), "rb") as fh:
+                        out[os.path.join(dirpath, f)] = len(fh.read())
+        return out
+
+    before = snap()
+    assert delete_keys_bucketed(
+        spark, pa, spark.createDataFrame([(10**12,)], "k long"), "k"
+    ) == 0
+    assert snap() == before
+
+    # the summarized diff against an independently built expected table
+    # reads empty (phase 1 from summaries on both sides)
+    expected = o.filter(F.col("k") % 5 != 0)
+    pe = str(tmp_path / "expected")
+    write_bucketed(expected, pe, "k", checksums=True)
+    assert diff_tables(spark, pa, pe, ["k"], ["prio", "cust"]).count() == 0
+    assert sync_tables(spark, pa, pe, ["k"], ["prio", "cust"]) == 0
+
+    # update_checksums' pruned re-read fallback (no new_content in
+    # hand) also converges to the recompute
+    from etl_8million_data__spark.operators.diff import update_checksums
+
+    update_checksums(spark, pa, list(range(16)))
+    fsck_ok()

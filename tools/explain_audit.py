@@ -151,6 +151,7 @@ AUDIT = {
     "advisor_layout_exec": ["PushedFilters", "HashAggregate"],
     "ops_version_cdc": ["FullOuter"],
     "advisor_layout_drift": ["HashAggregate", "Window"],
+    "ops_store_lifecycle_audit": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
