@@ -462,3 +462,56 @@ def delete_keys_bucketed(
         return 0
     overwrite_buckets(spark, path, "kb", kept, kbs)
     return n_deleted
+
+
+def stream_append_bucketed(
+    updates: DataFrame,
+    path: str,
+    key: str,
+    checkpoint_dir: str,
+    nb: int = DIFF_NB,
+):
+    """Streaming twin of :func:`append_bucketed` — with the
+    at-least-once hazard handled: a redelivered micro-batch must not
+    re-append its rows, and (specifically to the ADDITIVE summary) must
+    not re-add their hash sums — a plain re-append would silently drift
+    the summary even if readers dedup. So the append is SKIP-EXISTING
+    by key: the existence read is pruned to the batch keys' buckets and
+    column-pruned to the key, fresh rows append and feed the additive
+    summary update, replayed rows do neither. Keys are assumed
+    append-once (the dedup-upstream contract every skip-existing door
+    carries); updates to existing keys are the delete+append or sync
+    paths."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn(
+            "kb", id_bucket(F.col(key), nb)
+        ).localCheckpoint(eager=False)
+        kbs = [
+            r["kb"] for r in b.select("kb").distinct().collect()
+        ]
+        if not kbs:
+            return
+        if os.path.isdir(path):
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("kb").isin(kbs))
+                .select(key)
+            )
+            fresh = b.join(existing, key, "left_anti")
+        else:
+            fresh = b
+        fresh = fresh.repartition(F.col("kb")).localCheckpoint(eager=False)
+        if not fresh.count():
+            return
+        fresh.write.mode("append").partitionBy("kb").parquet(path)
+        spark.catalog.refreshByPath(path)
+        append_checksums(spark, path, fresh)
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

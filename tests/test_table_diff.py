@@ -429,3 +429,69 @@ def test_append_and_delete_doors_keep_summary_honest(spark, sf_dir, tmp_path):
 
     update_checksums(spark, pa, list(range(16)))
     fsck_ok()
+
+
+def test_stream_append_keeps_summary_honest_under_replay(
+    spark, sf_dir, tmp_path
+):
+    """The streaming append door's replay hazard is the SUMMARY, not
+    just the rows: re-adding a redelivered batch's hash sums would
+    drift it silently. Stream == batch, redelivery appends nothing and
+    re-adds nothing (fsck zero mismatches throughout), resuming the
+    drained stream is a no-op."""
+    import os
+
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        stream_append_bucketed,
+        write_bucketed,
+    )
+
+    o = _versions(spark, sf_dir)
+    pa = str(tmp_path / "t")
+    write_bucketed(o.filter(F.col("k") % 3 == 1), pa, "k", checksums=True)
+
+    src = str(tmp_path / "src")
+    o.filter(F.col("k") % 3 != 1).write.parquet(src)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = stream_append_bucketed(
+            stream, pa, "k", str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = spark.read.parquet(pa)
+    assert got.count() == o.count()
+    r = checksums_fsck(spark, pa).first()
+    assert r["n_mismatched"] == 0, r.asDict()
+
+    # redeliver EVERYTHING under a fresh checkpoint: rows and summary
+    # both unchanged
+    def snap():
+        out = {}
+        for dirpath, _, files in os.walk(pa):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[p] = len(fh.read())
+        return out
+
+    before = snap()
+    run("ck2")
+    assert spark.read.parquet(pa).count() == o.count()
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # rows unchanged (summary sidecar may rewrite to identical values)
+    data_files_before = {k: v for k, v in before.items() if "_checksums" not in k}
+    data_files_after = {
+        k: v for k, v in snap().items() if "_checksums" not in k
+    }
+    assert data_files_after == data_files_before
+
+    # resuming the drained stream under its own checkpoint: no-op
+    run("ck1")
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
