@@ -393,11 +393,13 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered),
     g AS (
       SELECT user_id, seg_no, min(event_type) AS event_type,
-             min(ts) AS valid_from, count(*) AS n_events
+             min(ts) AS valid_from, max(ts) AS last_ts,
+             count(*) AS n_events
       FROM seg GROUP BY user_id, seg_no)
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
              AS valid_to,
+           last_ts,
            n_events,
            CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
                                             ORDER BY valid_from) IS NULL
@@ -464,11 +466,13 @@ def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered),
     g AS (
       SELECT user_id, seg_no, min(event_type) AS event_type,
-             min(ts) AS valid_from, count(*) AS n_events
+             min(ts) AS valid_from, max(ts) AS last_ts,
+             count(*) AS n_events
       FROM seg GROUP BY user_id, seg_no)
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
              AS valid_to,
+           last_ts,
            n_events,
            CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
                                             ORDER BY valid_from) IS NULL
@@ -520,6 +524,7 @@ def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attr").alias("event_type"),
         "valid_from",
         "valid_to",
+        "last_ts",
         "n_events",
         "is_current",
     )
