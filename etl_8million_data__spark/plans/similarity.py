@@ -2353,11 +2353,19 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # lazy checkpoint: the baseline-scale guard's count materializes
+    # the sampled+projected frame once, so the self-join's two sides
+    # read the 16 interpreted hyperplane projections from the
+    # checkpoint instead of recomputing them per side. (An unrolled
+    # 64-term element_at distance was tried and measured ~3x SLOWER
+    # end-to-end: the optimizer pays seconds constant-folding the
+    # 128-element_at tree on every fresh plan — compact interpreted
+    # lambdas win at this pair count.)
     s = emb.filter(F.col("vec_id") % 5 == 0).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("xd"),
         projections(F.col("embedding"), _JLW, 16).alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     assert_baseline_scale(
         s, 5_000, "embedding_jl_distortion", "a sparser vec_id % sample"
     )
@@ -2375,9 +2383,12 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2(F.col("xa"), F.col("xb")).alias("dx2"),
         d2(F.col("ya"), F.col("yb")).alias("dy2"),
     )
+    # the ratio frame is consumed twice (global mean, then per-pair
+    # distortion) — checkpoint it once so the sampled all-pairs join
+    # and the 64+16-dim interpreted distance folds run once, not twice
     p = pairs.filter(F.col("dx2") > 0).select(
         F.floor(F.col("dy2") / F.col("dx2")).cast("bigint").alias("r")
-    )
+    ).localCheckpoint(eager=False)
     m = p.groupBy().agg(F.expr("sum(r) div count(1)").alias("mr"))
     d = p.crossJoin(F.broadcast(m)).select(
         F.expr("r * 1000000 div mr").cast("bigint").alias("dm")
