@@ -495,3 +495,70 @@ def test_stream_append_keeps_summary_honest_under_replay(
     # resuming the drained stream under its own checkpoint: no-op
     run("ck1")
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+def test_summary_invariant_under_random_door_sequences(spark, tmp_path):
+    """Property test (hypothesis): under ANY sequence of append /
+    delete batches through the write doors, the persisted summary must
+    equal a fresh full-scan recompute (fsck zero) and the table must
+    equal the reference dict — the invariant every flat-cost audit
+    rests on. Bounded examples (each is several Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        delete_keys_bucketed,
+        write_bucketed,
+    )
+
+    op = st.tuples(
+        st.sampled_from(["append", "delete"]),
+        st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=8),
+    )
+
+    counter = {"i": 0}
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter["i"] += 1
+        pa = str(tmp_path / f"t{counter['i']}")
+        ref = {k: k * 10 for k in range(20)}
+
+        def frame(d):
+            return spark.createDataFrame(
+                [(k, v) for k, v in sorted(d.items())], "k long, v long"
+            )
+
+        write_bucketed(frame(ref), pa, "k", checksums=True)
+        for kind, ks in ops:
+            if kind == "append":
+                fresh = {k: k * 10 for k in ks if k not in ref}
+                if not fresh:
+                    continue
+                append_bucketed(frame(fresh), pa, "k")
+                ref.update(fresh)
+            else:
+                hit = [k for k in set(ks) if k in ref]
+                n = delete_keys_bucketed(
+                    spark,
+                    pa,
+                    spark.createDataFrame([(k,) for k in set(ks)], "k long"),
+                    "k",
+                )
+                assert n == len(hit), (n, hit)
+                for k in hit:
+                    del ref[k]
+        assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+        got = {
+            r["k"]: r["v"] for r in spark.read.parquet(pa).collect()
+        } if ref else {}
+        assert got == ref
+
+    run()
