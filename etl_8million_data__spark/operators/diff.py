@@ -421,6 +421,13 @@ def append_bucketed(
     :func:`delete_keys_bucketed`, and the overwrite doors, every write
     path keeps the summary honest, so the flat-cost replica audit
     never needs a rescan."""
+    if os.path.isdir(path) and not is_hive_partitioned(path, "kb"):
+        # appending kb= partition dirs into a flat root breaks partition
+        # discovery for every reader (the _bucketed_append hazard)
+        raise ValueError(
+            f"{path} is not a kb=-bucketed layout: write it with "
+            "write_bucketed first"
+        )
     staged = df.withColumn("kb", id_bucket(F.col(key), nb)).repartition(
         F.col("kb")
     ).localCheckpoint(eager=False)
