@@ -562,3 +562,86 @@ def test_summary_invariant_under_random_door_sequences(spark, tmp_path):
         assert got == ref
 
     run()
+
+
+def test_delete_blast_radius_and_append_never_reads_the_table(
+    spark, sf_dir, tmp_path
+):
+    """Physical I/O contracts of the new doors: delete_keys_bucketed
+    rewrites ONLY the victims' computed buckets (every other bucket's
+    files stay byte-identical), and append_bucketed never reads table
+    data at all (a garbage parquet file anywhere in the store leaves
+    the append and its additive summary update unaffected — only the
+    16-row sidecar is read)."""
+    import os
+
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        delete_keys_bucketed,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    o = _versions(spark, sf_dir)
+    pa = str(tmp_path / "t")
+    write_bucketed(o, pa, "k", checksums=True)
+
+    def snap():
+        out = {}
+        for dirpath, _, files in os.walk(pa):
+            if "_checksums" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, pa)] = fh.read()
+        return out
+
+    victim = o.orderBy("k").first()["k"]
+    victim_kb = o.filter(F.col("k") == victim).select(
+        id_bucket(F.col("k"), 16).alias("b")
+    ).first()["b"]
+    before = snap()
+    assert delete_keys_bucketed(
+        spark, pa, spark.createDataFrame([(victim,)], "k long"), "k"
+    ) == 1
+    after = snap()
+    changed = {
+        rel
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed, "the victim's bucket must rewrite"
+    assert all(rel.startswith(f"kb={victim_kb}{os.sep}") for rel in changed)
+
+    # garbage anywhere: append still works (no table-data read)
+    other = next(
+        d
+        for d in os.listdir(pa)
+        if d.startswith("kb=") and int(d.split("=")[1]) != victim_kb
+    )
+    with open(os.path.join(pa, other, "junk.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    spark.catalog.refreshByPath(pa)
+    append_bucketed(
+        spark.createDataFrame([(10**12, "Z", 7)], "k long, prio string, cust long"),
+        pa,
+        "k",
+    )
+    # read back the appended key with a declared schema (plain
+    # inference picks ONE arbitrary footer, which may be the garbage
+    # file) and a partition filter so the garbage bucket is never read
+    from etl_8million_data__spark.operators.partitioning import (
+        id_bucket as _ib,
+    )
+
+    new_kb = spark.createDataFrame([(10**12,)], "k long").select(
+        _ib(F.col("k"), 16).alias("b")
+    ).first()["b"]
+    got = (
+        spark.read.schema("k long, prio string, cust long, kb int")
+        .parquet(pa)
+        .filter((F.col("kb") == new_kb) & (F.col("k") == 10**12))
+    )
+    assert got.count() == 1
