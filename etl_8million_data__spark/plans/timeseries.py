@@ -435,6 +435,7 @@ def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = seg.groupBy("user_id", "seg_no").agg(
         F.min("event_type").alias("event_type"),
         F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
     w2 = Window.partitionBy("user_id").orderBy("valid_from")
@@ -444,6 +445,7 @@ def events_scd2_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "valid_from",
         valid_to.alias("valid_to"),
+        "last_ts",
         "n_events",
         F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
     )
