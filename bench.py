@@ -135,6 +135,7 @@ HEADLINE = [
     "ops_version_cdc",  # manifest-pruned CDC between bucketed table versions
     "advisor_layout_drift",  # sorted-layout decay quantified, recompaction advice
     "ops_store_lifecycle_audit",  # append/delete doors keep the summary honest
+    "ops_cdc_apply",  # full replication loop: metadata CDC -> pruned apply -> summary audit
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -522,3 +522,51 @@ def stream_append_bucketed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    nb: int = DIFF_NB,
+) -> int:
+    """Apply a CDC frame (``_change_type`` insert/update/delete +
+    post-image columns, the table_changes/table_changes_pruned output
+    contract) to a kb-bucketed replica — the receive side of
+    replication: only the changed keys' buckets are read (computed
+    from the change frame, no table scan to locate them), inserts and
+    updates take the post-image row, deletes drop, untouched buckets
+    stay byte-identical, and the rewrite goes through
+    bucket_store.overwrite_buckets so a checksum summary stays honest
+    for free. Idempotent for upserts by construction (re-applying an
+    insert/update converges to the same row); a re-applied delete is a
+    no-op miss. Returns the number of change rows applied.
+
+    With :func:`ops_version_cdc`'s metadata-pruned diff on the send
+    side and the summarized :func:`diff_tables` as the audit, the whole
+    replicate-apply-verify loop is drift-bounded: nothing in it ever
+    scans an unchanged bucket."""
+    ch = changes.localCheckpoint(eager=False)
+    n = ch.count()
+    if not n:
+        return 0
+    kbs = [
+        r["_b"]
+        for r in ch.select(id_bucket(F.col(key), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    old = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
+    keep = old.join(F.broadcast(ch.select(key)), key, "left_anti")
+    post = (
+        ch.filter(F.col("_change_type").isin("insert", "update"))
+        .drop("_change_type")
+        .withColumn("kb", id_bucket(F.col(key), nb))
+    )
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+    )
+
+    overwrite_buckets(spark, path, "kb", keep.unionByName(post), kbs)
+    return n

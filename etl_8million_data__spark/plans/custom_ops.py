@@ -714,3 +714,116 @@ def ops_store_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(fsck))
         .select("n_rows", "n_buckets", "n_mismatched", "price_c_total")
     )
+
+
+@register(
+    "ops_cdc_apply",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             o_orderpriority AS prio
+      FROM orders),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 8 = 0 THEN price_c + 5 ELSE price_c END AS price_c,
+             prio
+      FROM v1 WHERE k % 21 <> 0
+      UNION ALL
+      SELECT -(k + 4), price_c, prio FROM v1 WHERE k % 27 = 0)
+    SELECT CAST((SELECT count(*) FROM v2 WHERE k < 0) AS BIGINT) AS n_insert,
+           CAST((SELECT count(*) FROM v1
+                 WHERE k % 21 <> 0 AND k % 8 = 0) AS BIGINT) AS n_update,
+           CAST((SELECT count(*) FROM v1 WHERE k % 21 = 0) AS BIGINT)
+             AS n_delete,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM v2) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM v2) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "diff", "incremental", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL REPLICATION LOOP, drift-bounded end to end: the source
+    table commits v1 and v2 through the manifest-summarized versioned
+    store; the CDC between them resolves its differing buckets from
+    MANIFEST METADATA (table_changes_pruned — zero phase-1 data reads);
+    :func:`operators.diff.apply_changes` applies the change frame to a
+    v1 replica reading only the changed keys' buckets (the post-image
+    upsert + keyed delete through the overwrite door, which also keeps
+    the replica's checksum summary honest); and the audit —
+    diff_tables with summaries on both sides — proves the replica
+    converged by reading 2 x nb summary rows. Nothing in the loop ever
+    scans an unchanged bucket. Output: per-class change counts, the
+    audit's drift row count (0), and the converged replica's totals —
+    all recomputed from the construction by the oracle, so the send
+    side, the apply side, AND the audit are hash-gated together.
+
+    Scale shape: CDC phase 1 is a manifest dict comparison; the apply
+    and the final audit are bounded by the drift's buckets; the replica
+    totals are the one deliberate full aggregate (the deliverable)."""
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes,
+        diff_tables,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    b = (
+        o.filter(F.col("k") % 21 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 8 == 0, F.col("price_c") + 5)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "prio",
+        )
+        .unionByName(
+            o.filter(F.col("k") % 27 == 0).select(
+                (-(F.col("k") + 4)).alias("k"), "price_c", "prio"
+            )
+        )
+    )
+    root = _persisted_index_root(sf_dir, "cdc_apply")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    v2 = V.commit_bucketed(spark, b, src, "k", op="upsert")
+
+    replica = f"{root}/replica"
+    write_bucketed(o, replica, "k", checksums=True)
+    ch = V.table_changes_pruned(spark, src, ["k"], v1, v2).localCheckpoint(
+        eager=False
+    )
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    apply_changes(spark, replica, ch, "k")
+
+    expected = f"{root}/expected"
+    write_bucketed(b, expected, "k", checksums=True)
+    drift = diff_tables(
+        spark, replica, expected, ["k"], ["price_c", "prio"]
+    ).count()
+    totals = spark.read.parquet(replica).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.select(
+        F.lit(counts.get("insert", 0)).cast("bigint").alias("n_insert"),
+        F.lit(counts.get("update", 0)).cast("bigint").alias("n_update"),
+        F.lit(counts.get("delete", 0)).cast("bigint").alias("n_delete"),
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "ops_version_cdc",
     "advisor_layout_drift",
     "ops_store_lifecycle_audit",
+    "ops_cdc_apply",
     # NEW in round 11 (first external evidence)
     "linkage_golden_records_increment",
     "linkage_forget_golden",

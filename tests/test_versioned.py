@@ -304,3 +304,98 @@ def test_table_changes_pruned_falls_back_without_summaries(spark, table):
         for r in V.table_changes_pruned(spark, table, ["k"], v1, v2).collect()
     }
     assert got == {("update", "b")}
+
+
+def test_apply_changes_converges_replica_and_is_reapply_safe(
+    spark, sf_dir, table, tmp_path
+):
+    """apply_changes must converge a v1 replica to v2 across all three
+    change classes touching ONLY the changed keys' buckets, keep the
+    replica's summary honest, and tolerate a re-applied change frame
+    (upserts converge, deletes miss)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes,
+        checksums_fsck,
+        diff_tables,
+        write_bucketed,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        o.filter(F.col("k") % 13 != 0)
+        .withColumn(
+            "prio",
+            F.when(F.col("k") % 7 == 0, F.lit("Z")).otherwise(F.col("prio")),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "prio", "cust"
+            )
+        )
+    )
+    v1 = V.commit_bucketed(spark, o, table, "k")
+    v2 = V.commit_bucketed(spark, b, table, "k", op="upsert")
+    ch = V.table_changes_pruned(spark, table, ["k"], v1, v2).localCheckpoint(
+        eager=True
+    )
+    assert {r["_change_type"] for r in ch.select("_change_type").distinct().collect()} == {
+        "insert", "update", "delete",
+    }
+
+    replica = str(tmp_path / "replica")
+    write_bucketed(o, replica, "k", checksums=True)
+
+    def snap():
+        out = {}
+        for dirpath, _, files in os.walk(replica):
+            if "_checksums" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, replica)] = fh.read()
+        return out
+
+    before = snap()
+    n = apply_changes(spark, replica, ch, "k")
+    assert n == ch.count()
+    # only changed keys' buckets rewrote
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    touched = {
+        r["_b"]
+        for r in ch.select(id_bucket(F.col("k"), 16).alias("_b"))
+        .distinct()
+        .collect()
+    }
+    after = snap()
+    changed = {
+        rel.split(os.sep)[0]
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed <= {f"kb={b_}" for b_ in touched}, (changed, touched)
+
+    expected = str(tmp_path / "expected")
+    write_bucketed(b, expected, "k", checksums=True)
+    assert diff_tables(spark, replica, expected, ["k"], ["prio", "cust"]).count() == 0
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+    # re-applying the same change frame converges to the same state
+    apply_changes(spark, replica, ch, "k")
+    assert diff_tables(spark, replica, expected, ["k"], ["prio", "cust"]).count() == 0
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0

@@ -152,6 +152,7 @@ AUDIT = {
     "ops_version_cdc": ["FullOuter"],
     "advisor_layout_drift": ["HashAggregate", "Window"],
     "ops_store_lifecycle_audit": ["HashAggregate"],
+    "ops_cdc_apply": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
