@@ -570,3 +570,31 @@ def apply_changes(
 
     overwrite_buckets(spark, path, "kb", keep.unionByName(post), kbs)
     return n
+
+
+def stream_apply_changes(
+    changes_stream: DataFrame,
+    path: str,
+    key: str,
+    checkpoint_dir: str,
+    nb: int = DIFF_NB,
+):
+    """Streaming twin of :func:`apply_changes` — continuous
+    replication: each micro-batch of CDC rows applies to the replica
+    through the same bucket-pruned rewrite. At-least-once redelivery is
+    safe BY CONVERGENCE, not by a marker: re-applying an insert/update
+    lands the identical post-image row and a re-applied delete is a
+    miss, so a redelivered batch leaves the replica (and its checksum
+    summary) byte-for-value unchanged — asserted in tests. Batches must
+    arrive in version order per key (the CDC producer's contract);
+    cross-key ordering is free."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(batch_df.sparkSession, path, batch_df, key, nb)
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

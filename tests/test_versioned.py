@@ -399,3 +399,69 @@ def test_apply_changes_converges_replica_and_is_reapply_safe(
     apply_changes(spark, replica, ch, "k")
     assert diff_tables(spark, replica, expected, ["k"], ["prio", "cust"]).count() == 0
     assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+
+def test_stream_apply_changes_equals_batch_and_replays(
+    spark, sf_dir, table, tmp_path
+):
+    """Streaming CDC apply: the replica converges to v2 however the
+    change frame is micro-batched, a full redelivery under a fresh
+    checkpoint changes nothing (convergence idempotence), and the
+    summary stays fsck-clean."""
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        diff_tables,
+        stream_apply_changes,
+        write_bucketed,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        o.filter(F.col("k") % 13 != 0)
+        .withColumn(
+            "prio",
+            F.when(F.col("k") % 7 == 0, F.lit("Z")).otherwise(F.col("prio")),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 11 == 0).select(
+                (-(F.col("k") + 1)).alias("k"), "prio", "cust"
+            )
+        )
+    )
+    v1 = V.commit_bucketed(spark, o, table, "k")
+    v2 = V.commit_bucketed(spark, b, table, "k", op="upsert")
+    ch = V.table_changes_pruned(spark, table, ["k"], v1, v2)
+
+    src = str(tmp_path / "changes")
+    ch.write.parquet(src)
+    replica = str(tmp_path / "replica")
+    write_bucketed(o, replica, "k", checksums=True)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 2).parquet(src)
+        q = stream_apply_changes(stream, replica, "k", str(tmp_path / ck))
+        q.awaitTermination(180)
+
+    run("ck1")
+    expected = str(tmp_path / "expected")
+    write_bucketed(b, expected, "k", checksums=True)
+    assert diff_tables(spark, replica, expected, ["k"], ["prio", "cust"]).count() == 0
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+    # full redelivery under a fresh checkpoint: converges to the same
+    run("ck2")
+    assert diff_tables(spark, replica, expected, ["k"], ["prio", "cust"]).count() == 0
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
