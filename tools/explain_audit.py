@@ -146,7 +146,9 @@ AUDIT = {
     "corpus_incremental_curation": ["Union"],
     # table diff: phase-1 checksums are map-side-combined aggregates;
     # phase 2 is the differing-buckets-only full-outer join.
-    "ops_table_diff": ["HashAggregate", "FullOuter"],
+    # phase 1's checksum aggregate executes EAGERLY inside diff_tables
+    # (budget.collect) — the returned frame's plan is phase 2 only
+    "ops_table_diff": ["FullOuter"],
     "ops_replica_audit": ["FullOuter"],
     "advisor_layout_exec": ["PushedFilters", "HashAggregate"],
     "ops_version_cdc": ["FullOuter"],
