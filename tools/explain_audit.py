@@ -194,13 +194,22 @@ def main():
             print(f"   pushed: {p[:140]}")
         for s in schemas[:3]:
             print(f"   schema: {s[:140]}")
+    n_miss = sum(
+        1 for _, checks, _, _ in report for ok in checks.values() if not ok
+    )
     for name, max_ex in MAX_EXCHANGES.items():
         df = qs[name].build(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange")
+        ok = n <= max_ex
+        n_miss += 0 if ok else 1
         print(f"== {name}: {n} Exchange(s) "
-              f"{'OK' if n <= max_ex else f'MISS (expected <= {max_ex})'}")
+              f"{'OK' if ok else f'MISS (expected <= {max_ex})'}")
     spark.stop()
+    if n_miss:
+        print(f"AUDIT FAILED: {n_miss} MISS")
+        sys.exit(1)
+    print("AUDIT OK")
 
 if __name__ == "__main__":
     main()
