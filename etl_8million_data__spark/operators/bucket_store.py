@@ -57,6 +57,89 @@ def read_nb(root: str) -> int:
         return int(fh.read().strip())
 
 
+def try_read_nb(root: str) -> int | None:
+    """``read_nb`` tolerant of legacy stores: None when the marker is
+    absent or garbled (pre-marker layouts)."""
+    try:
+        return read_nb(root)
+    except (OSError, ValueError):
+        return None
+
+
+def resolve_nb(root: str, nb: int | None, default: int) -> int:
+    """The bucket modulus every door must hash with: the store's
+    persisted ``_nb`` marker when present (an explicitly passed ``nb``
+    that CONTRADICTS it raises — a wrong modulus prunes deletes to
+    buckets the victims don't live in and scatters upserts into wrong
+    buckets, both silent corruption); for legacy stores without the
+    marker, falls back to the ``_checksums/_meta.json`` pin, then to
+    the caller's ``nb``/``default``."""
+    import json
+    import os
+
+    persisted = try_read_nb(root)
+    if persisted is None:
+        mp = os.path.join(root, "_checksums", "_meta.json")
+        if os.path.isfile(mp):
+            try:
+                with open(mp) as fh:
+                    persisted = int(json.load(fh)["nb"])
+            except (OSError, ValueError, KeyError):
+                persisted = None
+    if persisted is not None:
+        if nb is not None and nb != persisted:
+            raise ValueError(
+                f"{root}: store is bucketed with nb={persisted} but the "
+                f"caller passed nb={nb} — a mismatched modulus silently "
+                "prunes to the wrong buckets; omit nb to use the store's"
+            )
+        return persisted
+    return nb if nb is not None else default
+
+
+_SCHEMA_FILE = "_schema.json"
+
+
+def write_schema(root: str, schema) -> None:
+    """Pin the store's FULL declared schema (``_schema.json`` sidecar):
+    every later read plans with zero footer inference and legacy files
+    missing newer columns surface them as NULL — the read discipline
+    this module exists for, made durable so door code never has to
+    guess a schema or footer-merge."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _SCHEMA_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(schema.json())
+    os.replace(tmp, os.path.join(root, _SCHEMA_FILE))
+
+
+def read_pinned_schema(root: str):
+    """The pinned StructType, or None for legacy stores without one."""
+    import json
+    import os
+
+    p = os.path.join(root, _SCHEMA_FILE)
+    if not os.path.isfile(p):
+        return None
+    from pyspark.sql.types import StructType
+
+    with open(p) as fh:
+        return StructType.fromJson(json.load(fh))
+
+
+def read_store_pinned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a store with its pinned schema when one exists (zero
+    footer inference, NULL-extended legacy files), else a plain read
+    (legacy stores keep their historic behavior — one arbitrary
+    footer, never an eager full-store merge)."""
+    pinned = read_pinned_schema(path)
+    if pinned is not None:
+        return spark.read.schema(pinned).parquet(path)
+    return spark.read.parquet(path)
+
+
 def write_nb(root: str, nb: int) -> None:
     import os
 
@@ -194,3 +277,244 @@ def overwrite_buckets(
         from etl_8million_data__spark.operators.diff import update_checksums
 
         update_checksums(spark, path, affected, new_content)
+
+
+def bucket_file_counts(root: str, part_col: str) -> dict[int, int]:
+    """Parquet-file count per bucket partition — the small-files gauge
+    a compaction decision reads. Driver-side listing bounded by the
+    layout's bucket count (on a cluster store this is one FileSystem
+    listing per bucket directory, the same metadata compaction must
+    touch anyway)."""
+    import os
+
+    out: dict[int, int] = {}
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return out
+    for e in entries:
+        if not e.startswith(f"{part_col}="):
+            continue
+        try:
+            b = int(e.split("=", 1)[1])
+        except ValueError:
+            continue
+        d = os.path.join(root, e)
+        out[b] = sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_buckets(
+    spark: SparkSession,
+    path: str,
+    part_col: str = "kb",
+    max_files: int = 1,
+    buckets: list[int] | None = None,
+) -> int:
+    """Per-bucket small-files compaction for the bucketed stores — the
+    maintenance door that pays off the append doors' debt (every
+    streaming/batch append lands ONE file per touched bucket per batch,
+    so after N batches a hot bucket holds N files and every pruned
+    probe/diff listing pays for the history). Buckets holding more than
+    ``max_files`` parquet files (or the explicit ``buckets``) are read
+    in full — pinned-schema read when the store carries one, partition-
+    pruned to exactly those buckets — and rewritten through
+    :func:`overwrite_buckets`, which re-derives ONLY the touched
+    buckets' `_checksums/` rows, so the summary stays honest with no
+    table rescan. Content-identical by construction (the rewrite is the
+    same rows); untouched buckets stay byte-identical. Returns the
+    number of buckets compacted.
+
+    Scale shape: cost is one read+write of the compacted buckets only —
+    the analog of forget.compact_cells for the kb= stores; run it on a
+    file-count trigger, not a schedule."""
+    from pyspark.sql import functions as F
+
+    counts = bucket_file_counts(path, part_col)
+    todo = (
+        [b for b in buckets if counts.get(b, 0) > 0]
+        if buckets is not None
+        else sorted(b for b, n in counts.items() if n > max_files)
+    )
+    if not todo:
+        return 0
+    content = read_store_pinned(spark, path).filter(
+        F.col(part_col).isin(todo)
+    )
+    overwrite_buckets(spark, path, part_col, content, todo)
+    return len(todo)
+
+
+def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
+    """Migrate a kb=-bucketed store to a NEW bucket modulus — the one
+    physical-design knob of this family (nb bounds every door's blast
+    radius: the same change set reads 7/16 vs 10/256 of the table), made
+    changeable after creation. One bounded read+write pass: the store is
+    read with its pinned schema, re-hashed to ``kb`` mod ``nb_new``,
+    staged NEXT TO the live store (never in place), content-equality is
+    asserted BEFORE the swap (row count + order-insensitive full-table
+    hash sum of the staged frame vs the live one), and the directory
+    swap re-seeds every sidecar: ``_nb``, the pinned schema, and — when
+    the store carries one — the ``_checksums/`` summary recomputed at
+    the new modulus (same compared columns, new bucket grouping).
+    Readers pinned to the old directory finish their scan (POSIX rename
+    keeps open files valid); on an object store the same protocol wants
+    a manifest flip, the versioned.commit discipline."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    nb_old = try_read_nb(path)
+    if nb_new == nb_old:
+        return
+    df = read_store_pinned(spark, path)
+    if "kb" not in df.columns:
+        raise ValueError(f"{path}: not a kb=-bucketed store")
+    staged = (
+        df.drop("kb")
+        .withColumn("kb", id_bucket(F.col(key), nb_new))
+        .localCheckpoint(eager=False)
+    )
+    tmp = path.rstrip("/") + "._rebucket_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_table_bucketed(staged, tmp, "kb")
+    write_nb(tmp, nb_new)
+    write_schema(tmp, staged.schema)
+
+    # equality gate before the swap: count + order-insensitive content
+    # hash over every non-bucket column, old layout vs staged
+    cols = sorted(c for c in df.columns if c != "kb")
+    def _fingerprint(frame):
+        h = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\0null"))
+                for c in cols
+            ]
+        )
+        r = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h.cast("decimal(38,0)")).alias("cs"),
+        ).first()
+        return (r["n"], r["cs"])
+
+    before = _fingerprint(df)
+    after = _fingerprint(spark.read.schema(staged.schema).parquet(tmp))
+    if before != after:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"rebucket {path}: staged content mismatch (old {before} vs "
+            f"new {after}) — store left untouched"
+        )
+
+    # summary re-seed at the new modulus (same keys/cols pin)
+    meta_path = os.path.join(path, "_checksums", "_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        from etl_8million_data__spark.operators.diff import checksums_init
+
+        checksums_init(spark, tmp, meta["keys"], meta["cols"], nb_new)
+
+    bak = path.rstrip("/") + "._rebucket_old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+
+
+def evolve_add_columns(
+    spark: SparkSession, path: str, cols_ddl: str, compare: bool = True
+) -> None:
+    """Schema-evolution door for the bucketed stores: ADD columns by
+    bumping the pinned ``_schema.json`` — ZERO data rewritten; existing
+    files read back NULL-extended under the declared schema and later
+    appends carry the new columns. When the store maintains a
+    ``_checksums/`` summary and ``compare=True``, the new columns join
+    the compared set, which changes every row hash — the summary is
+    re-seeded in ONE deliberate full pass (the only case that needs
+    one; an all-NULL column still shifts xxhash64 completely, there is
+    no metadata shortcut). ``compare=False`` leaves the comparison pin
+    untouched: diffs keep ignoring the new columns and the summary
+    survives as-is — the zero-cost evolution for bookkeeping columns."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    pinned = read_pinned_schema(path)
+    if pinned is None:
+        raise ValueError(
+            f"{path}: no pinned schema to evolve — write the store "
+            "through write_bucketed first"
+        )
+    add = StructType.fromDDL(cols_ddl)
+    clash = {f.name for f in add.fields} & {f.name for f in pinned.fields}
+    if clash:
+        raise ValueError(f"{path}: columns already exist: {sorted(clash)}")
+    # keep kb last (partition column position convention)
+    fields = [f for f in pinned.fields if f.name != "kb"]
+    kb = [f for f in pinned.fields if f.name == "kb"]
+    new_schema = StructType(fields + list(add.fields) + kb)
+    write_schema(path, new_schema)
+
+    meta_path = os.path.join(path, "_checksums", "_meta.json")
+    if compare and os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        from etl_8million_data__spark.operators.diff import checksums_init
+
+        checksums_init(
+            spark,
+            path,
+            meta["keys"],
+            sorted(meta["cols"] + [f.name for f in add.fields]),
+            meta["nb"],
+        )
+
+
+_PENDING_FILE = "_pending_summary.json"
+
+
+def write_pending(root: str, batch_id, kbs: list[int]) -> None:
+    """Crash-recovery marker for the append doors: written BEFORE the
+    data append, cleared after the summary update, so a successor can
+    see a predecessor died between the two and re-derive exactly the
+    touched buckets' summary rows from the table (the half-applied
+    window the skip-existing replay can never repair on its own)."""
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _PENDING_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id, "kbs": list(kbs)}, fh)
+    os.replace(tmp, os.path.join(root, _PENDING_FILE))
+
+
+def read_pending(root: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(root, _PENDING_FILE)
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def clear_pending(root: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(root, _PENDING_FILE))

@@ -63,12 +63,28 @@ CK_SCHEMA = "kb int, cs decimal(38,0), n bigint"
 def _prep(
     spark: SparkSession, path: str, keys: list[str], cols: list[str], nb: int
 ) -> DataFrame:
-    df = spark.read.parquet(path)
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+    )
+
+    # pinned-schema read when the store carries one (zero footer
+    # inference; a legacy mixed-schema store surfaces missing columns
+    # as declared NULLs instead of a footer-order-dependent schema)
+    df = read_store_pinned(spark, path)
     if not is_hive_partitioned(path, "kb"):
         # unbucketed legacy input: derive the bucket (phase 2 loses
         # file-listing pruning but keeps the early filter)
         df = df.withColumn("kb", id_bucket(F.col(keys[0]), nb))
     return df.select(*keys, *cols, "kb")
+
+
+def _store_nb(path: str, nb: int | None, default: int = DIFF_NB) -> int:
+    """The modulus a door must hash with: the store's persisted marker
+    when present (explicit contradiction raises — bucket_store.resolve_nb),
+    else the caller's value."""
+    from etl_8million_data__spark.operators.bucket_store import resolve_nb
+
+    return resolve_nb(path, nb, default)
 
 
 def _row_hash(keys: list[str], cols: list[str]):
@@ -244,7 +260,22 @@ def diff_tables(
     (:func:`checksums_init`), phase 1 reads 2 x nb summary rows
     instead of scanning either table — the flat-cost replica audit;
     any mismatch in the fingerprinted (keys, cols, nb) falls back to
-    the full-scan phase 1, never a wrong answer."""
+    the full-scan phase 1, never a wrong answer. Sides carrying a
+    persisted ``_nb`` marker must agree on it (bucket ids of different
+    moduli cover different key sets — comparing them bucket-by-bucket
+    would be meaningless), and the persisted value overrides the
+    parameter."""
+    from etl_8million_data__spark.operators.bucket_store import resolve_nb
+
+    na = resolve_nb(path_a, None, nb)
+    nbb = resolve_nb(path_b, None, nb)
+    if na != nbb:
+        raise ValueError(
+            f"diff_tables: sides are bucketed with different moduli "
+            f"({path_a}: nb={na}, {path_b}: nb={nbb}) — rebucket one side "
+            "first (bucket_store.rebucket)"
+        )
+    nb = na
     rh = _row_hash(keys, cols)
 
     def sums(side_path: str, side: str) -> DataFrame:
@@ -295,7 +326,7 @@ def sync_tables(
     path_b: str,
     keys: list[str],
     cols: list[str],
-    nb: int = DIFF_NB,
+    nb: int | None = None,
 ) -> int:
     """REPAIR companion of :func:`diff_tables` — make table A equal
     table B in diff time: the Merkle diff finds the differing buckets,
@@ -311,6 +342,7 @@ def sync_tables(
             "sync_tables repairs in place by bucket partition: write "
             "table A with write_bucketed first"
         )
+    nb = _store_nb(path_a, nb)
     d = diff_tables(spark, path_a, path_b, keys, cols, nb).localCheckpoint(
         eager=False
     )
@@ -328,8 +360,12 @@ def sync_tables(
     # outside the diffed set (rewriting from the keys+cols projection
     # would silently drop them — unrecoverable data loss in exactly
     # the buckets the sync touched)
-    a = spark.read.parquet(path_a).filter(F.col("kb").isin(kbs))
-    b = spark.read.parquet(path_b)
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+    )
+
+    a = read_store_pinned(spark, path_a).filter(F.col("kb").isin(kbs))
+    b = read_store_pinned(spark, path_b)
     if "kb" not in b.columns:
         b = b.withColumn("kb", id_bucket(F.col(keys[0]), nb))
     b = b.filter(F.col("kb").isin(kbs))
@@ -364,16 +400,25 @@ def write_bucketed(
 ) -> None:
     """Persist a table in the diffable layout: `kb=` key-bucket
     partitions, one file per bucket (the write_clean_store small-files
-    discipline). ``checksums=True`` additionally seeds the persisted
+    discipline), with the bucket modulus pinned in an ``_nb`` sidecar
+    (every later door validates against it — a wrong modulus prunes
+    deletes into the wrong buckets) and the FULL schema pinned in
+    ``_schema.json`` (every later read plans with zero footer
+    inference). ``checksums=True`` additionally seeds the persisted
     bucket-checksum summary over all non-key columns — from then on
     rewrites through bucket_store.overwrite_buckets maintain it
     incrementally and :func:`diff_tables` audits this table without
     scanning it."""
     from etl_8million_data__spark.operators.bucket_store import (
+        write_nb,
+        write_schema,
         write_table_bucketed,
     )
 
-    write_table_bucketed(df.withColumn("kb", id_bucket(F.col(key), nb)), path, "kb")
+    staged = df.withColumn("kb", id_bucket(F.col(key), nb))
+    write_table_bucketed(staged, path, "kb")
+    write_nb(path, nb)
+    write_schema(path, staged.schema)
     if checksums:
         checksums_init(
             df.sparkSession,
@@ -411,16 +456,48 @@ def append_checksums(
     )
 
 
+def repair_pending_summary(spark: SparkSession, path: str) -> bool:
+    """Recover from a door that died between its data append and its
+    summary update (the one window the skip-existing replay cannot
+    repair: the rows exist, so redelivery appends nothing and the
+    ADDITIVE delta is never re-applied — a silently stale summary).
+    The doors write a ``_pending_summary`` marker BEFORE the append and
+    clear it AFTER the summary update; if a marker is found here, the
+    touched buckets' summary rows are re-derived from the TABLE
+    (pruned read — correct whether or not the predecessor's append
+    landed) and the marker cleared. Returns True when a repair ran."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        clear_pending,
+        read_pending,
+    )
+
+    pending = read_pending(path)
+    if pending is None:
+        return False
+    update_checksums(spark, path, pending.get("kbs", []))
+    clear_pending(path)
+    return True
+
+
 def append_bucketed(
-    df: DataFrame, path: str, key: str, nb: int = DIFF_NB
+    df: DataFrame, path: str, key: str, nb: int | None = None
 ) -> None:
     """Append door for the diffable layout: rows land in their ``kb=``
     bucket partitions (one file per touched bucket per batch — the
     write_clean_store discipline) and a summary, when present, updates
-    ADDITIVELY from the batch alone. With :func:`write_bucketed`,
-    :func:`delete_keys_bucketed`, and the overwrite doors, every write
-    path keeps the summary honest, so the flat-cost replica audit
-    never needs a rescan."""
+    ADDITIVELY from the batch alone. The modulus comes from the store's
+    persisted ``_nb`` marker (an explicit contradicting ``nb`` raises);
+    a ``_pending_summary`` marker brackets the append + summary pair so
+    a crash between them is repaired by the next door call
+    (:func:`repair_pending_summary`) instead of silently drifting the
+    summary. With :func:`write_bucketed`, :func:`delete_keys_bucketed`,
+    and the overwrite doors, every write path keeps the summary honest,
+    so the flat-cost replica audit never needs a rescan."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        clear_pending,
+        write_pending,
+    )
+
     if os.path.isdir(path) and not is_hive_partitioned(path, "kb"):
         # appending kb= partition dirs into a flat root breaks partition
         # discovery for every reader (the _bucketed_append hazard)
@@ -428,12 +505,18 @@ def append_bucketed(
             f"{path} is not a kb=-bucketed layout: write it with "
             "write_bucketed first"
         )
+    spark = df.sparkSession
+    nb = _store_nb(path, nb)
+    repair_pending_summary(spark, path)
     staged = df.withColumn("kb", id_bucket(F.col(key), nb)).repartition(
         F.col("kb")
     ).localCheckpoint(eager=False)
+    kbs = [r["kb"] for r in staged.select("kb").distinct().collect()]
+    write_pending(path, None, kbs)
     staged.write.mode("append").partitionBy("kb").parquet(path)
-    df.sparkSession.catalog.refreshByPath(path)
-    append_checksums(df.sparkSession, path, staged)
+    spark.catalog.refreshByPath(path)
+    append_checksums(spark, path, staged)
+    clear_pending(path)
 
 
 def delete_keys_bucketed(
@@ -441,18 +524,24 @@ def delete_keys_bucketed(
     path: str,
     victims: DataFrame,
     key: str,
-    nb: int = DIFF_NB,
+    nb: int | None = None,
 ) -> int:
     """Keyed delete for the diffable layout: the victims' buckets are
     computed from the victim list alone (pure hash function — no table
-    scan to locate them), only those partitions read, anti-join, and
-    rewrite through bucket_store.overwrite_buckets — which keeps the
-    summary honest automatically. Returns rows removed; a miss never
+    scan to locate them) USING THE STORE'S PERSISTED MODULUS (a wrong
+    nb here would prune to buckets the victims don't live in and
+    silently return 0 — a retention/forget failure), only those
+    partitions read with the pinned schema, anti-join, and rewrite
+    through bucket_store.overwrite_buckets — which keeps the summary
+    honest automatically. Returns rows removed; a miss never
     rewrites."""
     from etl_8million_data__spark.operators.bucket_store import (
         overwrite_buckets,
+        read_store_pinned,
     )
 
+    nb = _store_nb(path, nb)
+    repair_pending_summary(spark, path)
     v = victims.select(F.col(victims.columns[0]).alias(key)).distinct()
     kbs = [
         r["_b"]
@@ -462,7 +551,7 @@ def delete_keys_bucketed(
     ]
     if not kbs:
         return 0
-    relevant = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
+    relevant = read_store_pinned(spark, path).filter(F.col("kb").isin(kbs))
     kept = relevant.join(v, key, "left_anti").localCheckpoint(eager=False)
     n_deleted = relevant.count() - kept.count()
     if not n_deleted:
@@ -476,7 +565,7 @@ def stream_append_bucketed(
     path: str,
     key: str,
     checkpoint_dir: str,
-    nb: int = DIFF_NB,
+    nb: int | None = None,
 ):
     """Streaming twin of :func:`append_bucketed` — with the
     at-least-once hazard handled: a redelivered micro-batch must not
@@ -485,15 +574,29 @@ def stream_append_bucketed(
     the summary even if readers dedup. So the append is SKIP-EXISTING
     by key: the existence read is pruned to the batch keys' buckets and
     column-pruned to the key, fresh rows append and feed the additive
-    summary update, replayed rows do neither. Keys are assumed
-    append-once (the dedup-upstream contract every skip-existing door
-    carries); updates to existing keys are the delete+append or sync
-    paths."""
+    summary update, replayed rows do neither. The skip-existing check
+    cannot repair a predecessor that died BETWEEN its data append and
+    its summary update (the rows exist, so the redelivery appends
+    nothing and the summary delta is lost forever) — hence the
+    ``_pending_summary`` marker written before the append and cleared
+    after the summary: batch entry re-derives a dead predecessor's
+    touched buckets from the table (:func:`repair_pending_summary`).
+    Keys are assumed append-once (the dedup-upstream contract every
+    skip-existing door carries); updates to existing keys are the
+    delete+append or sync paths."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        clear_pending,
+        read_store_pinned,
+        write_pending,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        nb_eff = _store_nb(path, nb) if os.path.isdir(path) else (nb or DIFF_NB)
+        if os.path.isdir(path):
+            repair_pending_summary(spark, path)
         b = batch_df.withColumn(
-            "kb", id_bucket(F.col(key), nb)
+            "kb", id_bucket(F.col(key), nb_eff)
         ).localCheckpoint(eager=False)
         kbs = [
             r["kb"] for r in b.select("kb").distinct().collect()
@@ -502,7 +605,7 @@ def stream_append_bucketed(
             return
         if os.path.isdir(path):
             existing = (
-                spark.read.parquet(path)
+                read_store_pinned(spark, path)
                 .filter(F.col("kb").isin(kbs))
                 .select(key)
             )
@@ -512,9 +615,25 @@ def stream_append_bucketed(
         fresh = fresh.repartition(F.col("kb")).localCheckpoint(eager=False)
         if not fresh.count():
             return
+        fresh_kbs = [r["kb"] for r in fresh.select("kb").distinct().collect()]
+        write_pending(path, batch_id, fresh_kbs)
         fresh.write.mode("append").partitionBy("kb").parquet(path)
         spark.catalog.refreshByPath(path)
         append_checksums(spark, path, fresh)
+        clear_pending(path)
+        from etl_8million_data__spark.operators.bucket_store import (
+            read_pinned_schema,
+            try_read_nb,
+            write_nb,
+            write_schema,
+        )
+
+        # a store this stream itself created: pin the modulus + schema
+        # so every later door validates/plans against them
+        if try_read_nb(path) is None:
+            write_nb(path, nb_eff)
+        if read_pinned_schema(path) is None:
+            write_schema(path, fresh.schema)
 
     return (
         updates.writeStream.foreachBatch(apply_batch)
@@ -529,7 +648,7 @@ def apply_changes(
     path: str,
     changes: DataFrame,
     key: str,
-    nb: int = DIFF_NB,
+    nb: int | None = None,
 ) -> int:
     """Apply a CDC frame (``_change_type`` insert/update/delete +
     post-image columns, the table_changes/table_changes_pruned output
@@ -546,7 +665,21 @@ def apply_changes(
     With :func:`ops_version_cdc`'s metadata-pruned diff on the send
     side and the summarized :func:`diff_tables` as the audit, the whole
     replicate-apply-verify loop is drift-bounded: nothing in it ever
-    scans an unchanged bucket."""
+    scans an unchanged bucket.
+
+    PER-KEY ORDER: this door assumes changes arrive in version order
+    per key (the producer contract) — redelivery converges, reordering
+    does not. A change frame carrying ``_commit_version``
+    (table_changes(..., include_version=True)) routes to
+    :func:`apply_changes_versioned`, which is safe under BOTH."""
+    if "_commit_version" in changes.columns:
+        return apply_changes_versioned(spark, path, changes, key, nb)
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+        read_store_pinned,
+    )
+
+    nb = _store_nb(path, nb)
     ch = changes.localCheckpoint(eager=False)
     n = ch.count()
     if not n:
@@ -557,18 +690,131 @@ def apply_changes(
         .distinct()
         .collect()
     ]
-    old = spark.read.parquet(path).filter(F.col("kb").isin(kbs))
+    old = read_store_pinned(spark, path).filter(F.col("kb").isin(kbs))
     keep = old.join(F.broadcast(ch.select(key)), key, "left_anti")
     post = (
         ch.filter(F.col("_change_type").isin("insert", "update"))
         .drop("_change_type")
         .withColumn("kb", id_bucket(F.col(key), nb))
     )
+    overwrite_buckets(spark, path, "kb", keep.unionByName(post), kbs)
+    return n
+
+
+def write_replica(
+    df: DataFrame, path: str, key: str, nb: int = DIFF_NB, version: int = 0
+) -> None:
+    """Initialize a VERSIONED replica for :func:`apply_changes_versioned`:
+    every row carries ``_v`` (the commit version whose post-image it is)
+    and ``_gone`` (1 = tombstone left by a versioned delete, so an older
+    redelivered change for that key can never resurrect it). Written
+    checksummed, so the summarized replica audit works unchanged; read
+    the VISIBLE rows back with :func:`read_replica`."""
+    staged = df.withColumn("_v", F.lit(version).cast("bigint")).withColumn(
+        "_gone", F.lit(0)
+    )
+    write_bucketed(staged, path, key, nb, checksums=True)
+
+
+def read_replica(spark: SparkSession, path: str) -> DataFrame:
+    """Visible rows of a versioned replica: tombstones filtered, the
+    bookkeeping columns (`_v`, `_gone`, `kb`) dropped."""
     from etl_8million_data__spark.operators.bucket_store import (
-        overwrite_buckets,
+        read_store_pinned,
     )
 
-    overwrite_buckets(spark, path, "kb", keep.unionByName(post), kbs)
+    df = read_store_pinned(spark, path)
+    if "_gone" in df.columns:
+        df = df.filter(F.col("_gone") == 0)
+    return df.drop("_v", "_gone", "kb")
+
+
+def apply_changes_versioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    nb: int | None = None,
+) -> int:
+    """MAX-VERSION-WINS CDC apply — :func:`apply_changes` made safe
+    under out-of-ORDER redelivery, not just re-delivery: the change
+    frame carries ``_commit_version`` (table_changes /
+    table_changes_pruned with ``include_version=True``) and the replica
+    persists each row's version (``_v``) plus delete TOMBSTONES
+    (``_gone`` = 1, :func:`write_replica`), so a change row only lands
+    when its version is strictly newer than what the replica already
+    holds for that key. Apply batches in ANY interleaving/order — the
+    replica converges to the per-key max-version image, because each
+    key's final row is the globally newest change regardless of arrival
+    order (asserted under shuffled batches in tests/test_table_diff.py).
+    Still bucket-pruned end to end: only the changed keys' buckets are
+    read/rewritten and the checksum summary stays honest through the
+    overwrite door. Returns change rows applied (older-than-replica
+    rows are skipped, not applied).
+
+    Tombstones are retained until a compaction with a version floor
+    reclaims them (the Kafka-compacted-topic / Delta retention
+    discipline); :func:`read_replica` hides them from readers."""
+    from pyspark.sql import Window
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+        read_store_pinned,
+    )
+
+    nb = _store_nb(path, nb)
+    # within the batch: one row per key, the newest version
+    # (deterministic tiebreak on change type for pathological frames
+    # carrying two rows of the same key+version)
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type")
+    )
+    ch = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
+    )
+    if not ch.count():
+        return 0
+    kbs = [
+        r["_b"]
+        for r in ch.select(id_bucket(F.col(key), nb).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    old = read_store_pinned(spark, path).filter(F.col("kb").isin(kbs))
+    if "_v" not in old.columns:
+        raise ValueError(
+            f"{path} is not a versioned replica (no _v column): "
+            "initialize it with write_replica"
+        )
+    old_v = old.select(key, F.col("_v").alias("_v_old"))
+    elig = (
+        ch.join(F.broadcast(old_v), key, "left")
+        .filter(
+            F.col("_v_old").isNull()
+            | (F.col("_commit_version") > F.col("_v_old"))
+        )
+        .drop("_v_old")
+        .localCheckpoint(eager=False)
+    )
+    n = elig.count()
+    if not n:
+        return 0
+    winners = (
+        elig.withColumn(
+            "_gone",
+            F.when(F.col("_change_type") == "delete", F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("_v", F.col("_commit_version").cast("bigint"))
+        .drop("_change_type", "_commit_version")
+        .withColumn("kb", id_bucket(F.col(key), nb))
+    )
+    keep = old.join(F.broadcast(elig.select(key)), key, "left_anti")
+    overwrite_buckets(spark, path, "kb", keep.unionByName(winners), kbs)
     return n
 
 
@@ -577,7 +823,7 @@ def stream_apply_changes(
     path: str,
     key: str,
     checkpoint_dir: str,
-    nb: int = DIFF_NB,
+    nb: int | None = None,
 ):
     """Streaming twin of :func:`apply_changes` — continuous
     replication: each micro-batch of CDC rows applies to the replica
@@ -585,9 +831,14 @@ def stream_apply_changes(
     safe BY CONVERGENCE, not by a marker: re-applying an insert/update
     lands the identical post-image row and a re-applied delete is a
     miss, so a redelivered batch leaves the replica (and its checksum
-    summary) byte-for-value unchanged — asserted in tests. Batches must
-    arrive in version order per key (the CDC producer's contract);
-    cross-key ordering is free."""
+    summary) byte-for-value unchanged — asserted in tests. A change
+    stream carrying ``_commit_version`` (the
+    :func:`operators.cdc_log.publish_changes` producer) routes to the
+    versioned apply, which is additionally safe under out-of-ORDER
+    redelivery — batches in any interleaving converge to the per-key
+    max-version image. Without the version column, batches must arrive
+    in version order per key (the producer contract); cross-key
+    ordering is always free."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes(batch_df.sparkSession, path, batch_df, key, nb)

@@ -54,11 +54,41 @@ from etl_8million_data__spark.operators.bucket_store import (
     mark_applied,
     overwrite_buckets as _overwrite_buckets,
     read_nb as _nb,
+    read_pinned_schema,
     write_nb,
+    write_schema,
 )
 from etl_8million_data__spark.operators.partitioning import id_bucket
 
 SCD2_NB = 16
+
+
+def _read_intervals(spark: SparkSession, root: str) -> DataFrame:
+    """The ONE read path for the persisted interval table, closing the
+    mixed-schema hazard: with the pinned schema (written at init, or
+    self-healed below) the read plans with zero footer inference and
+    legacy pre-``last_ts`` files surface the column as declared NULLs;
+    a store written before the pin existed falls back to ONE
+    ``mergeSchema`` footer-merge (so newer files' last_ts is never
+    dropped by single-footer inference) and pins the merged schema so
+    every later read is static. Either way the watermark NEVER
+    evaluates NULL: ``last_ts`` coalesces to ``valid_from`` per row —
+    the weaker-but-safe pre-last_ts watermark — instead of NULL rows
+    silently passing the late-data check as not-a-violation."""
+    path = os.path.join(root, "intervals")
+    pinned = read_pinned_schema(path)
+    if pinned is not None:
+        df = spark.read.schema(pinned).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        if "last_ts" not in df.columns:
+            df = df.withColumn(
+                "last_ts", F.lit(None).cast(df.schema["valid_from"].dataType)
+            )
+        write_schema(path, df.schema)
+    return df.withColumn(
+        "last_ts", F.coalesce(F.col("last_ts"), F.col("valid_from"))
+    )
 
 
 def build_intervals(
@@ -129,14 +159,16 @@ def scd2_init(
     log and live on the cheap seam merge alone."""
     write_nb(root, nb)
     changes = changes.select("key", "seq", "ts", "attr")
+    iv = build_intervals(changes).withColumn("kb", id_bucket(F.col("key"), nb))
     (
-        build_intervals(changes)
-        .withColumn("kb", id_bucket(F.col("key"), nb))
-        .repartition(F.col("kb"))
+        iv.repartition(F.col("kb"))
         .write.mode("overwrite")
         .partitionBy("kb")
         .parquet(os.path.join(root, "intervals"))
     )
+    # pin the FULL schema so every later read is static (zero footer
+    # inference; legacy files missing a later column read as NULL)
+    write_schema(os.path.join(root, "intervals"), iv.schema)
     if keep_log:
         (
             changes.withColumn("kb", id_bucket(F.col("key"), nb))
@@ -148,7 +180,7 @@ def scd2_init(
 
 
 def read_intervals(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "intervals")).drop("kb")
+    return _read_intervals(spark, root).drop("kb")
 
 
 def _append_log(
@@ -218,9 +250,7 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
         .select("key", "seq", "ts", "attr")
     )
     merged = build_intervals(log_touched)
-    old = spark.read.parquet(path)
-    if "last_ts" not in old.columns:
-        old = old.withColumn("last_ts", F.col("valid_from"))
+    old = _read_intervals(spark, root)
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     content = old.join(F.broadcast(keys), "key", "left_anti").unionByName(
         merged.withColumn("kb", id_bucket(F.col("key"), nb))
@@ -256,12 +286,14 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     # keep the retained log (when present) in sync, so a later
     # scd2_apply_late sees the full per-key history
     _append_log(spark, root, b, kbs, nb)
-    old = spark.read.parquet(path)
-    if "last_ts" not in old.columns:
-        # pre-last_ts layout: valid_from is the only watermark available
-        # (the original, weaker order check); rewritten buckets carry
-        # the true last_ts forward from this apply on
-        old = old.withColumn("last_ts", F.col("valid_from"))
+    # _read_intervals: pinned/merged schema, and per-row
+    # coalesce(last_ts, valid_from) — on a legacy store whose FIRST
+    # post-upgrade apply rewrote only some buckets, the untouched
+    # buckets' files lack last_ts and the declared-schema read surfaces
+    # NULL; a NULL watermark would evaluate the violation filter to
+    # not-a-violation and silently splice late data, so it degrades to
+    # valid_from (the original, weaker-but-safe check) instead
+    old = _read_intervals(spark, root)
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     # lazy checkpoint fused with the order check: the violation count
     # below reads old_touched in full and materializes it

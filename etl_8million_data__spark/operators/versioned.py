@@ -275,6 +275,7 @@ def table_changes_pruned(
     keys: list[str],
     from_version: int,
     to_version: int | None = None,
+    include_version: bool = False,
 ) -> DataFrame:
     """CDC read accelerated by the manifest summaries
     (:func:`commit_bucketed`): the differing-bucket set is computed by
@@ -283,7 +284,10 @@ def table_changes_pruned(
     join for classification (identical output contract to
     :func:`table_changes`, asserted in tests). Versions without
     matching summary pins fall back to the full-join CDC, never a
-    wrong answer."""
+    wrong answer. ``include_version=True`` adds ``_commit_version`` =
+    the to-version — the column that makes the downstream apply
+    (operators/diff.apply_changes_versioned) safe under out-of-order
+    redelivery."""
     m = _load_manifest(path)
     v2 = m["current"] if to_version is None else to_version
     e1 = m["versions"].get(str(from_version)) or {}
@@ -297,7 +301,9 @@ def table_changes_pruned(
         and ck1["cols"] == ck2["cols"]
         and ck1["nb"] == ck2["nb"]
     ):
-        return table_changes(spark, path, keys, from_version, v2)
+        return table_changes(
+            spark, path, keys, from_version, v2, include_version
+        )
     s1 = {r[0]: (r[1], r[2]) for r in ck1["rows"]}
     s2 = {r[0]: (r[1], r[2]) for r in ck2["rows"]}
     diff_kbs = [
@@ -322,7 +328,10 @@ def table_changes_pruned(
         after = after.filter(F.col("kb").isin(diff_kbs))
     else:
         before, after = before.filter(F.lit(False)), after.filter(F.lit(False))
-    return _classify_changes(before.drop("kb"), after.drop("kb"), keys)
+    out = _classify_changes(before.drop("kb"), after.drop("kb"), keys)
+    if include_version:
+        out = out.withColumn("_commit_version", F.lit(v2).cast("bigint"))
+    return out
 
 
 def table_changes(
@@ -331,6 +340,7 @@ def table_changes(
     keys: list[str],
     from_version: int,
     to_version: int | None = None,
+    include_version: bool = False,
 ) -> DataFrame:
     """Row-level diff between two snapshots (CDC read): one row per
     changed key with ``_change_type`` in insert / update / delete and
@@ -339,10 +349,26 @@ def table_changes(
     both sides are partition-pruned Parquet scans and the join shuffles
     on the key only; for tables with a recency column an incremental
     log would be cheaper, but a diff of snapshots is always available
-    and needs no write-path cooperation."""
+    and needs no write-path cooperation. A bucketed snapshot's ``kb``
+    partition column is excluded from the output (it is a pure function
+    of the key, and the pruned path never emits it — both paths share
+    one output contract). ``include_version=True`` adds
+    ``_commit_version`` = the resolved to-version."""
+    m = _load_manifest(path)
+    v2 = m["current"] if to_version is None else to_version
     before = read(spark, path, version=from_version)
-    after = read(spark, path, version=to_version)
-    return _classify_changes(before, after, keys)
+    after = read(spark, path, version=v2)
+    # the bucket column is derived layout metadata, not a value column:
+    # emitting it from one path and not the other would give callers a
+    # schema that depends on whether the summary pins matched
+    if "kb" in before.columns:
+        before = before.drop("kb")
+    if "kb" in after.columns:
+        after = after.drop("kb")
+    out = _classify_changes(before, after, keys)
+    if include_version:
+        out = out.withColumn("_commit_version", F.lit(v2).cast("bigint"))
+    return out
 
 
 def _classify_changes(

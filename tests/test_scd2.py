@@ -280,3 +280,109 @@ def test_late_change_inside_open_span_raises_not_splices(
         .first()["attr"]
         == "C"
     )
+
+
+def test_legacy_mixed_schema_store_keeps_the_watermark(spark, tmp_path):
+    """A store created BEFORE last_ts existed, whose first post-upgrade
+    apply rewrote only SOME buckets, is mixed-schema: single-footer
+    inference could drop last_ts entirely (watermark regresses to
+    valid_from — late data inside the open span splices silently) or
+    surface it as NULL on legacy files (NULL >= x is not-a-violation —
+    same silent splice). The pinned/merged-schema read plus per-row
+    coalesce(last_ts, valid_from) must close both holes: the rewritten
+    key's true watermark survives (inside-span change raises) and the
+    legacy key degrades to the valid_from check, never to NULL."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_pinned_schema,
+        write_nb,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+    from etl_8million_data__spark.operators.scd2 import scd2_apply_late
+
+    hist = spark.createDataFrame(
+        [
+            (1, 10, 100, "A"),  # key 1 -> bucket 8
+            (1, 11, 200, "A"),
+            (2, 20, 100, "B"),  # key 2 -> bucket 13 (disjoint)
+            (2, 21, 250, "B"),
+        ],
+        "key long, seq long, ts long, attr string",
+    )
+    root = str(tmp_path / "scd2")
+    # legacy layout: intervals WITHOUT last_ts, no pinned schema
+    write_nb(root, 16)
+    (
+        build_intervals(hist)
+        .drop("last_ts")
+        .withColumn("kb", id_bucket(F.col("key"), 16))
+        .repartition(F.col("kb"))
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(os.path.join(root, "intervals"))
+    )
+    (
+        hist.withColumn("kb", id_bucket(F.col("key"), 16))
+        .repartition(F.col("kb"))
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(os.path.join(root, "log"))
+    )
+    assert read_pinned_schema(os.path.join(root, "intervals")) is None
+
+    # on-time apply for key 1 only: rewrites ONLY bucket 8 -> the store
+    # is now mixed (bucket 8 files carry last_ts, bucket 13 files don't)
+    # and the first read self-heals a pinned schema
+    scd2_apply(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 12, 300, "C"), (1, 13, 400, "C")],
+            "key long, seq long, ts long, attr string",
+        ),
+    )
+    assert read_pinned_schema(os.path.join(root, "intervals")) is not None
+
+    # key 1's open interval is C with valid_from=300, last_ts=400: a
+    # change at ts=350 passes a valid_from-only check — the persisted
+    # watermark must catch it even though OTHER files lack the column
+    with pytest.raises(ValueError, match="late data"):
+        scd2_apply(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(1, 14, 350, "D")], "key long, seq long, ts long, attr string"
+            ),
+        )
+
+    # key 2's rows are legacy (no last_ts in their files): the declared
+    # NULL must degrade to valid_from, not to not-a-violation
+    with pytest.raises(ValueError, match="late data"):
+        scd2_apply(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(2, 22, 50, "E")], "key long, seq long, ts long, attr string"
+            ),
+        )
+
+    # the late door still absorbs both into the one-shot result
+    late = spark.createDataFrame(
+        [(1, 14, 350, "D"), (2, 22, 50, "E")],
+        "key long, seq long, ts long, attr string",
+    )
+    ontime = spark.createDataFrame(
+        [(1, 12, 300, "C"), (1, 13, 400, "C")],
+        "key long, seq long, ts long, attr string",
+    )
+    scd2_apply_late(spark, root, late)
+    want = {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in build_intervals(
+            hist.unionByName(ontime).unionByName(late)
+        ).collect()
+    }
+    got = {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in read_intervals(spark, root).collect()
+    }
+    assert got == want

@@ -242,26 +242,25 @@ def test_table_changes_pruned_equals_full_and_skips_clean_buckets(
         )
     )
     v3 = V.commit_bucketed(spark, o3, table, "k", op="upsert")
-    full = {
-        tuple(r) for r in V.table_changes(spark, table, ["k"], v2, v3).drop(
-            "kb"
-        ).collect()
-    }
-    # table_changes sees the kb column too — compare on the shared shape
-    full = {
-        tuple(r)
-        for r in V._classify_changes(
-            V.read(spark, table, v2).drop("kb"),
-            V.read(spark, table, v3).drop("kb"),
-            ["k"],
-        ).collect()
-    }
-    pruned = {
-        tuple(r)
-        for r in V.table_changes_pruned(spark, table, ["k"], v2, v3).collect()
-    }
+    # both CDC paths share one output contract: the bucket column never
+    # appears (it is derived layout metadata, not a value column)
+    full_df = V.table_changes(spark, table, ["k"], v2, v3)
+    pruned_df = V.table_changes_pruned(spark, table, ["k"], v2, v3)
+    assert full_df.columns == pruned_df.columns
+    assert "kb" not in full_df.columns
+    full = {tuple(r) for r in full_df.collect()}
+    pruned = {tuple(r) for r in pruned_df.collect()}
     assert pruned == full
     assert {t[0] for t in pruned} == {"insert", "update", "delete"}
+
+    # include_version stamps the to-version on both paths identically
+    fv = V.table_changes(spark, table, ["k"], v2, v3, include_version=True)
+    pv = V.table_changes_pruned(
+        spark, table, ["k"], v2, v3, include_version=True
+    )
+    assert fv.columns == pv.columns
+    assert {r["_commit_version"] for r in pv.collect()} == {v3}
+    assert {tuple(r) for r in fv.collect()} == {tuple(r) for r in pv.collect()}
 
     # physical proof on the single-edit pair: garbage in a clean bucket
     import os
