@@ -1,0 +1,377 @@
+"""Round-13 lifecycle doors for the kb=-bucketed stores
+(operators/bucket_store.py + operators/diff.py + operators/cdc_log.py):
+per-bucket compaction pays off append small-files debt with the
+checksum summary kept honest; the pending-summary marker repairs a
+door that died between its data append and its summary update; a
+wrong bucket modulus raises instead of silently pruning to the wrong
+buckets; the versioned CDC apply converges under arbitrarily shuffled
+/ redelivered batches; rebucket migrates the modulus with a content
+equality gate; schema evolution NULL-extends without rewriting data;
+and the streaming CDC producer closes the replicate-apply-verify loop
+end to end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.bucket_store import (
+    bucket_file_counts,
+    compact_buckets,
+    evolve_add_columns,
+    read_pending,
+    read_store_pinned,
+    rebucket,
+    write_pending,
+)
+from etl_8million_data__spark.operators.diff import (
+    append_bucketed,
+    apply_changes_versioned,
+    checksums_fsck,
+    diff_tables,
+    read_replica,
+    write_bucketed,
+    write_replica,
+)
+
+
+def _frame(spark, d):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(d.items())], "k long, v long"
+    )
+
+
+def test_compact_buckets_pays_off_append_debt(spark, tmp_path):
+    """N appends leave up to N files per touched bucket; compaction
+    must merge each back to ONE file, leave content and the checksum
+    summary bit-identical (fsck zero; diff vs expected empty), and
+    leave buckets already at one file untouched byte-for-byte."""
+    pa = str(tmp_path / "t")
+    ref = {k: k * 10 for k in range(0, 40)}
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    for lo in (40, 60, 80, 100):
+        batch = {k: k * 10 for k in range(lo, lo + 20)}
+        append_bucketed(_frame(spark, batch), pa, "k")
+        ref.update(batch)
+
+    counts = bucket_file_counts(pa, "kb")
+    assert max(counts.values()) > 1, "appends must have created debt"
+    multi = {b for b, n in counts.items() if n > 1}
+    single = {b for b, n in counts.items() if n == 1}
+
+    def files_of(buckets):
+        out = {}
+        for b in buckets:
+            d = os.path.join(pa, f"kb={b}")
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(d, f), "rb") as fh:
+                        out[f"{b}/{f}"] = fh.read()
+        return out
+
+    untouched_before = files_of(single)
+    n = compact_buckets(spark, pa, "kb")
+    assert n == len(multi)
+    after = bucket_file_counts(pa, "kb")
+    assert set(after) == set(counts)
+    assert all(v == 1 for v in after.values()), after
+    assert files_of(single) == untouched_before
+
+    # content + summary unchanged
+    assert {
+        r["k"]: r["v"] for r in spark.read.parquet(pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    pe = str(tmp_path / "expected")
+    write_bucketed(_frame(spark, ref), pe, "k", checksums=True)
+    assert diff_tables(spark, pa, pe, ["k"], ["v"]).count() == 0
+
+    # second compaction is a no-op
+    assert compact_buckets(spark, pa, "kb") == 0
+
+
+def test_pending_marker_repairs_half_applied_append(spark, tmp_path):
+    """Simulated crash between the data append and the summary update:
+    rows exist but their additive hash-sum delta was never applied —
+    the one state skip-existing replay can't repair. The next door
+    call must see the pending marker, re-derive the touched buckets'
+    summary rows from the table, and clear the marker."""
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    pa = str(tmp_path / "t")
+    ref = {k: k * 10 for k in range(0, 30)}
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+
+    # crash simulation: append the data WITHOUT the summary update,
+    # leaving the marker a real door would have written first
+    batch = {100: 1000, 101: 1010}
+    staged = _frame(spark, batch).withColumn("kb", id_bucket(F.col("k"), 16))
+    kbs = [r["kb"] for r in staged.select("kb").distinct().collect()]
+    write_pending(pa, 7, kbs)
+    staged.repartition(F.col("kb")).write.mode("append").partitionBy(
+        "kb"
+    ).parquet(pa)
+    spark.catalog.refreshByPath(pa)
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] > 0, (
+        "fixture must start from a genuinely stale summary"
+    )
+
+    # the next door call repairs before doing its own work
+    append_bucketed(_frame(spark, {200: 2000}), pa, "k")
+    assert read_pending(pa) is None
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    got = {r["k"]: r["v"] for r in spark.read.parquet(pa).collect()}
+    assert got == {**ref, **batch, 200: 2000}
+
+
+def test_wrong_bucket_modulus_raises_loudly(spark, tmp_path):
+    """A door called with a modulus contradicting the store's persisted
+    _nb must raise — with nb=32 on a 16-bucket table, a delete would
+    prune to buckets the victims don't live in and silently return 0
+    (a retention failure), an apply would scatter post-images into
+    wrong buckets while stale rows survive."""
+    from etl_8million_data__spark.operators.diff import delete_keys_bucketed
+
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, {k: k for k in range(20)}), pa, "k")
+    with pytest.raises(ValueError, match="nb=16"):
+        delete_keys_bucketed(
+            spark, pa, spark.createDataFrame([(3,)], "k long"), "k", nb=32
+        )
+    with pytest.raises(ValueError, match="nb=16"):
+        append_bucketed(_frame(spark, {99: 99}), pa, "k", nb=32)
+    # omitting nb uses the store's own modulus
+    assert delete_keys_bucketed(
+        spark, pa, spark.createDataFrame([(3,)], "k long"), "k"
+    ) == 1
+
+    # diff across sides bucketed at different moduli refuses
+    pb = str(tmp_path / "t32")
+    write_bucketed(_frame(spark, {k: k for k in range(20)}), pb, "k", nb=32)
+    with pytest.raises(ValueError, match="different moduli"):
+        diff_tables(spark, pa, pb, ["k"], ["v"])
+
+
+def _cdc_frames(spark):
+    """Three adjacent-version change frames over a 20-key table:
+    v2 updates evens and deletes k=5; v3 re-inserts k=5, updates
+    multiples of 3, deletes k=8; v4 updates k in {2,9}."""
+    base = {k: k * 10 for k in range(20)}
+
+    def apply(d, ups, dels):
+        d = dict(d)
+        for k, v in ups.items():
+            d[k] = v
+        for k in dels:
+            d.pop(k, None)
+        return d
+
+    s2 = apply(base, {k: k * 10 + 1 for k in base if k % 2 == 0}, [5])
+    s3 = apply(s2, {**{k: k * 10 + 2 for k in s2 if k % 3 == 0}, 5: 555}, [8])
+    s4 = apply(s3, {2: 222, 9: 999}, [])
+
+    def frame(prev, cur, v):
+        rows = []
+        for k in cur:
+            if k not in prev:
+                rows.append(("insert", k, cur[k], v))
+            elif cur[k] != prev[k]:
+                rows.append(("update", k, cur[k], v))
+        for k in prev:
+            if k not in cur:
+                rows.append(("delete", k, prev[k], v))
+        return spark.createDataFrame(
+            rows, "_change_type string, k long, v long, _commit_version long"
+        )
+
+    return base, s4, [frame(base, s2, 2), frame(s2, s3, 3), frame(s3, s4, 4)]
+
+
+def test_versioned_apply_converges_under_any_order(spark, tmp_path):
+    """Max-version-wins: applying the change frames in EVERY permutation
+    (including redelivering each frame twice, and one run with all
+    frames fused into a single out-of-order batch) converges to the
+    same final visible state, with the checksum summary honest."""
+    import itertools
+
+    base, want, frames = _cdc_frames(spark)
+    for i, perm in enumerate(itertools.permutations(range(3))):
+        pa = str(tmp_path / f"r{i}")
+        write_replica(_frame(spark, base), pa, "k", version=1)
+        for j in perm:
+            apply_changes_versioned(spark, pa, frames[j], "k")
+        # redeliver everything once more, reversed
+        for j in reversed(perm):
+            apply_changes_versioned(spark, pa, frames[j], "k")
+        got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
+        assert got == want, (perm, got)
+        assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    # all frames fused into ONE batch (intra-batch max-version-wins)
+    pa = str(tmp_path / "fused")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+    fused = frames[2].unionByName(frames[0]).unionByName(frames[1])
+    apply_changes_versioned(spark, pa, fused, "k")
+    got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
+    assert got == want
+
+    # stale redelivery after convergence applies nothing
+    assert apply_changes_versioned(spark, pa, frames[0], "k") == 0
+
+
+def test_rebucket_migrates_modulus_with_equality_gate(spark, tmp_path):
+    """rebucket 16 -> 64: content identical (diff vs pre-migration copy
+    empty), summary re-seeded at the new modulus and honest, doors keep
+    working at the new modulus, and the old modulus now raises."""
+    from etl_8million_data__spark.operators.bucket_store import read_nb
+    from etl_8million_data__spark.operators.diff import delete_keys_bucketed
+
+    ref = {k: k * 10 for k in range(200)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    copy = str(tmp_path / "copy")
+    write_bucketed(_frame(spark, ref), copy, "k", checksums=True)
+
+    rebucket(spark, pa, "k", 64)
+    assert read_nb(pa) == 64
+    counts = bucket_file_counts(pa, "kb")
+    assert len(counts) > 16 and max(counts) < 64
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    got = {r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()}
+    assert got == ref
+    # the unbucketed-comparison path still proves equality to the copy
+    # (different moduli on two bucketed sides correctly refuse)
+    with pytest.raises(ValueError, match="different moduli"):
+        diff_tables(spark, pa, copy, ["k"], ["v"])
+
+    # doors at the new modulus
+    assert delete_keys_bucketed(
+        spark, pa, spark.createDataFrame([(7,)], "k long"), "k"
+    ) == 1
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    with pytest.raises(ValueError, match="nb=64"):
+        append_bucketed(_frame(spark, {999: 1}), pa, "k", nb=16)
+
+
+def test_evolve_add_columns_null_extends_without_rewrite(spark, tmp_path):
+    """Adding a column bumps only the pinned schema: zero data files
+    rewritten, old rows read back NULL-extended, appends carry the new
+    column, and the summary re-seeds exactly when the compared set
+    changes (compare=True) and survives untouched when not."""
+    ref = {k: k * 10 for k in range(30)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+
+    def data_files():
+        out = {}
+        for dirpath, _, files in os.walk(pa):
+            if "_checksums" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[p] = fh.read()
+        return out
+
+    before = data_files()
+    evolve_add_columns(spark, pa, "w string", compare=True)
+    assert data_files() == before, "evolution must not rewrite data"
+    got = read_store_pinned(spark, pa)
+    assert "w" in got.columns
+    assert got.filter(F.col("w").isNotNull()).count() == 0
+    # summary was re-seeded over (v, w) and is honest
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    # appends carry the new column; old NULL-extended rows coexist
+    append_bucketed(
+        spark.createDataFrame([(500, 5000, "x")], "k long, v long, w string"),
+        pa,
+        "k",
+    )
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    assert read_store_pinned(spark, pa).filter(
+        F.col("w") == "x"
+    ).count() == 1
+
+    # compare=False: schema bumps, summary pin untouched
+    evolve_add_columns(spark, pa, "note string", compare=False)
+    from etl_8million_data__spark.operators.diff import read_checksums
+
+    meta, _ = read_checksums(spark, pa)
+    assert "note" not in meta["cols"]
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    # clashing / unpinned stores refuse
+    with pytest.raises(ValueError, match="already exist"):
+        evolve_add_columns(spark, pa, "v long")
+
+
+def test_streaming_cdc_producer_closes_the_loop(spark, tmp_path):
+    """End to end: commits on source A publish to a file change log,
+    the consumer stream applies them to replica B (versioned,
+    max-version-wins), and the replica audit reads clean. Publishing is
+    resumable/idempotent; replaying the whole log from a FRESH
+    checkpoint converges (out-of-order-safe apply)."""
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base, want, frames = _cdc_frames(spark)
+    src = str(tmp_path / "src")
+    states = [dict(base)]
+    for fr in frames:
+        s = dict(states[-1])
+        for r in fr.collect():
+            if r["_change_type"] == "delete":
+                s.pop(r["k"], None)
+            else:
+                s[r["k"]] = r["v"]
+        states.append(s)
+    assert states[-1] == want
+    v1 = V.commit_bucketed(spark, _frame(spark, states[0]), src, "k")
+    for s in states[1:3]:
+        V.commit_bucketed(spark, _frame(spark, s), src, "k", op="upsert")
+
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 2
+    assert publish_changes(spark, src, log, ["k"]) == 0  # idempotent
+
+    replica = str(tmp_path / "replica")
+    write_replica(_frame(spark, states[0]), replica, "k", version=v1)
+
+    def drain(ck):
+        q = stream_apply_changes(
+            changes_stream(spark, log), replica, "k", str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+
+    drain("ck1")
+    got = {r["k"]: r["v"] for r in read_replica(spark, replica).collect()}
+    assert got == states[2]
+
+    # more commits -> publish tails only the new versions
+    V.commit_bucketed(spark, _frame(spark, states[3]), src, "k", op="upsert")
+    assert publish_changes(spark, src, log, ["k"]) == 1
+    drain("ck1")
+    got = {r["k"]: r["v"] for r in read_replica(spark, replica).collect()}
+    assert got == want
+
+    # replica audit against the source's current content reads clean
+    expected = str(tmp_path / "expected")
+    write_bucketed(_frame(spark, want), expected, "k", checksums=True)
+    vis = str(tmp_path / "visible")
+    write_bucketed(read_replica(spark, replica), vis, "k", checksums=True)
+    assert diff_tables(spark, vis, expected, ["k"], ["v"]).count() == 0
+
+    # full replay from a fresh checkpoint: every batch redelivered,
+    # replica unchanged (max-version-wins convergence)
+    drain("ck_fresh")
+    got = {r["k"]: r["v"] for r in read_replica(spark, replica).collect()}
+    assert got == want
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
