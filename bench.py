@@ -136,6 +136,13 @@ HEADLINE = [
     "advisor_layout_drift",  # sorted-layout decay quantified, recompaction advice
     "ops_store_lifecycle_audit",  # append/delete doors keep the summary honest
     "ops_cdc_apply",  # full replication loop: metadata CDC -> pruned apply -> summary audit
+    # round-13 families
+    "ops_cdc_apply_versioned",  # max-version-wins apply, safe under reordering
+    "ops_cdc_producer_stream",  # streaming CDC producer: publish -> stream -> apply -> audit
+    "ops_store_compaction_audit",  # per-bucket small-files compaction, summary kept honest
+    "ops_rebucket_migration",  # bucket-modulus migration with equality gate
+    "advisor_bucket_count",  # churn-measured bucket-modulus advisor
+    "ops_schema_evolution",  # pinned-schema add-column door, NULL-extended reads
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

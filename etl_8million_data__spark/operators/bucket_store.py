@@ -479,6 +479,62 @@ def evolve_add_columns(
         )
 
 
+NB_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def recommend_nb(
+    churn_col,
+    rows_col,
+    target_inverse: int = 16,
+    min_rows_per_bucket: int = 64,
+):
+    """Column expression recommending a bucket modulus from MEASURED
+    churn — the advisor arm for :func:`rebucket`, making the one
+    hand-set physical-design knob of this family data-driven. Model:
+    a change set of c keys touches <= c buckets, so the per-apply read
+    fraction is ~c/nb; a target fraction of 1/``target_inverse`` wants
+    nb >= target_inverse * c, rounded UP to the next power of two on
+    the ladder. The opposing pressure is small files: nb is capped at
+    the LARGEST ladder power keeping >= ``min_rows_per_bucket`` rows
+    per bucket (tiny buckets turn every scan into a listing storm), and
+    the cap wins — a small table never gets a huge modulus no matter
+    the churn. Pure integer arithmetic (comparison ladder over the 9
+    powers, no log/pow floats), so a DuckDB oracle reproduces it
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    raw = F.lit(target_inverse) * churn_col
+    up = F.lit(NB_LADDER[-1])
+    for p in reversed(NB_LADDER):
+        up = F.when(raw <= p, F.lit(p)).otherwise(up)
+    cap = F.lit(NB_LADDER[0])
+    for p in NB_LADDER:
+        cap = F.when(rows_col >= p * min_rows_per_bucket, F.lit(p)).otherwise(
+            cap
+        )
+    return F.least(up, cap).cast("int")
+
+
+def sql_recommend_nb(
+    churn_sql: str,
+    rows_sql: str,
+    target_inverse: int = 16,
+    min_rows_per_bucket: int = 64,
+) -> str:
+    """The DuckDB twin of :func:`recommend_nb` (same ladder, same
+    integer arithmetic)."""
+    raw = f"({target_inverse} * ({churn_sql}))"
+    up = f"CASE WHEN {raw} <= 16 THEN 16"
+    for p in NB_LADDER[1:]:
+        up += f" WHEN {raw} <= {p} THEN {p}"
+    up += f" ELSE {NB_LADDER[-1]} END"
+    cap = f"CASE WHEN ({rows_sql}) >= {NB_LADDER[-1] * min_rows_per_bucket} THEN {NB_LADDER[-1]}"
+    for p in reversed(NB_LADDER[:-1]):
+        cap += f" WHEN ({rows_sql}) >= {p * min_rows_per_bucket} THEN {p}"
+    cap += f" ELSE {NB_LADDER[0]} END"
+    return f"CAST(least({up}, {cap}) AS INTEGER)"
+
+
 _PENDING_FILE = "_pending_summary.json"
 
 

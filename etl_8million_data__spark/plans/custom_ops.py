@@ -827,3 +827,619 @@ def ops_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "price_c_total",
     )
+
+
+def _sql_kb(expr: str, nb: int = 16) -> str:
+    """DuckDB twin of operators/partitioning.id_bucket (md5 prefix mod
+    nb) — engine-portable by construction."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {nb})"
+
+
+@register(
+    "ops_store_compaction_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             o_orderkey % 3 AS g, {_sql_kb('o_orderkey')} AS b
+      FROM orders),
+    fb AS (SELECT b, count(DISTINCT g) AS gs FROM t GROUP BY b)
+    SELECT CAST((SELECT sum(gs) FROM fb) AS BIGINT) AS n_files_before,
+           CAST((SELECT count(*) FROM fb WHERE gs >= 2) AS BIGINT)
+             AS n_compacted,
+           CAST((SELECT count(*) FROM fb) AS BIGINT) AS n_files_after,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST((SELECT count(*) FROM t) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM t) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "diff", "maintenance", "compaction", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_store_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-AWARE COMPACTION (bucket_store.compact_buckets) — paying
+    off the append doors' small-files debt while keeping the layout AND
+    the checksum summary: every append lands one file per touched
+    bucket per batch, so after a seed + two appends a bucket touched by
+    g of the 3 writes holds g files (the oracle recomputes the whole
+    file census from the same md5 bucket hash). Compaction merges every
+    >1-file bucket back to ONE file through the overwrite door — which
+    re-derives ONLY the touched buckets' summary rows, so the fsck
+    audits clean (n_mismatched) with no full recompute — and leaves
+    single-file buckets byte-identical (asserted in
+    tests/test_store_lifecycle.py). Totals prove content survived.
+
+    Scale shape: compaction reads and rewrites exactly the debt-bearing
+    buckets (partition-pruned, pinned-schema read); the trigger is a
+    per-bucket file count off the directory listing — the same listing
+    a probe pays for, which is the cost being reclaimed. After N
+    streaming batches the listing cost is N files/bucket; after
+    compaction it is 1, flat in history (gated by the --compaction
+    scaling probe)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        bucket_file_counts,
+        compact_buckets,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "store_compaction")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o.filter(F.col("k") % 3 == 0), root, "k", checksums=True)
+    append_bucketed(o.filter(F.col("k") % 3 == 1), root, "k")
+    append_bucketed(o.filter(F.col("k") % 3 == 2), root, "k")
+    n_before = sum(bucket_file_counts(root, "kb").values())
+    n_compacted = compact_buckets(spark, root, "kb")
+    n_after = sum(bucket_file_counts(root, "kb").values())
+    fsck = checksums_fsck(spark, root).select("n_mismatched")
+    totals = spark.read.parquet(root).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.crossJoin(F.broadcast(fsck)).select(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_compacted).cast("bigint").alias("n_compacted"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        "n_mismatched",
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
+    "ops_cdc_apply_versioned",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             o_orderpriority AS prio
+      FROM orders),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 9 = 0 THEN price_c + 7 ELSE price_c END AS price_c,
+             prio
+      FROM v1 WHERE k % 22 <> 0
+      UNION ALL
+      SELECT -(k + 6), price_c, prio FROM v1 WHERE k % 31 = 0),
+    v3 AS (
+      SELECT k,
+             CASE WHEN k > 0 AND k % 12 = 0 THEN price_c + 11
+                  ELSE price_c END AS price_c,
+             prio
+      FROM v2 WHERE NOT (k > 0 AND k % 26 = 0)
+      UNION ALL
+      SELECT -(k + 1000000), price_c, prio FROM v2
+      WHERE k > 0 AND k % 41 = 0),
+    ch12 AS (
+      SELECT k FROM v1 WHERE k % 22 = 0
+      UNION ALL SELECT k FROM v1 WHERE k % 22 <> 0 AND k % 9 = 0
+      UNION ALL SELECT -(k + 6) FROM v1 WHERE k % 31 = 0),
+    ch23 AS (
+      SELECT k FROM v2 WHERE k > 0 AND k % 26 = 0
+      UNION ALL SELECT k FROM v2
+        WHERE k > 0 AND k % 26 <> 0 AND k % 12 = 0
+      UNION ALL SELECT -(k + 1000000) FROM v2 WHERE k > 0 AND k % 41 = 0)
+    SELECT CAST((SELECT count(*) FROM ch12) AS BIGINT) AS n_ch12,
+           CAST((SELECT count(*) FROM ch23) AS BIGINT) AS n_ch23,
+           CAST((SELECT count(*) FROM ch12
+                 WHERE k NOT IN (SELECT k FROM ch23)) AS BIGINT)
+             AS n_applied_late,
+           CAST(0 AS BIGINT) AS n_redelivered,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM v3) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM v3) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "diff", "incremental", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_cdc_apply_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER-SAFE REPLICATION (diff.apply_changes_versioned):
+    the source commits v1 -> v2 -> v3; the two adjacent CDC frames are
+    read WITH their commit version (table_changes_pruned
+    include_version=True — phase 1 still from manifest metadata alone)
+    and applied to a v1 replica IN THE WRONG ORDER: the v2->v3 frame
+    first, then the v1->v2 frame, then the v2->v3 frame AGAIN
+    (redelivery). Max-version-wins per key makes all three applies
+    converge to exactly the v3 image: the late v1->v2 frame lands only
+    its keys NOT superseded by v3 (n_applied_late — recomputed by the
+    oracle from the construction), the redelivery applies zero rows,
+    deletes persist as version-carrying tombstones (read_replica hides
+    them), and the replica audit vs an independently built v3 table
+    shows zero drift. The v3 insert keys are offset by 1e6 so the two
+    insert generations never collide at test scales.
+
+    Scale shape: every apply reads only the frame keys' buckets (the
+    version comparison joins the PRUNED old rows, broadcast change
+    keys); tombstone space is reclaimed by compaction with a version
+    floor, not by unbounded retention."""
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes_versioned,
+        diff_tables,
+        read_replica,
+        write_bucketed,
+        write_replica,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    s2 = (
+        o.filter(F.col("k") % 22 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 9 == 0, F.col("price_c") + 7)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "prio",
+        )
+        .unionByName(
+            o.filter(F.col("k") % 31 == 0).select(
+                (-(F.col("k") + 6)).alias("k"), "price_c", "prio"
+            )
+        )
+    )
+    s3 = (
+        s2.filter(~((F.col("k") > 0) & (F.col("k") % 26 == 0)))
+        .select(
+            "k",
+            F.when(
+                (F.col("k") > 0) & (F.col("k") % 12 == 0),
+                F.col("price_c") + 11,
+            )
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "prio",
+        )
+        .unionByName(
+            s2.filter((F.col("k") > 0) & (F.col("k") % 41 == 0)).select(
+                (-(F.col("k") + 1000000)).alias("k"), "price_c", "prio"
+            )
+        )
+    )
+    root = _persisted_index_root(sf_dir, "cdc_apply_versioned")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    v2 = V.commit_bucketed(spark, s2, src, "k", op="upsert")
+    v3 = V.commit_bucketed(spark, s3, src, "k", op="upsert")
+
+    ch12 = V.table_changes_pruned(
+        spark, src, ["k"], v1, v2, include_version=True
+    ).localCheckpoint(eager=False)
+    ch23 = V.table_changes_pruned(
+        spark, src, ["k"], v2, v3, include_version=True
+    ).localCheckpoint(eager=False)
+    n_ch12, n_ch23 = ch12.count(), ch23.count()
+
+    replica = f"{root}/replica"
+    write_replica(o, replica, "k", version=v1)
+    applied_23 = apply_changes_versioned(spark, replica, ch23, "k")
+    assert applied_23 == n_ch23
+    n_applied_late = apply_changes_versioned(spark, replica, ch12, "k")
+    n_redelivered = apply_changes_versioned(spark, replica, ch23, "k")
+
+    expected = f"{root}/expected"
+    write_bucketed(s3, expected, "k", checksums=True)
+    visible = f"{root}/visible"
+    write_bucketed(read_replica(spark, replica), visible, "k", checksums=True)
+    drift = diff_tables(
+        spark, visible, expected, ["k"], ["price_c", "prio"]
+    ).count()
+    totals = spark.read.parquet(visible).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.select(
+        F.lit(n_ch12).cast("bigint").alias("n_ch12"),
+        F.lit(n_ch23).cast("bigint").alias("n_ch23"),
+        F.lit(n_applied_late).cast("bigint").alias("n_applied_late"),
+        F.lit(n_redelivered).cast("bigint").alias("n_redelivered"),
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
+    "ops_cdc_producer_stream",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN price_c + 3 ELSE price_c END AS price_c
+      FROM v1 WHERE k % 24 <> 0
+      UNION ALL
+      SELECT -(k + 7), price_c FROM v1 WHERE k % 37 = 0),
+    v3 AS (
+      SELECT k,
+             CASE WHEN k > 0 AND k % 15 = 0 THEN price_c + 9
+                  ELSE price_c END AS price_c
+      FROM v2 WHERE NOT (k > 0 AND k % 28 = 0)
+      UNION ALL
+      SELECT -(k + 2000000), price_c FROM v2 WHERE k > 0 AND k % 43 = 0)
+    SELECT CAST(2 AS BIGINT) AS n_published,
+           CAST(0 AS BIGINT) AS n_republished,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM v3) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM v3) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "streaming", "incremental",
+          "extension", "scale-path", "persisted-view"),
+)
+def ops_cdc_producer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CONTINUOUS REPLICATION LOOP END TO END (operators/cdc_log.py
+    + diff.stream_apply_changes): commits v1 -> v2 -> v3 on the source
+    are TAILED into a file-based change log (publish_changes — each
+    version ships its metadata-pruned CDC frame with _commit_version;
+    the resumable watermark makes a re-publish ship zero versions), a
+    file-source STREAM consumes the log, and each micro-batch applies
+    through the versioned max-version-wins door — so the loop is safe
+    under the file source's at-least-once redelivery AND any batch
+    reordering. The final audit diffs the replica's visible rows
+    against an independently built v3 table (zero drift), and the
+    oracle recomputes the v3 totals from the construction, gating
+    producer, transport, apply, and audit together.
+
+    Scale shape: each published frame is drift-sized (differing buckets
+    only, phase 1 from manifest metadata); the consumer's applies read
+    only the frame keys' buckets; the audit reads 2 x nb summary rows.
+    Nothing in the loop ever scans an unchanged bucket of either
+    table."""
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        diff_tables,
+        read_replica,
+        stream_apply_changes,
+        write_bucketed,
+        write_replica,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    s2 = (
+        o.filter(F.col("k") % 24 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 10 == 0, F.col("price_c") + 3)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 37 == 0).select(
+                (-(F.col("k") + 7)).alias("k"), "price_c"
+            )
+        )
+    )
+    s3 = (
+        s2.filter(~((F.col("k") > 0) & (F.col("k") % 28 == 0)))
+        .select(
+            "k",
+            F.when(
+                (F.col("k") > 0) & (F.col("k") % 15 == 0),
+                F.col("price_c") + 9,
+            )
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+        )
+        .unionByName(
+            s2.filter((F.col("k") > 0) & (F.col("k") % 43 == 0)).select(
+                (-(F.col("k") + 2000000)).alias("k"), "price_c"
+            )
+        )
+    )
+    root = _persisted_index_root(sf_dir, "cdc_producer")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    V.commit_bucketed(spark, s2, src, "k", op="upsert")
+    V.commit_bucketed(spark, s3, src, "k", op="upsert")
+
+    log = f"{root}/log"
+    n_published = publish_changes(spark, src, log, ["k"], from_version=v1)
+    n_republished = publish_changes(spark, src, log, ["k"])
+
+    replica = f"{root}/replica"
+    write_replica(o, replica, "k", version=v1)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", f"{root}/ck"
+    )
+    q.awaitTermination(120)
+
+    expected = f"{root}/expected"
+    write_bucketed(s3, expected, "k", checksums=True)
+    visible = f"{root}/visible"
+    write_bucketed(read_replica(spark, replica), visible, "k", checksums=True)
+    drift = diff_tables(spark, visible, expected, ["k"], ["price_c"]).count()
+    totals = spark.read.parquet(visible).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.select(
+        F.lit(n_published).cast("bigint").alias("n_published"),
+        F.lit(n_republished).cast("bigint").alias("n_republished"),
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
+    "ops_rebucket_migration",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT CAST(64 AS BIGINT) AS nb_after,
+           CAST((SELECT count(DISTINCT {_sql_kb('k', 64)}) FROM t) AS BIGINT)
+             AS n_buckets,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST((SELECT count(*) FROM t) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM t) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "maintenance", "migration", "extension", "scale-path",
+          "persisted-view"),
+)
+def ops_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB MIGRATION (bucket_store.rebucket): the bucket modulus is the
+    blast-radius knob of every kb= door (the same change set reads 7/16
+    vs 10/256 of the table — SCALING.md), and this door makes it
+    changeable after creation: a 16-bucket checksummed store migrates
+    to 64 in one bounded read+write pass, with content equality
+    asserted BEFORE the directory swap (row count + order-insensitive
+    full-table hash sum, staged vs live) and every sidecar re-seeded —
+    _nb, the pinned schema, and the checksum summary recomputed at the
+    new modulus. The proof the migration is REAL: a keyed delete runs
+    afterward AT THE NEW MODULUS (a door passing the old nb=16 raises,
+    asserted in tests), the fsck audits clean, and the oracle
+    recomputes the surviving bucket census with md5 % 64.
+
+    Scale shape: one read+write of the table (unavoidable — every row
+    can change buckets) staged NEXT TO the live store, readers keep
+    their snapshot until the atomic swap; on an object store the same
+    protocol is a manifest flip."""
+    import shutil
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        bucket_file_counts,
+        read_nb,
+        rebucket,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        delete_keys_bucketed,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "rebucket")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, root, "k", nb=16, checksums=True)
+    rebucket(spark, root, "k", 64)
+    delete_keys_bucketed(
+        spark, root, o.filter(F.col("k") % 13 == 0).select("k"), "k"
+    )
+    fsck = checksums_fsck(spark, root).select("n_mismatched")
+    n_buckets = len(bucket_file_counts(root, "kb"))
+    totals = spark.read.parquet(root).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.crossJoin(F.broadcast(fsck)).select(
+        F.lit(read_nb(root)).cast("bigint").alias("nb_after"),
+        F.lit(n_buckets).cast("bigint").alias("n_buckets"),
+        "n_mismatched",
+        "n_rows",
+        "price_c_total",
+    )
+
+
+def _advisor_nb_oracle() -> str:
+    from etl_8million_data__spark.operators.bucket_store import (
+        sql_recommend_nb,
+    )
+
+    rec = sql_recommend_nb("churn_keys", "table_rows")
+    return f"""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderdate AS d,
+             count(DISTINCT o_custkey) AS c
+      FROM orders GROUP BY 1, 2),
+    churn AS (
+      SELECT yr, CAST(max(c) AS BIGINT) AS churn_keys FROM daily GROUP BY yr),
+    t AS (
+      SELECT yr, churn_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS table_rows
+      FROM churn)
+    SELECT yr, churn_keys, table_rows,
+           {rec} AS nb_recommended,
+           CAST(churn_keys * 1000 // {rec} AS BIGINT) AS read_per_mille
+    FROM t
+    ORDER BY yr
+    """
+
+
+@register(
+    "advisor_bucket_count",
+    oracle=_advisor_nb_oracle(),
+    tags=("advisor", "ops", "maintenance", "extension", "scale-path"),
+)
+def advisor_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-COUNT ADVISOR (bucket_store.recommend_nb) — the fourth
+    advisor, closing the last hand-set physical-design decision in the
+    kb= store family: the modulus trades blast radius (a change set of
+    c keys reads ~c/nb of the table per apply) against small files
+    (tiny buckets turn scans into listing storms). The advisor follows
+    the measure-then-advise discipline: churn is MEASURED from the
+    workload (here: the peak daily distinct-customer change-set size,
+    per year — one advice row per year, so drifting churn shows up as
+    drifting advice), the table size from the store, and the
+    recommendation is the next power of two holding the per-apply read
+    fraction under 1/16, capped at the largest power keeping >= 64
+    rows per bucket — the cap wins, so a small table never gets a
+    listing-storm modulus. Pure integer ladder arithmetic, so the
+    DuckDB oracle reproduces every recommendation bit-for-bit; the
+    EXECUTION door is bucket_store.rebucket (ops_rebucket_migration),
+    and the blast-radius claim behind the model is the one measured in
+    SCALING.md (7/16 vs 10/256 for the same change set).
+
+    Scale shape: churn measurement is one groupBy over the workload
+    table; the advice itself is |years| rows of driver arithmetic. The
+    advisor never touches the store."""
+    from etl_8million_data__spark.operators.bucket_store import recommend_nb
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(F.countDistinct("o_custkey").alias("c"))
+    churn = daily.groupBy("yr").agg(
+        F.max("c").cast("bigint").alias("churn_keys")
+    )
+    rows = c.agg(F.count(F.lit(1)).cast("bigint").alias("table_rows"))
+    t = churn.crossJoin(F.broadcast(rows))
+    rec = recommend_nb(F.col("churn_keys"), F.col("table_rows"))
+    return t.select(
+        "yr",
+        "churn_keys",
+        "table_rows",
+        rec.alias("nb_recommended"),
+        # floor division (DuckDB `//`): exact for these magnitudes
+        F.floor(F.col("churn_keys") * 1000 / rec)
+        .cast("bigint")
+        .alias("read_per_mille"),
+    ).orderBy("yr")
+
+
+@register(
+    "ops_schema_evolution",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders),
+    added AS (
+      SELECT -(k + 11) AS k, price_c, price_c // 10 AS discount_c
+      FROM base WHERE k % 35 = 0)
+    SELECT CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM added)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS n_legacy_null,
+           CAST((SELECT count(*) FROM added) AS BIGINT) AS n_new,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST((SELECT sum(discount_c) FROM added) AS BIGINT)
+             AS discount_c_total
+    """,
+    tags=("ops", "maintenance", "schema-evolution", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION DOOR (bucket_store.evolve_add_columns): adding
+    a column to a checksummed bucketed store bumps ONLY the pinned
+    declared schema — zero data files rewritten (byte-asserted in
+    tests/test_store_lifecycle.py); legacy rows read back NULL-extended
+    under the declared schema (n_legacy_null — every pre-evolution
+    row), new appends carry the column (n_new), and because the new
+    column joins the COMPARED set, the checksum summary is re-seeded in
+    the one deliberate full pass this lifecycle step needs — after
+    which the doors maintain it incrementally again and the fsck audits
+    clean (n_mismatched). The integer-cents discount on appended rows
+    gives the oracle a value-level check that NULL-extension never
+    leaked into the new rows or vice versa.
+
+    Scale shape: the evolution itself is a metadata write; the summary
+    re-seed is the only full pass and happens exactly when the compared
+    column set changes (compare=False skips it for bookkeeping
+    columns)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        evolve_add_columns,
+        read_store_pinned,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "schema_evolution")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, root, "k", checksums=True)
+    evolve_add_columns(spark, root, "discount_c bigint", compare=True)
+    append_bucketed(
+        o.filter(F.col("k") % 35 == 0).select(
+            (-(F.col("k") + 11)).alias("k"),
+            "price_c",
+            # floor division (DuckDB `//`): bigint-exact on both engines
+            F.expr("price_c div 10").alias("discount_c"),
+        ),
+        root,
+        "k",
+    )
+    fsck = checksums_fsck(spark, root).select("n_mismatched")
+    t = read_store_pinned(spark, root)
+    counts = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("discount_c").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_legacy_null"),
+        F.sum(F.when(F.col("discount_c").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum("discount_c").cast("bigint").alias("discount_c_total"),
+    )
+    return counts.crossJoin(F.broadcast(fsck)).select(
+        "n_rows", "n_legacy_null", "n_new", "n_mismatched", "discount_c_total"
+    )

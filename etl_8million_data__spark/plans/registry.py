@@ -85,6 +85,13 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
+    # NEW in round 13 (first external evidence)
+    "ops_cdc_apply_versioned",
+    "ops_cdc_producer_stream",
+    "ops_store_compaction_audit",
+    "ops_rebucket_migration",
+    "advisor_bucket_count",
+    "ops_schema_evolution",
     # NEW in round 12 (first external evidence)
     "ops_replica_audit",
     "advisor_layout_exec",

@@ -155,6 +155,17 @@ AUDIT = {
     "advisor_layout_drift": ["HashAggregate", "Window"],
     "ops_store_lifecycle_audit": ["HashAggregate"],
     "ops_cdc_apply": ["HashAggregate"],
+    # round-13 ops/advisor doors: the applies/compaction/migration run
+    # eagerly inside the builders (the doors ARE the query); the
+    # returned frames are the audits — final totals aggregate crossed
+    # with broadcast fsck/drift singletons, and for the advisor the
+    # churn measurement aggregate + broadcast table-rows singleton.
+    "ops_cdc_apply_versioned": ["HashAggregate"],
+    "ops_cdc_producer_stream": ["HashAggregate"],
+    "ops_store_compaction_audit": ["HashAggregate"],
+    "ops_rebucket_migration": ["HashAggregate"],
+    "advisor_bucket_count": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    "ops_schema_evolution": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.

@@ -2260,6 +2260,192 @@ def cdc_apply_probe() -> list[str]:
         spark.stop()
     return out
 
+
+
+def compaction_probe() -> list[str]:
+    """Measured evidence for the round-13 compaction door: the append
+    doors land one file per touched bucket per batch, so PROBE/DIFF
+    LISTING COST (files per bucket — the quantity that grows, wall
+    time at toy scale is task-overhead noise) grows linearly with
+    batch count; bucket_store.compact_buckets must return every
+    debt-bearing bucket to ONE file with content, checksum summary,
+    and diff results unchanged. Gates: (a) pre-compaction max files
+    per bucket grows with batches (>= 5 after 8 batches), (b)
+    post-compaction every bucket holds exactly 1 file at BOTH batch
+    counts (flat in history), (c) fsck zero mismatches and the
+    summarized diff vs an independently built expected table is empty
+    after compaction, (d) a second compact is a no-op."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("compaction-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.bucket_store import (
+        bucket_file_counts,
+        compact_buckets,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        checksums_fsck,
+        diff_tables,
+        write_bucketed,
+    )
+
+    out = []
+    work = tempfile.mkdtemp(prefix="compact_probe_")
+    try:
+        for n_batches in (4, 8):
+            pa = f"{work}/t_{n_batches}"
+            seed = spark.range(0, 2000).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+            write_bucketed(seed, pa, "k", checksums=True)
+            for i in range(n_batches):
+                lo = 2000 + i * 500
+                append_bucketed(
+                    spark.range(lo, lo + 500).select(
+                        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+                    ),
+                    pa,
+                    "k",
+                )
+            before = bucket_file_counts(pa, "kb")
+            max_before = max(before.values())
+            n_comp = compact_buckets(spark, pa, "kb")
+            after = bucket_file_counts(pa, "kb")
+            assert max(after.values()) == 1, after
+            assert compact_buckets(spark, pa, "kb") == 0
+            assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+            total = 2000 + n_batches * 500
+            pe = f"{work}/e_{n_batches}"
+            write_bucketed(
+                spark.range(0, total).select(
+                    F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+                ),
+                pe,
+                "k",
+                checksums=True,
+            )
+            assert diff_tables(spark, pa, pe, ["k"], ["v"]).count() == 0
+            line = (
+                f"compaction: {n_batches} batches -> max {max_before} "
+                f"files/bucket ({sum(before.values())} total), compacted "
+                f"{n_comp} buckets -> 1 file/bucket "
+                f"({sum(after.values())} total), fsck clean, diff empty"
+            )
+            print(line)
+            out.append(line)
+            if n_batches == 8:
+                assert max_before >= 5, (
+                    "fixture must demonstrate real small-files debt"
+                )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def rebucket_probe() -> list[str]:
+    """Measured evidence for the round-13 nb advisor + migration: the
+    bucket modulus bounds every door's blast radius, so migrating a
+    high-churn store from nb=16 to the advised modulus must cut the
+    rows a FIXED change set's apply reads. Gates (rows read off
+    executed scan metrics, never wall time): (a) at nb=16 a 40-key
+    change set reads a large fraction of the table (most of 16 buckets
+    touched), (b) after bucket_store.rebucket to the advised nb the
+    SAME change set reads < 1/3 of that, (c) post-migration contents
+    equal the pre-migration contents and the summary fsck is clean at
+    the new modulus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("rebucket-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.bucket_store import (
+        rebucket,
+        recommend_nb,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+    from tests.test_plan_invariants import _scan_partition_metrics
+
+    out = []
+    work = tempfile.mkdtemp(prefix="rebucket_probe_")
+    try:
+        n = 200_000
+        table = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+        )
+        pa = f"{work}/t"
+        write_bucketed(table, pa, "k", nb=16, checksums=True)
+        churn_keys = [i * 4999 for i in range(40)]
+        victims = spark.createDataFrame([(k,) for k in churn_keys], "k long")
+
+        def rows_read(nb):
+            kbs = [
+                r["_b"]
+                for r in victims.select(
+                    id_bucket(F.col("k"), nb).alias("_b")
+                ).distinct().collect()
+            ]
+            probe = spark.read.parquet(pa).filter(F.col("kb").isin(kbs))
+            ms = _scan_partition_metrics(probe, pa)
+            return max(m.get("numOutputRows", 0) for m in ms), len(kbs)
+
+        r16, b16 = rows_read(16)
+        advice = (
+            spark.createDataFrame([(40, n)], "churn bigint, rows bigint")
+            .select(recommend_nb(F.col("churn"), F.col("rows")).alias("nb"))
+            .first()["nb"]
+        )
+        rebucket(spark, pa, "k", advice)
+        radv, badv = rows_read(advice)
+        assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+        got = spark.read.parquet(pa).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).first()
+        want = table.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).first()
+        assert (got["n"], got["s"]) == (want["n"], want["s"])
+        frac16, fracadv = r16 / n, radv / n
+        line = (
+            f"rebucket: 40-key change set on {n} rows reads "
+            f"{r16} rows ({frac16:.0%}, {b16}/16 buckets) at nb=16; "
+            f"advisor recommends nb={advice}; after rebucket the same "
+            f"set reads {radv} rows ({fracadv:.0%}, {badv}/{advice} "
+            f"buckets) — {r16 / max(radv, 1):.1f}x less"
+        )
+        print(line)
+        out.append(line)
+        assert radv < r16 / 3, (r16, radv)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
@@ -2275,5 +2461,9 @@ if __name__ == "__main__":
         diff_summary_probe()
     elif "--cdc-apply" in sys.argv:
         cdc_apply_probe()
+    elif "--compaction" in sys.argv:
+        compaction_probe()
+    elif "--rebucket" in sys.argv:
+        rebucket_probe()
     else:
         main()
