@@ -64,9 +64,24 @@ from etl_8million_data__spark.operators.bucket_store import (
     write_table_bucketed as _write_table,
 )
 from etl_8million_data__spark.operators.graph import connected_components
-from etl_8million_data__spark.operators.partitioning import id_bucket
+from etl_8million_data__spark.operators.ivm import MAX_LITERAL_KEYS
+from etl_8million_data__spark.operators.partitioning import id_bucket, id_bucket_py
 
 GOLDEN_NB = 16
+
+
+def _collect_bounded(df: DataFrame, col: str) -> list | None:
+    """The delta-neighborhood key list when it is SMALL (the ivm
+    MAX_LITERAL_KEYS discipline), else None. One job that doubles as
+    the frame's materializer — callers derive bucket sets from it in
+    pure Python (id_bucket_py) and push literal IN/NOT-IN filters
+    instead of paying a broadcast-exchange job per consumer, which is
+    where most of a small apply's fixed job chain went (measured:
+    25 of 75 jobs per 10-record golden apply were broadcast builds)."""
+    head = df.select(col).limit(MAX_LITERAL_KEYS + 1).collect()
+    if len(head) > MAX_LITERAL_KEYS:
+        return None
+    return [r[col] for r in head]
 
 _MEMBER_COLS = ["rid", "orig_key", "name", "bal", "seg", "src"]
 
@@ -204,11 +219,26 @@ def _pruned(spark: SparkSession, path: str, part_col: str, buckets: list[int]):
 
 
 def _touched_components(
-    spark: SparkSession, root: str, nb: int, rids: DataFrame
+    spark: SparkSession,
+    root: str,
+    nb: int,
+    rids: DataFrame,
+    rid_ids: list | None = None,
 ) -> DataFrame:
     """Old components of the given rids, via the rb-pruned ridmap
     lookup (rids missing from the state simply do not match — a brand
-    new record or an already-erased victim)."""
+    new record or an already-erased victim). With ``rid_ids`` (the
+    bounded collected list) the bucket set is driver arithmetic and the
+    match is a literal IN — no broadcast build, no extra job."""
+    if rid_ids is not None:
+        rbs = sorted({id_bucket_py(r, nb) for r in rid_ids})
+        rm = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs)
+        matched = (
+            rm.filter(F.col("rid").isin(rid_ids))
+            if rid_ids
+            else rm.filter(F.lit(False))
+        )
+        return matched.select("component").distinct()
     rbs = _bucket_values(rids, "rid", nb)
     rm = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs)
     return (
@@ -227,6 +257,7 @@ def _apply_delta(
     new_edges: DataFrame,
     dropped_rids: DataFrame,
     old_cbs: list[int] | None = None,
+    old_comp_ids: list | None = None,
 ) -> None:
     """Shared rewrite tail of increment and forget: the components in
     ``old_comps`` are REPLACED by the freshly clustered ``new_members``
@@ -237,14 +268,22 @@ def _apply_delta(
     arrives CHECKPOINTED by the caller (both callers materialize it
     for their own pruned reads) and is not re-materialized here;
     ``old_cbs`` lets the caller pass its already-collected bucket list
-    instead of paying the collect twice (the round-12 job-fusion
-    discipline: a 10-record apply is fixed-job-chain bound, not
-    data bound)."""
+    instead of paying the collect twice, and ``old_comp_ids`` (the
+    bounded collected component list, when small) turns every
+    old-component anti-join into a literal NOT-IN filter — zero
+    broadcast-build jobs on the common micro-batch path (the round-12
+    job-fusion discipline, extended: a 10-record apply is
+    fixed-job-chain bound, not data bound)."""
     new_members = new_members.localCheckpoint(eager=False)
     new_edges = new_edges.localCheckpoint(eager=False)
     # common case first: a non-empty delta short-circuits after ONE
-    # count, and that count is the job that materializes new_members
-    if not new_members.count() and not old_comps.count():
+    # count, and that count is the job that materializes new_members;
+    # a caller-collected bucket list already proves old_comps
+    # (non-)empty, so the second count is paid only when neither is
+    # in hand
+    if not new_members.count() and not (
+        old_cbs if old_cbs is not None else old_comps.count()
+    ):
         return  # complete miss (e.g. erasing unknown rids): a no-op
 
     cbs = sorted(
@@ -256,9 +295,18 @@ def _apply_delta(
         | set(_bucket_values(new_members, "component", nb))
     )
 
+    def drop_old(frame: DataFrame) -> DataFrame:
+        if old_comp_ids is not None:
+            return (
+                frame.filter(~F.col("component").isin(old_comp_ids))
+                if old_comp_ids
+                else frame
+            )
+        return frame.join(F.broadcast(old_comps), "component", "left_anti")
+
     def replace(path: str, new_rows: DataFrame) -> None:
-        old_keep = _pruned(spark, os.path.join(root, path), "cb", cbs).join(
-            F.broadcast(old_comps), "component", "left_anti"
+        old_keep = drop_old(
+            _pruned(spark, os.path.join(root, path), "cb", cbs)
         )
         content = old_keep.unionByName(
             new_rows.withColumn("cb", id_bucket(F.col("component"), nb))
@@ -319,17 +367,37 @@ def golden_increment(
     old_comps = _touched_components(spark, root, nb, delta_rids).localCheckpoint(
         eager=False
     )
-    cbs = _bucket_values(old_comps, "component", nb)
-    touched_members = (
-        _pruned(spark, os.path.join(root, "members"), "cb", cbs)
-        .join(F.broadcast(old_comps), "component")
-        .select(*_MEMBER_COLS)
-    )
-    touched_edges = (
-        _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
-        .join(F.broadcast(old_comps), "component")
-        .select("a_key", "b_key")
-    )
+    # ONE collect materializes old_comps AND (on the common bounded
+    # micro-batch path) yields the component ids — bucket sets become
+    # driver arithmetic and every downstream old-component join a
+    # pushed literal, saving a broadcast-build job per consumer
+    comp_ids = _collect_bounded(old_comps, "component")
+    if comp_ids is not None:
+        cbs = sorted({id_bucket_py(c, nb) for c in comp_ids})
+        members_pruned = _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+        edges_pruned = _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+        touched_members = (
+            members_pruned.filter(F.col("component").isin(comp_ids))
+            if comp_ids
+            else members_pruned.filter(F.lit(False))
+        ).select(*_MEMBER_COLS)
+        touched_edges = (
+            edges_pruned.filter(F.col("component").isin(comp_ids))
+            if comp_ids
+            else edges_pruned.filter(F.lit(False))
+        ).select("a_key", "b_key")
+    else:
+        cbs = _bucket_values(old_comps, "component", nb)
+        touched_members = (
+            _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+            .join(F.broadcast(old_comps), "component")
+            .select(*_MEMBER_COLS)
+        )
+        touched_edges = (
+            _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+            .join(F.broadcast(old_comps), "component")
+            .select("a_key", "b_key")
+        )
     all_records = touched_members.unionByName(new_records)
     all_edges = touched_edges.unionByName(new_edges)
     # _cluster's output is already checkpoint-backed (the CC loop
@@ -347,6 +415,7 @@ def golden_increment(
         edges_labeled,
         new_records.select("rid").limit(0),
         old_cbs=cbs,
+        old_comp_ids=comp_ids,
     )
 
 
@@ -369,33 +438,72 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
         .localCheckpoint(eager=False)
     )
     nb = _nb(root)
-    # the cbs collect materializes victims + old_comps in one job
-    old_comps = _touched_components(spark, root, nb, victims).localCheckpoint(
-        eager=False
-    )
-    cbs = _bucket_values(old_comps, "component", nb)
-    touched_members = (
-        _pruned(spark, os.path.join(root, "members"), "cb", cbs)
-        .join(F.broadcast(old_comps), "component")
-        .select(*_MEMBER_COLS)
-    )
-    touched_edges = (
-        _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
-        .join(F.broadcast(old_comps), "component")
-        .select("a_key", "b_key")
-    )
-    remaining_members = touched_members.join(F.broadcast(victims), "rid", "left_anti")
-    remaining_edges = touched_edges.join(
-        F.broadcast(victims.select(F.col("rid").alias("a_key"))), "a_key", "left_anti"
-    ).join(
-        F.broadcast(victims.select(F.col("rid").alias("b_key"))), "b_key", "left_anti"
-    )
+    # one collect materializes victims and (bounded path) yields the
+    # literal victim list — erase batches are near-always small
+    vids = _collect_bounded(victims, "rid")
+    old_comps = _touched_components(
+        spark, root, nb, victims, rid_ids=vids
+    ).localCheckpoint(eager=False)
+    comp_ids = _collect_bounded(old_comps, "component")
+    if comp_ids is not None:
+        cbs = sorted({id_bucket_py(c, nb) for c in comp_ids})
+        members_pruned = _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+        edges_pruned = _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+        touched_members = (
+            members_pruned.filter(F.col("component").isin(comp_ids))
+            if comp_ids
+            else members_pruned.filter(F.lit(False))
+        ).select(*_MEMBER_COLS)
+        touched_edges = (
+            edges_pruned.filter(F.col("component").isin(comp_ids))
+            if comp_ids
+            else edges_pruned.filter(F.lit(False))
+        ).select("a_key", "b_key")
+    else:
+        cbs = _bucket_values(old_comps, "component", nb)
+        touched_members = (
+            _pruned(spark, os.path.join(root, "members"), "cb", cbs)
+            .join(F.broadcast(old_comps), "component")
+            .select(*_MEMBER_COLS)
+        )
+        touched_edges = (
+            _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
+            .join(F.broadcast(old_comps), "component")
+            .select("a_key", "b_key")
+        )
+    if vids is not None:
+        remaining_members = (
+            touched_members.filter(~F.col("rid").isin(vids))
+            if vids
+            else touched_members
+        )
+        remaining_edges = (
+            touched_edges.filter(
+                ~F.col("a_key").isin(vids) & ~F.col("b_key").isin(vids)
+            )
+            if vids
+            else touched_edges
+        )
+    else:
+        remaining_members = touched_members.join(
+            F.broadcast(victims), "rid", "left_anti"
+        )
+        remaining_edges = touched_edges.join(
+            F.broadcast(victims.select(F.col("rid").alias("a_key"))),
+            "a_key",
+            "left_anti",
+        ).join(
+            F.broadcast(victims.select(F.col("rid").alias("b_key"))),
+            "b_key",
+            "left_anti",
+        )
     relabeled = _cluster(remaining_members, remaining_edges)
     lab = relabeled.select(F.col("rid").alias("a_key"), "component")
     edges_labeled = remaining_edges.join(lab, "a_key")
     _apply_delta(
         spark, root, nb, old_comps, relabeled, edges_labeled, victims,
         old_cbs=cbs,
+        old_comp_ids=comp_ids,
     )
 
 

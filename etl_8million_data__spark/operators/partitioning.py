@@ -58,6 +58,16 @@ def id_bucket(id_col: Column, n_buckets: int = 16) -> Column:
     ).cast("int")
 
 
+def id_bucket_py(value, n_buckets: int = 16) -> int:
+    """Driver-side twin of :func:`id_bucket` (same md5-prefix hash —
+    asserted equal in tests): when a bounded key list is already in
+    hand, its bucket set is pure Python arithmetic, not another Spark
+    job."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16) % n_buckets
+
+
 def is_hive_partitioned(path: str, col: str) -> bool:
     """True when ``path`` holds a Hive layout partitioned by ``col``
     (any ``col=...`` child directory). Used to keep appends

@@ -162,3 +162,22 @@ def test_global_rank_matches_unpartitioned_window(spark):
         for r in global_rank(df, "v", "id", bucket, group_cols=("grp",)).collect()
     }
     assert got_g == want_g
+
+
+def test_id_bucket_py_matches_spark(spark):
+    """id_bucket_py is the driver-side twin of id_bucket: the literal
+    bucket-prune paths (golden/forget bounded deltas) compute bucket
+    sets in pure Python from collected key lists — a divergence would
+    prune reads to the WRONG buckets and silently miss rows."""
+    from etl_8million_data__spark.operators.partitioning import (
+        id_bucket,
+        id_bucket_py,
+    )
+
+    vals = [0, 1, 7, 16, 12345, -3, 10**12, 999999937]
+    for nb in (16, 64, 256):
+        df = spark.createDataFrame([(v,) for v in vals], "k long").select(
+            "k", id_bucket(F.col("k"), nb).alias("b")
+        )
+        got = {r["k"]: r["b"] for r in df.collect()}
+        assert got == {v: id_bucket_py(v, nb) for v in vals}, nb

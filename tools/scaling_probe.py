@@ -1690,9 +1690,13 @@ def golden_increment_probe() -> list[str]:
     history-bounded) and (b) each <= 0.5x the full re-link at 30x.
     Round-12 addition: jobs-per-increment counted via a per-size job
     group; the lazy-checkpoint fusion (incl. the 1-job-per-CC-round
-    loop) cut it 91 -> 75 on this fixture (84 -> 68 on an 8-partition
-    calibration), gated <= 80 against regression back to eager
-    checkpoint+action pairs."""
+    loop) cut it 91 -> 75 on this fixture. Round 13 cut it 75 -> 50:
+    overwrite_buckets observes its surviving-bucket set DURING the
+    write (one job instead of collect+write) and the bounded
+    delta-neighborhood component/victim lists become pushed literal
+    IN/NOT-IN filters instead of per-consumer broadcast builds
+    (25 -> 17 broadcast-exchange jobs). Gated <= 60 against
+    regression."""
     import shutil
     import tempfile
 
@@ -1791,10 +1795,11 @@ def golden_increment_probe() -> list[str]:
             f"full re-link {t_full:.2f}s | ratios {ri:.2f}/{rf:.2f} |"
         )
         print(lines[-1])
-        assert n_jobs <= 80, (
+        assert n_jobs <= 60, (
             f"golden_increment ran {n_jobs} jobs for a 10-record delta — "
-            "the fused fixed chain is <= 80 on this fixture; an eager "
-            "checkpoint+action pair crept back in"
+            "the fused fixed chain is <= 60 on this fixture (observe-fused "
+            "overwrites + literal-pruned delta neighborhood); an eager "
+            "checkpoint+action pair or a broadcast build crept back in"
         )
     spark.stop()
     for label, times, ratios in (
