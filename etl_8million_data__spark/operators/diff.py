@@ -818,6 +818,49 @@ def apply_changes_versioned(
     return n
 
 
+def vacuum_tombstones(
+    spark: SparkSession,
+    path: str,
+    below_version: int,
+    nb: int | None = None,
+) -> int:
+    """Reclaim a versioned replica's delete tombstones older than
+    ``below_version`` — the retention step of the max-version-wins
+    apply (the Kafka-compacted-topic / Delta retention discipline):
+    tombstones exist so an older redelivered change can never resurrect
+    a deleted key, so the floor must trail the producer's replay
+    horizon (a change with version < below_version must be impossible
+    to redeliver — e.g. the CDC log's published watermark minus its
+    retention). One column-pruned pass finds the buckets holding
+    qualifying tombstones; ONLY those buckets rewrite through the
+    overwrite door (summary stays honest). Returns tombstones
+    reclaimed."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+        read_store_pinned,
+    )
+
+    nb = _store_nb(path, nb)
+    cond = (F.col("_gone") == 1) & (F.col("_v") < below_version)
+    kbs = [
+        r["kb"]
+        for r in read_store_pinned(spark, path)
+        .filter(cond)
+        .select("kb")
+        .distinct()
+        .collect()
+    ]
+    if not kbs:
+        return 0
+    old = read_store_pinned(spark, path).filter(
+        F.col("kb").isin(kbs)
+    ).localCheckpoint(eager=False)
+    victims = old.filter(cond).count()
+    keep = old.filter(~cond)
+    overwrite_buckets(spark, path, "kb", keep, kbs)
+    return victims
+
+
 def stream_apply_changes(
     changes_stream: DataFrame,
     path: str,

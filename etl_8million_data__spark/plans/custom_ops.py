@@ -971,14 +971,15 @@ def ops_cdc_apply_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     its keys NOT superseded by v3 (n_applied_late — recomputed by the
     oracle from the construction), the redelivery applies zero rows,
     deletes persist as version-carrying tombstones (read_replica hides
-    them), and the replica audit vs an independently built v3 table
+    them; diff.vacuum_tombstones reclaims those behind the producer's
+    replay horizon, rewriting only their buckets), and the replica audit vs an independently built v3 table
     shows zero drift. The v3 insert keys are offset by 1e6 so the two
     insert generations never collide at test scales.
 
     Scale shape: every apply reads only the frame keys' buckets (the
     version comparison joins the PRUNED old rows, broadcast change
-    keys); tombstone space is reclaimed by compaction with a version
-    floor, not by unbounded retention."""
+    keys); tombstone space is reclaimed by vacuum_tombstones with a version
+    floor trailing the replay horizon, not by unbounded retention."""
     import shutil
 
     from etl_8million_data__spark.operators import versioned as V

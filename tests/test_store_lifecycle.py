@@ -375,3 +375,101 @@ def test_streaming_cdc_producer_closes_the_loop(spark, tmp_path):
     got = {r["k"]: r["v"] for r in read_replica(spark, replica).collect()}
     assert got == want
     assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+
+def test_apply_changes_never_reads_untouched_buckets(spark, tmp_path):
+    """Physical no-read proof for the CDC apply doors (both flavors):
+    a GARBAGE parquet file planted in a bucket the change frame does
+    not touch breaks a full read but must leave the bucket-pruned,
+    pinned-schema apply unaffected — and the read-back with the pinned
+    schema + partition filter proves the applied rows landed."""
+    from etl_8million_data__spark.operators.diff import apply_changes
+    from etl_8million_data__spark.operators.partitioning import id_bucket_py
+
+    ref = {k: k * 10 for k in range(60)}
+    # legacy-flavor replica
+    pa = str(tmp_path / "plain")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    # versioned replica
+    pv = str(tmp_path / "versioned")
+    write_replica(_frame(spark, ref), pv, "k", version=1)
+
+    victim_k = 1
+    vb = id_bucket_py(victim_k, 16)
+    other = next(b for b in range(16) if b != vb and os.path.isdir(
+        os.path.join(pa, f"kb={b}")
+    ))
+    for root in (pa, pv):
+        with open(os.path.join(root, f"kb={other}", "junk.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
+        spark.catalog.refreshByPath(root)
+
+    ch = spark.createDataFrame(
+        [("update", victim_k, 99999)], "_change_type string, k long, v long"
+    )
+    assert apply_changes(spark, pa, ch, "k") == 1
+    chv = ch.withColumn("_commit_version", F.lit(2).cast("bigint"))
+    assert apply_changes(spark, pv, chv, "k") == 1
+
+    got = (
+        spark.read.schema("k long, v long, kb int")
+        .parquet(pa)
+        .filter((F.col("kb") == vb) & (F.col("k") == victim_k))
+        .first()
+    )
+    assert got["v"] == 99999
+    gotv = (
+        spark.read.schema("k long, v long, _v bigint, _gone int, kb int")
+        .parquet(pv)
+        .filter((F.col("kb") == vb) & (F.col("k") == victim_k))
+        .first()
+    )
+    assert (gotv["v"], gotv["_v"], gotv["_gone"]) == (99999, 2, 0)
+
+    # the full-scan control provably fails on the garbage file
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema("k long, v long, kb int").parquet(pa).count()
+
+
+def test_vacuum_tombstones_reclaims_below_the_replay_horizon(spark, tmp_path):
+    """Tombstone retention: vacuum_tombstones drops only tombstones
+    with _v < floor (rewriting only their buckets, summary honest),
+    visible rows are untouched, and tombstones AT/ABOVE the floor
+    survive — they still fence off redelivered older changes."""
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes_versioned,
+        vacuum_tombstones,
+    )
+
+    base, want, frames = _cdc_frames(spark)
+    pa = str(tmp_path / "r")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+    for fr in frames:
+        apply_changes_versioned(spark, pa, fr, "k")
+    stones = read_store_pinned(spark, pa).filter(F.col("_gone") == 1)
+    by_v = {r["k"]: r["_v"] for r in stones.collect()}
+    # k=5's delete@2 tombstone was REPLACED by its re-insert@3; only
+    # k=8's delete@3 tombstone remains
+    assert by_v == {8: 3}
+
+    # floor below every tombstone: a no-op, and the tombstone still
+    # fences a redelivered older change
+    assert vacuum_tombstones(spark, pa, below_version=3) == 0
+    stale = spark.createDataFrame(
+        [("update", 8, 80, 2)],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    assert apply_changes_versioned(spark, pa, stale, "k") == 0
+    assert {r["k"]: r["v"] for r in read_replica(spark, pa).collect()} == want
+
+    # floor above it (the producer's replay horizon moved past v3):
+    # the tombstone reclaims, visible rows untouched, summary honest
+    assert vacuum_tombstones(spark, pa, below_version=4) == 1
+    assert read_store_pinned(spark, pa).filter(
+        F.col("_gone") == 1
+    ).count() == 0
+    assert {r["k"]: r["v"] for r in read_replica(spark, pa).collect()} == want
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    assert vacuum_tombstones(spark, pa, below_version=4) == 0

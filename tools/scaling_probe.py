@@ -1836,7 +1836,8 @@ def scd2_probe() -> list[str]:
     verdict flagged); the lazy-checkpoint fusion (checkpoint
     materialization rides the first full action instead of paying its
     own job) cut it 17 -> 14 on this fixture (26 -> 22 on an
-    8-partition calibration), gated <= 16 so a regression back to
+    8-partition calibration), gated <= 12 (round 13: 14 -> 11 via the
+    observe-fused overwrite + pinned-schema reads) so a regression back to
     eager checkpoint+action pairs fails loudly."""
     import shutil
     import tempfile
@@ -1907,9 +1908,9 @@ def scd2_probe() -> list[str]:
             f"full rebuild {t_full:.2f}s | ratio {r:.2f} |"
         )
         print(lines[-1])
-        assert n_jobs <= 16, (
+        assert n_jobs <= 12, (
             f"scd2_apply ran {n_jobs} jobs for a 10-change batch — the "
-            "fused fixed chain is <= 16 on this fixture; an eager "
+            "fused fixed chain is <= 12 on this fixture; an eager "
             "checkpoint+action pair crept back in"
         )
     spark.stop()
