@@ -170,13 +170,14 @@ def scd2_init(
     # inference; legacy files missing a later column read as NULL)
     write_schema(os.path.join(root, "intervals"), iv.schema)
     if keep_log:
+        log = changes.withColumn("kb", id_bucket(F.col("key"), nb))
         (
-            changes.withColumn("kb", id_bucket(F.col("key"), nb))
-            .repartition(F.col("kb"))
+            log.repartition(F.col("kb"))
             .write.mode("overwrite")
             .partitionBy("kb")
             .parquet(os.path.join(root, "log"))
         )
+        write_schema(os.path.join(root, "log"), log.schema)
 
 
 def read_intervals(spark: SparkSession, root: str) -> DataFrame:
@@ -190,11 +191,15 @@ def _append_log(
     log -> no-op): the existence read is pruned to the batch's buckets
     and column-pruned to (key, seq), so a replayed batch appends
     nothing — the append_clean_store discipline."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+    )
+
     log_path = os.path.join(root, "log")
     if not os.path.isdir(log_path):
         return
     existing = (
-        spark.read.parquet(log_path)
+        read_store_pinned(spark, log_path)
         .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
         .select("key", "seq")
     )
@@ -211,6 +216,34 @@ def _append_log(
             .parquet(log_path)
         )
         spark.catalog.refreshByPath(log_path)
+
+
+def compact_log(spark: SparkSession, root: str) -> int:
+    """Small-files compaction for the retained change log: every
+    :func:`scd2_apply` / :func:`scd2_apply_late` call appends one file
+    per touched bucket (the skip-existing discipline), so after N
+    batches a hot key's bucket holds N files and every late-door
+    rebuild pays the listing history. Routes through
+    bucket_store.compact_buckets — pinned-schema read (self-healed for
+    legacy logs via one mergeSchema pass), only >1-file buckets read
+    and rewritten, rebuild results unchanged (the log is a pure input:
+    a byte-level merge cannot change build_intervals' output, asserted
+    in tests). Returns buckets compacted."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        compact_buckets,
+        read_pinned_schema,
+    )
+
+    log_path = os.path.join(root, "log")
+    if not os.path.isdir(log_path):
+        return 0
+    if read_pinned_schema(log_path) is None:
+        # legacy log without the pin: one deliberate footer-merge read
+        # (the log's files never dropped columns, but single-footer
+        # inference is the hazard the pin exists to close), then pin
+        df = spark.read.option("mergeSchema", "true").parquet(log_path)
+        write_schema(log_path, df.schema)
+    return compact_buckets(spark, log_path, "kb")
 
 
 def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
@@ -243,8 +276,12 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
         .collect()
     ]
     _append_log(spark, root, b, kbs, nb)
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+    )
+
     log_touched = (
-        spark.read.parquet(log_path)
+        read_store_pinned(spark, log_path)
         .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
         .join(F.broadcast(keys), "key")
         .select("key", "seq", "ts", "attr")

@@ -386,3 +386,59 @@ def test_legacy_mixed_schema_store_keeps_the_watermark(spark, tmp_path):
         for r in read_intervals(spark, root).collect()
     }
     assert got == want
+
+
+def test_compact_log_pays_off_append_debt(spark, sf_dir, tmp_path):
+    """Every apply appends one file per touched bucket to the retained
+    log; compact_log must merge the debt back to one file per bucket
+    with the late door's rebuild results unchanged — including for a
+    LEGACY log without a pinned schema (self-healed via one
+    footer-merge pass)."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        bucket_file_counts,
+        read_pinned_schema,
+    )
+    from etl_8million_data__spark.operators.scd2 import (
+        compact_log,
+        scd2_apply_late,
+    )
+
+    e = _changes(spark, sf_dir)
+    cuts = _cuts(e, 5)
+    root = str(tmp_path / "scd2")
+    scd2_init(e.filter(F.col("ts") <= F.lit(cuts[0])), root, keep_log=True)
+    lo = cuts[0]
+    for hi in cuts[1:]:
+        scd2_apply_late(
+            spark,
+            root,
+            e.filter((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))),
+        )
+        lo = hi
+    scd2_apply_late(spark, root, e.filter(F.col("ts") > F.lit(lo)))
+
+    log_path = os.path.join(root, "log")
+    before = bucket_file_counts(log_path, "kb")
+    assert max(before.values()) > 1, "applies must have created log debt"
+    want = _as_set(read_intervals(spark, root))
+
+    n = compact_log(spark, root)
+    assert n == sum(1 for v in before.values() if v > 1)
+    after = bucket_file_counts(log_path, "kb")
+    assert all(v == 1 for v in after.values()), after
+    assert compact_log(spark, root) == 0
+
+    # the compacted log rebuilds identically: re-derive EVERY key via
+    # the late door with an already-logged batch (skip-existing append,
+    # pure rebuild from the compacted log)
+    scd2_apply_late(spark, root, e)
+    assert _as_set(read_intervals(spark, root)) == want
+    assert _as_set(read_intervals(spark, root)) == _as_set(build_intervals(e))
+
+    # legacy log: drop the pin, compaction self-heals it
+    os.remove(os.path.join(log_path, "_schema.json"))
+    scd2_apply_late(spark, root, e.limit(50))  # re-create some debt
+    assert read_pinned_schema(log_path) is None
+    compact_log(spark, root)
+    assert read_pinned_schema(log_path) is not None
+    assert _as_set(read_intervals(spark, root)) == want
