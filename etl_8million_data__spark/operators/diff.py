@@ -789,6 +789,18 @@ def apply_changes_versioned(
             f"{path} is not a versioned replica (no _v column): "
             "initialize it with write_replica"
         )
+    extra = set(ch.columns) - {"_change_type", "_commit_version"} - set(
+        old.columns
+    )
+    if extra:
+        # a silently union-by-name'd new column would be written to the
+        # buckets but DROPPED by every pinned-schema read — evolve the
+        # replica's declared schema first, then apply
+        raise ValueError(
+            f"{path}: change frame carries columns the replica's pinned "
+            f"schema lacks ({sorted(extra)}) — the source schema evolved; "
+            "run bucket_store.evolve_add_columns on the replica first"
+        )
     old_v = old.select(key, F.col("_v").alias("_v_old"))
     elig = (
         ch.join(F.broadcast(old_v), key, "left")

@@ -473,3 +473,35 @@ def test_vacuum_tombstones_reclaims_below_the_replay_horizon(spark, tmp_path):
     assert {r["k"]: r["v"] for r in read_replica(spark, pa).collect()} == want
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
     assert vacuum_tombstones(spark, pa, below_version=4) == 0
+
+
+def test_cdc_apply_across_schema_evolution(spark, tmp_path):
+    """Replication meets schema evolution: a change frame carrying a
+    column the replica's pinned schema lacks must REFUSE loudly (a
+    silent unionByName would write the column into the buckets where
+    every pinned-schema read then drops it — data loss disguised as
+    success); after evolve_add_columns on the replica the same frame
+    applies, legacy rows read NULL-extended, and the summary stays
+    honest."""
+    base = {k: k * 10 for k in range(20)}
+    pa = str(tmp_path / "r")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+
+    evolved = spark.createDataFrame(
+        [("update", 3, 33, "EU", 2), ("insert", 100, 1000, "US", 2)],
+        "_change_type string, k long, v long, region string,"
+        " _commit_version long",
+    )
+    with pytest.raises(ValueError, match="evolve_add_columns"):
+        apply_changes_versioned(spark, pa, evolved, "k")
+
+    evolve_add_columns(spark, pa, "region string", compare=True)
+    assert apply_changes_versioned(spark, pa, evolved, "k") == 2
+    got = {
+        r["k"]: (r["v"], r["region"])
+        for r in read_replica(spark, pa).collect()
+    }
+    assert got[3] == (33, "EU") and got[100] == (1000, "US")
+    assert got[5] == (50, None)  # legacy row NULL-extended
+    assert len(got) == 21
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
