@@ -436,6 +436,14 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
 
         checksums_init(spark, tmp, meta["keys"], meta["cols"], nb_new)
 
+    # carry the layout-independent sidecars across the swap: churn
+    # telemetry (workload property, still valid at the new modulus) and
+    # the streaming replay marker
+    for side in (_STATS_FILE, "_applied_batch"):
+        src = os.path.join(path, side)
+        if os.path.isfile(src):
+            shutil.copy(src, os.path.join(tmp, side))
+
     bak = path.rstrip("/") + "._rebucket_old"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
@@ -548,6 +556,90 @@ def sql_recommend_nb(
         cap += f" WHEN ({rows_sql}) >= {p * min_rows_per_bucket} THEN {p}"
     cap += f" ELSE {NB_LADDER[0]} END"
     return f"CAST(least({up}, {cap}) AS INTEGER)"
+
+
+_STATS_FILE = "_door_stats.jsonl"
+
+
+def record_door_stats(root: str, op: str, n_keys: int, n_buckets: int) -> None:
+    """Append one telemetry line per door apply — the churn the nb
+    advisor wants is ALREADY in the driver's hand at every apply (the
+    change-key count and its touched-bucket list), so recording it is
+    a local file append, zero Spark jobs. Best-effort: telemetry never
+    fails a door."""
+    import contextlib
+    import json
+    import os
+
+    with contextlib.suppress(OSError):
+        with open(os.path.join(root, _STATS_FILE), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"op": op, "n_keys": n_keys, "n_buckets": n_buckets}
+                )
+                + "\n"
+            )
+
+
+def read_door_stats(root: str) -> list[dict]:
+    import json
+    import os
+
+    out = []
+    try:
+        with open(os.path.join(root, _STATS_FILE)) as fh:
+            for line in fh:
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    return out
+
+
+def advise_rebucket(spark: SparkSession, path: str) -> dict:
+    """The measure-then-advise closure for the bucket modulus: read the
+    store's OWN door telemetry (per-apply change-set sizes recorded by
+    append/delete/CDC doors — no workload proxy), take the p95 churn,
+    and recommend a modulus via the same integer ladder as
+    :func:`recommend_nb`. Returns {nb_current, n_applies, churn_p95,
+    table_rows, nb_recommended, action} with action 'rebucket' only
+    when the recommendation differs from the layout AND there is
+    enough evidence (>= 5 recorded applies). The execution door is
+    :func:`rebucket`; the advisor itself reads one count off the store
+    and a driver-side sidecar — it never rewrites data."""
+    from pyspark.sql import functions as F
+
+    stats = [s for s in read_door_stats(path) if s.get("n_keys")]
+    nb_cur = try_read_nb(path)
+    n_rows = read_store_pinned(spark, path).count()
+    if len(stats) < 5:
+        return {
+            "nb_current": nb_cur,
+            "n_applies": len(stats),
+            "churn_p95": None,
+            "table_rows": n_rows,
+            "nb_recommended": nb_cur,
+            "action": "keep (insufficient telemetry: < 5 applies)",
+        }
+    churns = sorted(s["n_keys"] for s in stats)
+    p95 = churns[min(len(churns) - 1, (len(churns) * 95) // 100)]
+    rec = (
+        spark.createDataFrame(
+            [(p95, n_rows)], "churn bigint, rows bigint"
+        )
+        .select(recommend_nb(F.col("churn"), F.col("rows")).alias("nb"))
+        .first()["nb"]
+    )
+    return {
+        "nb_current": nb_cur,
+        "n_applies": len(stats),
+        "churn_p95": p95,
+        "table_rows": n_rows,
+        "nb_recommended": rec,
+        "action": "rebucket" if rec != nb_cur else "keep",
+    }
 
 
 _PENDING_FILE = "_pending_summary.json"

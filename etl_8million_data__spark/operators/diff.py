@@ -508,15 +508,41 @@ def append_bucketed(
     spark = df.sparkSession
     nb = _store_nb(path, nb)
     repair_pending_summary(spark, path)
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_pinned_schema,
+    )
+
+    pinned = read_pinned_schema(path)
+    if pinned is not None:
+        want = {f.name for f in pinned.fields} - {"kb"}
+        have = set(df.columns)
+        if want != have:
+            # silently appending a narrower batch would write files the
+            # pinned-schema read NULL-extends — missing data disguised
+            # as success; wider needs the evolution door first
+            raise ValueError(
+                f"{path}: append batch columns {sorted(have)} do not match "
+                f"the pinned schema {sorted(want)} — evolve_add_columns "
+                "for new columns, or supply the missing ones"
+            )
     staged = df.withColumn("kb", id_bucket(F.col(key), nb)).repartition(
         F.col("kb")
     ).localCheckpoint(eager=False)
-    kbs = [r["kb"] for r in staged.select("kb").distinct().collect()]
+    # one map-side-combined job yields the touched buckets AND the row
+    # count (the churn telemetry the nb advisor reads)
+    per_kb = staged.groupBy("kb").agg(F.count(F.lit(1)).alias("n")).collect()
+    kbs = [r["kb"] for r in per_kb]
+    n_rows = sum(r["n"] for r in per_kb)
     write_pending(path, None, kbs)
     staged.write.mode("append").partitionBy("kb").parquet(path)
     spark.catalog.refreshByPath(path)
     append_checksums(spark, path, staged)
     clear_pending(path)
+    from etl_8million_data__spark.operators.bucket_store import (
+        record_door_stats,
+    )
+
+    record_door_stats(path, "append", n_rows, len(kbs))
 
 
 def delete_keys_bucketed(
@@ -557,6 +583,11 @@ def delete_keys_bucketed(
     if not n_deleted:
         return 0
     overwrite_buckets(spark, path, "kb", kept, kbs)
+    from etl_8million_data__spark.operators.bucket_store import (
+        record_door_stats,
+    )
+
+    record_door_stats(path, "delete", n_deleted, len(kbs))
     return n_deleted
 
 
@@ -613,14 +644,26 @@ def stream_append_bucketed(
         else:
             fresh = b
         fresh = fresh.repartition(F.col("kb")).localCheckpoint(eager=False)
-        if not fresh.count():
+        # one job: materialize fresh + touched buckets + row count
+        # (churn telemetry), replacing the count + distinct-collect pair
+        per_kb = fresh.groupBy("kb").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        if not per_kb:
             return
-        fresh_kbs = [r["kb"] for r in fresh.select("kb").distinct().collect()]
+        fresh_kbs = [r["kb"] for r in per_kb]
         write_pending(path, batch_id, fresh_kbs)
         fresh.write.mode("append").partitionBy("kb").parquet(path)
         spark.catalog.refreshByPath(path)
         append_checksums(spark, path, fresh)
         clear_pending(path)
+        from etl_8million_data__spark.operators.bucket_store import (
+            record_door_stats,
+        )
+
+        record_door_stats(
+            path, "stream_append", sum(r["n"] for r in per_kb), len(fresh_kbs)
+        )
         from etl_8million_data__spark.operators.bucket_store import (
             read_pinned_schema,
             try_read_nb,
@@ -698,6 +741,11 @@ def apply_changes(
         .withColumn("kb", id_bucket(F.col(key), nb))
     )
     overwrite_buckets(spark, path, "kb", keep.unionByName(post), kbs)
+    from etl_8million_data__spark.operators.bucket_store import (
+        record_door_stats,
+    )
+
+    record_door_stats(path, "apply_changes", n, len(kbs))
     return n
 
 
@@ -827,6 +875,11 @@ def apply_changes_versioned(
     )
     keep = old.join(F.broadcast(elig.select(key)), key, "left_anti")
     overwrite_buckets(spark, path, "kb", keep.unionByName(winners), kbs)
+    from etl_8million_data__spark.operators.bucket_store import (
+        record_door_stats,
+    )
+
+    record_door_stats(path, "apply_changes_versioned", n, len(kbs))
     return n
 
 

@@ -505,3 +505,73 @@ def test_cdc_apply_across_schema_evolution(spark, tmp_path):
     assert got[5] == (50, None)  # legacy row NULL-extended
     assert len(got) == 21
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+def test_door_telemetry_feeds_the_rebucket_advisor(spark, tmp_path):
+    """The measure-then-advise-then-execute loop on the store's OWN
+    telemetry: every door records its change-set size driver-side
+    (zero extra jobs), advise_rebucket reads the p95 churn + table
+    size and recommends via the same ladder as recommend_nb, rebucket
+    executes, and the advisor then says keep — telemetry surviving
+    the migration."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        advise_rebucket,
+        read_door_stats,
+        recommend_nb,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes_versioned as _acv,
+        delete_keys_bucketed,
+    )
+
+    ref = {k: k * 10 for k in range(50_000)}
+    pa = str(tmp_path / "t")
+    write_replica(_frame(spark, ref), pa, "k", version=1)
+
+    # fewer than 5 applies: no advice yet. A bare append missing the
+    # replica's bookkeeping columns refuses (pinned-schema guard — a
+    # silent narrow append would NULL-extend under every later read)
+    with pytest.raises(ValueError, match="pinned schema"):
+        append_bucketed(_frame(spark, {10**9: 1}), pa, "k")
+    append_bucketed(
+        _frame(spark, {10**9: 1})
+        .withColumn("_v", F.lit(1).cast("bigint"))
+        .withColumn("_gone", F.lit(0)),
+        pa,
+        "k",
+    )
+    adv0 = advise_rebucket(spark, pa)
+    assert adv0["action"].startswith("keep (insufficient")
+
+    # a churny workload: ~60-key change frames through three doors
+    for i in range(2, 8):
+        ch = spark.createDataFrame(
+            [("update", k, k + i, i) for k in range(0, 3000, 50)],
+            "_change_type string, k long, v long, _commit_version long",
+        )
+        _acv(spark, pa, ch, "k")
+    delete_keys_bucketed(
+        spark, pa, spark.createDataFrame([(10**9,)], "k long"), "k"
+    )
+    stats = read_door_stats(pa)
+    assert {s["op"] for s in stats} >= {
+        "append", "apply_changes_versioned", "delete"
+    }
+
+    adv = advise_rebucket(spark, pa)
+    assert adv["action"] == "rebucket"
+    assert adv["churn_p95"] == 60
+    n_rows = adv["table_rows"]
+    want_nb = (
+        spark.createDataFrame([(60, n_rows)], "c bigint, r bigint")
+        .select(recommend_nb(F.col("c"), F.col("r")).alias("nb"))
+        .first()["nb"]
+    )
+    assert adv["nb_recommended"] == want_nb and want_nb != 16
+
+    rebucket(spark, pa, "k", adv["nb_recommended"])
+    adv2 = advise_rebucket(spark, pa)
+    assert adv2["nb_current"] == want_nb
+    assert adv2["action"] == "keep"  # telemetry survived the swap
+    assert adv2["n_applies"] == adv["n_applies"]
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
