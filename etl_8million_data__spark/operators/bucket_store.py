@@ -255,6 +255,16 @@ def overwrite_buckets(
     observed = new_content.observe(
         obs, F.collect_set(F.col(part_col)).alias("_surv")
     )
+    has_summary = part_col == "kb" and os.path.isfile(
+        os.path.join(path, "_checksums", "_meta.json")
+    )
+    if has_summary:
+        # marker BEFORE the rewrite (the append doors' discipline): a
+        # crash anywhere between here and the summary splice leaves the
+        # marker, which makes the possibly-stale summary UNTRUSTED
+        # (diff falls back to full-scan phase 1) until the next door
+        # call re-derives exactly these buckets' rows
+        write_pending(path, None, list(affected))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -282,9 +292,7 @@ def overwrite_buckets(
             if os.path.isdir(d):
                 shutil.rmtree(d)
     spark.catalog.refreshByPath(path)
-    if part_col == "kb" and os.path.isfile(
-        os.path.join(path, "_checksums", "_meta.json")
-    ):
+    if has_summary:
         # the table carries a diff/sync checksum summary: keep it
         # honest from the rows already in hand — the affected buckets'
         # full new content — so the routine replica audit
@@ -292,6 +300,7 @@ def overwrite_buckets(
         from etl_8million_data__spark.operators.diff import update_checksums
 
         update_checksums(spark, path, affected, new_content)
+        clear_pending(path)
 
 
 def bucket_file_counts(root: str, part_col: str) -> dict[int, int]:

@@ -193,6 +193,13 @@ def update_checksums(
 def _summary_if_match(
     spark: SparkSession, path: str, keys: list[str], cols: list[str], nb: int
 ):
+    from etl_8million_data__spark.operators.bucket_store import read_pending
+
+    if read_pending(path) is not None:
+        # a door died between its data write and its summary update:
+        # the summary is possibly stale — fall back to the full-scan
+        # phase 1 (never a wrong answer) until a door call repairs it
+        return None
     meta, df = read_checksums(spark, path)
     if meta is None:
         return None
@@ -723,6 +730,7 @@ def apply_changes(
     )
 
     nb = _store_nb(path, nb)
+    repair_pending_summary(spark, path)
     ch = changes.localCheckpoint(eager=False)
     n = ch.count()
     if not n:
@@ -811,6 +819,7 @@ def apply_changes_versioned(
     )
 
     nb = _store_nb(path, nb)
+    repair_pending_summary(spark, path)
     # within the batch: one row per key, the newest version
     # (deterministic tiebreak on change type for pathological frames
     # carrying two rows of the same key+version)

@@ -575,3 +575,61 @@ def test_door_telemetry_feeds_the_rebucket_advisor(spark, tmp_path):
     assert adv2["action"] == "keep"  # telemetry survived the swap
     assert adv2["n_applies"] == adv["n_applies"]
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+def test_pending_marker_makes_summary_untrusted_until_repaired(
+    spark, tmp_path
+):
+    """The overwrite doors share the append doors' crash window (data
+    rewrite lands, summary splice dies). The marker written BEFORE the
+    rewrite makes the possibly-stale summary UNTRUSTED: diff falls back
+    to the full-scan phase 1 (proven physically — with a garbage file
+    in an untouched bucket, the fallback read fails where the
+    summarized path succeeded), and repair_pending_summary re-derives
+    exactly the marker's buckets, restoring the flat-cost audit."""
+    from etl_8million_data__spark.operators.diff import (
+        repair_pending_summary,
+    )
+    from etl_8million_data__spark.operators.partitioning import id_bucket_py
+
+    ref = {k: k * 10 for k in range(60)}
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    write_bucketed(_frame(spark, {**ref, 1: 11}), pb, "k", checksums=True)
+
+    # garbage in a bucket NEITHER differing NOR the marker's
+    edited_kb = id_bucket_py(1, 16)
+    garbage_kb = next(
+        b for b in range(16) if b != edited_kb and os.path.isdir(
+            os.path.join(pa, f"kb={b}")
+        )
+    )
+    with open(os.path.join(pa, f"kb={garbage_kb}", "junk.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    spark.catalog.refreshByPath(pa)
+
+    # trusted summary: phase 1 never opens the table
+    assert {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa, pb, ["k"], ["v"]).collect()
+    } == {(1, "changed")}
+
+    # simulated crash: marker present -> summary untrusted -> the
+    # full-scan phase 1 provably runs (it hits the garbage file)
+    marker_kb = next(
+        b for b in range(16)
+        if b not in (edited_kb, garbage_kb)
+        and os.path.isdir(os.path.join(pa, f"kb={b}"))
+    )
+    write_pending(pa, None, [marker_kb])
+    with pytest.raises(Exception):
+        diff_tables(spark, pa, pb, ["k"], ["v"]).collect()
+
+    # repair re-derives the marker's buckets (pinned-schema pruned read
+    # — the garbage bucket is never opened) and restores the fast path
+    assert repair_pending_summary(spark, pa) is True
+    assert read_pending(pa) is None
+    assert {
+        (r["k"], r["change"])
+        for r in diff_tables(spark, pa, pb, ["k"], ["v"]).collect()
+    } == {(1, "changed")}
