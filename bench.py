@@ -143,6 +143,7 @@ HEADLINE = [
     "ops_rebucket_migration",  # bucket-modulus migration with equality gate
     "advisor_bucket_count",  # churn-measured bucket-modulus advisor
     "ops_schema_evolution",  # pinned-schema add-column door, NULL-extended reads
+    "advisor_rebucket_telemetry",  # advice from the store's own door telemetry
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -1444,3 +1444,90 @@ def ops_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(fsck)).select(
         "n_rows", "n_legacy_null", "n_new", "n_mismatched", "discount_c_total"
     )
+
+
+def _advisor_telemetry_oracle() -> str:
+    from etl_8million_data__spark.operators.bucket_store import (
+        sql_recommend_nb,
+    )
+
+    rec = sql_recommend_nb("churn_p95", "table_rows")
+    return f"""
+    WITH t AS (SELECT o_orderkey AS k FROM orders),
+    churns AS (
+      SELECT k % 97 AS i, CAST(count(*) AS BIGINT) AS c
+      FROM t WHERE k % 97 BETWEEN 1 AND 5 GROUP BY 1),
+    agg AS (
+      SELECT CAST(5 AS BIGINT) AS n_applies,
+             (SELECT max(c) FROM churns) AS churn_p95,
+             (SELECT CAST(count(*) AS BIGINT) FROM t
+              WHERE k % 97 NOT BETWEEN 1 AND 5) AS table_rows)
+    SELECT n_applies, churn_p95, table_rows,
+           {rec} AS nb_recommended,
+           CASE WHEN {rec} <> 16 THEN 'rebucket' ELSE 'keep' END AS action
+    FROM agg
+    """
+
+
+@register(
+    "advisor_rebucket_telemetry",
+    oracle=_advisor_telemetry_oracle(),
+    tags=("advisor", "ops", "maintenance", "telemetry", "extension",
+          "scale-path", "persisted-view"),
+)
+def advisor_rebucket_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ADVISOR ON THE STORE'S OWN TELEMETRY
+    (bucket_store.advise_rebucket): instead of a workload proxy
+    (advisor_bucket_count), the modulus recommendation here reads what
+    the store's write doors RECORDED — every door appends its
+    change-set size and touched-bucket count driver-side at apply time
+    (zero extra Spark jobs; the counts were already in hand). The
+    construction runs five deterministic delete batches (keys k%97 in
+    1..5) through delete_keys_bucketed on a 16-bucket orders store, so
+    the telemetry's p95 churn, the post-delete table size, the ladder
+    recommendation, and the rebucket/keep action are all recomputable
+    by the DuckDB oracle from the same arithmetic — the
+    measure-then-advise loop is hash-gated end to end. The EXECUTION
+    door is bucket_store.rebucket (ops_rebucket_migration + the
+    --rebucket probe: the same change set reads 21.5x less after
+    migrating to advised advice).
+
+    Scale shape: telemetry is a local file append per apply; the
+    advice reads one count off the store plus the sidecar — the
+    advisor never rewrites data."""
+    import shutil
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        advise_rebucket,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        delete_keys_bucketed,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "rebucket_telemetry")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, root, "k", nb=16, checksums=True)
+    for i in range(1, 6):
+        delete_keys_bucketed(
+            spark, root, o.filter(F.col("k") % 97 == i).select("k"), "k"
+        )
+    adv = advise_rebucket(spark, root)
+    return spark.createDataFrame(
+        [
+            (
+                adv["n_applies"],
+                adv["churn_p95"],
+                adv["table_rows"],
+                adv["nb_recommended"],
+                adv["action"],
+            )
+        ],
+        "n_applies bigint, churn_p95 bigint, table_rows bigint,"
+        " nb_recommended int, action string",
+    )

@@ -166,6 +166,10 @@ AUDIT = {
     "ops_rebucket_migration": ["HashAggregate"],
     "advisor_bucket_count": ["HashAggregate", "BroadcastNestedLoopJoin"],
     "ops_schema_evolution": ["HashAggregate"],
+    # telemetry advisor: the doors + advice run eagerly in the builder
+    # (driver-side sidecar reads); the returned frame is the 1-row
+    # local advice — nothing to audit beyond its scan-free shape
+    "advisor_rebucket_telemetry": ["Scan ExistingRDD"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
