@@ -144,6 +144,7 @@ HEADLINE = [
     "advisor_bucket_count",  # churn-measured bucket-modulus advisor
     "ops_schema_evolution",  # pinned-schema add-column door, NULL-extended reads
     "advisor_rebucket_telemetry",  # advice from the store's own door telemetry
+    "ops_retention_sweep",  # predicate TTL delete, bucket-bounded rewrite
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -598,6 +598,54 @@ def delete_keys_bucketed(
     return n_deleted
 
 
+def delete_where_bucketed(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    nb: int | None = None,
+) -> int:
+    """Predicate delete for the diffable layout — the retention/TTL
+    sweep (DELETE WHERE ts < cutoff): unlike the keyed door, the
+    victims' buckets cannot be computed from a key list, so ONE
+    column-pruned locate pass finds the buckets holding matching rows
+    (the predicate's columns only — at 100 TB this is the narrow scan
+    every TTL sweep must pay once), and ONLY those buckets anti-filter
+    and rewrite through the overwrite door (summary honest, untouched
+    buckets byte-identical). Rows where the predicate evaluates NULL
+    are KEPT (SQL DELETE semantics, the versioned.delete_where
+    contract). Returns rows removed; zero matches rewrites nothing."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        overwrite_buckets,
+        read_store_pinned,
+    )
+
+    _store_nb(path, nb)  # modulus validation only; buckets come from data
+    repair_pending_summary(spark, path)
+    hit = F.coalesce(predicate, F.lit(False))
+    kbs = [
+        r["kb"]
+        for r in read_store_pinned(spark, path)
+        .filter(hit)
+        .select("kb")
+        .distinct()
+        .collect()
+    ]
+    if not kbs:
+        return 0
+    old = read_store_pinned(spark, path).filter(
+        F.col("kb").isin(kbs)
+    ).localCheckpoint(eager=False)
+    victims = old.filter(hit).count()
+    keep = old.filter(~hit)
+    overwrite_buckets(spark, path, "kb", keep, kbs)
+    from etl_8million_data__spark.operators.bucket_store import (
+        record_door_stats,
+    )
+
+    record_door_stats(path, "delete_where", victims, len(kbs))
+    return victims
+
+
 def stream_append_bucketed(
     updates: DataFrame,
     path: str,

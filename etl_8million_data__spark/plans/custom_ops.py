@@ -1531,3 +1531,82 @@ def advisor_rebucket_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_applies bigint, churn_p95 bigint, table_rows bigint,"
         " nb_recommended int, action string",
     )
+
+
+@register(
+    "ops_retention_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c,
+             CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE o_orderdate END AS od
+      FROM orders),
+    kept AS (SELECT * FROM t WHERE NOT coalesce(od < DATE '1995-01-01', FALSE))
+    SELECT CAST((SELECT count(*) FROM t) -
+                (SELECT count(*) FROM kept) AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM kept WHERE od IS NULL) AS BIGINT)
+             AS n_null_kept,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM kept) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "maintenance", "retention", "extension", "scale-path",
+          "persisted-view"),
+)
+def ops_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE RETENTION SWEEP (diff.delete_where_bucketed) — the TTL
+    delete every retention policy needs on the bucketed stores: DELETE
+    WHERE order_date < 1995-01-01 runs as one column-pruned locate pass
+    (the predicate columns only) to find the buckets holding matching
+    rows, then rewrites ONLY those buckets through the overwrite door —
+    checksum summary honest (n_mismatched from the fsck), untouched
+    buckets byte-identical. Rows whose predicate evaluates NULL (every
+    50th key's date is nulled in the construction) are KEPT — SQL
+    DELETE semantics, counted explicitly (n_null_kept) so an engine
+    that deletes NULL-predicate rows fails the hash compare. The oracle
+    recomputes the deleted count, the NULL-kept count, and the
+    surviving totals from the same construction.
+
+    Scale shape: the locate pass is the narrow full scan every TTL
+    sweep pays once; the rewrite is bounded by the buckets that
+    actually hold expiring rows (time-correlated keys expire in few
+    buckets; hash keys in many — the layout trade the nb advisor
+    reasons about)."""
+    import shutil
+
+    from etl_8million_data__spark.operators.diff import (
+        checksums_fsck,
+        delete_where_bucketed,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("od"),
+    )
+    root = _persisted_index_root(sf_dir, "retention_sweep")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o, root, "k", checksums=True)
+    n_deleted = delete_where_bucketed(
+        spark, root, F.col("od") < F.lit("1995-01-01").cast("date")
+    )
+    fsck = checksums_fsck(spark, root).select("n_mismatched")
+    t = spark.read.parquet(root)
+    counts = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("od").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_kept"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return counts.crossJoin(F.broadcast(fsck)).select(
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+        "n_null_kept",
+        "n_mismatched",
+        "n_rows",
+        "price_c_total",
+    )

@@ -86,6 +86,7 @@ def _load() -> None:
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
     # NEW in round 13 (first external evidence)
+    "ops_retention_sweep",
     "advisor_rebucket_telemetry",
     "ops_cdc_apply_versioned",
     "ops_cdc_producer_stream",

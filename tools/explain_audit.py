@@ -170,6 +170,7 @@ AUDIT = {
     # (driver-side sidecar reads); the returned frame is the 1-row
     # local advice — nothing to audit beyond its scan-free shape
     "advisor_rebucket_telemetry": ["Scan ExistingRDD"],
+    "ops_retention_sweep": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
