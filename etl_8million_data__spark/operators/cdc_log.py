@@ -110,5 +110,14 @@ def changes_stream(spark: SparkSession, log_dir: str) -> DataFrame:
     operators/diff.stream_apply_changes — the ``_commit_version``
     column routes it to the max-version-wins apply."""
     data_dir = os.path.join(log_dir, "data")
+    has_frames = os.path.isdir(data_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(data_dir)
+    )
+    if not has_frames:
+        raise ValueError(
+            f"{log_dir}: no published change frames yet — run "
+            "publish_changes first so the consumer can derive the "
+            "change-frame schema (file sources need a declared schema)"
+        )
     schema = spark.read.parquet(data_dir).schema
     return spark.readStream.schema(schema).parquet(data_dir)

@@ -633,3 +633,78 @@ def test_pending_marker_makes_summary_untrusted_until_repaired(
         (r["k"], r["change"])
         for r in diff_tables(spark, pa, pb, ["k"], ["v"]).collect()
     } == {(1, "changed")}
+
+
+def test_versioned_apply_property_random_histories(spark, tmp_path):
+    """Property test (hypothesis): for ANY random change history over a
+    small key space — split into adjacent-version frames, grouped into
+    random batches, delivered in a random order, with a random batch
+    redelivered — the versioned apply converges to the reference final
+    state and the summary stays honest. Bounded examples (each is many
+    Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    step = st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=999),
+    )
+    counter = {"i": 0}
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.lists(step, min_size=1, max_size=4), min_size=2, max_size=4),
+        st.randoms(use_true_random=False),
+    )
+    def run(version_steps, rnd):
+        counter["i"] += 1
+        pa = str(tmp_path / f"p{counter['i']}")
+        base = {k: k for k in range(0, 12, 2)}
+        write_replica(_frame(spark, base), pa, "k", version=1)
+
+        # build adjacent-version frames from the random steps
+        state = dict(base)
+        frames = []
+        for vi, steps in enumerate(version_steps, start=2):
+            prev = dict(state)
+            for op, k, v in steps:
+                if op == "delete":
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+            rows = []
+            for k in state:
+                if k not in prev:
+                    rows.append(("insert", k, state[k], vi))
+                elif state[k] != prev[k]:
+                    rows.append(("update", k, state[k], vi))
+            for k in prev:
+                if k not in state:
+                    rows.append(("delete", k, prev[k], vi))
+            if rows:
+                frames.append(rows)
+        order = list(range(len(frames)))
+        rnd.shuffle(order)
+        if frames:
+            order.append(rnd.choice(order))  # redeliver one batch
+        for j in order:
+            apply_changes_versioned(
+                spark,
+                pa,
+                spark.createDataFrame(
+                    frames[j],
+                    "_change_type string, k long, v long,"
+                    " _commit_version long",
+                ),
+                "k",
+            )
+        got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
+        assert got == state, (version_steps, order, got)
+        assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    run()
