@@ -568,26 +568,40 @@ def sql_recommend_nb(
 
 
 _STATS_FILE = "_door_stats.jsonl"
+_STATS_KEEP = 1000  # advisor window; rotation threshold is 2x
 
 
 def record_door_stats(root: str, op: str, n_keys: int, n_buckets: int) -> None:
     """Append one telemetry line per door apply — the churn the nb
     advisor wants is ALREADY in the driver's hand at every apply (the
     change-key count and its touched-bucket list), so recording it is
-    a local file append, zero Spark jobs. Best-effort: telemetry never
+    a local file append, zero Spark jobs. ROTATED: past 2x the advisor
+    window the file rewrites to its newest ``_STATS_KEEP`` lines, so a
+    store absorbing millions of applies carries a bounded sidecar (and
+    the advice tracks RECENT churn — drifting workloads age out, the
+    advisor_layout_drift discipline). Best-effort: telemetry never
     fails a door."""
     import contextlib
     import json
     import os
 
+    p = os.path.join(root, _STATS_FILE)
     with contextlib.suppress(OSError):
-        with open(os.path.join(root, _STATS_FILE), "a") as fh:
+        with open(p, "a") as fh:
             fh.write(
                 json.dumps(
                     {"op": op, "n_keys": n_keys, "n_buckets": n_buckets}
                 )
                 + "\n"
             )
+        if os.path.getsize(p) > 0:
+            with open(p) as fh:
+                lines = fh.readlines()
+            if len(lines) > 2 * _STATS_KEEP:
+                tmp = p + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.writelines(lines[-_STATS_KEEP:])
+                os.replace(tmp, p)
 
 
 def read_door_stats(root: str) -> list[dict]:

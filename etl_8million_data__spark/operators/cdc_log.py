@@ -95,8 +95,12 @@ def publish_changes(
         ch = table_changes_pruned(
             spark, table_path, keys, v - 1, v, include_version=True
         )
-        # one file per version batch: the log's unit of delivery
-        ch.coalesce(1).write.mode("append").parquet(data_dir)
+        # NO coalesce(1): a high-drift version's frame must not funnel
+        # through a single task — multiple files per version are fine
+        # (the versioned apply converges under ANY batch grouping, the
+        # property-tested max-version-wins guarantee), and the file
+        # source delivers them in whatever micro-batches it forms
+        ch.write.mode("append").parquet(data_dir)
         _write_watermark(log_dir, v)
         published += 1
     return published
