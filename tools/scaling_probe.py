@@ -2261,6 +2261,67 @@ def cdc_apply_probe() -> list[str]:
         # the touched fraction, never the table)
         assert reads[hi] <= reads[lo] * 12, reads
         assert reads[hi] < hi / 10, reads
+
+        # VERSIONED flavor (round 13): the max-version-wins apply must
+        # keep the identical bucket-bounded read shape — its version
+        # comparison joins a (key, _v) projection of the SAME pruned
+        # slice, never an extra scan — and converge out of order
+        from etl_8million_data__spark.operators.diff import (
+            apply_changes_versioned,
+            read_replica,
+            write_replica,
+        )
+
+        n = 500_000
+        vrep = f"{work}/vreplica"
+        write_replica(table(n), vrep, "k", nb=NB, version=1)
+        chv = spark.createDataFrame(
+            [("update", k, 9999, 3) for k in (1, 2, 3, 4)]
+            + [("delete", k, 0, 3) for k in (10, 11, 12)]
+            + [("insert", 10**12 + k, k, 3) for k in (1, 2, 3)],
+            "_change_type string, k long, v long, _commit_version long",
+        )
+        kbs = [
+            r["_b"]
+            for r in chv.select(id_bucket(F.col("k"), NB).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        probe_read = spark.read.parquet(vrep).filter(F.col("kb").isin(kbs))
+        ms = _scan_partition_metrics(probe_read, vrep)
+        vrows = max(m.get("numOutputRows", 0) for m in ms)
+        assert vrows <= n * len(kbs) / NB * 1.2, (vrows, kbs)
+        # out-of-order: a stale v2 frame AFTER the v3 apply lands nothing
+        apply_changes_versioned(spark, vrep, chv, "k", nb=NB)
+        stale = chv.withColumn("_commit_version", F.lit(2).cast("bigint"))
+        assert apply_changes_versioned(spark, vrep, stale, "k", nb=NB) == 0
+        got = read_replica(spark, vrep)
+        want = (
+            table(n)
+            .filter(~F.col("k").isin(10, 11, 12))
+            .withColumn(
+                "v",
+                F.when(F.col("k").isin(1, 2, 3, 4), F.lit(9999)).otherwise(
+                    F.col("v")
+                ),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(10**12 + k, k) for k in (1, 2, 3)], "k long, v long"
+                )
+            )
+        )
+        assert (
+            got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0
+        ), "versioned replica did not converge"
+        line = (
+            f"cdc-apply versioned n={n}: same bucket-bounded read "
+            f"({vrows} rows, {len(kbs)}/{NB} buckets); stale redelivery "
+            "applied 0; converged"
+        )
+        print(line)
+        out.append(line)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
