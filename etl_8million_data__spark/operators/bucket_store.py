@@ -375,14 +375,16 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
     """Migrate a kb=-bucketed store to a NEW bucket modulus — the one
     physical-design knob of this family (nb bounds every door's blast
     radius: the same change set reads 7/16 vs 10/256 of the table), made
-    changeable after creation. One bounded read+write pass: the store is
-    read with its pinned schema, re-hashed to ``kb`` mod ``nb_new``,
-    staged NEXT TO the live store (never in place), content-equality is
-    asserted BEFORE the swap (row count + order-insensitive full-table
-    hash sum of the staged frame vs the live one), and the directory
-    swap re-seeds every sidecar: ``_nb``, the pinned schema, and — when
-    the store carries one — the ``_checksums/`` summary recomputed at
-    the new modulus (same compared columns, new bucket grouping).
+    changeable after creation. Bounded passes, counted honestly: one
+    read+write to stage (the store read with its pinned schema,
+    re-hashed to ``kb`` mod ``nb_new``, staged NEXT TO the live store —
+    never in place), plus two fingerprint scans for the equality gate
+    (row count + order-insensitive full-table hash sum, live vs staged,
+    asserted BEFORE the swap — a migration that corrupts content never
+    goes live), plus one summary re-seed scan when the store carries a
+    ``_checksums/`` sidecar. The directory swap re-seeds every sidecar:
+    ``_nb``, the pinned schema, and the summary recomputed at the new
+    modulus (same compared columns, new bucket grouping).
     Readers pinned to the old directory finish their scan (POSIX rename
     keeps open files valid); on an object store the same protocol wants
     a manifest flip, the versioned.commit discipline."""
