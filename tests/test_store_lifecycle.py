@@ -708,3 +708,85 @@ def test_versioned_apply_property_random_histories(spark, tmp_path):
         assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
 
     run()
+
+
+def test_publisher_crash_reships_one_version_harmlessly(spark, tmp_path):
+    """publish_changes' watermark advances per version AFTER the frame
+    lands, so a producer crash re-ships at most one version whole — a
+    duplicate frame the versioned apply converges through. Simulated by
+    rolling the watermark back one version and re-publishing."""
+    import json
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        _read_watermark,
+        changes_stream,
+        publish_changes,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base, want, frames = _cdc_frames(spark)
+    states = [dict(base)]
+    for fr in frames:
+        s = dict(states[-1])
+        for r in fr.collect():
+            if r["_change_type"] == "delete":
+                s.pop(r["k"], None)
+            else:
+                s[r["k"]] = r["v"]
+        states.append(s)
+    src = str(tmp_path / "src")
+    v1 = V.commit_bucketed(spark, _frame(spark, states[0]), src, "k")
+    for s in states[1:]:
+        V.commit_bucketed(spark, _frame(spark, s), src, "k", op="upsert")
+
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 3
+    # crash simulation: the watermark regresses one version (as if the
+    # producer died after writing v4's frame but before advancing)
+    wm = _read_watermark(log)
+    with open(os.path.join(log, "_published.json"), "w") as fh:
+        json.dump({"upto": wm - 1}, fh)
+    assert publish_changes(spark, src, log, ["k"]) == 1  # re-ships v4
+
+    replica = str(tmp_path / "replica")
+    write_replica(_frame(spark, states[0]), replica, "k", version=v1)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in read_replica(spark, replica).collect()}
+    assert got == want
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+
+def test_evolve_then_compact_materializes_the_new_column(spark, tmp_path):
+    """Interplay: after evolve_add_columns (metadata-only) a compaction
+    rewrites the debt buckets through the pinned schema, physically
+    materializing the new column as NULLs in the rewritten files —
+    reads, fsck, and diff unchanged before and after."""
+    ref = {k: k * 10 for k in range(40)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    evolve_add_columns(spark, pa, "w string", compare=True)
+    append_bucketed(
+        spark.createDataFrame(
+            [(100, 1000, "x"), (101, 1010, None)], "k long, v long, w string"
+        ),
+        pa,
+        "k",
+    )
+    assert compact_buckets(spark, pa, "kb") > 0
+    got = read_store_pinned(spark, pa)
+    assert got.count() == 42
+    assert got.filter(F.col("w") == "x").count() == 1
+    assert got.filter(F.col("w").isNull()).count() == 41
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # the REWRITTEN buckets' files carry the column physically (a
+    # single-file bucket dir has exactly one footer to inspect);
+    # untouched single-file buckets legitimately still lack it — the
+    # pinned schema is what makes the mixed store read uniformly
+    from etl_8million_data__spark.operators.partitioning import id_bucket_py
+
+    rewritten = os.path.join(pa, f"kb={id_bucket_py(100, 16)}")
+    assert "w" in spark.read.parquet(rewritten).columns
