@@ -790,3 +790,36 @@ def test_evolve_then_compact_materializes_the_new_column(spark, tmp_path):
 
     rewritten = os.path.join(pa, f"kb={id_bucket_py(100, 16)}")
     assert "w" in spark.read.parquet(rewritten).columns
+
+
+def test_rebucket_between_cdc_applies_keeps_replication_correct(
+    spark, tmp_path
+):
+    """Migration under live replication: apply the v2 frame at nb=16,
+    rebucket the replica to 64 (full rows incl. _v/_gone carried, pin
+    and summary re-seeded), then apply the v3 frame at the NEW modulus
+    and redeliver the OLD v2 frame — the replica still converges to the
+    final state with the summary honest, and a door passing the stale
+    nb=16 refuses."""
+    from etl_8million_data__spark.operators.bucket_store import read_nb
+
+    base, want, frames = _cdc_frames(spark)
+    pa = str(tmp_path / "r")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+    apply_changes_versioned(spark, pa, frames[0], "k")
+
+    rebucket(spark, pa, "k", 64)
+    assert read_nb(pa) == 64
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    with pytest.raises(ValueError, match="nb=64"):
+        apply_changes_versioned(spark, pa, frames[1], "k", nb=16)
+    apply_changes_versioned(spark, pa, frames[1], "k")
+    apply_changes_versioned(spark, pa, frames[2], "k")
+    # redeliver the pre-migration frame: version fencing survives the
+    # migration (the _v column moved with the rows)
+    assert apply_changes_versioned(spark, pa, frames[0], "k") == 0
+
+    got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
+    assert got == want
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
