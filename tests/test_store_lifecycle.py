@@ -823,3 +823,47 @@ def test_rebucket_between_cdc_applies_keeps_replication_correct(
     got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
     assert got == want
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+def test_compaction_preserves_tombstones_and_the_version_fence(
+    spark, tmp_path
+):
+    """Compaction rewrites full rows under the pinned schema, so a
+    versioned replica's tombstones (and their _v fence) must survive it
+    byte-for-value: after CDC applies + small-files debt + compaction,
+    a stale redelivered change is still fenced; only an explicit
+    vacuum (replay-horizon floor) reclaims the tombstone."""
+    from etl_8million_data__spark.operators.diff import vacuum_tombstones
+
+    from etl_8million_data__spark.operators.partitioning import id_bucket_py
+
+    base, want, frames = _cdc_frames(spark)
+    pa = str(tmp_path / "r")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+    for fr in frames:
+        apply_changes_versioned(spark, pa, fr, "k")
+    # the applies are overwrite doors (no small-files debt) — force a
+    # rewrite of the tombstone's bucket through the compaction path
+    assert compact_buckets(
+        spark, pa, "kb", buckets=[id_bucket_py(8, 16)]
+    ) == 1
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    stones = {
+        r["k"]: r["_v"]
+        for r in read_store_pinned(spark, pa)
+        .filter(F.col("_gone") == 1)
+        .collect()
+    }
+    assert stones == {8: 3}, "compaction must not drop tombstones"
+
+    stale = spark.createDataFrame(
+        [("update", 8, 80, 2)],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    assert apply_changes_versioned(spark, pa, stale, "k") == 0
+    assert {r["k"]: r["v"] for r in read_replica(spark, pa).collect()} == want
+
+    assert vacuum_tombstones(spark, pa, below_version=4) == 1
+    assert compact_buckets(spark, pa, "kb") in (0, 1)  # vacuum's rewrite is 1 file/bucket already
+    assert {r["k"]: r["v"] for r in read_replica(spark, pa).collect()} == want
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
