@@ -145,6 +145,9 @@ HEADLINE = [
     "ops_schema_evolution",  # pinned-schema add-column door, NULL-extended reads
     "advisor_rebucket_telemetry",  # advice from the store's own door telemetry
     "ops_retention_sweep",  # predicate TTL delete, bucket-bounded rewrite
+    # round-14 families
+    "advisor_compaction",  # file-census compaction advisor + door agreement
+    "ops_cdc_retention",  # log truncation + validated vacuum floor + redelivery
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

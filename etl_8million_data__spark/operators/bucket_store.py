@@ -34,17 +34,79 @@ def read_store(
     fed by this read), no footer is opened for schema inference and
     missing columns in legacy files read as NULL; without it, fall
     back to the eager ``mergeSchema`` footer-merge (legacy/unknown
-    layouts only — never on a pruned probe path). Raises
-    AnalysisException when the path does not exist; callers that treat
-    a missing store as empty catch it and substitute an empty frame of
-    the declared schema."""
+    layouts only — never on a pruned probe path). Callers that treat a
+    missing store as empty check :func:`store_exists` FIRST (driver-
+    side stat) and substitute an empty frame of the declared schema —
+    never by catching the JVM's AnalysisException (see store_exists
+    for why)."""
     reader = spark.read
     reader = (
         reader.schema(schema)
         if schema
         else reader.option("mergeSchema", "true")
     )
-    return reader.parquet(path)
+    return reader.parquet(resolve_root(path))
+
+_CURRENT = "_current"
+
+
+def resolve_root(path: str) -> str:
+    """Physical data root of a store. Normally ``path`` itself (the
+    flat layout every store starts with); after a :func:`rebucket`
+    migration, ``path/_current`` — written in ONE atomic ``os.replace``,
+    the manifest-flip commit of the versioned.commit discipline — names
+    the live generation directory (``path/_gen_N``, underscore-prefixed
+    so a flat-layout reader never saw it while it was staging) and this
+    resolves to it. Every root-taking function in this module (and the
+    door operators built on it) resolves first, so a reader either sees
+    the complete old generation or the complete new one — never a
+    half-swapped directory, on POSIX or an object store. Stores that
+    never migrated have no pointer and resolve to themselves."""
+    import os
+
+    try:
+        with open(os.path.join(path, _CURRENT)) as fh:
+            gen = fh.read().strip()
+    except OSError:
+        return path
+    return os.path.join(path, gen) if gen else path
+
+
+def store_exists(path: str) -> bool:
+    """Driver-side first-build check: True iff the store's resolved
+    data root exists on disk. Every "treat a missing store as empty"
+    fallback checks THIS instead of catching the JVM's
+    AnalysisException — an expected missing path must never reach the
+    JVM as a failing query: a caught PATH_NOT_FOUND still flows
+    through the execution-listener bus, and with any observation
+    listener registered in the session (the overwrite door's fused
+    surviving-set observe) it lands an ERROR line in every
+    clean-environment sweep log — triage noise that reads as a
+    failure. One stat call, no Spark job."""
+    import os
+
+    return os.path.isdir(resolve_root(path))
+
+
+MAX_BROADCAST_ROWS = 1_000_000
+
+
+def bounded_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast hint gated by a KNOWN row count (one the door already
+    collected for its own bookkeeping — never an extra job): the hint
+    is applied only when the frame is provably micro-batch-sized;
+    anything larger (or unknown) returns un-hinted so AQE sizes the
+    join from runtime statistics. A forced broadcast whose side scales
+    with DATA rather than with the change batch is a guaranteed
+    driver/executor OOM at the 100 TB design point, and a bulk backfill
+    that violates a door's micro-batch contract used to violate it
+    SILENTLY — this gate makes it degrade to a shuffle join instead."""
+    from pyspark.sql import functions as F
+
+    if n_rows is not None and n_rows <= MAX_BROADCAST_ROWS:
+        return F.broadcast(df)
+    return df
+
 
 def read_nb(root: str) -> int:
     """Read the store's bucket-modulus marker (``_nb`` sidecar, written
@@ -53,7 +115,7 @@ def read_nb(root: str) -> int:
     keys don't live in and silently misses them)."""
     import os
 
-    with open(os.path.join(root, "_nb")) as fh:
+    with open(os.path.join(resolve_root(root), "_nb")) as fh:
         return int(fh.read().strip())
 
 
@@ -79,7 +141,7 @@ def resolve_nb(root: str, nb: int | None, default: int) -> int:
 
     persisted = try_read_nb(root)
     if persisted is None:
-        mp = os.path.join(root, "_checksums", "_meta.json")
+        mp = os.path.join(resolve_root(root), "_checksums", "_meta.json")
         if os.path.isfile(mp):
             try:
                 with open(mp) as fh:
@@ -108,6 +170,7 @@ def write_schema(root: str, schema) -> None:
     guess a schema or footer-merge."""
     import os
 
+    root = resolve_root(root)
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, _SCHEMA_FILE + ".tmp")
     with open(tmp, "w") as fh:
@@ -120,7 +183,7 @@ def read_pinned_schema(root: str):
     import json
     import os
 
-    p = os.path.join(root, _SCHEMA_FILE)
+    p = os.path.join(resolve_root(root), _SCHEMA_FILE)
     if not os.path.isfile(p):
         return None
     from pyspark.sql.types import StructType
@@ -135,6 +198,7 @@ def read_store_pinned(spark: SparkSession, path: str) -> DataFrame:
     (legacy stores keep their historic behavior — one arbitrary
     footer, never an eager full-store merge)."""
     pinned = read_pinned_schema(path)
+    path = resolve_root(path)
     if pinned is not None:
         return spark.read.schema(pinned).parquet(path)
     return spark.read.parquet(path)
@@ -143,6 +207,7 @@ def read_store_pinned(spark: SparkSession, path: str) -> DataFrame:
 def write_nb(root: str, nb: int) -> None:
     import os
 
+    root = resolve_root(root)
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "_nb"), "w") as fh:
         fh.write(str(nb))
@@ -156,7 +221,7 @@ def applied_batch(root: str) -> int | None:
     import os
 
     try:
-        with open(os.path.join(root, "_applied_batch")) as fh:
+        with open(os.path.join(resolve_root(root), "_applied_batch")) as fh:
             return int(fh.read().strip())
     except (OSError, ValueError):
         return None
@@ -165,7 +230,7 @@ def applied_batch(root: str) -> int | None:
 def mark_applied(root: str, batch_id: int) -> None:
     import os
 
-    with open(os.path.join(root, "_applied_batch"), "w") as fh:
+    with open(os.path.join(resolve_root(root), "_applied_batch"), "w") as fh:
         fh.write(str(batch_id))
 
 
@@ -197,15 +262,18 @@ def pruned_read(
     table (zero parquet files after a full erase) reads back as an
     empty frame of that schema; an empty bucket list short-circuits to
     a read-nothing filter."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
-    try:
-        df = read_store(spark, path, schema) if schema else spark.read.parquet(path)
-    except AnalysisException:
-        if schema is None:
-            raise
+    # first-build fallback decided DRIVER-SIDE (store_exists), never by
+    # catching a JVM PATH_NOT_FOUND — see store_exists for why
+    if schema is not None and not store_exists(path):
         df = spark.createDataFrame([], schema)
+    else:
+        df = (
+            read_store(spark, path, schema)
+            if schema
+            else spark.read.parquet(resolve_root(path))
+        )
     return (
         df.filter(F.col(part_col).isin(buckets))
         if buckets
@@ -222,7 +290,7 @@ def write_table_bucketed(df: DataFrame, path: str, part_col: str) -> None:
 
     df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
         part_col
-    ).parquet(path)
+    ).parquet(resolve_root(path))
 
 
 def overwrite_buckets(
@@ -244,6 +312,7 @@ def overwrite_buckets(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    path = resolve_root(path)
     # ONE job for materialize + surviving-set + write: the content is
     # lazily checkpointed, and the surviving bucket set (<= nb values)
     # is OBSERVED during the write itself instead of a separate
@@ -259,6 +328,21 @@ def overwrite_buckets(
         os.path.join(path, "_checksums", "_meta.json")
     )
     if has_summary:
+        # a predecessor's crash record must survive this door: blindly
+        # replacing an existing _pending_summary marker with our own
+        # bucket list would erase the evidence that a predecessor died
+        # between its data write and its summary update — its stale
+        # buckets would never be re-derived and diff would trust a
+        # silently stale summary. Repair it NOW (re-derive its touched
+        # buckets from the table, which is the pre-rewrite truth
+        # whether or not the predecessor's write landed), then write
+        # our own marker.
+        if read_pending(path) is not None:
+            from etl_8million_data__spark.operators.diff import (
+                repair_pending_summary,
+            )
+
+            repair_pending_summary(spark, path)
         # marker BEFORE the rewrite (the append doors' discipline): a
         # crash anywhere between here and the summary splice leaves the
         # marker, which makes the possibly-stale summary UNTRUSTED
@@ -311,6 +395,7 @@ def bucket_file_counts(root: str, part_col: str) -> dict[int, int]:
     touch anyway)."""
     import os
 
+    root = resolve_root(root)
     out: dict[int, int] = {}
     try:
         entries = os.listdir(root)
@@ -371,23 +456,91 @@ def compact_buckets(
     return len(todo)
 
 
+def _sweep_stale_generations(path: str) -> None:
+    """Remove data a completed manifest flip superseded: with a
+    ``_current`` pointer live, any root-level ``kb=`` dirs / layout
+    sidecars (the pre-migration flat layout) and any ``_gen_*`` dir
+    other than the current one are unreachable — resolution never
+    looks at them — so a crash between the flip and its cleanup costs
+    only disk, reclaimed here (every rebucket sweeps on entry)."""
+    import os
+    import shutil
+
+    cur = resolve_root(path)
+    if cur == path:
+        return
+    keep = os.path.basename(cur)
+    for e in os.listdir(path):
+        full = os.path.join(path, e)
+        if e.startswith("_gen_") and e != keep and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif e.startswith("kb=") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif e in ("_nb", _SCHEMA_FILE, _PENDING_FILE, _STATS_FILE,
+                   "_applied_batch") or (
+            e == "_checksums" and os.path.isdir(full)
+        ):
+            # stale flat-layout sidecars (the live ones are inside the
+            # generation dir)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+
+
+def advise_compaction(
+    path: str, part_col: str = "kb", max_files: int = 4
+) -> dict:
+    """The measure-then-advise arm for :func:`compact_buckets` — the
+    same discipline as :func:`advise_rebucket`, closing the "when do I
+    run the maintenance door" decision the compaction door left to the
+    operator: the gauge is the store's own per-bucket file census
+    (:func:`bucket_file_counts` — the listing every pruned probe pays,
+    which is exactly the cost being reclaimed), and the advice is
+    'compact' when any bucket's file count exceeds ``max_files``
+    (append debt: each batch lands one file per touched bucket, so a
+    hot bucket's listing cost grows linearly in batches until
+    compacted). Returns {n_buckets, n_files, max_files_per_bucket,
+    n_debt_buckets, debt_files, threshold, action}; ``debt_files`` is
+    the listing entries a compaction would reclaim (files above one
+    per debt bucket). Driver-side listing only — the advisor never
+    reads or rewrites data."""
+    counts = bucket_file_counts(path, part_col)
+    debt = {b: n for b, n in counts.items() if n > max_files}
+    return {
+        "n_buckets": len(counts),
+        "n_files": sum(counts.values()),
+        "max_files_per_bucket": max(counts.values(), default=0),
+        "n_debt_buckets": len(debt),
+        "debt_files": sum(n - 1 for n in debt.values()),
+        "threshold": max_files,
+        "action": "compact" if debt else "keep",
+    }
+
+
 def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
     """Migrate a kb=-bucketed store to a NEW bucket modulus — the one
     physical-design knob of this family (nb bounds every door's blast
     radius: the same change set reads 7/16 vs 10/256 of the table), made
     changeable after creation. Bounded passes, counted honestly: one
     read+write to stage (the store read with its pinned schema,
-    re-hashed to ``kb`` mod ``nb_new``, staged NEXT TO the live store —
-    never in place), plus two fingerprint scans for the equality gate
-    (row count + order-insensitive full-table hash sum, live vs staged,
-    asserted BEFORE the swap — a migration that corrupts content never
-    goes live), plus one summary re-seed scan when the store carries a
-    ``_checksums/`` sidecar. The directory swap re-seeds every sidecar:
-    ``_nb``, the pinned schema, and the summary recomputed at the new
-    modulus (same compared columns, new bucket grouping).
-    Readers pinned to the old directory finish their scan (POSIX rename
-    keeps open files valid); on an object store the same protocol wants
-    a manifest flip, the versioned.commit discipline."""
+    re-hashed to ``kb`` mod ``nb_new``, staged as a NEW GENERATION
+    directory ``path/_gen_N`` inside the store root — underscore-
+    prefixed, so no reader of the live layout ever lists it), plus two
+    fingerprint scans for the equality gate (row count +
+    order-insensitive full-table hash sum, live vs staged, asserted
+    BEFORE the flip — a migration that corrupts content never goes
+    live), plus one summary re-seed scan when the store carries a
+    ``_checksums/`` sidecar. The staged generation is fully seeded —
+    ``_nb``, pinned schema, summary at the new modulus, carried
+    telemetry — BEFORE going live, so the commit is ONE atomic
+    ``os.replace`` of the ``_current`` pointer (the versioned.commit
+    manifest-flip discipline; put-if-absent/atomic-put on an object
+    store): a reader resolves either the complete old generation or
+    the complete new one, never a half-swapped directory. A crash
+    before the flip leaves the live store untouched (the stage dir is
+    invisible and swept on the next migration); a crash after the flip
+    leaves only unreachable stale data, swept on entry here."""
     import json
     import os
     import shutil
@@ -396,6 +549,8 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
 
     from etl_8million_data__spark.operators.partitioning import id_bucket
 
+    _sweep_stale_generations(path)
+    live = resolve_root(path)
     nb_old = try_read_nb(path)
     if nb_new == nb_old:
         return
@@ -407,14 +562,21 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
         .withColumn("kb", id_bucket(F.col(key), nb_new))
         .localCheckpoint(eager=False)
     )
-    tmp = path.rstrip("/") + "._rebucket_tmp"
+    if live == path:
+        gen_idx = 1
+    else:
+        gen_idx = int(os.path.basename(live).rsplit("_", 1)[1]) + 1
+    gen = f"_gen_{gen_idx}"
+    tmp = os.path.join(path, gen)
     shutil.rmtree(tmp, ignore_errors=True)
-    write_table_bucketed(staged, tmp, "kb")
+    staged.repartition(F.col("kb")).write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(tmp)
     write_nb(tmp, nb_new)
     write_schema(tmp, staged.schema)
 
-    # equality gate before the swap: count + order-insensitive content
-    # hash over every non-bucket column, old layout vs staged
+    # equality gate before the flip: count + order-insensitive content
+    # hash over every non-bucket column, live layout vs staged
     cols = sorted(c for c in df.columns if c != "kb")
     def _fingerprint(frame):
         h = F.xxhash64(
@@ -439,7 +601,7 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
         )
 
     # summary re-seed at the new modulus (same keys/cols pin)
-    meta_path = os.path.join(path, "_checksums", "_meta.json")
+    meta_path = os.path.join(live, "_checksums", "_meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -447,20 +609,26 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
 
         checksums_init(spark, tmp, meta["keys"], meta["cols"], nb_new)
 
-    # carry the layout-independent sidecars across the swap: churn
-    # telemetry (workload property, still valid at the new modulus) and
-    # the streaming replay marker
+    # carry the layout-independent sidecars into the staged generation:
+    # churn telemetry (workload property, still valid at the new
+    # modulus) and the streaming replay marker
     for side in (_STATS_FILE, "_applied_batch"):
-        src = os.path.join(path, side)
+        src = os.path.join(live, side)
         if os.path.isfile(src):
             shutil.copy(src, os.path.join(tmp, side))
 
-    bak = path.rstrip("/") + "._rebucket_old"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak, ignore_errors=True)
+    # MANIFEST FLIP: the staged generation is complete — one atomic
+    # pointer replace commits it
+    ptmp = os.path.join(path, _CURRENT + ".tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(gen)
+    os.replace(ptmp, os.path.join(path, _CURRENT))
+
+    # cleanup of the superseded generation (best-effort: a crash here
+    # leaves only unreachable data, swept on the next migration)
+    _sweep_stale_generations(path)
     spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tmp)
 
 
 def evolve_add_columns(
@@ -488,6 +656,7 @@ def evolve_add_columns(
             f"{path}: no pinned schema to evolve — write the store "
             "through write_bucketed first"
         )
+    path = resolve_root(path)
     add = StructType.fromDDL(cols_ddl)
     clash = {f.name for f in add.fields} & {f.name for f in pinned.fields}
     if clash:
@@ -513,7 +682,15 @@ def evolve_add_columns(
         )
 
 
-NB_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+NB_LADDER = (
+    16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+    8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576,
+)
+# per-bucket byte budget: bounds both the per-bucket task size and the
+# worst-case relation a door's join could materialize for one bucket —
+# 256 MiB is the conventional comfortable task/HDFS-block scale; the
+# top ladder power x this budget covers a 256 TiB table
+TARGET_BUCKET_BYTES = 256 << 20
 
 
 def recommend_nb(
@@ -521,6 +698,8 @@ def recommend_nb(
     rows_col,
     target_inverse: int = 16,
     min_rows_per_bucket: int = 64,
+    bytes_col=None,
+    target_bucket_bytes: int = TARGET_BUCKET_BYTES,
 ):
     """Column expression recommending a bucket modulus from MEASURED
     churn — the advisor arm for :func:`rebucket`, making the one
@@ -532,9 +711,16 @@ def recommend_nb(
     the LARGEST ladder power keeping >= ``min_rows_per_bucket`` rows
     per bucket (tiny buckets turn every scan into a listing storm), and
     the cap wins — a small table never gets a huge modulus no matter
-    the churn. Pure integer arithmetic (comparison ladder over the 9
-    powers, no log/pow floats), so a DuckDB oracle reproduces it
-    bit-for-bit."""
+    the churn. With ``bytes_col`` (the table's measured bytes — e.g.
+    :func:`store_bytes` off the store's own listing) a third arm binds
+    on LARGE tables: nb must also keep every bucket under
+    ``target_bucket_bytes`` (the per-bucket task/rewrite unit — a row
+    floor alone would let a 100 TB table sit at 4096 buckets of ~24 GB
+    each), and this byte FLOOR overrides the rows cap — a huge table
+    is never left with oversized buckets, while a toy table's bytes
+    round to the smallest power and change nothing. Pure integer
+    arithmetic (comparison ladders over the 17 powers, no log/pow
+    floats), so a DuckDB oracle reproduces it bit-for-bit."""
     from pyspark.sql import functions as F
 
     raw = F.lit(target_inverse) * churn_col
@@ -546,7 +732,15 @@ def recommend_nb(
         cap = F.when(rows_col >= p * min_rows_per_bucket, F.lit(p)).otherwise(
             cap
         )
-    return F.least(up, cap).cast("int")
+    out = F.least(up, cap)
+    if bytes_col is not None:
+        bup = F.lit(NB_LADDER[-1])
+        for p in reversed(NB_LADDER):
+            bup = F.when(
+                bytes_col <= F.lit(p * target_bucket_bytes), F.lit(p)
+            ).otherwise(bup)
+        out = F.greatest(out, bup)
+    return out.cast("int")
 
 
 def sql_recommend_nb(
@@ -554,8 +748,10 @@ def sql_recommend_nb(
     rows_sql: str,
     target_inverse: int = 16,
     min_rows_per_bucket: int = 64,
+    bytes_sql: str | None = None,
+    target_bucket_bytes: int = TARGET_BUCKET_BYTES,
 ) -> str:
-    """The DuckDB twin of :func:`recommend_nb` (same ladder, same
+    """The DuckDB twin of :func:`recommend_nb` (same ladders, same
     integer arithmetic)."""
     raw = f"({target_inverse} * ({churn_sql}))"
     up = f"CASE WHEN {raw} <= 16 THEN 16"
@@ -566,7 +762,32 @@ def sql_recommend_nb(
     for p in reversed(NB_LADDER[:-1]):
         cap += f" WHEN ({rows_sql}) >= {p * min_rows_per_bucket} THEN {p}"
     cap += f" ELSE {NB_LADDER[0]} END"
-    return f"CAST(least({up}, {cap}) AS INTEGER)"
+    out = f"least({up}, {cap})"
+    if bytes_sql is not None:
+        bup = f"CASE WHEN ({bytes_sql}) <= {NB_LADDER[0] * target_bucket_bytes} THEN {NB_LADDER[0]}"
+        for p in NB_LADDER[1:]:
+            bup += f" WHEN ({bytes_sql}) <= {p * target_bucket_bytes} THEN {p}"
+        bup += f" ELSE {NB_LADDER[-1]} END"
+        out = f"greatest({out}, {bup})"
+    return f"CAST({out} AS INTEGER)"
+
+
+def store_bytes(root: str) -> int:
+    """Total parquet bytes of a store, off its own directory listing —
+    the measured input for :func:`recommend_nb`'s byte arm. Driver-side
+    walk bounded by the layout's bucket/file count (the same listing a
+    compaction census pays)."""
+    import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(resolve_root(root)):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    continue
+    return total
 
 
 _STATS_FILE = "_door_stats.jsonl"
@@ -587,7 +808,7 @@ def record_door_stats(root: str, op: str, n_keys: int, n_buckets: int) -> None:
     import json
     import os
 
-    p = os.path.join(root, _STATS_FILE)
+    p = os.path.join(resolve_root(root), _STATS_FILE)
     with contextlib.suppress(OSError):
         with open(p, "a") as fh:
             fh.write(
@@ -612,7 +833,7 @@ def read_door_stats(root: str) -> list[dict]:
 
     out = []
     try:
-        with open(os.path.join(root, _STATS_FILE)) as fh:
+        with open(os.path.join(resolve_root(root), _STATS_FILE)) as fh:
             for line in fh:
                 try:
                     out.append(json.loads(line))
@@ -639,12 +860,14 @@ def advise_rebucket(spark: SparkSession, path: str) -> dict:
     stats = [s for s in read_door_stats(path) if s.get("n_keys")]
     nb_cur = try_read_nb(path)
     n_rows = read_store_pinned(spark, path).count()
+    n_bytes = store_bytes(path)
     if len(stats) < 5:
         return {
             "nb_current": nb_cur,
             "n_applies": len(stats),
             "churn_p95": None,
             "table_rows": n_rows,
+            "table_bytes": n_bytes,
             "nb_recommended": nb_cur,
             "action": "keep (insufficient telemetry: < 5 applies)",
         }
@@ -652,9 +875,13 @@ def advise_rebucket(spark: SparkSession, path: str) -> dict:
     p95 = churns[min(len(churns) - 1, (len(churns) * 95) // 100)]
     rec = (
         spark.createDataFrame(
-            [(p95, n_rows)], "churn bigint, rows bigint"
+            [(p95, n_rows, n_bytes)], "churn bigint, rows bigint, bts bigint"
         )
-        .select(recommend_nb(F.col("churn"), F.col("rows")).alias("nb"))
+        .select(
+            recommend_nb(
+                F.col("churn"), F.col("rows"), bytes_col=F.col("bts")
+            ).alias("nb")
+        )
         .first()["nb"]
     )
     return {
@@ -662,6 +889,7 @@ def advise_rebucket(spark: SparkSession, path: str) -> dict:
         "n_applies": len(stats),
         "churn_p95": p95,
         "table_rows": n_rows,
+        "table_bytes": n_bytes,
         "nb_recommended": rec,
         "action": "rebucket" if rec != nb_cur else "keep",
     }
@@ -679,6 +907,7 @@ def write_pending(root: str, batch_id, kbs: list[int]) -> None:
     import json
     import os
 
+    root = resolve_root(root)
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, _PENDING_FILE + ".tmp")
     with open(tmp, "w") as fh:
@@ -690,7 +919,7 @@ def read_pending(root: str) -> dict | None:
     import json
     import os
 
-    p = os.path.join(root, _PENDING_FILE)
+    p = os.path.join(resolve_root(root), _PENDING_FILE)
     if not os.path.isfile(p):
         return None
     try:
@@ -705,4 +934,4 @@ def clear_pending(root: str) -> None:
     import os
 
     with contextlib.suppress(OSError):
-        os.remove(os.path.join(root, _PENDING_FILE))
+        os.remove(os.path.join(resolve_root(root), _PENDING_FILE))

@@ -108,7 +108,9 @@ def _bucket_sums(
 
 
 def _ck_meta_path(path: str) -> str:
-    return os.path.join(path, CK_DIR, "_meta.json")
+    from etl_8million_data__spark.operators.bucket_store import resolve_root
+
+    return os.path.join(resolve_root(path), CK_DIR, "_meta.json")
 
 
 def _write_summary(
@@ -118,7 +120,9 @@ def _write_summary(
     COLLECTED (the summary is bounded by the layout's bucket count,
     never by data size) so the overwrite never reads the directory it
     replaces."""
-    d = os.path.join(path, CK_DIR)
+    from etl_8million_data__spark.operators.bucket_store import resolve_root
+
+    d = os.path.join(resolve_root(path), CK_DIR)
     spark.createDataFrame(summ_rows, CK_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(d)
@@ -147,12 +151,16 @@ def checksums_init(
 def read_checksums(spark: SparkSession, path: str):
     """(meta, summary DataFrame) — or (None, None) when the table has
     no summary sidecar."""
+    from etl_8million_data__spark.operators.bucket_store import resolve_root
+
     mp = _ck_meta_path(path)
     if not os.path.isfile(mp):
         return None, None
     with open(mp) as fh:
         meta = json.load(fh)
-    return meta, spark.read.schema(CK_SCHEMA).parquet(os.path.join(path, CK_DIR))
+    return meta, spark.read.schema(CK_SCHEMA).parquet(
+        os.path.join(resolve_root(path), CK_DIR)
+    )
 
 
 def update_checksums(
@@ -386,15 +394,19 @@ def sync_tables(
             f"{sorted(set(a.columns) - set(b.columns))}, B-only: "
             f"{sorted(set(b.columns) - set(a.columns))})"
         )
+    from etl_8million_data__spark.operators.bucket_store import (
+        bounded_broadcast,
+    )
+
     dk = d.select(*keys)
     take_from_b = b.join(
-        F.broadcast(
-            d.filter(F.col("change").isin("added", "changed")).select(*keys)
+        bounded_broadcast(
+            d.filter(F.col("change").isin("added", "changed")).select(*keys), n
         ),
         keys,
         "left_semi",
     )
-    keep = a.join(F.broadcast(dk), keys, "left_anti")
+    keep = a.join(bounded_broadcast(dk, n), keys, "left_anti")
     content = keep.unionByName(take_from_b)
     from etl_8million_data__spark.operators.bucket_store import overwrite_buckets
 
@@ -502,10 +514,12 @@ def append_bucketed(
     so the flat-cost replica audit never needs a rescan."""
     from etl_8million_data__spark.operators.bucket_store import (
         clear_pending,
+        resolve_root,
         write_pending,
     )
 
-    if os.path.isdir(path) and not is_hive_partitioned(path, "kb"):
+    droot = resolve_root(path)
+    if os.path.isdir(droot) and not is_hive_partitioned(path, "kb"):
         # appending kb= partition dirs into a flat root breaks partition
         # discovery for every reader (the _bucketed_append hazard)
         raise ValueError(
@@ -540,11 +554,19 @@ def append_bucketed(
     per_kb = staged.groupBy("kb").agg(F.count(F.lit(1)).alias("n")).collect()
     kbs = [r["kb"] for r in per_kb]
     n_rows = sum(r["n"] for r in per_kb)
-    write_pending(path, None, kbs)
-    staged.write.mode("append").partitionBy("kb").parquet(path)
-    spark.catalog.refreshByPath(path)
+    # the _pending_summary marker protects ONLY the checksum summary —
+    # on a store without one (including a store this very call is
+    # creating) it must not be written: a crash after the marker but
+    # before any data would leave a marker-only directory every later
+    # append rejects as "not a kb=-bucketed layout" (a bricked store)
+    has_summary = os.path.isfile(_ck_meta_path(path))
+    if has_summary:
+        write_pending(path, None, kbs)
+    staged.write.mode("append").partitionBy("kb").parquet(droot)
+    spark.catalog.refreshByPath(droot)
     append_checksums(spark, path, staged)
-    clear_pending(path)
+    if has_summary:
+        clear_pending(path)
     from etl_8million_data__spark.operators.bucket_store import (
         record_door_stats,
     )
@@ -677,9 +699,14 @@ def stream_append_bucketed(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from etl_8million_data__spark.operators.bucket_store import (
+            resolve_root,
+        )
+
         spark = batch_df.sparkSession
-        nb_eff = _store_nb(path, nb) if os.path.isdir(path) else (nb or DIFF_NB)
-        if os.path.isdir(path):
+        droot = resolve_root(path)
+        nb_eff = _store_nb(path, nb) if os.path.isdir(droot) else (nb or DIFF_NB)
+        if os.path.isdir(droot):
             repair_pending_summary(spark, path)
         b = batch_df.withColumn(
             "kb", id_bucket(F.col(key), nb_eff)
@@ -689,7 +716,7 @@ def stream_append_bucketed(
         ]
         if not kbs:
             return
-        if os.path.isdir(path):
+        if os.path.isdir(droot):
             existing = (
                 read_store_pinned(spark, path)
                 .filter(F.col("kb").isin(kbs))
@@ -707,11 +734,17 @@ def stream_append_bucketed(
         if not per_kb:
             return
         fresh_kbs = [r["kb"] for r in per_kb]
-        write_pending(path, batch_id, fresh_kbs)
-        fresh.write.mode("append").partitionBy("kb").parquet(path)
-        spark.catalog.refreshByPath(path)
+        # marker only when there is a summary to protect — a marker
+        # written before the store's first data would brick it on crash
+        # (see append_bucketed)
+        has_summary = os.path.isfile(_ck_meta_path(path))
+        if has_summary:
+            write_pending(path, batch_id, fresh_kbs)
+        fresh.write.mode("append").partitionBy("kb").parquet(droot)
+        spark.catalog.refreshByPath(droot)
         append_checksums(spark, path, fresh)
-        clear_pending(path)
+        if has_summary:
+            clear_pending(path)
         from etl_8million_data__spark.operators.bucket_store import (
             record_door_stats,
         )
@@ -789,8 +822,12 @@ def apply_changes(
         .distinct()
         .collect()
     ]
+    from etl_8million_data__spark.operators.bucket_store import (
+        bounded_broadcast,
+    )
+
     old = read_store_pinned(spark, path).filter(F.col("kb").isin(kbs))
-    keep = old.join(F.broadcast(ch.select(key)), key, "left_anti")
+    keep = old.join(bounded_broadcast(ch.select(key), n), key, "left_anti")
     post = (
         ch.filter(F.col("_change_type").isin("insert", "update"))
         .drop("_change_type")
@@ -831,6 +868,29 @@ def read_replica(spark: SparkSession, path: str) -> DataFrame:
     if "_gone" in df.columns:
         df = df.filter(F.col("_gone") == 0)
     return df.drop("_v", "_gone", "kb")
+
+
+def _eligible_versioned(ch: DataFrame, old: DataFrame, key: str) -> DataFrame:
+    """Change rows strictly newer than the replica's per-key version —
+    the eligibility join of the max-version-wins apply. The replica
+    side (``old``'s (key, _v) projection) is DATA-sized, not
+    change-sized: it carries every row of every touched bucket, which
+    at fixed churn grows linearly with the table — so it is
+    deliberately NOT broadcast-hinted. AQE broadcasts it at runtime
+    when the touched slice is genuinely small and falls back to a
+    shuffle join when a bulk change frame touches data-scale buckets
+    (the forced hint here was round 13's one flagged scale hazard; the
+    --cdc-bulk scaling probe asserts no broadcast hint survives in this
+    join's plan)."""
+    old_v = old.select(key, F.col("_v").alias("_v_old"))
+    return (
+        ch.join(old_v, key, "left")
+        .filter(
+            F.col("_v_old").isNull()
+            | (F.col("_commit_version") > F.col("_v_old"))
+        )
+        .drop("_v_old")
+    )
 
 
 def apply_changes_versioned(
@@ -906,16 +966,7 @@ def apply_changes_versioned(
             f"schema lacks ({sorted(extra)}) — the source schema evolved; "
             "run bucket_store.evolve_add_columns on the replica first"
         )
-    old_v = old.select(key, F.col("_v").alias("_v_old"))
-    elig = (
-        ch.join(F.broadcast(old_v), key, "left")
-        .filter(
-            F.col("_v_old").isNull()
-            | (F.col("_commit_version") > F.col("_v_old"))
-        )
-        .drop("_v_old")
-        .localCheckpoint(eager=False)
-    )
+    elig = _eligible_versioned(ch, old, key).localCheckpoint(eager=False)
     n = elig.count()
     if not n:
         return 0
@@ -930,7 +981,11 @@ def apply_changes_versioned(
         .drop("_change_type", "_commit_version")
         .withColumn("kb", id_bucket(F.col(key), nb))
     )
-    keep = old.join(F.broadcast(elig.select(key)), key, "left_anti")
+    from etl_8million_data__spark.operators.bucket_store import (
+        bounded_broadcast,
+    )
+
+    keep = old.join(bounded_broadcast(elig.select(key), n), key, "left_anti")
     overwrite_buckets(spark, path, "kb", keep.unionByName(winners), kbs)
     from etl_8million_data__spark.operators.bucket_store import (
         record_door_stats,
@@ -945,6 +1000,7 @@ def vacuum_tombstones(
     path: str,
     below_version: int,
     nb: int | None = None,
+    log_dir: str | None = None,
 ) -> int:
     """Reclaim a versioned replica's delete tombstones older than
     ``below_version`` — the retention step of the max-version-wins
@@ -952,8 +1008,13 @@ def vacuum_tombstones(
     tombstones exist so an older redelivered change can never resurrect
     a deleted key, so the floor must trail the producer's replay
     horizon (a change with version < below_version must be impossible
-    to redeliver — e.g. the CDC log's published watermark minus its
-    retention). One column-pruned pass finds the buckets holding
+    to redeliver). With ``log_dir`` — the CDC log this replica is fed
+    from — that constraint is VALIDATED, not prose: the floor is
+    checked against ``cdc_log.replay_horizon`` (advanced only by
+    ``cdc_log.truncate_published``), and a floor above what the log can
+    still redeliver raises instead of silently opening the resurrection
+    window. Callers without a log keep the documented contract on their
+    own head. One column-pruned pass finds the buckets holding
     qualifying tombstones; ONLY those buckets rewrite through the
     overwrite door (summary stays honest). Returns tombstones
     reclaimed."""
@@ -962,7 +1023,19 @@ def vacuum_tombstones(
         read_store_pinned,
     )
 
+    if log_dir is not None:
+        from etl_8million_data__spark.operators.cdc_log import replay_horizon
+
+        horizon = replay_horizon(log_dir)
+        if below_version > horizon:
+            raise ValueError(
+                f"vacuum_tombstones: floor {below_version} exceeds the CDC "
+                f"log's replay horizon {horizon} — versions in "
+                f"[{horizon}, {below_version}) can still be redelivered and "
+                "would resurrect vacuumed keys; truncate_published first"
+            )
     nb = _store_nb(path, nb)
+    repair_pending_summary(spark, path)
     cond = (F.col("_gone") == 1) & (F.col("_v") < below_version)
     kbs = [
         r["kb"]

@@ -201,12 +201,15 @@ def golden_init(
 
 
 def read_golden(spark: SparkSession, root: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import store_exists
 
-    try:
-        return spark.read.parquet(os.path.join(root, "golden")).drop("cb")
-    except AnalysisException:
+    p = os.path.join(root, "golden")
+    # missing/emptied state decided driver-side + declared schema (an
+    # emptied table has zero parquet files) — never a caught JVM
+    # PATH_NOT_FOUND (bucket_store.store_exists)
+    if not store_exists(p):
         return spark.createDataFrame([], _SCHEMAS["golden"]).drop("cb")
+    return spark.read.schema(_SCHEMAS["golden"]).parquet(p).drop("cb")
 
 
 def _pruned(spark: SparkSession, path: str, part_col: str, buckets: list[int]):
@@ -239,10 +242,14 @@ def _touched_components(
             else rm.filter(F.lit(False))
         )
         return matched.select("component").distinct()
+    # fallback: the rid set exceeded the bounded-literal cap, so its
+    # size is UNKNOWN — no forced broadcast (a bulk backfill here would
+    # OOM a hinted build side at scale); AQE broadcasts at runtime iff
+    # the frame is actually small
     rbs = _bucket_values(rids, "rid", nb)
     rm = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs)
     return (
-        rm.join(F.broadcast(rids.select("rid").distinct()), "rid")
+        rm.join(rids.select("rid").distinct(), "rid")
         .select("component")
         .distinct()
     )
@@ -302,7 +309,8 @@ def _apply_delta(
                 if old_comp_ids
                 else frame
             )
-        return frame.join(F.broadcast(old_comps), "component", "left_anti")
+        # above-cap fallback: size unknown, AQE sizes the join
+        return frame.join(old_comps, "component", "left_anti")
 
     def replace(path: str, new_rows: DataFrame) -> None:
         old_keep = drop_old(
@@ -322,10 +330,24 @@ def _apply_delta(
     moved = new_members.select("rid").unionByName(
         dropped_rids.select("rid")
     ).distinct().localCheckpoint(eager=False)
-    rbs = _bucket_values(moved, "rid", nb)
-    rm_keep = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs).join(
-        F.broadcast(moved), "rid", "left_anti"
-    )
+    # bounded path: the collect doubles as moved's materializer, the
+    # bucket set is driver arithmetic and the anti-join a literal
+    # NOT-IN — one job, zero broadcast builds; above the cap the size
+    # is unknown, so no forced broadcast (AQE sizes the join)
+    moved_ids = _collect_bounded(moved, "rid")
+    if moved_ids is not None:
+        rbs = sorted({id_bucket_py(r, nb) for r in moved_ids})
+        rm_pruned = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs)
+        rm_keep = (
+            rm_pruned.filter(~F.col("rid").isin(moved_ids))
+            if moved_ids
+            else rm_pruned
+        )
+    else:
+        rbs = _bucket_values(moved, "rid", nb)
+        rm_keep = _pruned(spark, os.path.join(root, "ridmap"), "rb", rbs).join(
+            moved, "rid", "left_anti"
+        )
     rm_content = rm_keep.unionByName(
         new_members.select("rid", "component").withColumn(
             "rb", id_bucket(F.col("rid"), nb)
@@ -387,15 +409,16 @@ def golden_increment(
             else edges_pruned.filter(F.lit(False))
         ).select("a_key", "b_key")
     else:
+        # above-cap fallback: delta size unknown — no forced broadcast
         cbs = _bucket_values(old_comps, "component", nb)
         touched_members = (
             _pruned(spark, os.path.join(root, "members"), "cb", cbs)
-            .join(F.broadcast(old_comps), "component")
+            .join(old_comps, "component")
             .select(*_MEMBER_COLS)
         )
         touched_edges = (
             _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
-            .join(F.broadcast(old_comps), "component")
+            .join(old_comps, "component")
             .select("a_key", "b_key")
         )
     all_records = touched_members.unionByName(new_records)
@@ -460,15 +483,16 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
             else edges_pruned.filter(F.lit(False))
         ).select("a_key", "b_key")
     else:
+        # above-cap fallback: delta size unknown — no forced broadcast
         cbs = _bucket_values(old_comps, "component", nb)
         touched_members = (
             _pruned(spark, os.path.join(root, "members"), "cb", cbs)
-            .join(F.broadcast(old_comps), "component")
+            .join(old_comps, "component")
             .select(*_MEMBER_COLS)
         )
         touched_edges = (
             _pruned(spark, os.path.join(root, "edges"), "cb", cbs)
-            .join(F.broadcast(old_comps), "component")
+            .join(old_comps, "component")
             .select("a_key", "b_key")
         )
     if vids is not None:
@@ -485,15 +509,17 @@ def golden_forget(spark: SparkSession, root: str, rids: DataFrame) -> None:
             else touched_edges
         )
     else:
+        # above-cap fallback: victim-set size unknown — no forced
+        # broadcast (AQE sizes the joins)
         remaining_members = touched_members.join(
-            F.broadcast(victims), "rid", "left_anti"
+            victims, "rid", "left_anti"
         )
         remaining_edges = touched_edges.join(
-            F.broadcast(victims.select(F.col("rid").alias("a_key"))),
+            victims.select(F.col("rid").alias("a_key")),
             "a_key",
             "left_anti",
         ).join(
-            F.broadcast(victims.select(F.col("rid").alias("b_key"))),
+            victims.select(F.col("rid").alias("b_key")),
             "b_key",
             "left_anti",
         )

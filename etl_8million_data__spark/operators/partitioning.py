@@ -77,8 +77,12 @@ def is_hive_partitioned(path: str, col: str) -> bool:
     bucketed appends."""
     import os
 
+    from etl_8million_data__spark.operators.bucket_store import resolve_root
+
     try:
-        return any(e.startswith(f"{col}=") for e in os.listdir(path))
+        return any(
+            e.startswith(f"{col}=") for e in os.listdir(resolve_root(path))
+        )
     except OSError:
         return False
 

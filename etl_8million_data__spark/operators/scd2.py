@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from etl_8million_data__spark.operators.bucket_store import (
     applied_batch,
+    bounded_broadcast,
     mark_applied,
     overwrite_buckets as _overwrite_buckets,
     read_nb as _nb,
@@ -269,12 +270,17 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
     # job that materializes it (one job instead of checkpoint + collect)
     b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=False)
     keys = b.select("key").distinct()
-    kbs = [
-        r["_b"]
-        for r in keys.select(id_bucket(F.col("key"), nb).alias("_b"))
-        .distinct()
+    # the same job that finds the touched buckets counts the batch keys
+    # (map-side combine over <= nb groups) — the count gates the
+    # broadcast hints below: a contract-violating bulk backfill degrades
+    # to a shuffle join instead of a data-sized forced broadcast
+    per_kb = (
+        keys.groupBy(id_bucket(F.col("key"), nb).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    ]
+    )
+    kbs = [r["_b"] for r in per_kb]
+    n_keys = sum(r["n"] for r in per_kb)
     _append_log(spark, root, b, kbs, nb)
     from etl_8million_data__spark.operators.bucket_store import (
         read_store_pinned,
@@ -283,15 +289,15 @@ def scd2_apply_late(spark: SparkSession, root: str, batch: DataFrame) -> None:
     log_touched = (
         read_store_pinned(spark, log_path)
         .filter(F.col("kb").isin(kbs) if kbs else F.lit(False))
-        .join(F.broadcast(keys), "key")
+        .join(bounded_broadcast(keys, n_keys), "key")
         .select("key", "seq", "ts", "attr")
     )
     merged = build_intervals(log_touched)
     old = _read_intervals(spark, root)
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
-    content = old.join(F.broadcast(keys), "key", "left_anti").unionByName(
-        merged.withColumn("kb", id_bucket(F.col("key"), nb))
-    )
+    content = old.join(
+        bounded_broadcast(keys, n_keys), "key", "left_anti"
+    ).unionByName(merged.withColumn("kb", id_bucket(F.col("key"), nb)))
     _overwrite_buckets(spark, path, "kb", content, kbs)
 
 
@@ -314,12 +320,15 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     # lazy checkpoint: materialized in full by the kbs collect
     b = batch.select("key", "seq", "ts", "attr").localCheckpoint(eager=False)
     keys = b.select("key").distinct()
-    kbs = [
-        r["_b"]
-        for r in keys.select(id_bucket(F.col("key"), nb).alias("_b"))
-        .distinct()
+    # one job: touched buckets AND the batch-key count (the count gates
+    # the broadcast hints — bulk backfills degrade to a shuffle join)
+    per_kb = (
+        keys.groupBy(id_bucket(F.col("key"), nb).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    ]
+    )
+    kbs = [r["_b"] for r in per_kb]
+    n_keys = sum(r["n"] for r in per_kb)
     # keep the retained log (when present) in sync, so a later
     # scd2_apply_late sees the full per-key history
     _append_log(spark, root, b, kbs, nb)
@@ -334,7 +343,9 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
     old = old.filter(F.col("kb").isin(kbs)) if kbs else old.filter(F.lit(False))
     # lazy checkpoint fused with the order check: the violation count
     # below reads old_touched in full and materializes it
-    old_touched = old.join(F.broadcast(keys), "key").localCheckpoint(eager=False)
+    old_touched = old.join(
+        bounded_broadcast(keys, n_keys), "key"
+    ).localCheckpoint(eager=False)
     cur = old_touched.filter(F.col("is_current") == 1)
 
     # order contract: the batch must be strictly after each key's LAST
@@ -377,7 +388,7 @@ def scd2_apply(spark: SparkSession, root: str, batch: DataFrame) -> None:
         last="_lt",
     )
     content = (
-        old.join(F.broadcast(keys), "key", "left_anti")
+        old.join(bounded_broadcast(keys, n_keys), "key", "left_anti")
         .unionByName(
             old_touched.filter(F.col("is_current") == 0).drop("kb").withColumn(
                 "kb", id_bucket(F.col("key"), nb)

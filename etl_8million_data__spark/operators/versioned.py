@@ -375,6 +375,19 @@ def _classify_changes(
     before: DataFrame, after: DataFrame, keys: list[str]
 ) -> DataFrame:
     val_cols = [c for c in after.columns if c not in keys]
+    # a source schema evolution between the two versions widens the
+    # after-image: NULL-extend the before-image for the new columns
+    # (the bucket_store.evolve_add_columns read-back semantics), so the
+    # CDC across the evolution boundary classifies correctly — a row
+    # whose evolved column is NULL on both sides is unchanged, one that
+    # gained a value is an update carrying it
+    after_types = {f.name: f.dataType for f in after.schema.fields}
+    missing = [c for c in val_cols if c not in before.columns]
+    if missing:
+        before = before.select(
+            "*",
+            *[F.lit(None).cast(after_types[c]).alias(c) for c in missing],
+        )
     b = before.select(
         *[F.col(k).alias(f"_b_{k}") for k in keys],
         *[F.col(c).alias(f"_b_{c}") for c in val_cols],

@@ -915,6 +915,92 @@ def ops_store_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "advisor_compaction",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderkey % 3 AS g, {_sql_kb('o_orderkey')} AS b
+      FROM orders),
+    fb AS (SELECT b, count(DISTINCT g) AS gs FROM t GROUP BY b)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(gs) AS BIGINT) AS n_files,
+           CAST(max(gs) AS BIGINT) AS max_files_per_bucket,
+           CAST(sum(CASE WHEN gs > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_debt_buckets,
+           CAST(sum(CASE WHEN gs > 2 THEN gs - 1 ELSE 0 END) AS BIGINT)
+             AS debt_files,
+           CASE WHEN sum(CASE WHEN gs > 2 THEN 1 ELSE 0 END) > 0
+                THEN 'compact' ELSE 'keep' END AS action_before,
+           CAST(sum(CASE WHEN gs > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_compacted,
+           'keep' AS action_after
+    FROM fb
+    """,
+    tags=("advisor", "ops", "maintenance", "compaction", "extension",
+          "scale-path", "persisted-view"),
+)
+def advisor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION ADVISOR (bucket_store.advise_compaction) — the
+    measure-then-advise arm the compaction door
+    (ops_store_compaction_audit) was missing: WHEN to compact is read
+    off the store's own per-bucket file census, the same listing every
+    pruned probe pays (which is exactly the cost compaction reclaims),
+    never a schedule. The construction is the compaction audit's —
+    seed + two appends land one file per touched bucket per write, so
+    a bucket touched by g of the 3 writes holds g files — and the
+    DuckDB oracle recomputes the entire census (files per bucket, debt
+    buckets over the threshold, reclaimable listing entries) from the
+    same md5 bucket hash, then the compact/keep decisions before and
+    after the door runs: 'compact' while any bucket exceeds the
+    threshold, 'keep' after the door flattens them (n_compacted equals
+    the advised debt-bucket count — advice and door agree).
+
+    Scale shape: the advisor is one directory listing bounded by the
+    layout's bucket count, zero Spark jobs, zero data reads; the door
+    it arms rewrites only the debt buckets."""
+    import shutil
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        advise_compaction,
+        compact_buckets,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        append_bucketed,
+        write_bucketed,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "advisor_compaction")
+    shutil.rmtree(root, ignore_errors=True)
+    write_bucketed(o.filter(F.col("k") % 3 == 0), root, "k")
+    append_bucketed(o.filter(F.col("k") % 3 == 1), root, "k")
+    append_bucketed(o.filter(F.col("k") % 3 == 2), root, "k")
+    adv = advise_compaction(root, max_files=2)
+    n_compacted = compact_buckets(spark, root, "kb", max_files=2)
+    after = advise_compaction(root, max_files=2)
+    return spark.createDataFrame(
+        [
+            (
+                adv["n_buckets"],
+                adv["n_files"],
+                adv["max_files_per_bucket"],
+                adv["n_debt_buckets"],
+                adv["debt_files"],
+                adv["action"],
+                n_compacted,
+                after["action"],
+            )
+        ],
+        "n_buckets bigint, n_files bigint, max_files_per_bucket bigint,"
+        " n_debt_buckets bigint, debt_files bigint, action_before string,"
+        " n_compacted bigint, action_after string",
+    )
+
+
+@register(
     "ops_cdc_apply_versioned",
     oracle=f"""
     WITH v1 AS (
@@ -1209,6 +1295,168 @@ def ops_cdc_producer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ops_cdc_retention",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders),
+    s2 AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN price_c + 3 ELSE price_c END AS price_c
+      FROM v1 WHERE k % 24 <> 0),
+    s3 AS (
+      SELECT k,
+             CASE WHEN k % 15 = 0 THEN price_c + 9 ELSE price_c END AS price_c
+      FROM s2 WHERE k % 28 <> 0)
+    SELECT CAST(2 AS BIGINT) AS n_published,
+           CAST(1 AS BIGINT) AS n_illegal_rejected,
+           CAST(2 AS BIGINT) AS horizon_minus_v1,
+           CAST(1 AS BIGINT) AS n_versions_retained,
+           CAST((SELECT count(*) FROM v1 WHERE k % 24 = 0) AS BIGINT)
+             AS n_reclaimed,
+           CAST((SELECT count(*) FROM v1 WHERE k % 24 <> 0 AND k % 28 = 0)
+             AS BIGINT) AS n_tomb_left,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM s3) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "retention", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG RETENTION + THE VALIDATED REPLAY HORIZON (round 14,
+    operators/cdc_log.truncate_published + diff.vacuum_tombstones):
+    the lifecycle that keeps both the log's file count and the
+    replica's tombstone space bounded, with the safety coupling made
+    MECHANICAL. v2 deletes every k%24==0 key (tombstones at _v=2), v3
+    deletes k%28==0 among the survivors (tombstones at _v=3); the
+    stream drains both. Then, in order: (1) vacuuming with floor v1+2
+    while the log can still redeliver v2 REFUSES (a reclaimed
+    tombstone + a redelivered pre-delete change = a resurrected key —
+    the round-13 contract was docstring prose, now it raises);
+    (2) truncate_published drops v2's version-named files and advances
+    the persisted horizon to v1+2; (3) the same vacuum floor is now
+    legal and reclaims exactly v2's tombstones while v3's survive
+    (they still fence redelivery of the retained v3 frames);
+    (4) a FRESH-checkpoint redelivery from the truncated log converges
+    (zero drift vs the independently built v3 table). The oracle
+    recomputes every count from the construction.
+
+    Scale shape: truncation is a driver-side listing of version-named
+    files; the vacuum's locate pass is column-pruned to (_gone, _v,
+    kb) and only tombstone-holding buckets rewrite; the log's file
+    count is bounded by retention however many versions the producer
+    ships."""
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        publish_changes,
+        replay_horizon,
+        truncate_published,
+    )
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream as _changes_stream,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        diff_tables,
+        read_replica,
+        stream_apply_changes,
+        vacuum_tombstones,
+        write_bucketed,
+        write_replica,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    s2 = o.filter(F.col("k") % 24 != 0).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("price_c") + 3)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    s3 = s2.filter(F.col("k") % 28 != 0).select(
+        "k",
+        F.when(F.col("k") % 15 == 0, F.col("price_c") + 9)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "cdc_retention")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    V.commit_bucketed(spark, s2, src, "k", op="upsert")
+    V.commit_bucketed(spark, s3, src, "k", op="upsert")
+
+    log = f"{root}/log"
+    n_published = publish_changes(spark, src, log, ["k"], from_version=v1)
+
+    replica = f"{root}/replica"
+    write_replica(o, replica, "k", version=v1)
+    q = stream_apply_changes(
+        _changes_stream(spark, log), replica, "k", f"{root}/ck"
+    )
+    q.awaitTermination(120)
+
+    # (1) the illegal floor refuses while v2 is still redeliverable
+    n_illegal_rejected = 0
+    try:
+        vacuum_tombstones(spark, replica, below_version=v1 + 2, log_dir=log)
+    except ValueError:
+        n_illegal_rejected = 1
+    # (2) retention advances the horizon, (3) the floor becomes legal
+    truncate_published(log, below_version=v1 + 2)
+    horizon_minus_v1 = replay_horizon(log) - v1
+    import os as _os
+
+    n_versions_retained = len(
+        {
+            int(f[1:13])
+            for f in _os.listdir(_os.path.join(log, "data"))
+            if f.startswith("v") and f.endswith(".parquet")
+        }
+    )
+    n_reclaimed = vacuum_tombstones(
+        spark, replica, below_version=v1 + 2, log_dir=log
+    )
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+    )
+
+    n_tomb_left = (
+        read_store_pinned(spark, replica).filter(F.col("_gone") == 1).count()
+    )
+    # (4) fresh-checkpoint redelivery from the truncated log converges
+    q = stream_apply_changes(
+        _changes_stream(spark, log), replica, "k", f"{root}/ck_fresh"
+    )
+    q.awaitTermination(120)
+    expected = f"{root}/expected"
+    write_bucketed(s3, expected, "k", checksums=True)
+    visible = f"{root}/visible"
+    write_bucketed(read_replica(spark, replica), visible, "k", checksums=True)
+    drift = diff_tables(spark, visible, expected, ["k"], ["price_c"]).count()
+    totals = spark.read.parquet(visible).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.select(
+        F.lit(n_published).cast("bigint").alias("n_published"),
+        F.lit(n_illegal_rejected).cast("bigint").alias("n_illegal_rejected"),
+        F.lit(horizon_minus_v1).cast("bigint").alias("horizon_minus_v1"),
+        F.lit(n_versions_retained).cast("bigint").alias("n_versions_retained"),
+        F.lit(n_reclaimed).cast("bigint").alias("n_reclaimed"),
+        F.lit(n_tomb_left).cast("bigint").alias("n_tomb_left"),
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
     "ops_rebucket_migration",
     oracle=f"""
     WITH t AS (
@@ -1247,6 +1495,7 @@ def ops_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_8million_data__spark.operators.bucket_store import (
         bucket_file_counts,
         read_nb,
+        read_store_pinned,
         rebucket,
     )
     from etl_8million_data__spark.operators.diff import (
@@ -1269,7 +1518,9 @@ def ops_rebucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fsck = checksums_fsck(spark, root).select("n_mismatched")
     n_buckets = len(bucket_file_counts(root, "kb"))
-    totals = spark.read.parquet(root).agg(
+    # post-migration reads go through the store door (the _current
+    # manifest resolves to the live generation directory)
+    totals = read_store_pinned(spark, root).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("price_c").cast("bigint").alias("price_c_total"),
     )
@@ -1287,7 +1538,7 @@ def _advisor_nb_oracle() -> str:
         sql_recommend_nb,
     )
 
-    rec = sql_recommend_nb("churn_keys", "table_rows")
+    rec = sql_recommend_nb("churn_keys", "table_rows", bytes_sql="table_bytes")
     return f"""
     WITH daily AS (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderdate AS d,
@@ -1295,11 +1546,20 @@ def _advisor_nb_oracle() -> str:
       FROM orders GROUP BY 1, 2),
     churn AS (
       SELECT yr, CAST(max(c) AS BIGINT) AS churn_keys FROM daily GROUP BY yr),
-    t AS (
+    meas AS (
       SELECT yr, churn_keys,
-             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS table_rows
-      FROM churn)
-    SELECT yr, churn_keys, table_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS table_rows,
+             (SELECT CAST(count(*) * 256 AS BIGINT) FROM customer)
+               AS table_bytes
+      FROM churn),
+    proj AS (
+      SELECT CAST(9999 AS INTEGER) AS yr,
+             (SELECT CAST(max(churn_keys) AS BIGINT) FROM churn)
+               AS churn_keys,
+             CAST(400000000000 AS BIGINT) AS table_rows,
+             CAST(100000000000000 AS BIGINT) AS table_bytes),
+    t AS (SELECT * FROM meas UNION ALL SELECT * FROM proj)
+    SELECT yr, churn_keys, table_rows, table_bytes,
            {rec} AS nb_recommended,
            CAST(churn_keys * 1000 // {rec} AS BIGINT) AS read_per_mille
     FROM t
@@ -1325,15 +1585,23 @@ def advisor_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation is the next power of two holding the per-apply read
     fraction under 1/16, capped at the largest power keeping >= 64
     rows per bucket — the cap wins, so a small table never gets a
-    listing-storm modulus. Pure integer ladder arithmetic, so the
-    DuckDB oracle reproduces every recommendation bit-for-bit; the
-    EXECUTION door is bucket_store.rebucket (ops_rebucket_migration),
-    and the blast-radius claim behind the model is the one measured in
-    SCALING.md (7/16 vs 10/256 for the same change set).
+    listing-storm modulus — with a third, BYTE arm that binds on large
+    tables: measured table bytes must keep every bucket under the
+    256 MiB task budget, and this floor overrides the rows cap (a row
+    floor alone would leave a 100 TB table at 4096 buckets of ~24 GB
+    each — oversized tasks and join builds). The per-year rows use
+    measured workload churn; the yr=9999 row PROJECTS the same model
+    at 100 TB / 400 G rows and shows the byte arm pushing nb past the
+    old 4096 cap (to 524288 = ~190 MiB/bucket). Pure integer ladder
+    arithmetic, so the DuckDB oracle reproduces every recommendation
+    bit-for-bit; the EXECUTION door is bucket_store.rebucket
+    (ops_rebucket_migration), and the blast-radius claim behind the
+    model is the one measured in SCALING.md (7/16 vs 10/256 for the
+    same change set).
 
     Scale shape: churn measurement is one groupBy over the workload
-    table; the advice itself is |years| rows of driver arithmetic. The
-    advisor never touches the store."""
+    table; the advice itself is |years|+1 rows of driver arithmetic.
+    The advisor never touches the store."""
     from etl_8million_data__spark.operators.bucket_store import recommend_nb
 
     o = load_table(spark, sf_dir, "orders")
@@ -1345,13 +1613,32 @@ def advisor_bucket_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn = daily.groupBy("yr").agg(
         F.max("c").cast("bigint").alias("churn_keys")
     )
-    rows = c.agg(F.count(F.lit(1)).cast("bigint").alias("table_rows"))
-    t = churn.crossJoin(F.broadcast(rows))
-    rec = recommend_nb(F.col("churn_keys"), F.col("table_rows"))
+    rows = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("table_rows"),
+        (F.count(F.lit(1)) * 256).cast("bigint").alias("table_bytes"),
+    )
+    meas = churn.crossJoin(F.broadcast(rows))
+    proj = churn.agg(
+        F.max("churn_keys").cast("bigint").alias("churn_keys")
+    ).select(
+        F.lit(9999).cast("int").alias("yr"),
+        "churn_keys",
+        F.lit(400_000_000_000).cast("bigint").alias("table_rows"),
+        F.lit(100_000_000_000_000).cast("bigint").alias("table_bytes"),
+    )
+    t = meas.select(
+        "yr", "churn_keys", "table_rows", "table_bytes"
+    ).unionByName(proj)
+    rec = recommend_nb(
+        F.col("churn_keys"),
+        F.col("table_rows"),
+        bytes_col=F.col("table_bytes"),
+    )
     return t.select(
         "yr",
         "churn_keys",
         "table_rows",
+        "table_bytes",
         rec.alias("nb_recommended"),
         # floor division (DuckDB `//`): exact for these magnitudes
         F.floor(F.col("churn_keys") * 1000 / rec)

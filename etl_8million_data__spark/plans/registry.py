@@ -85,14 +85,22 @@ def _load() -> None:
 # registration order after the prioritized block; stale names in the
 # list are ignored.
 _PRIORITY: tuple[str, ...] = (
-    # NEW in round 13 (first external evidence)
+    # NEW/changed in round 14 (first external evidence / oracle
+    # changed): the compaction advisor arm; the bucket-count advisor's
+    # byte-budget third arm (+100TB projection row); the queries whose
+    # doors changed shape (manifest-flip rebucket, pinned/retained CDC
+    # log, un-forced eligibility broadcast)
+    "advisor_compaction",
+    "ops_cdc_retention",
+    "advisor_bucket_count",
+    "ops_rebucket_migration",
+    "ops_cdc_producer_stream",
+    "ops_cdc_apply_versioned",
+    # NEW in round 13 (first external evidence; the rest of the r13
+    # block moved into the round-14 block above)
     "ops_retention_sweep",
     "advisor_rebucket_telemetry",
-    "ops_cdc_apply_versioned",
-    "ops_cdc_producer_stream",
     "ops_store_compaction_audit",
-    "ops_rebucket_migration",
-    "advisor_bucket_count",
     "ops_schema_evolution",
     # NEW in round 12 (first external evidence)
     "ops_replica_audit",

@@ -1,0 +1,441 @@
+"""Round-14 hardening of the replication/ops doors
+(operators/cdc_log.py + operators/bucket_store.py + operators/diff.py):
+the CDC log's pinned change-frame schema carries a source schema
+evolution THROUGH the stream (no silent column drop); log retention
+bounds the file count and gives vacuum_tombstones a validated replay
+horizon instead of a docstring promise; the rebucket migration commits
+via an atomic manifest flip (a crash on either side of the flip leaves
+a fully-consistent store); the overwrite door preserves a predecessor's
+crash marker instead of clobbering it; and a fresh store's first append
+never writes the marker that could brick it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8million_data__spark.operators.bucket_store import (
+    advise_compaction,
+    bucket_file_counts,
+    compact_buckets,
+    read_pending,
+    read_store_pinned,
+    rebucket,
+    resolve_root,
+    store_bytes,
+    write_pending,
+)
+from etl_8million_data__spark.operators.diff import (
+    append_bucketed,
+    apply_changes_versioned,
+    checksums_fsck,
+    read_replica,
+    vacuum_tombstones,
+    write_bucketed,
+    write_replica,
+)
+
+
+def _frame(spark, d):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(d.items())], "k long, v long"
+    )
+
+
+# ---------------------------------------------------------------- CDC log
+
+
+def _committed_source(spark, tmp_path, states):
+    from etl_8million_data__spark.operators import versioned as V
+
+    src = str(tmp_path / "src")
+    v1 = V.commit_bucketed(spark, _frame(spark, states[0]), src, "k")
+    for s in states[1:]:
+        V.commit_bucketed(spark, _frame(spark, s), src, "k", op="upsert")
+    return src, v1
+
+
+def test_log_schema_pin_carries_evolution_through_the_stream(
+    spark, tmp_path
+):
+    """The round-13 silent-wrong-data edge, closed: a source schema
+    evolution mid-log must reach the replica THROUGH the stream. The
+    log pin (_schema.json) widens when a later version's frame carries
+    a new column; changes_stream declares the PIN (never one arbitrary
+    footer, which could resolve to the old shape and silently drop the
+    evolved column from every newer frame); older retained frames read
+    back NULL-extended; and after evolve_add_columns on the replica the
+    evolved values land."""
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.bucket_store import (
+        evolve_add_columns,
+    )
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+        read_log_schema,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base = {k: k * 10 for k in range(20)}
+    s2 = {**base, 3: 31, 20: 200}
+    src, v1 = _committed_source(spark, tmp_path, [base, s2])
+
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 1
+    pin = read_log_schema(log)
+    assert [f.name for f in pin.fields] == ["_change_type", "k", "v",
+                                            "_commit_version"]
+
+    replica = str(tmp_path / "replica")
+    write_replica(_frame(spark, base), replica, "k", version=v1)
+
+    def drain(ck):
+        q = stream_apply_changes(
+            changes_stream(spark, log), replica, "k", str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+
+    drain("ck")
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+    } == s2
+
+    # SOURCE EVOLUTION: v3 widens the source with `region` (set on two
+    # keys, NULL elsewhere — a NULL-on-both-sides row is unchanged)
+    s3 = dict(s2)
+    s3[3] = 33
+    rows = [
+        (k, v, "EU" if k == 3 else ("US" if k == 20 else None))
+        for k, v in sorted(s3.items())
+    ]
+    V.commit_bucketed(
+        spark,
+        spark.createDataFrame(rows, "k long, v long, region string"),
+        src,
+        "k",
+        op="upsert",
+    )
+    assert publish_changes(spark, src, log, ["k"]) == 1
+
+    # the pin widened; the stream DECLARES it, so the evolved column is
+    # in the stream schema no matter which footer a naive read would
+    # have picked
+    pin = read_log_schema(log)
+    assert [f.name for f in pin.fields] == [
+        "_change_type", "k", "v", "_commit_version", "region",
+    ]
+    assert [f.name for f in changes_stream(spark, log).schema.fields] == [
+        "_change_type", "k", "v", "_commit_version", "region",
+    ]
+    # retained pre-evolution frames read back NULL-extended under the pin
+    data_dir = os.path.join(log, "data")
+    old_frames = spark.read.schema(pin).parquet(data_dir).filter(
+        F.col("_commit_version") == v1 + 1
+    )
+    assert old_frames.count() > 0
+    assert old_frames.filter(F.col("region").isNotNull()).count() == 0
+
+    # replica refuses until evolved (the loud guard), then the evolved
+    # values arrive through the SAME stream checkpoint
+    with pytest.raises(Exception, match="evolve_add_columns"):
+        drain("ck")
+    evolve_add_columns(spark, replica, "region string", compare=True)
+    drain("ck")
+    got = {
+        r["k"]: (r["v"], r["region"])
+        for r in read_replica(spark, replica).collect()
+    }
+    assert got[3] == (33, "EU") and got[20] == (200, "US")
+    assert got[4] == (40, None)
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+
+def test_log_pin_type_conflict_refuses(spark, tmp_path):
+    """Two types for one column cannot share a log: the pin
+    reconciliation raises instead of silently coercing (a coerced
+    change frame would corrupt the replica)."""
+    from pyspark.sql.types import StructType
+
+    from etl_8million_data__spark.operators.cdc_log import (
+        _pin_schema,
+        read_log_schema,
+    )
+
+    log = str(tmp_path / "log")
+    s1 = StructType.fromDDL(
+        "_change_type string, k bigint, v bigint, _commit_version bigint"
+    )
+    assert _pin_schema(log, s1) == s1
+    s_conflict = StructType.fromDDL(
+        "_change_type string, k bigint, v string, _commit_version bigint"
+    )
+    with pytest.raises(ValueError, match="pinned schema"):
+        _pin_schema(log, s_conflict)
+    # the pin is unchanged by the refused publish
+    assert read_log_schema(log) == s1
+
+
+def test_truncate_published_bounds_log_and_gates_vacuum(spark, tmp_path):
+    """Retention lifecycle: N published versions -> truncate deletes
+    exactly the sub-horizon files and advances the replay horizon;
+    vacuum_tombstones with a legal floor (<= horizon) reclaims, an
+    illegal floor (> horizon) raises BEFORE touching the replica; and
+    redelivery from the retained log (fresh checkpoint) still
+    converges."""
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+        replay_horizon,
+        truncate_published,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base = {k: k * 10 for k in range(20)}
+    s2 = {**{k: v + 1 for k, v in base.items() if k % 2 == 0},
+          **{k: v for k, v in base.items() if k % 2 == 1}}
+    del s2[5]  # delete k=5 @ v2
+    s3 = dict(s2)
+    s3[0] = 7000  # update @ v3
+    s4 = dict(s3)
+    s4[9] = 999  # update @ v4
+    src, v1 = _committed_source(spark, tmp_path, [base, s2, s3, s4])
+
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 3
+    assert replay_horizon(log) == v1 + 1
+    data_dir = os.path.join(log, "data")
+
+    def log_versions():
+        return sorted(
+            {int(f[1:13]) for f in os.listdir(data_dir)
+             if f.startswith("v") and f.endswith(".parquet")}
+        )
+
+    assert log_versions() == [v1 + 1, v1 + 2, v1 + 3]
+
+    replica = str(tmp_path / "replica")
+    write_replica(_frame(spark, base), replica, "k", version=v1)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+    } == s4
+
+    # k=5's delete tombstone sits at _v = v1+1; vacuuming it away needs
+    # a floor ABOVE that version — illegal while the log can still
+    # redeliver v1+1, legal after retention truncates it
+    floor = v1 + 2
+    with pytest.raises(ValueError, match="replay horizon"):
+        vacuum_tombstones(spark, replica, below_version=floor, log_dir=log)
+    # tombstone untouched by the refused vacuum
+    assert read_store_pinned(spark, replica).filter(
+        F.col("_gone") == 1
+    ).count() == 1
+
+    # truncate below the floor: sub-horizon files gone, horizon moved
+    deleted = truncate_published(log, below_version=floor)
+    assert deleted >= 1
+    assert replay_horizon(log) == floor
+    assert log_versions() == [v1 + 2, v1 + 3]
+    # monotonic: re-truncating at or below the horizon is a no-op
+    assert truncate_published(log, below_version=floor) == 0
+    # a floor above the published head raises
+    with pytest.raises(ValueError, match="truncate"):
+        truncate_published(log, below_version=v1 + 99)
+
+    # now the vacuum floor is legal and reclaims exactly the tombstone
+    assert vacuum_tombstones(
+        spark, replica, below_version=floor, log_dir=log
+    ) == 1
+    assert read_store_pinned(spark, replica).filter(
+        F.col("_gone") == 1
+    ).count() == 0
+
+    # redelivery from the RETAINED log (fresh checkpoint) converges:
+    # versions >= horizon re-apply as no-ops (max-version-wins), and
+    # the truncated v2 — the only version whose redelivery could have
+    # resurrected k=5 — can no longer arrive
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+    } == s4
+    assert checksums_fsck(spark, replica).first()["n_mismatched"] == 0
+
+
+# ------------------------------------------------------ manifest-flip
+
+
+def test_rebucket_crash_before_flip_leaves_live_store_untouched(
+    spark, tmp_path
+):
+    """Crash injection between staging and the pointer flip: the live
+    store must answer every read/door identically (the stage dir is an
+    underscore-prefixed sibling no reader lists), and the next rebucket
+    sweeps the orphan and completes."""
+    ref = {k: k * 10 for k in range(50)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+
+    # inject: fail exactly at the manifest flip (os.replace of _current)
+    import etl_8million_data__spark.operators.bucket_store as BS
+
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == "_current":
+            raise OSError("injected crash at the manifest flip")
+        return real_replace(src, dst)
+
+    os.replace = exploding_replace
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            rebucket(spark, pa, "k", 64)
+    finally:
+        os.replace = real_replace
+
+    # live store untouched: still the original modulus, full content,
+    # honest summary; the orphaned stage dir is invisible to resolution
+    assert resolve_root(pa) == pa
+    assert BS.read_nb(pa) == 16
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    orphans = [e for e in os.listdir(pa) if e.startswith("_gen_")]
+    assert orphans, "the staged generation should have been left behind"
+
+    # the next migration sweeps the orphan and completes atomically
+    rebucket(spark, pa, "k", 64)
+    assert resolve_root(pa) != pa
+    assert BS.read_nb(pa) == 64
+    assert len(bucket_file_counts(pa, "kb")) <= 64
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # exactly one generation remains under the root
+    gens = [e for e in os.listdir(pa) if e.startswith("_gen_")]
+    assert len(gens) == 1
+
+
+def test_rebucket_flip_then_doors_and_second_migration(spark, tmp_path):
+    """After a completed flip every door — append, CDC apply, fsck,
+    compaction census, advisor — must operate on the live generation
+    through the unchanged public path, and a SECOND migration (gen_1 ->
+    gen_2) must sweep the superseded generation."""
+    ref = {k: k * 10 for k in range(50)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    rebucket(spark, pa, "k", 32)
+    live1 = resolve_root(pa)
+    assert os.path.basename(live1) == "_gen_1"
+
+    # doors through the public path
+    batch = {100: 1000, 101: 1010}
+    append_bucketed(_frame(spark, batch), pa, "k")
+    ref.update(batch)
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    assert store_bytes(pa) > 0
+    adv = advise_compaction(pa, max_files=1)
+    assert adv["n_debt_buckets"] >= 1  # the append landed second files
+    assert compact_buckets(spark, pa, "kb", max_files=1) == adv[
+        "n_debt_buckets"
+    ]
+    assert advise_compaction(pa, max_files=1)["action"] == "keep"
+
+    # second migration: supersedes gen_1, sweeps it
+    rebucket(spark, pa, "k", 64)
+    live2 = resolve_root(pa)
+    assert os.path.basename(live2) == "_gen_2"
+    assert not os.path.isdir(live1)
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+# ------------------------------------------------- crash-marker hygiene
+
+
+def test_overwrite_door_preserves_predecessor_crash_record(
+    spark, tmp_path
+):
+    """A door that died between its data write and its summary update
+    leaves a _pending_summary marker; a LATER door that goes through
+    overwrite_buckets (compaction here) must repair that record first —
+    round 13 clobbered it, leaving the summary silently stale."""
+    from etl_8million_data__spark.operators.partitioning import id_bucket
+
+    pa = str(tmp_path / "t")
+    ref = {k: k * 10 for k in range(30)}
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    # build compactable debt honestly through the door
+    batch = {k: k * 10 for k in range(30, 60)}
+    append_bucketed(_frame(spark, batch), pa, "k")
+    ref.update(batch)
+
+    # crash simulation: data landed, summary didn't, marker left behind
+    crash = {100: 1000, 101: 1010}
+    staged = _frame(spark, crash).withColumn("kb", id_bucket(F.col("k"), 16))
+    kbs = [r["kb"] for r in staged.select("kb").distinct().collect()]
+    write_pending(pa, 7, kbs)
+    staged.repartition(F.col("kb")).write.mode("append").partitionBy(
+        "kb"
+    ).parquet(pa)
+    spark.catalog.refreshByPath(pa)
+    ref.update(crash)
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] > 0
+
+    # compaction (an overwrite_buckets door with no repair of its own)
+    # must repair the predecessor's buckets, not clobber the marker
+    compact_buckets(spark, pa, "kb")
+    assert read_pending(pa) is None
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+
+
+def test_fresh_store_first_append_writes_no_marker(spark, tmp_path):
+    """The marker protects only the checksum summary; writing it before
+    a fresh store's first data ever lands would brick the store if the
+    door crashed in between (a marker-only directory fails the layout
+    check forever). The append doors must skip it when no summary
+    exists — observed directly via the marker author."""
+    import etl_8million_data__spark.operators.bucket_store as BS
+
+    calls = []
+    real = BS.write_pending
+
+    def spying_write_pending(root, batch_id, kbs):
+        calls.append(root)
+        return real(root, batch_id, kbs)
+
+    # the doors import write_pending from bucket_store at call time
+    BS.write_pending = spying_write_pending
+    try:
+        pa = str(tmp_path / "fresh")
+        # append-creates-store: no summary -> no marker, ever
+        append_bucketed(_frame(spark, {1: 10, 2: 20}), pa, "k")
+        assert calls == []
+        assert read_pending(pa) is None
+
+        # a summarized store keeps the marker discipline
+        pb = str(tmp_path / "summarized")
+        write_bucketed(_frame(spark, {1: 10}), pb, "k", checksums=True)
+        append_bucketed(_frame(spark, {2: 20}), pb, "k")
+        assert calls == [pb]
+        assert read_pending(pb) is None  # cleared after the splice
+    finally:
+        BS.write_pending = real

@@ -171,6 +171,14 @@ AUDIT = {
     # local advice — nothing to audit beyond its scan-free shape
     "advisor_rebucket_telemetry": ["Scan ExistingRDD"],
     "ops_retention_sweep": ["HashAggregate"],
+    # round-14 compaction advisor: census + door + re-census run
+    # eagerly in the builder (driver-side listings); the returned frame
+    # is the 1-row decision record — scan-free local relation
+    "advisor_compaction": ["Scan ExistingRDD"],
+    # retention lifecycle: publish/stream/truncate/vacuum run eagerly in
+    # the builder; the returned frame is the visible-rows aggregate
+    # crossed with the recorded lifecycle counts
+    "ops_cdc_retention": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.

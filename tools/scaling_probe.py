@@ -2449,6 +2449,7 @@ def rebucket_probe() -> list[str]:
     from etl_8million_data__spark.operators.bucket_store import (
         rebucket,
         recommend_nb,
+        resolve_root,
     )
     from etl_8million_data__spark.operators.diff import (
         checksums_fsck,
@@ -2476,7 +2477,11 @@ def rebucket_probe() -> list[str]:
                     id_bucket(F.col("k"), nb).alias("_b")
                 ).distinct().collect()
             ]
-            probe = spark.read.parquet(pa).filter(F.col("kb").isin(kbs))
+            # resolve_root: after the manifest-flip migration the live
+            # generation is a subdir of pa (identity before it)
+            probe = spark.read.parquet(resolve_root(pa)).filter(
+                F.col("kb").isin(kbs)
+            )
             ms = _scan_partition_metrics(probe, pa)
             return max(m.get("numOutputRows", 0) for m in ms), len(kbs)
 
@@ -2489,7 +2494,7 @@ def rebucket_probe() -> list[str]:
         rebucket(spark, pa, "k", advice)
         radv, badv = rows_read(advice)
         assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
-        got = spark.read.parquet(pa).agg(
+        got = spark.read.parquet(resolve_root(pa)).agg(
             F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
         ).first()
         want = table.agg(
@@ -2513,6 +2518,152 @@ def rebucket_probe() -> list[str]:
         spark.stop()
 
 
+def cdc_bulk_probe() -> list[str]:
+    """Round-14 gate for the un-forced broadcast in the versioned CDC
+    apply (round 13's one flagged scale hazard): the old code hinted
+    ``F.broadcast(old_v)`` where ``old_v`` is the replica-side
+    (key, _v) projection of every row in the touched buckets —
+    DATA-sized (grows with the table at fixed churn), so a bulk change
+    frame at the 100 TB design point force-broadcast a table-scale
+    relation into the driver. The fix removes the hint (AQE sizes the
+    join at runtime) and gates the sibling change-set-sized hints on a
+    KNOWN count (bounded_broadcast, <= MAX_BROADCAST_ROWS). Gates:
+    (a) the eligibility join's plan carries ZERO broadcast hint under a
+    bulk frame (analyzed plan has no ResolvedHint);
+    (b) modeling the 100 TB regime (broadcast threshold below the
+    replica slice), the EXECUTED eligibility join is a shuffle join —
+    impossible with the old forced hint;
+    (c) bounded_broadcast hints iff the known count is micro-batch
+    sized;
+    (d) a change frame touching ~30% of all keys (3000x the micro-batch
+    contract) applies end-to-end and converges."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("cdc-bulk-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_8million_data__spark.operators.bucket_store import (
+        MAX_BROADCAST_ROWS,
+        bounded_broadcast,
+        read_store_pinned,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        _eligible_versioned,
+        apply_changes_versioned,
+        read_replica,
+        write_replica,
+    )
+
+    NB = 256
+    N = 500_000
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+
+    out = []
+    work = tempfile.mkdtemp(prefix="cdcbulk_probe_")
+    try:
+        vrep = f"{work}/vreplica"
+        write_replica(table(N), vrep, "k", nb=NB, version=1)
+        # BULK: update 30% of all keys — violates the micro-batch
+        # contract by ~3 orders of magnitude, exactly the case the
+        # forced hint turned into a silent scale hazard
+        ch = (
+            table(N)
+            .filter(F.col("k") % 10 < 3)
+            .select(
+                F.lit("update").alias("_change_type"),
+                "k",
+                (F.col("v") + 100000).alias("v"),
+                F.lit(3).cast("bigint").alias("_commit_version"),
+            )
+        )
+        n_ch = ch.count()
+        assert n_ch == N * 3 // 10, n_ch
+
+        # (c) the count gate: a micro-batch count hints, a bulk/unknown
+        # count does not
+        probe_df = ch.select("k")
+        hinted = bounded_broadcast(probe_df, 100)
+        unhinted = bounded_broadcast(probe_df, MAX_BROADCAST_ROWS + 1)
+        unknown = bounded_broadcast(probe_df, None)
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+        for d in (unhinted, unknown):
+            assert "ResolvedHint" not in d._jdf.queryExecution().analyzed().toString()
+
+        # (a) + (b): the eligibility join — analyzed plan hint-free,
+        # and with the broadcast threshold modeling "slice >> memory"
+        # (the 100 TB regime) the executed join is a shuffle join
+        old = read_store_pinned(spark, vrep)  # bulk touches all buckets
+        elig = _eligible_versioned(ch, old, "k")
+        analyzed = elig._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed[:2000]
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+        try:
+            n_elig = _eligible_versioned(ch, old, "k").count()
+            executed = (
+                _eligible_versioned(ch, old, "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert n_elig == n_ch, (n_elig, n_ch)
+        assert "BroadcastHashJoin" not in executed, executed[:2000]
+        assert "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
+        line = (
+            f"cdc-bulk eligibility: {n_ch} change keys vs {N}-row replica"
+            " slice; no broadcast hint; executed join under a 64KiB"
+            " threshold = shuffle join (the forced hint made that"
+            " impossible)"
+        )
+        print(line)
+        out.append(line)
+
+        # (d) the door end-to-end on the bulk frame, convergence gate
+        t0 = _t.time()
+        applied = apply_changes_versioned(spark, vrep, ch, "k", nb=NB)
+        wall = _t.time() - t0
+        assert applied == n_ch, applied
+        got = read_replica(spark, vrep)
+        want = table(N).withColumn(
+            "v",
+            F.when(
+                F.col("k") % 10 < 3, F.col("v") + 100000
+            ).otherwise(F.col("v")),
+        )
+        assert (
+            got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0
+        ), "bulk apply did not converge"
+        line = (
+            f"cdc-bulk apply: {n_ch} changes ({n_ch * 100 // N}% of keys)"
+            f" applied in {wall:.2f}s, converged; stale redelivery is"
+            " version-fenced as in --cdc-apply"
+        )
+        print(line)
+        out.append(line)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
@@ -2528,6 +2679,8 @@ if __name__ == "__main__":
         diff_summary_probe()
     elif "--cdc-apply" in sys.argv:
         cdc_apply_probe()
+    elif "--cdc-bulk" in sys.argv:
+        cdc_bulk_probe()
     elif "--compaction" in sys.argv:
         compaction_probe()
     elif "--rebucket" in sys.argv:
