@@ -75,22 +75,23 @@ def build_index(
 def _read_index(
     spark: SparkSession, index_path: str, schema: str | None = None
 ) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store,
+        store_exists,
+    )
 
-    from etl_8million_data__spark.operators.bucket_store import read_store
-
-    try:
-        # STATIC declared schema: zero footer reads at plan time, so a
-        # literal-pruned probe touches only the probed partitions'
-        # files (a mergeSchema read launched a footer-merge over EVERY
-        # cell before the filter pruned anything — asserted by the
-        # corrupt-unprobed-cell test); legacy pre-batch-tagging files
-        # surface _batch as NULL exactly as the merged schema did.
-        return read_store(spark, index_path, schema or INDEX_SCHEMA)
-    except AnalysisException:
-        # first batch: index doesn't exist yet; any other failure
-        # (corrupt files, permissions) must propagate.
+    # first batch decided driver-side — never a caught JVM
+    # PATH_NOT_FOUND (bucket_store.store_exists); any failure of the
+    # real read (corrupt files, permissions) propagates.
+    if not store_exists(index_path):
         return spark.createDataFrame([], schema or INDEX_SCHEMA)
+    # STATIC declared schema: zero footer reads at plan time, so a
+    # literal-pruned probe touches only the probed partitions'
+    # files (a mergeSchema read launched a footer-merge over EVERY
+    # cell before the filter pruned anything — asserted by the
+    # corrupt-unprobed-cell test); legacy pre-batch-tagging files
+    # surface _batch as NULL exactly as the merged schema did.
+    return read_store(spark, index_path, schema or INDEX_SCHEMA)
 
 
 def append_vectors(

@@ -74,25 +74,28 @@ def _batch_bands(
 def _read_index(
     spark: SparkSession, index_path: str, schema: str = INDEX_SCHEMA
 ) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store,
+        store_exists,
+    )
 
-    from etl_8million_data__spark.operators.bucket_store import read_store
-
-    try:
-        # DECLARED schema, not mergeSchema: the probe must not pay a
-        # footer-merge job over every accumulated append before its
-        # filters apply. The legacy concern the footer-merge used to
-        # cover — pre-batch-tagging files without _batch, where an
-        # arbitrary-footer inference would silently drop the column and
-        # turn the same-tag probe exclusion into a no-op — is covered
-        # by the declared schema itself: files missing _batch surface
-        # it as NULL.
-        return read_store(spark, index_path, schema)
-    except AnalysisException:
-        # first batch: index doesn't exist yet. Any OTHER failure
-        # (corrupt files, permissions) must propagate — silently
-        # treating a broken index as empty would re-admit duplicates.
+    # first batch (index doesn't exist yet) decided DRIVER-SIDE — a
+    # caught JVM PATH_NOT_FOUND would still land an ERROR on the
+    # execution-listener bus (bucket_store.store_exists). Any failure
+    # of the real read (corrupt files, permissions) propagates —
+    # silently treating a broken index as empty would re-admit
+    # duplicates.
+    if not store_exists(index_path):
         return spark.createDataFrame([], schema)
+    # DECLARED schema, not mergeSchema: the probe must not pay a
+    # footer-merge job over every accumulated append before its
+    # filters apply. The legacy concern the footer-merge used to
+    # cover — pre-batch-tagging files without _batch, where an
+    # arbitrary-footer inference would silently drop the column and
+    # turn the same-tag probe exclusion into a no-op — is covered
+    # by the declared schema itself: files missing _batch surface
+    # it as NULL.
+    return read_store(spark, index_path, schema)
 
 
 def dedup_increment(

@@ -174,14 +174,21 @@ def fsck_golden_state(spark: SparkSession, root: str) -> DataFrame:
         # parquet files: fall back to golden.py's declared schema so the
         # health check reports zeros instead of raising (same `_pruned`
         # discipline as the delta doors).
-        from pyspark.errors import AnalysisException
-
+        from etl_8million_data__spark.operators.bucket_store import (
+            store_exists,
+        )
         from etl_8million_data__spark.operators.golden import _SCHEMAS
 
-        try:
-            return spark.read.parquet(os.path.join(root, name))
-        except AnalysisException:
+        p = os.path.join(root, name)
+        if not store_exists(p):
+            # missing decided driver-side (store_exists) — a caught
+            # PATH_NOT_FOUND would still land an ERROR on the
+            # execution-listener bus
             return spark.createDataFrame([], _SCHEMAS[name])
+        # declared schema: an emptied-but-existing table (zero parquet
+        # files) reads back as an empty frame instead of a schema-
+        # inference failure
+        return spark.read.schema(_SCHEMAS[name]).parquet(p)
 
     members = _state("members")
     edges = _state("edges")

@@ -347,16 +347,15 @@ def stream_join_view_increment(
     batches only (standard streaming dim-join semantics); dimension
     UPDATES that must rewrite existing view rows are the upsert path
     on the view, not this append door."""
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import store_exists
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df
-        try:
+        # first batch decided driver-side (bucket_store.store_exists)
+        if store_exists(view_path):
             seen = spark.read.parquet(view_path).select(a_pk).distinct()
             fresh = batch_df.join(seen, a_pk, "left_anti")
-        except AnalysisException:
-            pass  # first batch: view doesn't exist yet
         delta = fresh.join(b_static, on).localCheckpoint(eager=True)
         if delta.count():
             delta.write.mode("append").parquet(view_path)

@@ -133,7 +133,7 @@ def append_clean_store(
     and COLUMN-pruned to rid — a replayed batch appends nothing, at any
     store size. Rows repartition on the block key before the write (one
     new file per touched block). Returns rows appended."""
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import store_exists
 
     b = (
         new_records.select("rid", "name", "bal", "seg")
@@ -142,15 +142,16 @@ def append_clean_store(
     )
     spark = new_records.sparkSession
     blocks = [r["blk"] for r in b.select("blk").distinct().collect()]
-    try:
+    # first batch decided driver-side (bucket_store.store_exists) —
+    # never a caught JVM PATH_NOT_FOUND
+    if store_exists(store_path):
         existing = (
             spark.read.parquet(store_path)
             .filter(F.col("blk").isin(blocks) if blocks else F.lit(False))
             .select("rid")
         )
         fresh = b.join(existing, "rid", "left_anti").localCheckpoint(eager=True)
-    except AnalysisException:
-        # first batch: store doesn't exist yet
+    else:
         fresh = b
     n = fresh.count()
     if n:

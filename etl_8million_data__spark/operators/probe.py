@@ -201,13 +201,14 @@ def score_new_vectors(
     Returns the number of vectors scored. Replay-idempotent by the same
     argument as the index ingests: a redelivered batch's ids already
     have scores, so the re-append is a natural no-op."""
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import store_exists
 
     spark = new_emb.sparkSession
     w = spark.read.parquet(weights_path)
-    try:
+    # first batch decided driver-side (bucket_store.store_exists)
+    if store_exists(out_path):
         existing = spark.read.parquet(out_path).select("vec_id")
-    except AnalysisException:
+    else:
         existing = spark.createDataFrame([], "vec_id long")
     xm = new_emb.select(
         F.col(id_col).alias("vec_id"),

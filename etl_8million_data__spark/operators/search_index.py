@@ -60,14 +60,15 @@ def build_postings(
 
 
 def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from etl_8million_data__spark.operators.bucket_store import store_exists
 
-    try:
-        return spark.read.parquet(index_path)
-    except AnalysisException:
-        # first batch: index doesn't exist yet; any other failure
-        # (corrupt files, permissions) must propagate.
+    # first batch decided driver-side — a caught JVM PATH_NOT_FOUND
+    # would still land an ERROR on the execution-listener bus
+    # (bucket_store.store_exists); any failure of the real read
+    # (corrupt files, permissions) propagates.
+    if not store_exists(index_path):
         return spark.createDataFrame([], POSTINGS_SCHEMA)
+    return spark.read.parquet(index_path)
 
 
 def append_documents(

@@ -622,8 +622,7 @@ def contamination_ingest_batch(
     ingest."""
     import hashlib
 
-    from pyspark.errors import AnalysisException
-
+    from etl_8million_data__spark.operators.bucket_store import store_exists
     from etl_8million_data__spark.operators.incremental_dedup import (
         contamination_filter,
     )
@@ -631,10 +630,13 @@ def contamination_ingest_batch(
     scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
     tag = f"{scope_h}-{batch_id}"
     spark = batch_df.sparkSession
-    try:
+    # first batch decided driver-side (see bucket_store.store_exists):
+    # a caught PATH_NOT_FOUND query would still land an ERROR on the
+    # execution-listener bus
+    if store_exists(out_path):
         existing = spark.read.parquet(out_path).select("doc_id")
         fresh = batch_df.join(existing, "doc_id", "left_anti")
-    except AnalysisException:
+    else:
         fresh = batch_df
     kept = contamination_filter(fresh, index_path).localCheckpoint(eager=True)
     if kept.count():
@@ -726,8 +728,7 @@ def stream_quantile_sketch_increment(
     import shutil
     import uuid
 
-    from pyspark.errors import AnalysisException
-
+    from etl_8million_data__spark.operators.bucket_store import store_exists
     from etl_8million_data__spark.operators.text import hex_prefix_int, md5_utf8
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -737,9 +738,10 @@ def stream_quantile_sketch_increment(
             F.col(value_col).cast("bigint").alias("v"),
             hex_prefix_int(md5_utf8(F.col(key_col).cast("string")), 8).alias("h"),
         )
-        try:
+        # first batch decided driver-side (bucket_store.store_exists)
+        if store_exists(sketch_path):
             existing = spark.read.parquet(sketch_path)
-        except AnalysisException:
+        else:
             existing = spark.createDataFrame([], b.schema)
         merged = (
             existing.unionByName(b)
