@@ -62,7 +62,10 @@ def _bounded(old: DataFrame, delta: DataFrame, on: list[str]) -> DataFrame:
                 c = eq if c is None else (c & eq)
             cond = c if cond is None else (cond | c)
         return old.filter(cond)
-    return old.join(F.broadcast(keys), on, "left_semi")
+    # above the literal cap the key-set size is UNKNOWN — no forced
+    # broadcast (a bulk delta would OOM a hinted build side at scale);
+    # AQE broadcasts at runtime iff the frame is actually small
+    return old.join(keys, on, "left_semi")
 
 
 def join_view_delta(
@@ -167,11 +170,15 @@ def agg_view_delta(
     group-moving updates, in-place value changes, and inserts all fall
     out of one signed union. Returns (group_cols..., d_n, d_<sum_col>
     ...) with one row per touched group. The old-row read is bounded to
-    the update batch's PKs via a broadcast semi-join (callers with a
-    partitioned base can literal-prune instead, the upsert discipline);
-    the aggregate-history is NEVER re-scanned."""
+    the update batch's PKs via a semi-join — un-hinted, AQE broadcasts
+    a genuinely small batch at runtime (callers with a partitioned base
+    can literal-prune instead, the upsert discipline); the
+    aggregate-history is NEVER re-scanned."""
+    # un-hinted: the batch size is unknown here (AQE broadcasts a
+    # genuinely small batch at runtime; a bulk backfill degrades to a
+    # shuffle join instead of a forced data-sized broadcast)
     pks = updates.select(pk).distinct()
-    old = base.join(F.broadcast(pks), pk, "left_semi")
+    old = base.join(pks, pk, "left_semi")
     neg = old.select(
         *group_cols,
         F.lit(-1).cast("bigint").alias("_dn"),
@@ -206,13 +213,16 @@ def agg_view_delete_delta(
     of the aggregate-view family (upserts: :func:`agg_view_delta`):
     each deleted row contributes (−1, −value) under its group, so
     :func:`apply_agg_delta` shrinks touched groups and drops emptied
-    ones. The only base read is the victims' own rows (broadcast-semi
-    bounded; literal-pruned on a partitioned base — the forget
-    discipline), so composing ``forget_*`` on the base with this delta
+    ones. The only base read is the victims' own rows (semi-join
+    bounded, un-hinted — AQE sizes it; literal-pruned on a partitioned
+    base — the forget discipline), so composing ``forget_*`` on the
+    base with this delta
     on the view erases a key from BOTH in delta time, never rescanning
     the aggregate history. Returns (group_cols..., d_n, d_<sum_col>…)."""
+    # un-hinted for the same reason as agg_view_delta: victim-set size
+    # unknown, AQE sizes the join
     pks = victim_pks.select(victim_pks.columns[0]).toDF(pk).distinct()
-    old = base.join(F.broadcast(pks), pk, "left_semi")
+    old = base.join(pks, pk, "left_semi")
     neg = old.select(
         *group_cols,
         F.lit(-1).cast("bigint").alias("_dn"),
