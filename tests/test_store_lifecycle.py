@@ -719,7 +719,7 @@ def test_publisher_crash_reships_one_version_harmlessly(spark, tmp_path):
 
     from etl_8million_data__spark.operators import versioned as V
     from etl_8million_data__spark.operators.cdc_log import (
-        _read_watermark,
+        _read_state,
         changes_stream,
         publish_changes,
     )
@@ -744,9 +744,9 @@ def test_publisher_crash_reships_one_version_harmlessly(spark, tmp_path):
     assert publish_changes(spark, src, log, ["k"], from_version=v1) == 3
     # crash simulation: the watermark regresses one version (as if the
     # producer died after writing v4's frame but before advancing)
-    wm = _read_watermark(log)
+    st = _read_state(log)
     with open(os.path.join(log, "_published.json"), "w") as fh:
-        json.dump({"upto": wm - 1}, fh)
+        json.dump({"upto": st["upto"] - 1, "horizon": st["horizon"]}, fh)
     assert publish_changes(spark, src, log, ["k"]) == 1  # re-ships v4
 
     replica = str(tmp_path / "replica")
