@@ -148,6 +148,7 @@ HEADLINE = [
     # round-14 families
     "advisor_compaction",  # file-census compaction advisor + door agreement
     "ops_cdc_retention",  # log truncation + validated vacuum floor + redelivery
+    "ops_cdc_stream_evolution",  # pinned log schema carries evolution thru stream
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

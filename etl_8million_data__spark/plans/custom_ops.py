@@ -1295,6 +1295,154 @@ def ops_cdc_producer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ops_cdc_stream_evolution",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders),
+    s2 AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN price_c + 3 ELSE price_c END AS price_c
+      FROM v1),
+    s3 AS (
+      SELECT k,
+             CASE WHEN k % 15 = 0 THEN price_c + 9 ELSE price_c END AS price_c,
+             CASE WHEN k % 100 = 0 THEN 'VIP' ELSE NULL END AS tier
+      FROM s2)
+    SELECT CAST(2 AS BIGINT) AS n_published,
+           CAST(1 AS BIGINT) AS pin_has_tier,
+           CAST(1 AS BIGINT) AS stream_has_tier,
+           CAST((SELECT count(*) FROM s3 WHERE tier = 'VIP') AS BIGINT)
+             AS n_vip,
+           CAST((SELECT count(*) FROM s3 WHERE tier IS NULL) AS BIGINT)
+             AS n_null_tier,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM s3) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "streaming", "schema-evolution",
+          "extension", "scale-path", "persisted-view"),
+)
+def ops_cdc_stream_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE SCHEMA EVOLUTION THROUGH THE STREAMING TRANSPORT (round
+    14, operators/cdc_log._pin_schema + changes_stream): round 13's
+    silent-wrong-data edge was the stream deriving its declared schema
+    from ONE arbitrary parquet footer — on a mixed-generation log a
+    pre-evolution footer silently dropped the evolved column from
+    every newer frame, bypassing the replica's loud extra-column
+    guard. Now the log pins its change-frame schema at publish
+    (`_schema.json`): v3 widens the source with `tier` (non-NULL on
+    k%100==0 only), the pin BUMPS (older retained frames read back
+    NULL-extended), the stream declares the pin, the evolved replica
+    receives real `tier` values through the SAME checkpoint, and the
+    final audit diffs the replica against an independently built v3
+    table INCLUDING the evolved column (zero drift). The before-image
+    NULL-extension in `versioned._classify_changes` makes the CDC
+    itself classify correctly at the boundary: a row NULL-on-both-
+    sides is unchanged, one that gained a value ships it.
+
+    Scale shape: the pin is one sidecar read/replace per publish; each
+    frame stays drift-sized (differing buckets only) and the applies
+    bucket-pruned — evolution adds zero rewrite anywhere (replica
+    evolution is the metadata-only evolve_add_columns door)."""
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.bucket_store import (
+        evolve_add_columns,
+    )
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+        read_log_schema,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        diff_tables,
+        read_replica,
+        stream_apply_changes,
+        write_bucketed,
+        write_replica,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    s2 = o.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("price_c") + 3)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    s3 = s2.select(
+        "k",
+        F.when(F.col("k") % 15 == 0, F.col("price_c") + 9)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+        F.when(F.col("k") % 100 == 0, F.lit("VIP"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tier"),
+    )
+    root = _persisted_index_root(sf_dir, "cdc_stream_evolution")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    V.commit_bucketed(spark, s2, src, "k", op="upsert")
+
+    log = f"{root}/log"
+    n_pub1 = publish_changes(spark, src, log, ["k"], from_version=v1)
+    replica = f"{root}/replica"
+    write_replica(o, replica, "k", version=v1)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", f"{root}/ck"
+    )
+    q.awaitTermination(120)
+
+    # the source evolves; the publish bumps the pin
+    V.commit_bucketed(spark, s3, src, "k", op="upsert")
+    n_pub2 = publish_changes(spark, src, log, ["k"])
+    pin_has_tier = int(
+        "tier" in {f.name for f in read_log_schema(log).fields}
+    )
+    stream = changes_stream(spark, log)
+    stream_has_tier = int("tier" in stream.columns)
+    # evolve the replica (metadata-only), then the SAME checkpoint
+    # delivers the evolved frames
+    evolve_add_columns(spark, replica, "tier string", compare=True)
+    q = stream_apply_changes(stream, replica, "k", f"{root}/ck")
+    q.awaitTermination(120)
+
+    expected = f"{root}/expected"
+    write_bucketed(s3, expected, "k", checksums=True)
+    visible = f"{root}/visible"
+    write_bucketed(read_replica(spark, replica), visible, "k", checksums=True)
+    drift = diff_tables(
+        spark, visible, expected, ["k"], ["price_c", "tier"]
+    ).count()
+    totals = spark.read.parquet(visible).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+        F.sum((F.col("tier") == "VIP").cast("bigint"))
+        .cast("bigint")
+        .alias("n_vip"),
+        F.sum(F.col("tier").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_null_tier"),
+    )
+    return totals.select(
+        F.lit(n_pub1 + n_pub2).cast("bigint").alias("n_published"),
+        F.lit(pin_has_tier).cast("bigint").alias("pin_has_tier"),
+        F.lit(stream_has_tier).cast("bigint").alias("stream_has_tier"),
+        "n_vip",
+        "n_null_tier",
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
     "ops_cdc_retention",
     oracle=f"""
     WITH v1 AS (

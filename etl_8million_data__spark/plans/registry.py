@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     # log, un-forced eligibility broadcast)
     "advisor_compaction",
     "ops_cdc_retention",
+    "ops_cdc_stream_evolution",
     "advisor_bucket_count",
     "ops_rebucket_migration",
     "ops_cdc_producer_stream",

@@ -179,6 +179,7 @@ AUDIT = {
     # the builder; the returned frame is the visible-rows aggregate
     # crossed with the recorded lifecycle counts
     "ops_cdc_retention": ["HashAggregate"],
+    "ops_cdc_stream_evolution": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
