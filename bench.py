@@ -149,6 +149,7 @@ HEADLINE = [
     "advisor_compaction",  # file-census compaction advisor + door agreement
     "ops_cdc_retention",  # log truncation + validated vacuum floor + redelivery
     "ops_cdc_stream_evolution",  # pinned log schema carries evolution thru stream
+    "ops_cdc_log_fsck",  # log health audit: plant 4 faults, repair the repairable
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -286,3 +286,103 @@ def changes_stream(spark: SparkSession, log_dir: str) -> DataFrame:
             spark.read.option("mergeSchema", "true").parquet(data_dir).schema
         )
     return spark.readStream.schema(schema).parquet(data_dir)
+
+
+def fsck_log(log_dir: str) -> dict:
+    """Health audit of a CDC log — the fsck the other persisted
+    artifacts of this family already have (index_fsck for the linkage
+    stores, checksums_fsck for the bucketed tables). Four invariants,
+    each checkable from the log's own listing + parquet footers (via
+    pyarrow, driver-side, bounded by the log's file count — no Spark
+    jobs):
+
+    - ``n_orphan_stages``: ``_stage_v*`` dirs a crashed publish left
+      behind (harmless — the re-publish rmtree's its own stage — but
+      they hold disk until swept);
+    - ``n_subhorizon_files``: version-named change files BELOW the
+      replay horizon. Retention's public promise is that these can
+      never be redelivered; a consumer starting fresh would list them
+      and redeliver a version ``vacuum_tombstones`` was told is
+      impossible — the exact resurrection window the horizon exists to
+      close. These are delete-now.
+    - ``n_unversioned_files``: parquet files not matching the
+      version-named pattern (a legacy pre-retention log): attributable
+      to no version, excluded from retention by design, surfaced here
+      so an operator knows truncation cannot bound them;
+    - ``n_pin_violations``: files whose footer carries a column the
+      pinned schema lacks — a publish that bypassed the pin door
+      (every column a consumer's declared read would silently drop).
+
+    Returns the counts plus ``consistent`` (1 when all four are zero).
+    Repair: :func:`repair_log`."""
+    import glob
+
+    pin = read_log_schema(log_dir)
+    pin_names = {f.name for f in pin.fields} if pin is not None else None
+    horizon = replay_horizon(log_dir)
+    n_orphan = len(glob.glob(os.path.join(log_dir, "_stage_v*")))
+    data_dir = os.path.join(log_dir, "data")
+    n_sub = n_unv = n_pin = 0
+    if os.path.isdir(data_dir):
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            pq = None
+        for f in sorted(os.listdir(data_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            v = None
+            if f.startswith("v"):
+                try:
+                    v = int(f[1:13])
+                except ValueError:
+                    v = None
+            if v is None:
+                n_unv += 1
+            elif v < horizon:
+                n_sub += 1
+            if pin_names is not None and pq is not None:
+                cols = set(
+                    pq.read_schema(os.path.join(data_dir, f)).names
+                )
+                if cols - pin_names:
+                    n_pin += 1
+    return {
+        "n_orphan_stages": n_orphan,
+        "n_subhorizon_files": n_sub,
+        "n_unversioned_files": n_unv,
+        "n_pin_violations": n_pin,
+        "consistent": int(not (n_orphan or n_sub or n_unv or n_pin)),
+    }
+
+
+def repair_log(log_dir: str) -> dict:
+    """Repair the repairable fsck findings: sweep orphaned publish
+    stages (crash debris — content is re-derivable, the watermark never
+    advanced past it) and delete sub-horizon change files (retention's
+    promise made true on disk). Unversioned legacy files and pin
+    violations are surfaced, never auto-deleted — both hold data whose
+    provenance an operator must decide on (re-publish to a fresh log is
+    the documented route). Returns {n_stages_swept, n_files_deleted}."""
+    import glob
+    import shutil
+
+    n_stages = 0
+    for d in glob.glob(os.path.join(log_dir, "_stage_v*")):
+        shutil.rmtree(d, ignore_errors=True)
+        n_stages += 1
+    horizon = replay_horizon(log_dir)
+    data_dir = os.path.join(log_dir, "data")
+    n_files = 0
+    if os.path.isdir(data_dir):
+        for f in os.listdir(data_dir):
+            if not (f.startswith("v") and f.endswith(".parquet")):
+                continue
+            try:
+                v = int(f[1:13])
+            except ValueError:
+                continue
+            if v < horizon:
+                os.remove(os.path.join(data_dir, f))
+                n_files += 1
+    return {"n_stages_swept": n_stages, "n_files_deleted": n_files}

@@ -1605,6 +1605,158 @@ def ops_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ops_cdc_log_fsck",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_published,
+           CAST(1 AS BIGINT) AS before_consistent,
+           CAST(1 AS BIGINT) AS n_orphan_stages,
+           CAST(1 AS BIGINT) AS n_subhorizon_files,
+           CAST(1 AS BIGINT) AS n_unversioned_files,
+           CAST(1 AS BIGINT) AS n_pin_violations,
+           CAST(1 AS BIGINT) AS n_stages_swept,
+           CAST(1 AS BIGINT) AS n_files_deleted,
+           CAST(0 AS BIGINT) AS after_orphans,
+           CAST(0 AS BIGINT) AS after_subhorizon,
+           CAST(2 AS BIGINT) AS after_surfaced,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey % 15 = 0)
+             AS BIGINT) AS n_changes_v3
+    """,
+    tags=("ops", "cdc", "fsck", "maintenance", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_cdc_log_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG HEALTH AUDIT (round 14, cdc_log.fsck_log/repair_log) —
+    the fsck every other persisted artifact of this family already
+    has, over the log's four invariants: orphaned publish stages
+    (crash debris), change files below the replay horizon (retention's
+    promise broken on disk — a fresh consumer would redeliver a
+    version the vacuum contract says is impossible), files
+    unattributable to any version (legacy pre-retention logs, outside
+    retention's reach by design), and files whose footer exceeds the
+    pinned schema (a publish that bypassed the pin door — columns a
+    declared read silently drops). The query: a healthy 2-version log
+    audits clean; all four faults are PLANTED (a stage dir, a real
+    parquet file named below the horizon, a legacy-named file, a
+    rogue-column file); the fsck counts each exactly once; repair
+    sweeps the stage and deletes the sub-horizon file while the
+    unversioned/pin findings stay SURFACED (never auto-deleted — their
+    data needs an operator's decision); and the version-fenced change
+    count through the pinned read is identical before plant, after
+    plant, and after repair (planted frames carry _commit_version=0 —
+    the eligibility fence a consumer applies drops them, and the audit
+    count filters on the real version). Oracle recomputes the planted
+    census and the v3 change count from the construction.
+
+    Scale shape: fsck is one directory listing + one pyarrow footer
+    read per log file (bounded by retention), zero Spark jobs; repair
+    is driver-side deletes."""
+    import os as _os
+    import shutil
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        fsck_log,
+        publish_changes,
+        read_log_schema,
+        repair_log,
+        truncate_published,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    s2 = o.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("price_c") + 3)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    s3 = s2.select(
+        "k",
+        F.when(F.col("k") % 15 == 0, F.col("price_c") + 9)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "cdc_log_fsck")
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/source"
+    v1 = V.commit_bucketed(spark, o, src, "k")
+    V.commit_bucketed(spark, s2, src, "k", op="upsert")
+    V.commit_bucketed(spark, s3, src, "k", op="upsert")
+    log = f"{root}/log"
+    n_published = publish_changes(spark, src, log, ["k"], from_version=v1)
+    truncate_published(log, below_version=v1 + 2)
+    before = fsck_log(log)
+
+    def count_v3():
+        return (
+            spark.read.schema(read_log_schema(log))
+            .parquet(_os.path.join(log, "data"))
+            .filter(F.col("_commit_version") == v1 + 2)
+            .count()
+        )
+
+    n_v3_clean = count_v3()
+
+    # plant all four faults (real parquet files — fsck reads footers)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    data_dir = _os.path.join(log, "data")
+    base_cols = {
+        "_change_type": ["update"],
+        "k": [1],
+        "price_c": [1],
+        "_commit_version": [0],
+    }
+    _os.makedirs(_os.path.join(log, "_stage_v999"), exist_ok=True)
+    _pq.write_table(
+        _pa.table(base_cols),
+        _os.path.join(data_dir, f"v{v1 + 1:012d}-planted-0.parquet"),
+    )
+    _pq.write_table(
+        _pa.table(base_cols), _os.path.join(data_dir, "legacy-0.parquet")
+    )
+    _pq.write_table(
+        _pa.table({**base_cols, "rogue": [1]}),
+        _os.path.join(data_dir, f"v{v1 + 2:012d}-rogue-9.parquet"),
+    )
+    dirty = fsck_log(log)
+    n_v3_dirty = count_v3()
+    rep = repair_log(log)
+    after = fsck_log(log)
+    n_v3_after = count_v3()
+    assert n_v3_clean == n_v3_dirty == n_v3_after
+
+    return spark.createDataFrame(
+        [
+            (
+                n_published,
+                before["consistent"],
+                dirty["n_orphan_stages"],
+                dirty["n_subhorizon_files"],
+                dirty["n_unversioned_files"],
+                dirty["n_pin_violations"],
+                rep["n_stages_swept"],
+                rep["n_files_deleted"],
+                after["n_orphan_stages"],
+                after["n_subhorizon_files"],
+                after["n_unversioned_files"] + after["n_pin_violations"],
+                n_v3_clean,
+            )
+        ],
+        "n_published bigint, before_consistent bigint,"
+        " n_orphan_stages bigint, n_subhorizon_files bigint,"
+        " n_unversioned_files bigint, n_pin_violations bigint,"
+        " n_stages_swept bigint, n_files_deleted bigint,"
+        " after_orphans bigint, after_subhorizon bigint,"
+        " after_surfaced bigint, n_changes_v3 bigint",
+    )
+
+
+@register(
     "ops_rebucket_migration",
     oracle=f"""
     WITH t AS (

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "advisor_compaction",
     "ops_cdc_retention",
     "ops_cdc_stream_evolution",
+    "ops_cdc_log_fsck",
     "advisor_bucket_count",
     "ops_rebucket_migration",
     "ops_cdc_producer_stream",

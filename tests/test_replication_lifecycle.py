@@ -439,3 +439,85 @@ def test_fresh_store_first_append_writes_no_marker(spark, tmp_path):
         assert read_pending(pb) is None  # cleared after the splice
     finally:
         BS.write_pending = real
+
+
+def test_log_fsck_finds_plants_and_repair_never_touches_data(
+    spark, tmp_path
+):
+    """fsck_log counts each planted fault exactly once; repair_log
+    sweeps the stage and deletes the sub-horizon file while surfacing
+    (never deleting) legacy/pin findings — and a consumer draining the
+    PLANTED log leaves the replica untouched, because planted frames
+    carry _commit_version=0 and the versioned apply fences them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        fsck_log,
+        publish_changes,
+        repair_log,
+        truncate_published,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base = {k: k * 10 for k in range(20)}
+    s2 = {**base, 3: 31}
+    s3 = {**s2, 6: 61}
+    src, v1 = _committed_source(spark, tmp_path, [base, s2, s3])
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 2
+
+    replica = str(tmp_path / "replica")
+    write_replica(_frame(spark, base), replica, "k", version=v1)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+    } == s3
+
+    # retention after the drain; the healthy truncated log audits clean
+    truncate_published(log, below_version=v1 + 2)
+    assert fsck_log(log)["consistent"] == 1
+
+    data_dir = os.path.join(log, "data")
+    cols = {"_change_type": ["update"], "k": [1], "v": [1],
+            "_commit_version": [0]}
+    os.makedirs(os.path.join(log, "_stage_v999"))
+    pq.write_table(
+        pa.table(cols),
+        os.path.join(data_dir, f"v{v1 + 1:012d}-planted-0.parquet"),
+    )
+    pq.write_table(pa.table(cols), os.path.join(data_dir, "old-style.parquet"))
+    pq.write_table(
+        pa.table({**cols, "rogue": [7]}),
+        os.path.join(data_dir, f"v{v1 + 2:012d}-rogue-9.parquet"),
+    )
+    dirty = fsck_log(log)
+    assert dirty == {
+        "n_orphan_stages": 1,
+        "n_subhorizon_files": 1,
+        "n_unversioned_files": 1,
+        "n_pin_violations": 1,
+        "consistent": 0,
+    }
+
+    # draining the planted log leaves the replica untouched (fenced)
+    q = stream_apply_changes(
+        changes_stream(spark, log), replica, "k", str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+    } == s3
+
+    rep = repair_log(log)
+    assert rep == {"n_stages_swept": 1, "n_files_deleted": 1}
+    after = fsck_log(log)
+    assert after["n_orphan_stages"] == 0
+    assert after["n_subhorizon_files"] == 0
+    # surfaced, never auto-deleted
+    assert after["n_unversioned_files"] == 1
+    assert after["n_pin_violations"] == 1

@@ -180,6 +180,9 @@ AUDIT = {
     # crossed with the recorded lifecycle counts
     "ops_cdc_retention": ["HashAggregate"],
     "ops_cdc_stream_evolution": ["HashAggregate"],
+    # log fsck: audits + repairs run eagerly driver-side; the returned
+    # frame is the 1-row census record
+    "ops_cdc_log_fsck": ["Scan ExistingRDD"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
