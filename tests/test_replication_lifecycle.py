@@ -521,3 +521,74 @@ def test_log_fsck_finds_plants_and_repair_never_touches_data(
     # surfaced, never auto-deleted
     assert after["n_unversioned_files"] == 1
     assert after["n_pin_violations"] == 1
+
+
+def test_recommend_nb_byte_arm_parity_with_duckdb(spark):
+    """The advisor ladder's bit-for-bit claim, asserted over a grid
+    that exercises all three arms and their boundaries: churn arm
+    (reads under 1/16), rows cap (>= 64 rows/bucket), and the round-14
+    byte floor (<= 256 MiB/bucket, overriding the cap) — including
+    exact multiples of the byte budget, one-byte-over, the 100 TB
+    projection, and beyond-ladder values. Spark's recommend_nb and the
+    DuckDB rendering of sql_recommend_nb must agree on every cell."""
+    import duckdb
+
+    from etl_8million_data__spark.operators.bucket_store import (
+        NB_LADDER,
+        TARGET_BUCKET_BYTES,
+        recommend_nb,
+        sql_recommend_nb,
+    )
+
+    churns = [0, 1, 40, 1000, 10**6, 10**9]
+    rowss = [10, 1024, 200_000, 400_000_000_000]
+    bytess = [
+        0,
+        1,
+        TARGET_BUCKET_BYTES,
+        TARGET_BUCKET_BYTES + 1,
+        16 * TARGET_BUCKET_BYTES,
+        16 * TARGET_BUCKET_BYTES + 1,
+        100_000_000_000_000,  # 100 TB
+        NB_LADDER[-1] * TARGET_BUCKET_BYTES,  # ladder ceiling exactly
+        NB_LADDER[-1] * TARGET_BUCKET_BYTES + 1,  # beyond the ladder
+    ]
+    grid = [
+        (c, r, b) for c in churns for r in rowss for b in bytess
+    ]
+    df = spark.createDataFrame(grid, "c long, r long, b long")
+    got = {
+        (x["c"], x["r"], x["b"]): x["nb"]
+        for x in df.select(
+            "c", "r", "b",
+            recommend_nb(
+                F.col("c"), F.col("r"), bytes_col=F.col("b")
+            ).alias("nb"),
+        ).collect()
+    }
+    rec = sql_recommend_nb("c", "r", bytes_sql="b")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g (c BIGINT, r BIGINT, b BIGINT)"
+    )
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", grid)
+    want = {
+        (c, r, b): nb
+        for c, r, b, nb in con.execute(
+            f"SELECT c, r, b, {rec} FROM g"
+        ).fetchall()
+    }
+    assert got == want
+    # the byte floor binds where it should: the 100 TB row overrides
+    # any rows cap, and beyond-ladder bytes clamp to the top power
+    assert got[(40, 400_000_000_000, 100_000_000_000_000)] == 524288
+    assert got[(0, 10, NB_LADDER[-1] * TARGET_BUCKET_BYTES + 1)] == (
+        NB_LADDER[-1]
+    )
+    # without bytes the legacy two-arm ladder is unchanged
+    legacy = (
+        spark.createDataFrame([(40, 200_000)], "c long, r long")
+        .select(recommend_nb(F.col("c"), F.col("r")).alias("nb"))
+        .first()["nb"]
+    )
+    assert legacy == 1024
