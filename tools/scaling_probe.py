@@ -2664,6 +2664,143 @@ def cdc_bulk_probe() -> list[str]:
     return out
 
 
+def cdc_retention_probe() -> list[str]:
+    """Round-14 gate for CDC log retention: without truncation the
+    log's file count grows LINEARLY in published versions (each
+    version ships >= 1 version-named file — the listing every consumer
+    restart and every fsck pays); with `truncate_published` keeping a
+    fixed window the count is BOUNDED by window x files-per-version
+    however many versions the producer ships. Gates: (a) untruncated
+    file count grows with versions (>= n_versions files after n
+    versions); (b) after truncating to the last W versions the
+    retained file count <= W x max-files-per-version and the retained
+    version set is exactly the window; (c) fsck_log is clean after
+    truncation and a fresh-checkpoint drain from the truncated log
+    converges to the head state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("cdc-retention-probe")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import os as _os
+
+    from etl_8million_data__spark.operators import versioned as V
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        fsck_log,
+        publish_changes,
+        replay_horizon,
+        truncate_published,
+    )
+    from etl_8million_data__spark.operators.diff import (
+        read_replica,
+        stream_apply_changes,
+        write_replica,
+    )
+
+    N_KEYS, N_VERS, WINDOW = 5_000, 20, 5
+    out = []
+    work = tempfile.mkdtemp(prefix="cdcret_probe_")
+    try:
+        def state(i):
+            return spark.range(N_KEYS).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 7 + i) % 1000).alias("v"),
+            )
+
+        src = f"{work}/src"
+        v1 = V.commit_bucketed(spark, state(0), src, "k", nb=16)
+        for i in range(1, N_VERS + 1):
+            # each version churns keys k % 50 == i % 50 (bounded drift)
+            s = state(0).withColumn(
+                "v",
+                F.when(F.col("k") % 50 <= i, (F.col("v") + i * 1000))
+                .otherwise(F.col("v")),
+            )
+            V.commit_bucketed(spark, s, src, "k", nb=16, op="upsert")
+        log = f"{work}/log"
+        n_pub = publish_changes(spark, src, log, ["k"], from_version=v1)
+        assert n_pub == N_VERS, n_pub
+        data = _os.path.join(log, "data")
+
+        def files():
+            return [
+                f for f in _os.listdir(data)
+                if f.startswith("v") and f.endswith(".parquet")
+            ]
+
+        def versions(fs):
+            return sorted({int(f[1:13]) for f in fs})
+
+        before = files()
+        assert len(before) >= N_VERS, len(before)
+        per_v = {}
+        for f in before:
+            per_v[int(f[1:13])] = per_v.get(int(f[1:13]), 0) + 1
+        maxpv = max(per_v.values())
+
+        floor = v1 + N_VERS - WINDOW + 1
+        deleted = truncate_published(log, below_version=floor)
+        after = files()
+        assert versions(after) == list(range(floor, v1 + N_VERS + 1))
+        assert len(after) <= WINDOW * maxpv, (len(after), WINDOW, maxpv)
+        assert replay_horizon(log) == floor
+        assert fsck_log(log)["consistent"] == 1
+        line = (
+            f"cdc-retention: {N_VERS} versions -> {len(before)} log files"
+            f" unbounded; truncate(keep last {WINDOW}) deleted {deleted},"
+            f" retained {len(after)} <= {WINDOW} x {maxpv}"
+            " files/version; horizon advanced, fsck clean"
+        )
+        print(line)
+        out.append(line)
+
+        # a replica seeded at the horizon's predecessor state converges
+        # from the truncated log alone (each committed version is the
+        # ABSOLUTE snapshot s_i = state(0) with keys k%50<=i churned)
+        def snapshot(i):
+            return state(0).withColumn(
+                "v",
+                F.when(F.col("k") % 50 <= i, (F.col("v") + i * 1000))
+                .otherwise(F.col("v")),
+            )
+
+        replica = f"{work}/replica"
+        write_replica(
+            snapshot(floor - v1 - 1), replica, "k", nb=16, version=floor - 1
+        )
+        q = stream_apply_changes(
+            changes_stream(spark, log), replica, "k", f"{work}/ck"
+        )
+        q.awaitTermination(300)
+        want = snapshot(N_VERS)
+        got = read_replica(spark, replica)
+        assert (
+            got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0
+        ), "replica did not converge from the truncated log"
+        line = (
+            f"cdc-retention: fresh-checkpoint drain of the retained"
+            f" {WINDOW}-version window converged a horizon-seeded"
+            f" {N_KEYS}-key replica"
+        )
+        print(line)
+        out.append(line)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     if "--skew" in sys.argv:
         skew_probe()
@@ -2681,6 +2818,8 @@ if __name__ == "__main__":
         cdc_apply_probe()
     elif "--cdc-bulk" in sys.argv:
         cdc_bulk_probe()
+    elif "--cdc-retention" in sys.argv:
+        cdc_retention_probe()
     elif "--compaction" in sys.argv:
         compaction_probe()
     elif "--rebucket" in sys.argv:
