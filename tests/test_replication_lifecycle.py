@@ -592,3 +592,42 @@ def test_recommend_nb_byte_arm_parity_with_duckdb(spark):
         .first()["nb"]
     )
     assert legacy == 1024
+
+
+def test_evolve_then_rebucket_carries_the_evolved_schema(spark, tmp_path):
+    """Interplay: a store evolved via the metadata-only door then
+    migrated to a new modulus must stage a generation whose pinned
+    schema still carries the evolved column (legacy rows materialize
+    as NULLs through the migration's pinned read), pass the equality
+    gate, and keep serving evolved appends afterward."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        evolve_add_columns,
+        read_pinned_schema,
+        read_nb,
+    )
+
+    ref = {k: k * 10 for k in range(40)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    evolve_add_columns(spark, pa, "tag string", compare=True)
+
+    rebucket(spark, pa, "k", 64)
+    assert read_nb(pa) == 64
+    pinned = read_pinned_schema(pa)
+    assert "tag" in {f.name for f in pinned.fields}
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in read_store_pinned(spark, pa).collect()
+    }
+    assert got == {k: (v, None) for k, v in ref.items()}
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+    # evolved appends keep working at the new modulus
+    b = spark.createDataFrame([(100, 1000, "hot")], "k long, v long, tag string")
+    append_bucketed(b, pa, "k")
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in read_store_pinned(spark, pa).collect()
+    }
+    assert got[100] == (1000, "hot") and got[7] == (70, None)
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
