@@ -147,6 +147,7 @@ def publish_changes(
     log_dir: str,
     keys: list[str],
     from_version: int | None = None,
+    retain_last: int | None = None,
 ) -> int:
     """Tail the versioned table's commits into the change log: every
     version AFTER the published watermark (or ``from_version`` when the
@@ -167,7 +168,14 @@ def publish_changes(
     Every version's frame schema reconciles with the log's pinned
     ``_schema.json`` BEFORE its files land (see :func:`_pin_schema`):
     a consumer can never list a file whose columns exceed the pin, so
-    an evolved column is never silently dropped by the stream."""
+    an evolved column is never silently dropped by the stream.
+
+    ``retain_last=N`` folds retention into the producer's own cadence:
+    after publishing, :func:`truncate_published` keeps the newest N
+    versions (a window already at or under N is a no-op), so a
+    long-running producer bounds its log without a separate scheduled
+    door. The horizon advances accordingly — replicas vacuuming with
+    ``log_dir`` validation pick the wider floor up automatically."""
     import shutil
     import uuid
 
@@ -213,6 +221,15 @@ def publish_changes(
         shutil.rmtree(stage, ignore_errors=True)
         _write_state(log_dir, v, st["horizon"])
         published += 1
+    if retain_last is not None:
+        if retain_last < 1:
+            raise ValueError(
+                f"retain_last must be >= 1, got {retain_last} — a log "
+                "retaining zero versions could redeliver nothing"
+            )
+        floor = _read_state(log_dir)["upto"] - retain_last + 1
+        if floor > _read_state(log_dir)["horizon"]:
+            truncate_published(log_dir, below_version=floor)
     return published
 
 

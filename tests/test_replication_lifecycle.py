@@ -631,3 +631,38 @@ def test_evolve_then_rebucket_carries_the_evolved_schema(spark, tmp_path):
     }
     assert got[100] == (1000, "hot") and got[7] == (70, None)
     assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+
+
+def test_publish_retain_last_folds_retention_into_the_producer(
+    spark, tmp_path
+):
+    """publish_changes(retain_last=N) keeps the newest N versions after
+    each publish — the producer bounds its own log; an already-narrow
+    window is a no-op, and retain_last < 1 refuses."""
+    from etl_8million_data__spark.operators.cdc_log import (
+        publish_changes,
+        replay_horizon,
+    )
+
+    base = {k: k * 10 for k in range(10)}
+    states = [base]
+    for i in range(1, 6):
+        states.append({**states[-1], i: i * 1000})
+    src, v1 = _committed_source(spark, tmp_path, states)
+    log = str(tmp_path / "log")
+    assert publish_changes(
+        spark, src, log, ["k"], from_version=v1, retain_last=2
+    ) == 5
+    assert replay_horizon(log) == v1 + 4  # newest 2 of v1+1..v1+5 kept
+    data = os.path.join(log, "data")
+    vs = sorted(
+        {int(f[1:13]) for f in os.listdir(data) if f.endswith(".parquet")}
+    )
+    assert vs == [v1 + 4, v1 + 5]
+
+    # nothing new to publish: the window is already within bounds
+    assert publish_changes(spark, src, log, ["k"], retain_last=3) == 0
+    assert replay_horizon(log) == v1 + 4
+
+    with pytest.raises(ValueError, match="retain_last"):
+        publish_changes(spark, src, log, ["k"], retain_last=0)
