@@ -518,7 +518,13 @@ def advise_compaction(
     }
 
 
-def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
+def rebucket(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    nb_new: int,
+    sweep: bool = True,
+) -> None:
     """Migrate a kb=-bucketed store to a NEW bucket modulus — the one
     physical-design knob of this family (nb bounds every door's blast
     radius: the same change set reads 7/16 vs 10/256 of the table), made
@@ -540,7 +546,17 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
     the complete new one, never a half-swapped directory. A crash
     before the flip leaves the live store untouched (the stage dir is
     invisible and swept on the next migration); a crash after the flip
-    leaves only unreachable stale data, swept on entry here."""
+    leaves only unreachable stale data, swept on entry here.
+
+    ``sweep=True`` (default) reclaims the superseded generation right
+    after the flip — correct under this family's single-writer,
+    maintenance-window discipline. A deployment with LONG in-flight
+    readers (a scan that resolved the pointer pre-flip still opens the
+    old generation's files task-by-task) passes ``sweep=False``: the
+    superseded generation stays on disk — unreachable through
+    resolution, so no new reader ever sees it — until the next
+    migration's entry sweep or an explicit
+    :func:`vacuum_generations`."""
     import json
     import os
     import shutil
@@ -625,10 +641,36 @@ def rebucket(spark: SparkSession, path: str, key: str, nb_new: int) -> None:
     os.replace(ptmp, os.path.join(path, _CURRENT))
 
     # cleanup of the superseded generation (best-effort: a crash here
-    # leaves only unreachable data, swept on the next migration)
-    _sweep_stale_generations(path)
+    # leaves only unreachable data, swept on the next migration);
+    # sweep=False leaves it as a grace copy for in-flight readers
+    if sweep:
+        _sweep_stale_generations(path)
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(tmp)
+
+
+def vacuum_generations(path: str) -> int:
+    """Reclaim every superseded generation / stale flat layout of a
+    migrated store — the deferred half of ``rebucket(sweep=False)``:
+    run it once in-flight readers of the pre-flip generation have
+    drained. A store that never migrated (no ``_current`` pointer) is
+    a no-op. Returns the number of stale generation dirs removed
+    (the pre-migration flat layout counts as one)."""
+    import os
+
+    cur = resolve_root(path)
+    if cur == path:
+        return 0
+    before = {
+        e
+        for e in os.listdir(path)
+        if (e.startswith("_gen_") and e != os.path.basename(cur))
+        or e.startswith("kb=")
+    }
+    had_flat = any(e.startswith("kb=") for e in before)
+    gens = {e for e in before if e.startswith("_gen_")}
+    _sweep_stale_generations(path)
+    return len(gens) + (1 if had_flat else 0)
 
 
 def evolve_add_columns(

@@ -666,3 +666,42 @@ def test_publish_retain_last_folds_retention_into_the_producer(
 
     with pytest.raises(ValueError, match="retain_last"):
         publish_changes(spark, src, log, ["k"], retain_last=0)
+
+
+def test_rebucket_grace_sweep_for_inflight_readers(spark, tmp_path):
+    """rebucket(sweep=False) leaves the superseded generation on disk
+    as a grace copy: a reader that resolved the OLD generation before
+    the flip can still finish its scan, no reader resolving after the
+    flip ever sees it, and vacuum_generations reclaims it once in-
+    flight readers have drained."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_nb,
+        vacuum_generations,
+    )
+
+    ref = {k: k * 10 for k in range(40)}
+    pa = str(tmp_path / "t")
+    write_bucketed(_frame(spark, ref), pa, "k", checksums=True)
+    old_root = resolve_root(pa)  # the pre-flip resolution (= pa)
+    old_reader = spark.read.schema("k long, v long, kb int").parquet(old_root)
+
+    rebucket(spark, pa, "k", 64, sweep=False)
+    # new readers resolve the new generation...
+    assert os.path.basename(resolve_root(pa)) == "_gen_1"
+    assert read_nb(pa) == 64
+    # ...while the pre-flip reader still drains its scan of the old
+    # layout (the grace copy is intact)
+    assert {r["k"]: r["v"] for r in old_reader.collect()} == ref
+    assert any(e.startswith("kb=") for e in os.listdir(pa))
+
+    # after the drain, explicit vacuum reclaims the flat layout
+    assert vacuum_generations(pa) == 1
+    assert not any(e.startswith("kb=") for e in os.listdir(pa))
+    assert {
+        r["k"]: r["v"] for r in read_store_pinned(spark, pa).collect()
+    } == ref
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # a never-migrated store is a no-op
+    pb = str(tmp_path / "plain")
+    write_bucketed(_frame(spark, {1: 10}), pb, "k")
+    assert vacuum_generations(pb) == 0
