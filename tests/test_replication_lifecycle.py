@@ -705,3 +705,61 @@ def test_rebucket_grace_sweep_for_inflight_readers(spark, tmp_path):
     pb = str(tmp_path / "plain")
     write_bucketed(_frame(spark, {1: 10}), pb, "k")
     assert vacuum_generations(pb) == 0
+
+
+def test_one_log_fans_out_to_independent_replicas(spark, tmp_path):
+    """One published log, many consumers: two replicas with independent
+    checkpoints drain the same log to the same converged state, vacuum
+    with DIFFERENT (legal) floors independently, and a third replica
+    seeded mid-history converges from the same files — the log is a
+    shared immutable transport, consumers own only their checkpoint
+    and tombstone windows."""
+    from etl_8million_data__spark.operators.cdc_log import (
+        changes_stream,
+        publish_changes,
+        truncate_published,
+    )
+    from etl_8million_data__spark.operators.diff import stream_apply_changes
+
+    base = {k: k * 10 for k in range(20)}
+    s2 = {**base, 2: 21}
+    del s2[5]
+    s3 = {**s2, 7: 71}
+    src, v1 = _committed_source(spark, tmp_path, [base, s2, s3])
+    log = str(tmp_path / "log")
+    assert publish_changes(spark, src, log, ["k"], from_version=v1) == 2
+
+    def drain(replica, ck):
+        q = stream_apply_changes(
+            changes_stream(spark, log), replica, "k", str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+        return {
+            r["k"]: r["v"] for r in read_replica(spark, replica).collect()
+        }
+
+    ra, rb = str(tmp_path / "ra"), str(tmp_path / "rb")
+    write_replica(_frame(spark, base), ra, "k", version=v1)
+    write_replica(_frame(spark, base), rb, "k", version=v1)
+    assert drain(ra, "cka") == s3
+    assert drain(rb, "ckb") == s3
+
+    # retention on the shared log; each replica vacuums its own floor
+    truncate_published(log, below_version=v1 + 2)
+    assert vacuum_tombstones(spark, ra, below_version=v1 + 2, log_dir=log) == 1
+    # B keeps its tombstone (narrower floor) — both still correct
+    assert vacuum_tombstones(spark, rb, below_version=v1 + 1, log_dir=log) == 0
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, ra).collect()
+    } == s3
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, rb).collect()
+    } == s3
+
+    # a third consumer seeded mid-history (at the horizon's base state)
+    # converges from the retained files alone
+    rc = str(tmp_path / "rc")
+    write_replica(_frame(spark, s2), rc, "k", version=v1 + 1)
+    assert drain(rc, "ckc") == s3
+    for r in (ra, rb, rc):
+        assert checksums_fsck(spark, r).first()["n_mismatched"] == 0
