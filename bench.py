@@ -150,6 +150,7 @@ HEADLINE = [
     "ops_cdc_retention",  # log truncation + validated vacuum floor + redelivery
     "ops_cdc_stream_evolution",  # pinned log schema carries evolution thru stream
     "ops_cdc_log_fsck",  # log health audit: plant 4 faults, repair the repairable
+    "ops_replica_repair",  # heal a drifted replica through the versioned door
 ]
 
 # Baseline/oracle lane: in-query index FITS and exact-recall oracles. A real

@@ -995,6 +995,110 @@ def apply_changes_versioned(
     return n
 
 
+def repair_replica(
+    spark: SparkSession,
+    path: str,
+    expected_path: str,
+    key: str,
+    nb: int | None = None,
+) -> int:
+    """HEAL a drifted versioned replica against a source-of-truth
+    table — the missing half of the audit story: ``diff_tables``
+    detects drift (lost change frames, manual edits, corruption), this
+    door repairs it WITHOUT reseeding, through the same
+    max-version-wins apply every legitimate change takes (so the
+    repair is itself crash-safe, bucket-pruned, summary-honest, and
+    fenced against stale redelivery). Protocol:
+
+    - phase 1: per-bucket (hash-sum, count) of the replica's VISIBLE
+      rows vs the expected table's — the expected side reads its
+      persisted ``_checksums`` summary when the (keys, cols, nb) pin
+      matches (zero scan), else one scan; the replica side is one
+      column-pruned scan (its own summary covers RAW rows including
+      ``_v``/``_gone``, so it cannot stand in for visible content).
+      Identical buckets are proven equal and never read again.
+    - phase 2: the differing buckets full-outer join (both sides
+      literal-pruned to them); replica-only keys become deletes,
+      expected-only keys inserts (this RESURRECTS a wrongly-tombstoned
+      key — legitimate here, the expected table is the declared
+      truth), value mismatches updates carrying the expected values.
+    - the synthetic change frame is stamped one version past the
+      touched slice's maximum ``_v``, so it wins over every drifted
+      row and the fence keeps rejecting genuinely stale redeliveries.
+
+    Returns rows repaired (0 = no drift — and phase 2 never ran).
+    Both sides must share the bucket modulus (``rebucket`` one first
+    otherwise, same contract as diff_tables)."""
+    from etl_8million_data__spark.operators.bucket_store import (
+        read_store_pinned,
+        resolve_nb,
+    )
+
+    nb = _store_nb(path, nb)
+    nbe = resolve_nb(expected_path, None, nb)
+    if nbe != nb:
+        raise ValueError(
+            f"repair_replica: replica nb={nb} but expected table nb={nbe} "
+            "— rebucket one side first (bucket_store.rebucket)"
+        )
+    repair_pending_summary(spark, path)
+    exp_cols = [
+        c
+        for c in read_store_pinned(spark, expected_path).columns
+        if c not in (key, "kb")
+    ]
+    cols = sorted(exp_cols)
+    rep_raw = read_store_pinned(spark, path)
+    vis = rep_raw.filter(F.col("_gone") == 0).select(key, *cols, "kb")
+
+    # phase 1: visible sums vs expected sums (sidecar when pinned)
+    va = _bucket_sums(vis, [key], cols)
+    meta, summ = read_checksums(spark, expected_path)
+    if (
+        meta
+        and meta.get("keys") == [key]
+        and meta.get("cols") == cols
+        and meta.get("nb") == nb
+    ):
+        vb = summ
+    else:
+        vb = _bucket_sums(_prep(spark, expected_path, [key], cols, nb), [key], cols)
+    a = va.select("kb", F.col("cs").alias("_ca"), F.col("n").alias("_na"))
+    b = vb.select("kb", F.col("cs").alias("_cb"), F.col("n").alias("_nb2"))
+    kbs = [
+        r["kb"]
+        for r in a.join(b, "kb", "full_outer")
+        .filter(
+            ~F.col("_ca").eqNullSafe(F.col("_cb"))
+            | ~F.col("_na").eqNullSafe(F.col("_nb2"))
+        )
+        .select("kb")
+        .collect()
+    ]
+    if not kbs:
+        return 0
+
+    # phase 2: classify drift on the differing buckets only
+    from etl_8million_data__spark.operators.versioned import _classify_changes
+
+    e_rows = (
+        _prep(spark, expected_path, [key], cols, nb)
+        .filter(F.col("kb").isin(kbs))
+        .drop("kb")
+    )
+    v_rows = vis.filter(F.col("kb").isin(kbs)).drop("kb")
+    vmax = (
+        rep_raw.filter(F.col("kb").isin(kbs))
+        .agg(F.max("_v").alias("m"))
+        .first()["m"]
+        or 0
+    )
+    ch = _classify_changes(v_rows, e_rows, [key]).withColumn(
+        "_commit_version", F.lit(vmax + 1).cast("bigint")
+    )
+    return apply_changes_versioned(spark, path, ch, key, nb)
+
+
 def vacuum_tombstones(
     spark: SparkSession,
     path: str,

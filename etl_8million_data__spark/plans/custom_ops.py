@@ -1295,6 +1295,132 @@ def ops_cdc_producer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ops_replica_repair",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {sql_cents('o_totalprice')} AS price_c
+      FROM orders),
+    s2 AS (
+      SELECT k,
+             CASE WHEN k % 10 = 0 THEN price_c + 3 ELSE price_c END AS price_c
+      FROM v1),
+    drift AS (
+      SELECT CAST((SELECT count(*) FROM v1 WHERE k % 100 = 1) +
+                  (SELECT count(*) FROM v1 WHERE k % 150 = 2) + 1
+             AS BIGINT) AS n)
+    SELECT (SELECT n FROM drift) AS n_drifted,
+           (SELECT n FROM drift) AS n_repaired,
+           CAST(0 AS BIGINT) AS n_repair_again,
+           CAST(0 AS BIGINT) AS n_refenced,
+           CAST(0 AS BIGINT) AS n_drift,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(price_c) FROM s2) AS BIGINT) AS price_c_total
+    """,
+    tags=("ops", "versioned", "cdc", "repair", "extension",
+          "scale-path", "persisted-view"),
+)
+def ops_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICA REPAIR DOOR (round 14, diff.repair_replica) — the
+    missing half of the audit story: the summarized replica audit
+    DETECTS drift; this door HEALS it without reseeding, through the
+    same max-version-wins apply every legitimate change takes. The
+    replica takes a legit v2 change, then three kinds of rogue drift
+    at version 50: wrong values (every k%100==1 key), a phantom key,
+    and wrongful deletes (every k%150==2 key — leaving tombstones the
+    repair must overcome). repair_replica phase-1-proves the clean
+    buckets equal (per-bucket hash sums vs the expected table's
+    persisted summary — zero scan on the expected side), classifies
+    the drifted buckets' rows (wrong value -> update, phantom ->
+    delete, wrongly tombstoned -> resurrect insert), stamps the
+    synthetic frame one version past the drift, and applies. The
+    audit then reads zero drift, a second repair is a phase-1 no-op,
+    and a REDELIVERED rogue frame still lands nothing (the fence
+    survives the repair). The oracle recomputes the drift census and
+    the healed totals from the construction.
+
+    Scale shape: phase 1 is one column-pruned visible scan vs the
+    expected summary sidecar; phase 2 and the apply read only the
+    drifted buckets; idempotent repair costs phase 1 alone."""
+    import shutil
+
+    from etl_8million_data__spark.operators.diff import (
+        apply_changes_versioned,
+        diff_tables,
+        read_replica,
+        repair_replica,
+        write_bucketed,
+        write_replica,
+    )
+    from etl_8million_data__spark.plans.similarity import _persisted_index_root
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    s2 = o.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("price_c") + 3)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    root = _persisted_index_root(sf_dir, "replica_repair")
+    shutil.rmtree(root, ignore_errors=True)
+    replica = f"{root}/replica"
+    write_replica(o, replica, "k", version=1)
+    legit = s2.filter(F.col("k") % 10 == 0).select(
+        F.lit("update").alias("_change_type"),
+        "k",
+        "price_c",
+        F.lit(2).cast("bigint").alias("_commit_version"),
+    )
+    apply_changes_versioned(spark, replica, legit, "k")
+
+    rogue = (
+        o.filter(F.col("k") % 100 == 1)
+        .select(
+            F.lit("update").alias("_change_type"),
+            "k",
+            F.lit(777).cast("bigint").alias("price_c"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("insert", -999, 1)], "_change_type string, k long, price_c long"
+            )
+        )
+        .unionByName(
+            o.filter(F.col("k") % 150 == 2).select(
+                F.lit("delete").alias("_change_type"), "k", "price_c"
+            )
+        )
+        .withColumn("_commit_version", F.lit(50).cast("bigint"))
+    )
+    n_drifted = apply_changes_versioned(spark, replica, rogue, "k")
+
+    expected = f"{root}/expected"
+    write_bucketed(s2, expected, "k", checksums=True)
+    n_repaired = repair_replica(spark, replica, expected, "k")
+    n_repair_again = repair_replica(spark, replica, expected, "k")
+    n_refenced = apply_changes_versioned(spark, replica, rogue, "k")
+
+    visible = f"{root}/visible"
+    write_bucketed(read_replica(spark, replica), visible, "k", checksums=True)
+    drift = diff_tables(spark, visible, expected, ["k"], ["price_c"]).count()
+    totals = spark.read.parquet(visible).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price_c").cast("bigint").alias("price_c_total"),
+    )
+    return totals.select(
+        F.lit(n_drifted).cast("bigint").alias("n_drifted"),
+        F.lit(n_repaired).cast("bigint").alias("n_repaired"),
+        F.lit(n_repair_again).cast("bigint").alias("n_repair_again"),
+        F.lit(n_refenced).cast("bigint").alias("n_refenced"),
+        F.lit(drift).cast("bigint").alias("n_drift"),
+        "n_rows",
+        "price_c_total",
+    )
+
+
+@register(
     "ops_cdc_stream_evolution",
     oracle=f"""
     WITH v1 AS (

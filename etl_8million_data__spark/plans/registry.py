@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "ops_cdc_retention",
     "ops_cdc_stream_evolution",
     "ops_cdc_log_fsck",
+    "ops_replica_repair",
     "advisor_bucket_count",
     "ops_rebucket_migration",
     "ops_cdc_producer_stream",

@@ -763,3 +763,51 @@ def test_one_log_fans_out_to_independent_replicas(spark, tmp_path):
     assert drain(rc, "ckc") == s3
     for r in (ra, rb, rc):
         assert checksums_fsck(spark, r).first()["n_mismatched"] == 0
+
+
+def test_repair_replica_heals_drift_through_the_versioned_door(
+    spark, tmp_path
+):
+    """The audit's missing half: a replica drifted by rogue
+    high-version changes (wrong value, bogus extra key, wrongful
+    delete) heals against the expected table WITHOUT reseeding —
+    phase 1 proves clean buckets equal, phase 2 repairs only the
+    drifted ones via a synthetic change frame stamped past the drift,
+    the wrongly-tombstoned key resurrects, and the fence still
+    rejects genuinely stale redelivery afterward."""
+    from etl_8million_data__spark.operators.diff import repair_replica
+
+    base = {k: k * 10 for k in range(40)}
+    pa = str(tmp_path / "replica")
+    write_replica(_frame(spark, base), pa, "k", version=1)
+    legit = spark.createDataFrame(
+        [("update", 3, 31, 2)],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    assert apply_changes_versioned(spark, pa, legit, "k") == 1
+    want = {**base, 3: 31}
+
+    # DRIFT at a rogue high version: wrong value, phantom key, wrongful
+    # delete (leaves a tombstone the repair must overcome)
+    rogue = spark.createDataFrame(
+        [("update", 7, 9999, 50), ("insert", 777, 1, 50),
+         ("delete", 11, 0, 50)],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    assert apply_changes_versioned(spark, pa, rogue, "k") == 3
+    expected = str(tmp_path / "expected")
+    write_bucketed(_frame(spark, want), expected, "k", checksums=True)
+
+    assert repair_replica(spark, pa, expected, "k") == 3
+    got = {r["k"]: r["v"] for r in read_replica(spark, pa).collect()}
+    assert got == want
+    assert checksums_fsck(spark, pa).first()["n_mismatched"] == 0
+    # idempotent: a clean replica repairs zero rows (phase 1 short-
+    # circuits — no differing buckets)
+    assert repair_replica(spark, pa, expected, "k") == 0
+    # the fence survives the repair: a redelivered pre-repair change
+    # (any version <= the repair stamp) lands nothing
+    assert apply_changes_versioned(spark, pa, rogue, "k") == 0
+    assert {
+        r["k"]: r["v"] for r in read_replica(spark, pa).collect()
+    } == want

@@ -183,6 +183,7 @@ AUDIT = {
     # log fsck: audits + repairs run eagerly driver-side; the returned
     # frame is the 1-row census record
     "ops_cdc_log_fsck": ["Scan ExistingRDD"],
+    "ops_replica_repair": ["HashAggregate"],
 }
 
 # Queries whose scale story is "exactly N shuffles" — assert the count.
