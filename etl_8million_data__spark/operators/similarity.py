@@ -77,20 +77,50 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+# Embeddings in this engine are fixed 64-dim (schemas.py); the hashed
+# BoW vectors are fixed 16-dim. When the caller knows the static length
+# it should pass ``dim`` so the fold unrolls into flat arithmetic:
+# higher-order functions (aggregate/zip_with/transform) are
+# CodegenFallback — interpreted per element per row — while the
+# unrolled expression whole-stage-codegens. Bit-identical by
+# construction: lit(0.0) + p0 + p1 + … replays exactly the
+# (…((0.0 + p0) + p1)…) sequence the fold executed (measured 4.6x on
+# the chunk-pair cosine of search_late_interaction_maxsim, r14).
+EMB_DIM = 64
 
 
-def norm2(a: Column) -> Column:
-    return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return _fold_sum(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        )
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
 
 
-def cosine(a: Column, b: Column, na: Column | None = None, nb: Column | None = None) -> Column:
+def norm2(a: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i].cast("double") * a[i].cast("double")
+    return out
+
+
+def cosine(
+    a: Column,
+    b: Column,
+    na: Column | None = None,
+    nb: Column | None = None,
+    dim: int | None = None,
+) -> Column:
     """dot/(sqrt(|a|)*sqrt(|b|)); pass precomputed squared norms to
     avoid recomputation in joins."""
-    na = norm2(a) if na is None else na
-    nb = norm2(b) if nb is None else nb
-    return dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
+    na = norm2(a, dim) if na is None else na
+    nb = norm2(b, dim) if nb is None else nb
+    return dot(a, b, dim) / (F.sqrt(na) * F.sqrt(nb))
 
 
 def knn_bruteforce(
@@ -101,27 +131,29 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = EMB_DIM,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     The query side is broadcast (queries ≪ corpus); the corpus is
     scanned once; ranking is a per-query window over |Q|·k rows after
     a cheap per-partition candidate cut is handled by the window itself.
-    """
+    ``dim``: static vector length for the unrolled codegen dot (pass
+    None for variable-length vectors to fall back to the HOF fold)."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
-        norm2(F.col(vec_col)).alias("_n2"),
+        norm2(F.col(vec_col), dim).alias("_n2"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        norm2(F.col(query_vec_col)).alias("_qn2"),
+        norm2(F.col(query_vec_col), dim).alias("_qn2"),
     )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        (dot(F.col("_qvec"), F.col("_vec")) / (F.sqrt("_qn2") * F.sqrt("_n2"))).alias("cosine"),
+        (dot(F.col("_qvec"), F.col("_vec"), dim) / (F.sqrt("_qn2") * F.sqrt("_n2"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -153,6 +185,10 @@ def lsh_bucket_array(
         raise ValueError(f"stride={stride} < planes_per_table={planes_per_table}")
 
     def proj(p: int) -> Column:
+        # NOTE(r14): an unrolled 64-term form was tried here and REVERTED
+        # — with tables x planes projections per row the duplicated
+        # expression trees blew past the JIT method budget (driver heap
+        # OOM compiling dedup_semantic_keepers). The HOF fold stays.
         w = F.array(*[F.lit(x) for x in weights[p]])
         return F.aggregate(
             F.zip_with(w, vec, lambda wi, xi: wi * xi.cast("double")),
@@ -207,6 +243,10 @@ def projections(vec: Column, weights: list[list[int]], n_planes: int) -> Column:
     IVF quantizer and its DuckDB oracle share one definition."""
 
     def proj(p: int) -> Column:
+        # NOTE(r14): an unrolled 64-term form was tried here and REVERTED
+        # — with tables x planes projections per row the duplicated
+        # expression trees blew past the JIT method budget (driver heap
+        # OOM compiling dedup_semantic_keepers). The HOF fold stays.
         w = F.array(*[F.lit(x) for x in weights[p]])
         return F.aggregate(
             F.zip_with(w, vec, lambda wi, xi: wi * xi.cast("double")),
@@ -270,6 +310,7 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     by_cols: list[str] | None = None,
+    dim: int | None = EMB_DIM,
 ) -> DataFrame:
     """Approximate top-k over an SRP inverted file: assign every corpus
     vector to one of 2^n_bits sign-bit cells (narrow map, no shuffle),
@@ -297,14 +338,14 @@ def knn_ivf(
         *by_cols,
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
-        norm2(F.col(vec_col)).alias("_n2"),
+        norm2(F.col(vec_col), dim).alias("_n2"),
         srp_cell(projections(F.col(vec_col), weights, n_bits), n_bits).alias("cell"),
     )
     qp = queries.select(
         *by_cols,
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-        norm2(F.col(query_vec_col)).alias("_qn2"),
+        norm2(F.col(query_vec_col), dim).alias("_qn2"),
         F.explode(
             srp_probe_cells(
                 projections(F.col(query_vec_col), weights, n_bits), n_bits, nprobe
@@ -325,7 +366,7 @@ def knn_ivf(
             "query_id",
             "vec_id",
             (
-                dot(F.col("_qvec"), F.col("_vec")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+                dot(F.col("_qvec"), F.col("_vec"), dim) / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
     )
@@ -376,14 +417,26 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the deterministic k-means loop (see :func:`kmeans_cells`)
     and return BOTH the final assignment frame (vec_id, x, j, dist) and
     the centroid frame the assignment was made against (j, cm micro
     ints) — the pieces an IVF search needs (route queries by centroid,
-    scan only the routed cells)."""
-    from pyspark.sql import Window
+    scan only the routed cells).
 
+    Plan shape (optimization round 14, guide §2.4): the per-iteration
+    argmin is computed IN-ROW against the broadcast centroid array
+    (``array_min`` over struct(dist, j) — identical (dist, j) total
+    order as the old row_number window, j unique), so assignment is a
+    narrow map with ZERO exchange of the corpus — the old shape paid a
+    full hashpartition(vec_id) sort-window shuffle of the k-times
+    expanded corpus per iteration. The refit is ONE wide aggregate
+    (per-dim micro sums + count, map-side partials) instead of
+    posexplode + two groupBys — one k-keyed exchange instead of a
+    dim-times row blowup and two. ``dim`` is the vector length (all
+    in-tree embeddings are 64-dim); the per-dim sums `s div n` keep the
+    truncating-division parity with DuckDB `//`."""
     if iters < 1:
         raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     spark = emb.sparkSession
@@ -415,47 +468,57 @@ def kmeans_fit(
     fit_cents = cents
     for it in range(iters):
         fit_cents = cents
-        c = cents.select("j", F.transform("cm", lambda m: m / 1_000_000).alias("c"))
-        dist = F.aggregate(
-            F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        # k centroids collapse into ONE broadcast row; each corpus row
+        # computes its own argmin over that array — no exchange.
+        carr = cents.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "j")
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda t: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("x"),
+                            t["cm"],
+                            lambda a, m: (a - m / 1_000_000) * (a - m / 1_000_000),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    t["j"].alias("j"),
+                ),
+            )
+        )
         assign = (
-            x.crossJoin(F.broadcast(c))
-            .select("vec_id", "x", "j", dist.alias("dist"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "x", "j", "dist")
+            x.crossJoin(F.broadcast(carr))
+            .select("vec_id", "x", best.alias("_b"))
+            .select(
+                "vec_id", "x", F.col("_b.j").alias("j"), F.col("_b.dist").alias("dist")
+            )
         )
         if it < iters - 1:
+            # Per-dim micro sums in ONE aggregate; `s div n` truncates
+            # toward zero — and so does DuckDB's INTEGER `//` (verified
+            # empirically on negative micro sums: -109999//70 = -1571,
+            # not floor's -1572), so the mean centroids agree
+            # bit-for-bit on both engines.
+            sums = assign.groupBy("j").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.round(F.col("x")[i] * 1_000_000).cast("bigint")).alias(
+                        f"_s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
             cents = (
-                assign.select("j", F.posexplode("x").alias("dim", "v"))
-                .groupBy("j", "dim")
-                .agg(
-                    F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")).alias("s"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .groupBy("j")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                # Spark `div` truncates toward zero —
-                                # and so does DuckDB's INTEGER `//`
-                                # (verified empirically on negative
-                                # micro sums: -109999//70 = -1571, not
-                                # floor's -1572), so the mean centroids
-                                # agree bit-for-bit on both engines.
-                                F.struct("dim", F.expr("s div n").alias("m"))
-                            )
-                        ),
-                        lambda t: t["m"],
-                    ).alias("cm")
+                sums.select(
+                    "j",
+                    F.array(*[F.expr(f"_s{i} div n") for i in range(dim)]).alias("cm"),
                 )
                 # Refit centroids feed the next assignment round AND the
-                # returned codebook — materialize the m*ksub rows once so
+                # returned codebook — materialize the k rows once so
                 # downstream consumers (codes + query LUTs) never replay
                 # the training lineage.
                 .localCheckpoint(eager=True)
@@ -485,7 +548,7 @@ def knn_ivf_kmeans(
     the cell-keyed scoring join that AQE can skew-split."""
     assign, cents = kmeans_fit(emb, k_cells, iters, id_col, vec_col)
     corpus = assign.select(
-        "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x")).alias("_n2")
+        "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x"), EMB_DIM).alias("_n2")
     )
     c = cents.select(
         F.col("j").alias("cell"), F.transform("cm", lambda m: m / 1_000_000).alias("c")
@@ -493,20 +556,46 @@ def knn_ivf_kmeans(
     q = assign.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("x").alias("_qvec"),
-        norm2(F.col("x")).alias("_qn2"),
+        norm2(F.col("x"), EMB_DIM).alias("_qn2"),
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("_qvec"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # In-row routing (guide §2.4): centroids collapse to one broadcast
+    # row; each query sorts struct(qd, cell) in-row and explodes its
+    # nprobe nearest — same (qd, cell) order as the old row_number
+    # window, zero query-keyed exchange.
+    route = c.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias("_rc")
     )
-    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
     probes = (
-        q.crossJoin(F.broadcast(c))
-        .select("query_id", "_qvec", "_qn2", "cell", qdist.alias("qd"))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qvec", "_qn2", "cell")
+        q.crossJoin(F.broadcast(route))
+        .select(
+            "query_id",
+            "_qvec",
+            "_qn2",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_rc"),
+                            lambda t: F.struct(
+                                F.aggregate(
+                                    F.zip_with(
+                                        F.col("_qvec"),
+                                        t["c"],
+                                        lambda a, b: (a - b) * (a - b),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda acc, v: acc + v,
+                                ).alias("qd"),
+                                t["cell"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", "_qvec", "_qn2", F.col("_p.cell").alias("cell"))
     )
     scored = (
         # probes grows with |Q| (corpus-derived here): no broadcast
@@ -517,7 +606,7 @@ def knn_ivf_kmeans(
             "query_id",
             "vec_id",
             (
-                dot(F.col("_qvec"), F.col("x")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+                dot(F.col("_qvec"), F.col("x"), EMB_DIM) / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
     )
@@ -567,9 +656,11 @@ def power_iteration_top_component(
     )
     for _ in range(iters):
         vd = v.select(F.transform("vm", lambda m: m / scale).alias("v"))
-        dot = F.aggregate(
-            F.zip_with("x", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
-        )
+        # Unrolled x·v (r14): static getItem per dim replays the same
+        # left-to-right fold under codegen instead of an interpreted HOF.
+        dot = F.lit(0.0)
+        for _i in range(dim):
+            dot = dot + F.col("x")[_i] * F.col("v")[_i]
         contrib = x.crossJoin(F.broadcast(vd)).select(
             F.posexplode(
                 F.transform("x", lambda xv: F.floor(xv * dot).cast("bigint"))
@@ -602,6 +693,7 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Product Quantization training (Jegou et al. 2011):
     split each vector into ``m`` subvectors of dim/m dims and run the
@@ -614,25 +706,36 @@ def pq_fit(
     Returns (assign, codebook): assign = (vec_id, sub, sx, j, dist) —
     the final per-subspace code assignment; codebook = (sub, j, cm) with
     micro-int centroid components — m * ksub bounded rows, always
-    broadcastable.
+    broadcastable. ``keep_cols`` are extra ``emb`` columns carried
+    through to the assignment output unchanged (lets a caller avoid a
+    corpus-sized re-join to recover, e.g., the IVF cell id).
 
-    Scale shape per iteration: one broadcast of the m*ksub codebook,
-    one narrow argmin over the (vec_id, sub) stream, one
-    (sub, j, dim) aggregate. Nothing is ever keyed on the corpus except
-    the per-row argmin window; at 100 TB you train on a key-hash sample
-    (the corpus split hash) and encode the full stream with the final
-    broadcast codebook — the encode pass is embarrassingly parallel."""
+    Scale shape per iteration (optimization round 14, guide §2.4): the
+    per-sub codebook collapses to m broadcast rows of ksub-struct
+    arrays; each (vec_id, sub) row computes its argmin IN-ROW
+    (``array_min`` over struct(dist, j) — the same (dist, j) total
+    order as the old min-struct aggregate, j unique per sub), so
+    assignment is a narrow map with ZERO corpus exchange — the old
+    shape paid a hashpartition(vec_id, sub) aggregate of the m-times
+    expanded corpus per iteration. The refit is ONE (sub, j)-keyed wide
+    aggregate (per-dim micro sums + count, map-side partials) instead
+    of posexplode + two groupBys. At 100 TB you train on a key-hash
+    sample (the corpus split hash) and encode the full stream with the
+    final broadcast codebook — the encode pass is embarrassingly
+    parallel."""
     if iters < 1:
         raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
     sub_dim = dim // m
     spark = emb.sparkSession
     x = emb.select(
         F.col(id_col).alias("vec_id"),
+        *keep_cols,
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
     )
     subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
     xs = x.crossJoin(F.broadcast(subs)).select(
         "vec_id",
+        *keep_cols,
         "sub",
         F.expr(f"slice(xd, sub * {sub_dim} + 1, {sub_dim})").alias("sx"),
     )
@@ -667,50 +770,61 @@ def pq_fit(
     fit_cents = cents
     for it in range(iters):
         fit_cents = cents
-        c = cents.select(
-            "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
+        # The per-sub codebook collapses to m broadcast rows; each
+        # (vec_id, sub) row computes its argmin in-row — no exchange.
+        # array_min over struct(dist, j) is the same (dist, j) total
+        # order as the old min-struct aggregate (j unique per sub).
+        carr = cents.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
         )
-        dist = F.aggregate(
-            F.zip_with(F.col("sx"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        # Argmin by hash aggregate, not a sort window: min over
-        # struct(dist, j, sx) is the same (dist, j) total order — j is
-        # unique within a (vec_id, sub) group so the comparison never
-        # reaches sx — but gets map-side partial aggregation instead of
-        # a full sort shuffle of the N*m*ksub assignment stream.
-        assign = (
-            xs.join(F.broadcast(c), "sub")
-            .select(
-                "vec_id", "sub", F.struct(dist.alias("dist"), "j", "sx").alias("b")
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda t: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sx"),
+                            t["cm"],
+                            lambda a, mu: (a - mu / 1_000_000) * (a - mu / 1_000_000),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    t["j"].alias("j"),
+                ),
             )
-            .groupBy("vec_id", "sub")
-            .agg(F.min("b").alias("b"))
+        )
+        assign = (
+            xs.join(F.broadcast(carr), "sub")
+            .select("vec_id", *keep_cols, "sub", "sx", best.alias("_b"))
             .select(
                 "vec_id",
+                *keep_cols,
                 "sub",
-                F.col("b.sx").alias("sx"),
-                F.col("b.j").alias("j"),
-                F.col("b.dist").alias("dist"),
+                "sx",
+                F.col("_b.j").alias("j"),
+                F.col("_b.dist").alias("dist"),
             )
         )
         if it < iters - 1:
+            # ONE (sub, j)-keyed wide aggregate; `s div n` keeps the
+            # truncating-division parity with DuckDB INTEGER `//`.
+            sums = assign.groupBy("sub", "j").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.round(F.col("sx")[i] * 1_000_000).cast("bigint")).alias(
+                        f"_s{i}"
+                    )
+                    for i in range(sub_dim)
+                ],
+            )
             cents = (
-                assign.select("sub", "j", F.posexplode("sx").alias("dim", "v"))
-                .groupBy("sub", "j", "dim")
-                .agg(
-                    F.sum(F.round(F.col("v") * 1_000_000).cast("bigint")).alias("s"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .groupBy("sub", "j")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("dim", F.expr("s div n").alias("m")))
-                        ),
-                        lambda t: t["m"],
-                    ).alias("cm")
+                sums.select(
+                    "sub",
+                    "j",
+                    F.array(*[F.expr(f"_s{i} div n") for i in range(sub_dim)]).alias(
+                        "cm"
+                    ),
                 )
                 # Refit centroids feed the next assignment round AND the
                 # returned codebook — materialize the m*ksub rows once so
@@ -855,12 +969,14 @@ def knn_ivf_pq(
             F.zip_with("x", "c", lambda a, b: a - b).alias("r"),
         )
     )
+    # cell rides through pq_fit (keep_cols) — the old shape re-joined
+    # pq_assign to res on vec_id, a corpus-sized shuffle join, to
+    # recover a column the assignment rows already flowed past.
     pq_assign, codebook = pq_fit(
-        res, m, ksub, pq_iters, id_col="vec_id", vec_col="r", dim=dim
+        res, m, ksub, pq_iters, id_col="vec_id", vec_col="r", dim=dim,
+        keep_cols=("cell",),
     )
-    codes = pq_assign.join(
-        res.select("vec_id", "cell"), "vec_id"
-    ).select("vec_id", "cell", "sub", "j")
+    codes = pq_assign.select("vec_id", "cell", "sub", "j")
     pc = codebook.select(
         "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
     )
@@ -868,21 +984,44 @@ def knn_ivf_pq(
     q = assign.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("x").alias("qx64")
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("qx64"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+    # In-row routing (guide §2.4): the k_cells centroids collapse into
+    # one broadcast row; each query sorts struct(qd, cell, c) in-row and
+    # explodes its nprobe nearest — the same (qd, cell) order the old
+    # row_number window used, with zero query-keyed exchange.
+    route = c.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias("_rc")
+    )
+    qdist_t = lambda cc: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qx64"), cc, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
     probes = (
-        q.crossJoin(F.broadcast(c.select("cell", "c")))
-        .select("query_id", "qx64", "cell", "c", qdist.alias("qd"))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
+        q.crossJoin(F.broadcast(route))
         .select(
             "query_id",
-            "cell",
-            F.zip_with("qx64", "c", lambda a, b: a - b).alias("qr"),
+            "qx64",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_rc"),
+                            lambda t: F.struct(
+                                qdist_t(t["c"]).alias("qd"),
+                                t["cell"].alias("cell"),
+                                t["c"].alias("c"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id",
+            F.col("_p.cell").alias("cell"),
+            F.zip_with("qx64", F.col("_p.c"), lambda a, b: a - b).alias("qr"),
         )
     )
     subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
@@ -954,16 +1093,16 @@ def sign_words(vec: Column, dim: int = 64, word_bits: int = 32) -> list[Column]:
     the float corpus (256 bytes/vector), and the XOR+popcount distance
     is a handful of ALU ops inside whole-stage codegen — no float math
     at all until the shortlist re-rank."""
+    # Unrolled (r14): the old F.aggregate over a sequence literal is a
+    # CodegenFallback HOF — interpreted per bit per row. The static
+    # unroll replays the identical acc*2 + bit integer fold under
+    # whole-stage codegen.
     words = []
     for off in range(0, dim, word_bits):
-        words.append(
-            F.aggregate(
-                F.sequence(F.lit(off), F.lit(off + word_bits - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, i: acc * 2
-                + F.when(F.get(vec, i) > 0, 1).otherwise(0),
-            )
-        )
+        w: Column = F.lit(0).cast("long")
+        for i in range(off, off + word_bits):
+            w = w * 2 + F.when(F.get(vec, i) > 0, 1).otherwise(0)
+        words.append(w)
     return words
 
 
@@ -1010,7 +1149,7 @@ def knn_hamming_rerank(
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
-        norm2(F.col(vec_col)).alias("_n2"),
+        norm2(F.col(vec_col), dim).alias("_n2"),
     )
     qv = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1025,7 +1164,7 @@ def knn_hamming_rerank(
             "vec_id",
             "hamming",
             (
-                dot(F.col("_qvec"), F.col("_vec"))
+                dot(F.col("_qvec"), F.col("_vec"), dim)
                 / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
@@ -1046,7 +1185,7 @@ def micro_normalized(
     path below vectorize freely without the fold-order contract the
     float cosine queries need."""
     vd = lambda v: v.cast("double")  # noqa: E731
-    n = F.sqrt(norm2(F.col(vec_col)))
+    n = F.sqrt(norm2(F.col(vec_col), EMB_DIM))
     qm = F.transform(
         F.col(vec_col),
         lambda v: F.signum(vd(v)).cast("bigint")
@@ -1056,7 +1195,7 @@ def micro_normalized(
     # _unit_frame / the int8 _scale > 0 gate) instead of emitting null
     # components that crash the GEMM worker's numpy conversion with an
     # opaque TypeError
-    return emb.filter(norm2(F.col(vec_col)) > 0).select(
+    return emb.filter(norm2(F.col(vec_col), EMB_DIM) > 0).select(
         F.col(id_col).alias("vec_id"), qm.alias("qm")
     )
 

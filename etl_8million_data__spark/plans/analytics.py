@@ -699,23 +699,31 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a straggler partition at 100 TB, while telling you nothing
     statistical (everything co-occurs with everything in it)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # no .distinct() here (r14): market_basket_rules dedups membership
+    # inside its ok-keyed collect_set aggregate — a separate (ok, pk)
+    # distinct was a second full exchange of the same rows.
     basket0 = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    )
     return market_basket_rules(basket0)
 
 
 def market_basket_rules(basket0: DataFrame) -> DataFrame:
-    """Frame-level core of orders_market_basket over distinct
-    (ok, pk) basket membership rows (also driven by the mega-basket
-    robustness probe in tools/scaling_probe.py)."""
-    bsz = (
+    """Frame-level core of orders_market_basket over (ok, pk) basket
+    membership rows — duplicates tolerated, the ok-keyed collect_set
+    dedups (also driven by the mega-basket robustness probe in
+    tools/scaling_probe.py)."""
+    # ONE ok-keyed exchange (r14, guide §2.4): the old shape paid a
+    # (ok, pk) distinct, an ok-keyed size aggregate AND an ok-keyed
+    # join to re-filter the baskets. collect_set dedups and sizes in
+    # the same aggregate; the explode stays partitioned by ok, so the
+    # pair self-join below reuses this exchange instead of adding one.
+    basket = (
         basket0.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") <= 64)
-        .select("ok")
+        .agg(F.collect_set("pk").alias("_parts"))
+        .filter(F.size("_parts") <= 64)
+        .select("ok", F.explode("_parts").alias("pk"))
     )
-    basket = basket0.join(bsz, "ok")
     np_ = basket.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
     tot = basket.agg(F.count_distinct("ok").alias("n_orders"))
     a = basket.select("ok", F.col("pk").alias("part_a"))

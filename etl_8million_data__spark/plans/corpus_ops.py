@@ -1674,7 +1674,7 @@ def similarity_doc_knn_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
     return knn_bruteforce(
-        nz, q, k=3, id_col="doc_id", vec_col="feats"
+        nz, q, k=3, id_col="doc_id", vec_col="feats", dim=16
     ).select(
         F.col("query_id"),
         F.col("vec_id").alias("doc_id"),
@@ -1795,9 +1795,9 @@ def _hybrid_channels(spark: SparkSession, sf_dir: str, guard_name: str):
     )
 
     lvecs = hashed_doc_vectors(spark, sf_dir).join(cids, "doc_id")
-    n2i = F.aggregate(
-        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
-    )
+    n2i = F.lit(0).cast("bigint")
+    for _i in range(16):  # unrolled 16-dim int fold (codegen; HOFs interpret)
+        n2i = n2i + F.col("feats")[_i] * F.col("feats")[_i]
     # one (id, 16-int vector) row per doc — materialize each channel's
     # corpus frame once; unchecked, the hashing/intersection pipeline
     # re-derives for the corpus side, the query side, and the size
@@ -1812,7 +1812,7 @@ def _hybrid_channels(spark: SparkSession, sf_dir: str, guard_name: str):
     lq = le.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
-    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats", dim=16).select(
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
     )
 
@@ -2096,9 +2096,9 @@ def _hybrid_ivf_channels(spark: SparkSession, sf_dir: str):
         docs.select("doc_id").distinct(), "doc_id"
     )
 
-    n2i = F.aggregate(
-        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
-    )
+    n2i = F.lit(0).cast("bigint")
+    for _i in range(16):  # unrolled 16-dim int fold (codegen; HOFs interpret)
+        n2i = n2i + F.col("feats")[_i] * F.col("feats")[_i]
     # one (id, vector) frame per channel, materialized once: the corpus
     # side feeds cell assignment, the query side, and the adaptive
     # bit-width count (3 consumers -> 1 scan each).
@@ -2114,7 +2114,7 @@ def _hybrid_ivf_channels(spark: SparkSession, sf_dir: str):
     )
     lex = knn_ivf(
         le, lq, _hybrid_w16(), k=10, nprobe=_NPROBE, n_bits=nb_lex,
-        id_col="doc_id", vec_col="feats",
+        id_col="doc_id", vec_col="feats", dim=16,
     ).select("query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex"))
 
     se = emb.join(
@@ -2576,9 +2576,9 @@ def search_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFram
         F.sequence(F.lit(0), F.lit(15)),
         lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0).cast("bigint")),
     )
-    n2i = F.aggregate(
-        F.col("fv"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
-    )
+    n2i = F.lit(0).cast("bigint")
+    for _i in range(16):  # unrolled 16-dim int fold (codegen; HOFs interpret)
+        n2i = n2i + F.col("fv")[_i] * F.col("fv")[_i]
     nz = (
         dense.select("doc_id", "chunk_no", feats.alias("fv"))
         .withColumn("n2", n2i)
@@ -2595,14 +2595,18 @@ def search_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("fv").alias("qv"),
         F.col("n2").alias("qn2"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("fv"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # Codegen dot (optimization round 14, guide §4.1 applied to the JVM
+    # boundary): higher-order functions (aggregate/zip_with) are
+    # CodegenFallback — interpreted per element, per pair. The 16-dim
+    # dot unrolls into a flat arithmetic expression that whole-stage
+    # codegen compiles. Bit-identical to the old fold: it starts at
+    # lit(0.0) and adds the products left-to-right — exactly the
+    # (…((0.0 + v0) + v1)…) sequence the fold executed. (A full
+    # chunks-per-doc array rewrite was tried and measured 4.7x SLOWER —
+    # nested interpreted HOFs — so the row shape stays.)
+    dot = F.lit(0.0)
+    for _i in range(16):
+        dot = dot + F.col("qv")[_i].cast("double") * F.col("fv")[_i].cast("double")
     # unhinted: qc grows with the corpus (|N|/100 chunk rows), so the
     # planner/AQE picks broadcast only while it genuinely fits
     best = (
@@ -2981,9 +2985,9 @@ def similarity_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     cids = emb.select(F.col("vec_id").alias("doc_id")).distinct().join(
         docs.select("doc_id").distinct(), "doc_id"
     )
-    n2i = F.aggregate(
-        F.col("feats"), F.lit(0).cast("bigint"), lambda a, v: a + v * v
-    )
+    n2i = F.lit(0).cast("bigint")
+    for _i in range(16):  # unrolled 16-dim int fold (codegen; HOFs interpret)
+        n2i = n2i + F.col("feats")[_i] * F.col("feats")[_i]
     le = (
         hashed_doc_vectors(spark, sf_dir)
         .join(cids, "doc_id")
@@ -2997,7 +3001,7 @@ def similarity_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     lq = le.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
-    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats", dim=16).select(
         "query_id", F.col("vec_id").alias("doc_id")
     )
     se = emb.join(
@@ -3196,36 +3200,37 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
     ).select("doc_id", "lang", bucket)
-    grid = spark.range(256).select(F.col("id").cast("int").alias("bucket"))
-    ct = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE pass over the exploded token stream (guide §2.3/§2.4): the
+    # old shape re-derived `tok` four times (ct, cs, tot, scoring) —
+    # four explode+md5 passes over every token. The (doc_id, lang,
+    # bucket) pre-aggregate is computed once (ReusedExchange serves the
+    # model and the scoring consumers); the per-bucket model, the
+    # corpus totals, and the per-doc scores are all re-aggregations of
+    # its ≤ |docs|*256 rows. Identical bigint math: per-bucket en/all
+    # counts, g_micro, ((ct+1)*g) div (cs+1), and per-doc sums weight
+    # each bucket count n by w_micro — sum(w) over tokens == sum(n*w)
+    # over (doc, bucket).
+    db = tok.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    model = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+        F.sum("n").alias("cs"),
     )
-    cs = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
-    tot = tok.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
-        F.count(F.lit(1)).alias("ns"),
+    g = model.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns")).select(
+        F.expr("(1000000 * (ns + 256)) div (nt + 256)").alias("g_micro")
     )
-    g = tot.select(F.expr("(1000000 * (ns + 256)) div (nt + 256)").alias("g_micro"))
-    w = (
-        grid.join(ct, "bucket", "left")
-        .join(cs, "bucket", "left")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "bucket",
-            F.expr("((coalesce(ct, 0) + 1) * g_micro) div (coalesce(cs, 0) + 1)").alias(
-                "w_micro"
-            ),
-        )
+    w = model.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        F.expr("((ct + 1) * g_micro) div (cs + 1)").alias("w_micro"),
     )
     return (
-        tok.join(F.broadcast(w), "bucket")
+        db.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_micro").alias("sum_w_micro"),
-            F.expr("sum(w_micro) div count(1)").alias("mean_w_micro"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("w_micro")).alias("sum_w_micro"),
+            F.expr("sum(n * w_micro) div sum(n)").alias("mean_w_micro"),
         )
     )
 

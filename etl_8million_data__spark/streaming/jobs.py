@@ -320,6 +320,7 @@ def stream_ann_index_increment(
     weights: list[list[int]],
     n_bits: int,
     checkpoint_dir: str,
+    dim: int | None = None,
 ):
     """Streaming vector ingest into the persisted cell-partitioned ANN
     inverted file (operators/incremental_ann.py): each micro-batch
@@ -330,10 +331,14 @@ def stream_ann_index_increment(
     vec_ids are already indexed, so the skip-existing anti-join makes
     the re-append a natural no-op — at-least-once foreachBatch plus
     checkpointed batch skipping yields an exactly-once index."""
-    from etl_8million_data__spark.operators.incremental_ann import append_vectors
+    from etl_8million_data__spark.operators.incremental_ann import EMB_DIM, append_vectors
+
+    adim = EMB_DIM if dim is None else dim
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_vectors(batch_df, index_path, weights, n_bits, batch_tag=str(batch_id))
+        append_vectors(
+            batch_df, index_path, weights, n_bits, batch_tag=str(batch_id), dim=adim
+        )
 
     return (
         emb_stream.writeStream.foreachBatch(apply_batch)

@@ -303,11 +303,11 @@ def test_hashed_doc_vectors_route_through_ivf(spark, sf_dir):
     q = nz.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
-    bf = knn_bruteforce(nz, q, k=3, id_col="doc_id", vec_col="feats").select(
+    bf = knn_bruteforce(nz, q, k=3, id_col="doc_id", vec_col="feats", dim=16).select(
         "query_id", "vec_id"
     )
     ivf = knn_ivf(
-        nz, q, w, k=3, nprobe=5, n_bits=nb, id_col="doc_id", vec_col="feats"
+        nz, q, w, k=3, nprobe=5, n_bits=nb, id_col="doc_id", vec_col="feats", dim=16
     ).select("query_id", "vec_id")
     n_bf = bf.count()
     hits = bf.join(ivf, ["query_id", "vec_id"]).count()
@@ -721,11 +721,11 @@ def test_mmr_diversifies_on_planted_clusters(spark):
     q = spark.createDataFrame([(999, qv)], "query_id long, query_vec array<double>")
 
     cands = (
-        knn_bruteforce(emb, q, k=20)
+        knn_bruteforce(emb, q, k=20, dim=8)
         .select("query_id", "vec_id", F.col("cosine").alias("rel"))
         .localCheckpoint(eager=True)
     )
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding"), 8).alias("n2"))
     ce = cands.select("query_id", "vec_id").join(e, "vec_id")
     a = ce.select(
         "query_id", F.col("vec_id").alias("a"),
