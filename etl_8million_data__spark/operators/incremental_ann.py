@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_8million_data__spark.operators.similarity import (
-    EMB_DIM,
     dot,
     norm2,
     projections,
@@ -45,7 +44,7 @@ def _cell_frame(
     id_col: str,
     vec_col: str,
     batch_tag: str | None,
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return emb.select(
@@ -65,7 +64,7 @@ def build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_tag: str | None = "seed",
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> None:
     """Materialize the inverted file: one narrow map assigns every
     vector its SRP cell (no shuffle), then a cell-partitioned parquet
@@ -106,7 +105,7 @@ def append_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_tag: str | None = None,
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> int:
     """Skip-existing incremental append: new vectors whose vec_id is
     already indexed are dropped (the id read is column-pruned to the
@@ -167,7 +166,7 @@ def probe_index(
     nprobe: int = 5,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors for each query against the
     persisted index: queries fan out to ``nprobe`` multiprobe cells,
@@ -377,7 +376,7 @@ IVFPQ_CODES_SCHEMA = "vec_id long, codes_packed long, _batch string, cell int"
 def _unit_frame(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, x) on the unit sphere — PQ's L2 geometry = cosine.
     Zero vectors are excluded (no cosine, and the normalize divides)."""
-    n2 = norm2(F.col(vec_col), EMB_DIM)
+    n2 = norm2(F.col(vec_col))
     return (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), n2.alias("_n2"))
         .filter(F.col("_n2") > 0)
@@ -693,7 +692,7 @@ def _assign_cells_kmeans(
         .select(
             "vec_id",
             F.col("b.x").alias("embedding"),
-            norm2(F.col("b.x"), EMB_DIM).alias("_n2"),
+            norm2(F.col("b.x")).alias("_n2"),
             F.lit(batch_tag).cast("string").alias("_batch"),
             F.col("b.cell").alias("cell"),
         )
@@ -724,7 +723,7 @@ def build_index_kmeans(
     assign.select(
         "vec_id",
         F.col("x").alias("embedding"),
-        norm2(F.col("x"), EMB_DIM).alias("_n2"),
+        norm2(F.col("x")).alias("_n2"),
         F.lit(batch_tag).cast("string").alias("_batch"),
         F.col("j").cast("int").alias("cell"),
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/vectors")
@@ -782,7 +781,7 @@ def probe_index_kmeans(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(F.col(query_vec_col), lambda v: v.cast("double")).alias("_qvec"),
-        norm2(F.col(query_vec_col), EMB_DIM).alias("_qn2"),
+        norm2(F.col(query_vec_col)).alias("_qn2"),
     )
     wq = Window.partitionBy("query_id").orderBy("qd", "cell")
     probes = (
@@ -810,7 +809,7 @@ def probe_index_kmeans(
             "query_id",
             "vec_id",
             (
-                dot(F.col("_qvec"), F.col("embedding"), EMB_DIM)
+                dot(F.col("_qvec"), F.col("embedding"))
                 / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
@@ -851,7 +850,7 @@ def _sign_frame(
         s0.alias("sig0"),
         s1.alias("sig1"),
         v.alias("embedding"),
-        norm2(F.col(vec_col), EMB_DIM).alias("_n2"),
+        norm2(F.col(vec_col)).alias("_n2"),
         F.lit(batch_tag).cast("string").alias("_batch"),
         id_bucket(F.col(id_col), N_ID_BUCKETS).alias("bucket"),
     )
@@ -947,7 +946,7 @@ def probe_index_sign(
         qs0.alias("q0"),
         qs1.alias("q1"),
         F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias("_qvec"),
-        norm2(F.col(query_vec_col), EMB_DIM).alias("_qn2"),
+        norm2(F.col(query_vec_col)).alias("_qn2"),
     )
     ham = (
         F.bit_count(F.col("sig0").bitwiseXOR(F.col("q0")))
@@ -972,7 +971,7 @@ def probe_index_sign(
             "vec_id",
             "hamming",
             (
-                dot(F.col("_qvec"), F.col("embedding"), EMB_DIM)
+                dot(F.col("_qvec"), F.col("embedding"))
                 / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )

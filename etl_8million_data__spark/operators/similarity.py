@@ -131,7 +131,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -310,7 +310,7 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     by_cols: list[str] | None = None,
-    dim: int | None = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over an SRP inverted file: assign every corpus
     vector to one of 2^n_bits sign-bit cells (narrow map, no shuffle),
@@ -464,15 +464,23 @@ def kmeans_fit(
         "j",
         F.transform("x", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
-    assign = None
-    fit_cents = cents
-    for it in range(iters):
-        fit_cents = cents
+    def _to_carr(c: DataFrame) -> DataFrame:
         # k centroids collapse into ONE broadcast row; each corpus row
         # computes its own argmin over that array — no exchange.
-        carr = cents.groupBy().agg(
+        return c.groupBy().agg(
             F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
         )
+
+    def _from_carr(ca: DataFrame) -> DataFrame:
+        return ca.select(F.explode("_cs").alias("_t")).select(
+            F.col("_t.j").alias("j"), F.col("_t.cm").alias("cm")
+        )
+
+    assign = None
+    fit_cents = cents
+    carr = _to_carr(cents)
+    for it in range(iters):
+        fit_cents = cents
         best = F.array_min(
             F.transform(
                 F.col("_cs"),
@@ -512,17 +520,19 @@ def kmeans_fit(
                     for i in range(dim)
                 ],
             )
-            cents = (
+            # The refit is materialized AS the 1-row broadcast array
+            # (same checkpoint placement as before — the refit always
+            # fed the next round and the returned codebook), so the
+            # next assignment round and every downstream consumer pay
+            # one broadcast of an already-computed row, not a re-run of
+            # the k-row aggregate + collapse per consumer.
+            carr = _to_carr(
                 sums.select(
                     "j",
                     F.array(*[F.expr(f"_s{i} div n") for i in range(dim)]).alias("cm"),
                 )
-                # Refit centroids feed the next assignment round AND the
-                # returned codebook — materialize the k rows once so
-                # downstream consumers (codes + query LUTs) never replay
-                # the training lineage.
-                .localCheckpoint(eager=True)
-            )
+            ).localCheckpoint(eager=True)
+            cents = _from_carr(carr)
     return assign, fit_cents
 
 
@@ -548,7 +558,7 @@ def knn_ivf_kmeans(
     the cell-keyed scoring join that AQE can skew-split."""
     assign, cents = kmeans_fit(emb, k_cells, iters, id_col, vec_col)
     corpus = assign.select(
-        "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x"), EMB_DIM).alias("_n2")
+        "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x")).alias("_n2")
     )
     c = cents.select(
         F.col("j").alias("cell"), F.transform("cm", lambda m: m / 1_000_000).alias("c")
@@ -556,7 +566,7 @@ def knn_ivf_kmeans(
     q = assign.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("x").alias("_qvec"),
-        norm2(F.col("x"), EMB_DIM).alias("_qn2"),
+        norm2(F.col("x")).alias("_qn2"),
     )
     # In-row routing (guide §2.4): centroids collapse to one broadcast
     # row; each query sorts struct(qd, cell) in-row and explodes its
@@ -606,7 +616,7 @@ def knn_ivf_kmeans(
             "query_id",
             "vec_id",
             (
-                dot(F.col("_qvec"), F.col("x"), EMB_DIM) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+                dot(F.col("_qvec"), F.col("x")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
     )
@@ -766,17 +776,25 @@ def pq_fit(
         "j",
         F.transform("sx", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
-    assign = None
-    fit_cents = cents
-    for it in range(iters):
-        fit_cents = cents
+    def _to_carr(c: DataFrame) -> DataFrame:
         # The per-sub codebook collapses to m broadcast rows; each
         # (vec_id, sub) row computes its argmin in-row — no exchange.
         # array_min over struct(dist, j) is the same (dist, j) total
         # order as the old min-struct aggregate (j unique per sub).
-        carr = cents.groupBy("sub").agg(
+        return c.groupBy("sub").agg(
             F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
         )
+
+    def _from_carr(ca: DataFrame) -> DataFrame:
+        return ca.select("sub", F.explode("_cs").alias("_t")).select(
+            "sub", F.col("_t.j").alias("j"), F.col("_t.cm").alias("cm")
+        )
+
+    assign = None
+    fit_cents = cents
+    carr = _to_carr(cents)
+    for it in range(iters):
+        fit_cents = cents
         best = F.array_min(
             F.transform(
                 F.col("_cs"),
@@ -818,7 +836,11 @@ def pq_fit(
                     for i in range(sub_dim)
                 ],
             )
-            cents = (
+            # Materialized AS the m-row broadcast array form (same
+            # checkpoint placement as before): the next assignment and
+            # every downstream consumer broadcast the already-computed
+            # rows instead of re-running the aggregate + collapse.
+            carr = _to_carr(
                 sums.select(
                     "sub",
                     "j",
@@ -826,12 +848,8 @@ def pq_fit(
                         "cm"
                     ),
                 )
-                # Refit centroids feed the next assignment round AND the
-                # returned codebook — materialize the m*ksub rows once so
-                # downstream consumers (codes + query LUTs) never replay
-                # the training lineage.
-                .localCheckpoint(eager=True)
-            )
+            ).localCheckpoint(eager=True)
+            cents = _from_carr(carr)
     return assign, fit_cents
 
 
@@ -1093,16 +1111,19 @@ def sign_words(vec: Column, dim: int = 64, word_bits: int = 32) -> list[Column]:
     the float corpus (256 bytes/vector), and the XOR+popcount distance
     is a handful of ALU ops inside whole-stage codegen — no float math
     at all until the shortlist re-rank."""
-    # Unrolled (r14): the old F.aggregate over a sequence literal is a
-    # CodegenFallback HOF — interpreted per bit per row. The static
-    # unroll replays the identical acc*2 + bit integer fold under
-    # whole-stage codegen.
+    # NOTE(r14): a static 32-term unroll was tried here and REVERTED —
+    # measured 2.2x slower end-to-end (plan-size/optimizer cost, the
+    # same trap the jl_distortion docstring records). HOF fold stays.
     words = []
     for off in range(0, dim, word_bits):
-        w: Column = F.lit(0).cast("long")
-        for i in range(off, off + word_bits):
-            w = w * 2 + F.when(F.get(vec, i) > 0, 1).otherwise(0)
-        words.append(w)
+        words.append(
+            F.aggregate(
+                F.sequence(F.lit(off), F.lit(off + word_bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2
+                + F.when(F.get(vec, i) > 0, 1).otherwise(0),
+            )
+        )
     return words
 
 
@@ -1149,7 +1170,7 @@ def knn_hamming_rerank(
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_vec"),
-        norm2(F.col(vec_col), dim).alias("_n2"),
+        norm2(F.col(vec_col)).alias("_n2"),
     )
     qv = e.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1164,7 +1185,7 @@ def knn_hamming_rerank(
             "vec_id",
             "hamming",
             (
-                dot(F.col("_qvec"), F.col("_vec"), dim)
+                dot(F.col("_qvec"), F.col("_vec"))
                 / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
@@ -1185,7 +1206,7 @@ def micro_normalized(
     path below vectorize freely without the fold-order contract the
     float cosine queries need."""
     vd = lambda v: v.cast("double")  # noqa: E731
-    n = F.sqrt(norm2(F.col(vec_col), EMB_DIM))
+    n = F.sqrt(norm2(F.col(vec_col)))
     qm = F.transform(
         F.col(vec_col),
         lambda v: F.signum(vd(v)).cast("bigint")
@@ -1195,7 +1216,7 @@ def micro_normalized(
     # _unit_frame / the int8 _scale > 0 gate) instead of emitting null
     # components that crash the GEMM worker's numpy conversion with an
     # opaque TypeError
-    return emb.filter(norm2(F.col(vec_col), EMB_DIM) > 0).select(
+    return emb.filter(norm2(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("vec_id"), qm.alias("qm")
     )
 

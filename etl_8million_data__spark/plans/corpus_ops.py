@@ -1674,7 +1674,7 @@ def similarity_doc_knn_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
     return knn_bruteforce(
-        nz, q, k=3, id_col="doc_id", vec_col="feats", dim=16
+        nz, q, k=3, id_col="doc_id", vec_col="feats"
     ).select(
         F.col("query_id"),
         F.col("vec_id").alias("doc_id"),
@@ -1812,7 +1812,7 @@ def _hybrid_channels(spark: SparkSession, sf_dir: str, guard_name: str):
     lq = le.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
-    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats", dim=16).select(
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex")
     )
 
@@ -2114,7 +2114,7 @@ def _hybrid_ivf_channels(spark: SparkSession, sf_dir: str):
     )
     lex = knn_ivf(
         le, lq, _hybrid_w16(), k=10, nprobe=_NPROBE, n_bits=nb_lex,
-        id_col="doc_id", vec_col="feats", dim=16,
+        id_col="doc_id", vec_col="feats",
     ).select("query_id", F.col("vec_id").alias("doc_id"), F.col("rn").alias("rn_lex"))
 
     se = emb.join(
@@ -3001,7 +3001,7 @@ def similarity_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     lq = le.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feats").alias("query_vec")
     )
-    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats", dim=16).select(
+    lex = knn_bruteforce(le, lq, k=10, id_col="doc_id", vec_col="feats").select(
         "query_id", F.col("vec_id").alias("doc_id")
     )
     se = emb.join(

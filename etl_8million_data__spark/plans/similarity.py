@@ -294,7 +294,7 @@ def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     # norms once per VECTOR, not per pair: the per-pair cosine is the
     # dominant interpreted-fold cost on dense candidate sets (3x fewer
     # folds; same values — the oracle precomputes n2 identically)
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding"), 64).alias("n2"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
     ea = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
     )
@@ -307,7 +307,7 @@ def similarity_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim=64).alias("cosine"),
+            cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cosine"),
         )
     )
     return out.filter(F.col("cosine") >= 0.4)
@@ -349,7 +349,7 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     assert_baseline_scale(
         emb, 20_000, "similarity_near_dup_embeddings", "similarity_lsh_near_dup_pairs"
     )
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding"), 64).alias("n2"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
     a = spread(e, "vec_id").select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
     )
@@ -360,7 +360,7 @@ def similarity_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     out = pairs.select(
         "vec_a",
         "vec_b",
-        (dot(F.col("ea"), F.col("eb"), 64) / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
+        (dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= 0.4)
 
@@ -393,7 +393,7 @@ def embedding_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = load_table(spark, sf_dir, "embeddings")
     norm_micro = (
-        F.round(F.sqrt(norm2(F.col("embedding"), 64)) * 1_000_000).cast("bigint")
+        F.round(F.sqrt(norm2(F.col("embedding"))) * 1_000_000).cast("bigint")
     )
     return (
         e.select("label", norm_micro.alias("norm_micro"))
@@ -517,7 +517,7 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # norms once per VECTOR (oracle precomputes n2 the same way); the
     # per-pair cosine fold is the dominant cost on dense candidate sets
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding"), 64).alias("n2"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
     ea = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
     )
@@ -527,7 +527,7 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"), dim=64) >= 0.4)
+        .filter(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= 0.4)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
@@ -915,7 +915,7 @@ def similarity_knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
         "per-label-partition knn_ivf",
     )
     e = emb.select(
-        "vec_id", "label", "embedding", norm2(F.col("embedding"), 64).alias("n2")
+        "vec_id", "label", "embedding", norm2(F.col("embedding")).alias("n2")
     )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -932,7 +932,7 @@ def similarity_knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
             "qlabel",
             "vec_id",
             cosine(
-                F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2"), dim=64
+                F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2")
             ).alias("cosine"),
         )
     )
@@ -1063,7 +1063,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-label-pair knn_ivf blocks, rank-merged",
     )
     e = emb.select(
-        "vec_id", "label", "embedding", norm2(F.col("embedding"), 64).alias("n2")
+        "vec_id", "label", "embedding", norm2(F.col("embedding")).alias("n2")
     )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1077,7 +1077,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").alias("neg_label"),
         cosine(
-            F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2"), dim=64
+            F.col("qvec"), F.col("embedding"), F.col("qn2"), F.col("n2")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1356,7 +1356,7 @@ def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id",
         F.col("embedding").alias("x"),
-        norm2(F.col("embedding"), 64).alias("n2"),
+        norm2(F.col("embedding")).alias("n2"),
     )
     s = e.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src_id"), F.col("x").alias("sx"), F.col("n2").alias("sn2")
@@ -1370,7 +1370,7 @@ def similarity_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "tgt_id",
             F.floor(
-                dot(F.col("sx"), F.col("tx"), 64)
+                dot(F.col("sx"), F.col("tx"))
                 / (F.sqrt("sn2") * F.sqrt("tn2"))
                 * 1_000_000
             )
@@ -1426,7 +1426,7 @@ def _unit_normalized(emb: DataFrame) -> DataFrame:
         "vec_id",
         F.transform(
             "embedding",
-            lambda v: v.cast("double") / F.sqrt(norm2(F.col("embedding"), 64)),
+            lambda v: v.cast("double") / F.sqrt(norm2(F.col("embedding"))),
         ).alias("embedding"),
     )
 
@@ -1867,7 +1867,7 @@ def similarity_knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id",
         F.col("embedding").alias("_x"),
-        norm2(F.col("embedding"), 64).alias("_n2"),
+        norm2(F.col("embedding")).alias("_n2"),
     )
     q = e.select(
         F.col("vec_id").alias("query_id"),
@@ -1881,7 +1881,7 @@ def similarity_knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                dot(F.col("_qx"), F.col("_x"), 64) / (F.sqrt("_qn2") * F.sqrt("_n2"))
+                dot(F.col("_qx"), F.col("_x")) / (F.sqrt("_qn2") * F.sqrt("_n2"))
             ).alias("cosine"),
         )
     )
@@ -2212,7 +2212,7 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = sliced.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return knn_bruteforce(sliced, q, k=10, dim=d).select(
+        return knn_bruteforce(sliced, q, k=10).select(
             F.lit(d).alias("dims"), "query_id", "vec_id"
         )
 
@@ -2903,7 +2903,7 @@ def _mmr_inputs(spark: SparkSession, sf_dir: str, guard_name: str):
     cands = knn_bruteforce(emb, queries, k=20).select(
         "query_id", "vec_id", F.col("cosine").alias("rel")
     ).localCheckpoint(eager=True)
-    e = emb.select("vec_id", "embedding", norm2(F.col("embedding"), 64).alias("n2"))
+    e = emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("n2"))
     ce = cands.select("query_id", "vec_id").join(e, "vec_id")
     a = ce.select(
         "query_id",
@@ -2925,7 +2925,7 @@ def _mmr_inputs(spark: SparkSession, sf_dir: str, guard_name: str):
             "a",
             "b",
             (
-                dot(F.col("_va"), F.col("_vb"), 64)
+                dot(F.col("_va"), F.col("_vb"))
                 / (F.sqrt("_na") * F.sqrt("_nb"))
             ).alias("sim"),
         )

@@ -331,13 +331,11 @@ def stream_ann_index_increment(
     vec_ids are already indexed, so the skip-existing anti-join makes
     the re-append a natural no-op — at-least-once foreachBatch plus
     checkpointed batch skipping yields an exactly-once index."""
-    from etl_8million_data__spark.operators.incremental_ann import EMB_DIM, append_vectors
-
-    adim = EMB_DIM if dim is None else dim
+    from etl_8million_data__spark.operators.incremental_ann import append_vectors
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_vectors(
-            batch_df, index_path, weights, n_bits, batch_tag=str(batch_id), dim=adim
+            batch_df, index_path, weights, n_bits, batch_tag=str(batch_id), dim=dim
         )
 
     return (
