@@ -253,6 +253,15 @@ def main() -> None:
         # comparison is attributable to plan vs host noise at a glance:
         # spread ~ delta means noise, spread << delta means a real
         # plan change.
+        # TIMED-BOUNDARY CONTRACT: the clock starts AFTER build(), so
+        # anything build() eagerly materializes (localCheckpoint(eager=
+        # True)) runs untimed. The rule for query authors: no NEW eager
+        # materialization may be added to a build path unless the
+        # materialized frame is provably O(model) — k centroids, a
+        # codebook, a band signature — never O(data). Data-sized staging
+        # must be lazy (eager=False) so it computes inside the timed
+        # region. tests/test_plan_invariants.py::test_fit_checkpoints_
+        # are_model_sized pins the fit lane's side of this contract.
         samples = []
         for _ in range(3):
             df = queries[name].build(spark, SF_DIR)

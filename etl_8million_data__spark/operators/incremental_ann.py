@@ -490,7 +490,9 @@ def build_index_ivfpq(
 
     sub_dim = dim // m
     x = _unit_frame(emb, id_col, vec_col)
-    assign, cents = kmeans_fit(x, k_cells, km_iters, id_col="vec_id", vec_col="x")
+    assign, cents = kmeans_fit(
+        x, k_cells, km_iters, id_col="vec_id", vec_col="x", dim=dim
+    )
     c = cents.select(
         F.col("j").alias("cell"),
         F.transform("cm", lambda v: v / 1_000_000).alias("c"),
@@ -707,6 +709,7 @@ def build_index_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_tag: str | None = "seed",
+    dim: int = 64,
 ) -> None:
     """Train the learned coarse quantizer on ``emb`` and materialize two
     artifacts under ``index_path``: ``centroids/`` (k_cells rows of
@@ -718,7 +721,9 @@ def build_index_kmeans(
     :func:`append_vectors_kmeans` against the frozen centroids."""
     from etl_8million_data__spark.operators.similarity import kmeans_fit
 
-    assign, cents = kmeans_fit(emb, k_cells, iters, id_col=id_col, vec_col=vec_col)
+    assign, cents = kmeans_fit(
+        emb, k_cells, iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assign.select(
         "vec_id",

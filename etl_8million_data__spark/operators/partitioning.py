@@ -407,8 +407,24 @@ def apply_advice(
         joined = salted_broadcast_replicate_join(big, small, on)
     elif advice["strategy"] == "literal":
         if len(on) == 1:
-            keys = [r[on[0]] for r in small.select(on[0]).distinct().collect()]
-            big = big.filter(F.col(on[0]).isin(keys))
+            # HARD row-count gate at the collect site (not only in the
+            # advisor): the advice dict may be stale or hand-built, and
+            # an ungated .collect() on a data-derived frame is a driver
+            # OOM at 100 TB. limit(N+1) bounds the fetch; on overflow
+            # fall back to the broadcast-semi form, which computes the
+            # identical result without driver materialization (same
+            # discipline as bucket_store.py's MAX_BROADCAST_ROWS gate).
+            rows = (
+                small.select(on[0])
+                .distinct()
+                .limit(ADVISE_LITERAL_KEYS + 1)
+                .collect()
+            )
+            if len(rows) <= ADVISE_LITERAL_KEYS:
+                big = big.filter(F.col(on[0]).isin([r[on[0]] for r in rows]))
+            else:
+                kf = small.select(*on).distinct()
+                big = big.join(F.broadcast(kf), on, "left_semi")
         else:
             kf = small.select(*on).distinct()
             big = big.join(F.broadcast(kf), on, "left_semi")

@@ -90,6 +90,15 @@ EMB_DIM = 64
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product.
+
+    CONTRACT on ``dim``: the unrolled form indexes a[0..dim) and
+    b[0..dim) STATICALLY — a caller passing ``dim`` asserts every array
+    is exactly that length. Longer arrays have their tail silently
+    ignored; shorter arrays yield NULL (out-of-range element_at), not a
+    partial sum like the fold would. Pass ``dim`` only where the vector
+    width is pinned by schema/construction (64-dim embeddings, 16-dim
+    hashed BoW); anywhere lengths can vary, leave it None."""
     if dim is None:
         return _fold_sum(
             F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -101,6 +110,9 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def norm2(a: Column, dim: int | None = None) -> Column:
+    """Sequential-fold squared norm. Same ``dim`` contract as
+    :func:`dot`: passing it asserts a static array length; a mismatch
+    returns NULL (short) or drops the tail (long) instead of erroring."""
     if dim is None:
         return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
     out: Column = F.lit(0.0)
@@ -374,12 +386,32 @@ def knn_ivf(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _centroid_carr(c: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Collapse a (keys..., j, cm) centroid frame into one sorted
+    struct-array row per keys-group — the broadcastable in-row-argmin
+    form shared by BOTH Lloyd loops (kmeans_fit: no keys, one row;
+    pq_fit: keys=('sub',), m rows). Hoisted (ADVICE r14) so the two
+    loops cannot drift apart."""
+    return c.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
+    )
+
+
+def _centroid_rows(ca: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Inverse of :func:`_centroid_carr`: explode the array form back to
+    (keys..., j, cm) centroid rows."""
+    return ca.select(*keys, F.explode("_cs").alias("_t")).select(
+        *keys, F.col("_t.j").alias("j"), F.col("_t.cm").alias("cm")
+    )
+
+
 def kmeans_cells(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Deterministic relational k-means assignment — the learned coarse
     quantizer for a data-driven IVF (the SRP cells' complement: SRP is
@@ -403,7 +435,7 @@ def kmeans_cells(
     k micro-centroid arrays, one narrow argmin pass, one (j, dim)
     aggregate — no all-pairs stage; at 100 TB raise k and sample the
     training pass, exactly like a production IVF build."""
-    assign, _ = kmeans_fit(emb, k, iters, id_col, vec_col)
+    assign, _ = kmeans_fit(emb, k, iters, id_col, vec_col, dim=dim)
     return assign.select(
         "vec_id",
         F.col("j").alias("cell"),
@@ -464,17 +496,14 @@ def kmeans_fit(
         "j",
         F.transform("x", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
+
     def _to_carr(c: DataFrame) -> DataFrame:
         # k centroids collapse into ONE broadcast row; each corpus row
         # computes its own argmin over that array — no exchange.
-        return c.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
-        )
+        return _centroid_carr(c)
 
     def _from_carr(ca: DataFrame) -> DataFrame:
-        return ca.select(F.explode("_cs").alias("_t")).select(
-            F.col("_t.j").alias("j"), F.col("_t.cm").alias("cm")
-        )
+        return _centroid_rows(ca)
 
     assign = None
     fit_cents = cents
@@ -513,10 +542,22 @@ def kmeans_fit(
             # bit-for-bit on both engines.
             sums = assign.groupBy("j").agg(
                 F.count(F.lit(1)).alias("n"),
+                # dim guard rides the same aggregate for free: the refit
+                # sums index x[0..dim) statically, so a vector whose
+                # actual length differs from ``dim`` would silently
+                # yield NULL (too short) or truncated (too long)
+                # centroid components. min/max of size(x) cost nothing
+                # extra (map-side partials) and the CASE below fails
+                # LOUDLY at the first refit instead.
+                F.min(F.size("x")).alias("_mn"),
+                F.max(F.size("x")).alias("_mx"),
+                # F.get (not x[i]): out-of-range reads NULL instead of
+                # an ANSI INVALID_ARRAY_INDEX mid-aggregate, so the
+                # guard below owns the failure message in every session
                 *[
-                    F.sum(F.round(F.col("x")[i] * 1_000_000).cast("bigint")).alias(
-                        f"_s{i}"
-                    )
+                    F.sum(
+                        F.round(F.get(F.col("x"), i) * 1_000_000).cast("bigint")
+                    ).alias(f"_s{i}")
                     for i in range(dim)
                 ],
             )
@@ -529,7 +570,19 @@ def kmeans_fit(
             carr = _to_carr(
                 sums.select(
                     "j",
-                    F.array(*[F.expr(f"_s{i} div n") for i in range(dim)]).alias("cm"),
+                    F.when(
+                        (F.col("_mn") == dim) & (F.col("_mx") == dim),
+                        F.array(*[F.expr(f"_s{i} div n") for i in range(dim)]),
+                    )
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                f"kmeans_fit: vector length != dim={dim};"
+                                " pass the true dim= through the caller"
+                            )
+                        )
+                    )
+                    .alias("cm"),
                 )
             ).localCheckpoint(eager=True)
             cents = _from_carr(carr)
@@ -545,6 +598,7 @@ def knn_ivf_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_mod: int = 100,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN over the LEARNED inverted file: kmeans_fit partitions the
     corpus into k_cells density-adapted cells; each query (vec_id %
@@ -556,7 +610,7 @@ def knn_ivf_kmeans(
     Scale shape: centroids broadcast twice (assignment + routing); the
     only data-sized exchanges are the argmin window keyed by vec_id and
     the cell-keyed scoring join that AQE can skew-split."""
-    assign, cents = kmeans_fit(emb, k_cells, iters, id_col, vec_col)
+    assign, cents = kmeans_fit(emb, k_cells, iters, id_col, vec_col, dim=dim)
     corpus = assign.select(
         "vec_id", F.col("j").alias("cell"), "x", norm2(F.col("x")).alias("_n2")
     )
@@ -735,6 +789,8 @@ def pq_fit(
     parallel."""
     if iters < 1:
         raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
+    if dim % m:
+        raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
     sub_dim = dim // m
     spark = emb.sparkSession
     x = emb.select(
@@ -781,14 +837,10 @@ def pq_fit(
         # (vec_id, sub) row computes its argmin in-row — no exchange.
         # array_min over struct(dist, j) is the same (dist, j) total
         # order as the old min-struct aggregate (j unique per sub).
-        return c.groupBy("sub").agg(
-            F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
-        )
+        return _centroid_carr(c, keys=("sub",))
 
     def _from_carr(ca: DataFrame) -> DataFrame:
-        return ca.select("sub", F.explode("_cs").alias("_t")).select(
-            "sub", F.col("_t.j").alias("j"), F.col("_t.cm").alias("cm")
-        )
+        return _centroid_rows(ca, keys=("sub",))
 
     assign = None
     fit_cents = cents
@@ -829,10 +881,16 @@ def pq_fit(
             # truncating-division parity with DuckDB INTEGER `//`.
             sums = assign.groupBy("sub", "j").agg(
                 F.count(F.lit(1)).alias("n"),
+                # same loud dim guard as kmeans_fit's refit: a subvector
+                # shorter/longer than sub_dim means the caller's ``dim``
+                # does not match the real vector length.
+                F.min(F.size("sx")).alias("_mn"),
+                F.max(F.size("sx")).alias("_mx"),
+                # F.get: see kmeans_fit — the guard owns the message
                 *[
-                    F.sum(F.round(F.col("sx")[i] * 1_000_000).cast("bigint")).alias(
-                        f"_s{i}"
-                    )
+                    F.sum(
+                        F.round(F.get(F.col("sx"), i) * 1_000_000).cast("bigint")
+                    ).alias(f"_s{i}")
                     for i in range(sub_dim)
                 ],
             )
@@ -844,9 +902,19 @@ def pq_fit(
                 sums.select(
                     "sub",
                     "j",
-                    F.array(*[F.expr(f"_s{i} div n") for i in range(sub_dim)]).alias(
-                        "cm"
-                    ),
+                    F.when(
+                        (F.col("_mn") == sub_dim) & (F.col("_mx") == sub_dim),
+                        F.array(*[F.expr(f"_s{i} div n") for i in range(sub_dim)]),
+                    )
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                f"pq_fit: subvector length != dim/m={sub_dim};"
+                                " pass the true dim= through the caller"
+                            )
+                        )
+                    )
+                    .alias("cm"),
                 )
             ).localCheckpoint(eager=True)
             cents = _from_carr(carr)
@@ -970,7 +1038,7 @@ def knn_ivf_pq(
         raise ValueError("knn_ivf_pq requires km_iters >= 1 and pq_iters >= 1")
     sub_dim = dim // m
     spark = emb.sparkSession
-    assign, km_cents = kmeans_fit(emb, k_cells, km_iters, id_col, vec_col)
+    assign, km_cents = kmeans_fit(emb, k_cells, km_iters, id_col, vec_col, dim=dim)
     c = km_cents.select(
         F.col("j").alias("cell"),
         F.transform("cm", lambda v: v / 1_000_000).alias("c"),

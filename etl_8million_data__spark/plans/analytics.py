@@ -718,6 +718,16 @@ def market_basket_rules(basket0: DataFrame) -> DataFrame:
     # join to re-filter the baskets. collect_set dedups and sizes in
     # the same aggregate; the explode stays partitioned by ok, so the
     # pair self-join below reuses this exchange instead of adding one.
+    # ACCEPTED MEMORY BOUND (ADVICE r14): the collect_set buffer for a
+    # basket materializes its full DISTINCT part set before the <= 64
+    # cap discards it, so one pathological mega-basket costs
+    # O(|distinct parts|) bytes in a single aggregation buffer (~tens
+    # of MB for a million-part basket — heavy, not fatal; ObjectHashAgg
+    # falls back to sort-based aggregation under memory pressure).
+    # The alternative — a count(distinct)-then-semi-join pre-filter —
+    # re-adds the second full ok-keyed exchange r14 removed and was
+    # measured slower; revisit only if real data shows baskets with
+    # >> 1e6 distinct parts.
     basket = (
         basket0.groupBy("ok")
         .agg(F.collect_set("pk").alias("_parts"))

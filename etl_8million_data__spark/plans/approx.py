@@ -878,19 +878,24 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the sample window is k-bounded by construction (256 rows)
         "cents", F.row_number().over(Window.orderBy("cents", "h")).alias("rn")
     )
-    # exact side: global rank WITHOUT a single-partition window — range
-    # buckets of the cents value feed the boundary-table offset trick
-    # (operators/partitioning.global_rank), same total order
-    from etl_8million_data__spark.operators.partitioning import global_rank
-
-    fr = global_rank(
-        v.select("cents", "o_orderkey"),
-        "cents",
-        "o_orderkey",
-        F.expr("cents div 1000000"),
-        out_col="rn",
-    ).select("cents", "rn")
-    n = v.agg(F.count(F.lit(1)).alias("n"))
+    # Exact side (r15, guide §2.3/§2.4): only FIVE ranks are ever read,
+    # so ranking every row (global_rank = full shuffle + sort of the
+    # table by range bucket) computed |orders| - 5 ranks that were
+    # thrown away. Same boundary-table idea, pruned to the consumers:
+    # one map-side-combined bucket histogram (also yields n — the old
+    # separate count scan is gone), cumulative offsets over the tiny
+    # histogram locate WHICH bucket holds each target rank, and only
+    # those <= 5 buckets' rows are sorted (per-bucket window) to read
+    # the value at rank - offset. The (bucket, cents, o_orderkey) order
+    # equals the global (cents, o_orderkey) order because the bucket is
+    # monotone in cents — the identical total order global_rank used.
+    bucket = F.expr("cents div 1000000")
+    hist = v.groupBy(bucket.alias("_b")).agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = hist.select(
+        "_b", "_n", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    n = hist.agg(F.sum("_n").alias("n"))
     grid = spark.createDataFrame([(25,), (50,), (90,), (95,), (99,)], "q_pct int")
     a = (
         grid.crossJoin(F.broadcast(spark.range(1).select(F.lit(k).alias("_k"))))
@@ -898,13 +903,28 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sr, "rn")
         .select("q_pct", F.col("cents").alias("approx_cents"))
     )
-    e = (
+    targets = (
         grid.crossJoin(F.broadcast(n))
         .select(
             "q_pct",
             F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("bigint").alias("rn"),
         )
-        .join(fr, "rn")
+        .join(
+            F.broadcast(bounds),
+            (F.col("_off") < F.col("rn")) & (F.col("rn") <= F.col("_off") + F.col("_n")),
+        )
+        .select("q_pct", "rn", "_b", "_off")
+    )
+    # one broadcast inner join both FILTERS the scan to target buckets
+    # and attaches (rn, _off); the window partitions by (_b, rn) so a
+    # bucket holding two target ranks ranks its rows once per target —
+    # at most 5 duplications, never data-sized
+    lw = Window.partitionBy("_b", "rn").orderBy("cents", "o_orderkey")
+    e = (
+        v.select("cents", "o_orderkey", bucket.alias("_b"))
+        .join(F.broadcast(targets), "_b")
+        .withColumn("_lr", F.row_number().over(lw))
+        .filter(F.col("_off") + F.col("_lr") == F.col("rn"))
         .select("q_pct", F.col("cents").alias("exact_cents"))
     )
     return (
@@ -1092,15 +1112,23 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
         "cents",
         F.row_number().over(Window.partitionBy("grp").orderBy("cents", "h")).alias("rn"),
     )
-    ng = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    fr = global_rank(
-        v.select("grp", "cents", "o_orderkey"),
-        "cents",
-        "o_orderkey",
-        F.expr("cents div 1000000"),
-        out_col="rn",
-        group_cols=("grp",),
-    ).select("grp", "cents", "rn")
+    # Exact side (r15, guide §2.3/§2.4, same rewrite as the global
+    # sketch): only |groups| x 2 ranks are read, so the per-group
+    # full-table rank (global_rank = shuffle + sort of every row) is
+    # pruned to the buckets that actually hold a target rank. The
+    # (grp, bucket) histogram also yields the per-group counts — the
+    # old separate ng scan is gone.
+    bucket = F.expr("cents div 1000000")
+    hist = v.groupBy("grp", bucket.alias("_b")).agg(F.count(F.lit(1)).alias("_n"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = hist.select(
+        "grp", "_b", "_n", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    ng = hist.groupBy("grp").agg(F.sum("_n").alias("n"))
     grid = spark.createDataFrame([(50,), (95,)], "q_pct int")
     a = (
         kg.crossJoin(F.broadcast(grid))
@@ -1110,12 +1138,21 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
         .join(sr, ["grp", "rn"])
         .select("grp", "q_pct", F.col("cents").alias("approx_cents"))
     )
-    e = (
+    targets = (
         ng.crossJoin(F.broadcast(grid))
         .select(
             "grp", "q_pct", F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("bigint").alias("rn")
         )
-        .join(fr, ["grp", "rn"])
+        .join(F.broadcast(bounds), "grp")
+        .filter((F.col("_off") < F.col("rn")) & (F.col("rn") <= F.col("_off") + F.col("_n")))
+        .select("grp", "q_pct", "rn", "_b", "_off")
+    )
+    lw = Window.partitionBy("grp", "_b", "rn").orderBy("cents", "o_orderkey")
+    e = (
+        v.select("grp", "cents", "o_orderkey", bucket.alias("_b"))
+        .join(F.broadcast(targets), ["grp", "_b"])
+        .withColumn("_lr", F.row_number().over(lw))
+        .filter(F.col("_off") + F.col("_lr") == F.col("rn"))
         .select("grp", "q_pct", F.col("cents").alias("exact_cents"))
     )
     return (
@@ -1757,6 +1794,14 @@ def advisor_layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
     )
+    # Stage the projected frame ONCE (r15, guide §2.3/§6): each of the
+    # three simulated layouts consumes `li` twice (bucket histogram +
+    # co-partitioned rank), so the un-staged plan re-scanned lineitem
+    # six times. The checkpoint is LAZY (eager=False) on purpose — the
+    # 4-column projection is O(data), so it must materialize inside the
+    # timed region (bench.py's timed-boundary contract), where it is
+    # computed once and read six times.
+    li = li.localCheckpoint(eager=False)
     layouts = [
         ("shipdate", "l_shipdate",
          (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("bigint")),
@@ -1947,6 +1992,11 @@ def advisor_layout_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
     )
+    # Shared LAZY stage (r15, guide §2.3/§6), same rationale as
+    # advisor_layout_zonemap: base/append/resorted each scan li twice
+    # through global_ntile — 6 lineitem scans collapse to one
+    # materialization computed inside the timed region.
+    li = li.localCheckpoint(eager=False)
     base = global_ntile(
         li.filter(F.col("l_orderkey") % 4 != 0),
         48,

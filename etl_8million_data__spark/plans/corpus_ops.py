@@ -636,18 +636,25 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokf.filter(F.size("_toks") >= 3)
         .select(
             "doc_id",
+            "source",
             F.array_distinct(word_shingles(F.col("_toks"), 3)).alias("shingles"),
         )
         .localCheckpoint(eager=True)
     )
     near_drops = (
-        jaccard_verified_pairs(d, threshold=0.5, shingles=sh)
+        jaccard_verified_pairs(d, threshold=0.5, shingles=sh.select("doc_id", "shingles"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    grams = tokf.select(
-        "doc_id", "source", F.explode(word_shingles(F.col("_toks"), 3)).alias("gram")
-    ).distinct()
+    # Contamination grams read the SAME checkpointed shingle frame (r15,
+    # guide §2.3/§2.4): the old shape re-ran the interpreted
+    # word_shingles transform over tokf a second time AND paid a full
+    # (doc_id, source, gram)-row .distinct() exchange. doc_id is unique,
+    # so that distinct is per-doc dedup — already done IN-ROW by sh's
+    # array_distinct; docs with < 3 tokens contribute zero grams either
+    # way (word_shingles yields an empty array). Same row set, one
+    # data-sized exchange and one shingle derivation removed.
+    grams = sh.select("doc_id", "source", F.explode("shingles").alias("gram"))
     probe = (
         grams.filter(F.col("source") == "src0").select(F.col("gram").alias("pgram")).distinct()
     )
@@ -3202,11 +3209,14 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", bucket)
     # ONE pass over the exploded token stream (guide §2.3/§2.4): the
     # old shape re-derived `tok` four times (ct, cs, tot, scoring) —
-    # four explode+md5 passes over every token. The (doc_id, lang,
-    # bucket) pre-aggregate is computed once (ReusedExchange serves the
-    # model and the scoring consumers); the per-bucket model, the
-    # corpus totals, and the per-doc scores are all re-aggregations of
-    # its ≤ |docs|*256 rows. Identical bigint math: per-bucket en/all
+    # four explode+md5 passes over every token. The win is the removed
+    # token-stream derivations (Scan parquet 8 -> 6 in the r14 plan
+    # dumps): the per-bucket model, the corpus totals, and the per-doc
+    # scores are all re-aggregations of the (doc_id, lang, bucket)
+    # pre-aggregate's ≤ |docs|*256 rows — each consumer re-runs that
+    # small aggregate (no ReusedExchange: the consumers' partitionings
+    # differ), which is still orders cheaper than re-exploding the
+    # corpus. Identical bigint math: per-bucket en/all
     # counts, g_micro, ((ct+1)*g) div (cs+1), and per-doc sums weight
     # each bucket count n by w_micro — sum(w) over tokens == sum(n*w)
     # over (doc, bucket).

@@ -347,3 +347,43 @@ def test_linkage_candidate_stage_is_blocked_equi_join(spark):
         assert "HashAggregate" in frag or "Exchange hashpartitioning" in frag, (
             "window over raw data-sized input:\n" + m.group(0)
         )
+
+
+def test_fit_checkpoints_are_model_sized(spark, monkeypatch):
+    """The bench's timed region starts AFTER build(), so an EAGER
+    localCheckpoint inside a build path materializes UNTIMED (bench.py
+    documents the contract). The fit operators lean on this for their
+    refit artifacts — legitimate only while every eagerly materialized
+    frame stays O(model) (centroid/codebook rows), never O(data). This
+    spy pins that: every eager checkpoint taken during kmeans_fit and
+    pq_fit must hold at most model-bound rows, orders below the corpus
+    row count."""
+    from etl_8million_data__spark.catalog import load_table
+    from etl_8million_data__spark.operators.similarity import kmeans_fit, pq_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is an
+    # abstract facade; instances are classic.DataFrame)
+    cls = type(emb)
+    recorded: list[tuple[int, bool]] = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        if eager:
+            recorded.append((out.count(), eager))
+        return out
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    n_corpus = emb.count()
+    k, m, ksub = 8, 8, 16
+    kmeans_fit(emb, k=k, iters=2)
+    pq_fit(emb, m=m, ksub=ksub, iters=2)
+    assert recorded, "fit loops no longer checkpoint — update this gate"
+    bound = max(k, m)  # carr frames: 1 row (kmeans) / m rows (pq)
+    for rows, _ in recorded:
+        assert rows <= bound, (
+            f"eager build-path checkpoint holds {rows} rows "
+            f"(model bound {bound}, corpus {n_corpus}) — O(data) frames "
+            "must use eager=False so they compute inside the timed region"
+        )

@@ -834,3 +834,45 @@ def test_mmr_lambda_curve_trades_relevance_for_diversity(spark, sf_dir):
     assert rel[-1] > rel[0]
     sim = {r.lam_pct: r.sum_pairsim_micro for r in rows}
     assert sim[100] >= 3 * max(sim[50], 1), sim
+
+
+def test_kmeans_fit_dim_forwarded_and_guarded(spark):
+    """ADVICE r14 (medium): kmeans_fit's refit statically indexes
+    x[0..dim); with non-64-dim vectors and iters >= 2 a wrong/unforwarded
+    ``dim`` used to corrupt centroids SILENTLY (NULL or truncated
+    components). Now (a) dim threads through kmeans_cells /
+    knn_ivf_kmeans / knn_ivf_pq / build_index_* so 8-dim corpora refit
+    correctly, and (b) a mismatched dim fails LOUDLY at the first refit
+    instead of assigning against garbage."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_8million_data__spark.operators.similarity import (
+        kmeans_cells,
+        kmeans_fit,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # correct dim: 2-iteration fit must produce full-width, null-free
+    # centroids (the refit actually ran over all 8 dims)
+    _, cents = kmeans_fit(emb, k=3, iters=2, dim=8)
+    got = cents.collect()
+    assert got and all(len(r.cm) == 8 and None not in r.cm for r in got)
+    assert kmeans_cells(emb, k=3, iters=2, dim=8).count() == 40
+
+    # wrong dim: the refit guard must raise, not return corrupt cells
+    with pytest.raises(SparkRuntimeException, match="vector length != dim"):
+        kmeans_fit(emb, k=3, iters=2, dim=64)
+
+
+def test_pq_fit_rejects_indivisible_dim():
+    import pytest
+
+    from etl_8million_data__spark.operators.similarity import pq_fit
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(None, m=7, dim=64)

@@ -80,8 +80,10 @@ def main() -> None:
         print(f"{name}: min={min(samples)} median={out[name]['median']} "
               f"max={max(samples)} (driver r8: {driver_r8}, r7: {prev_r7})",
               flush=True)
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "BENCH_ISOLATION_r9.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("SPARK_GRAFT_ISOLATION_OUT", "BENCH_ISOLATION_r9.json"),
+    )
     # merge-preserve: later targeted reruns must not erase earlier
     # queries' evidence
     record = {"sf_dir": SF_DIR, "protocol": "warmup + min-of-5, isolated",
