@@ -17,6 +17,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 
 def hyperplane_weights(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
@@ -136,7 +137,11 @@ def cosine(
     return dot(a, b, dim) / (F.sqrt(na) * F.sqrt(nb))
 
 
-@F.pandas_udf("double")
+# DataType instance, NOT a DDL string: the string form is parsed via
+# the ACTIVE SparkContext at decoration time, which would make this
+# module un-importable before a session exists (driver compile checks,
+# session-less tooling).
+@F.pandas_udf(DoubleType())
 def dot_arrow_seqfold(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batch dot product that replays the EXACT sequential fold order
     of :func:`dot`'s HOF form — vectorized ACROSS pairs instead of
@@ -442,6 +447,136 @@ def _centroid_rows(ca: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+# Fields declared NON-nullable (the UDF always fills both): downstream
+# joins on j infer IsNotNull(j), and with a nullable field Catalyst
+# pushes that filter BELOW the projection, splitting every argmin into
+# TWO ArrowEvalPython evaluations (filter pass + project pass).
+# Non-nullable output makes the inferred filter trivially true.
+_ARGMIN_STRUCT = StructType(
+    [
+        StructField("j", IntegerType(), nullable=False),
+        StructField("dist", DoubleType(), nullable=False),
+    ]
+)
+
+
+def _argmin_assign_udf(cb: list[tuple[int, list[int]]]):
+    """Arrow-vectorized Lloyd assignment against a COLLECTED codebook
+    (optimization r15, guide §4.2): the in-row HOF argmin
+    (``array_min`` over ``transform``/``aggregate``/``zip_with``) is
+    CodegenFallback — interpreted per element per centroid, measured as
+    a 1.7 s single-task CPU whale in similarity_knn_ivf_pq's timed
+    region at sf0.1. This replays the IDENTICAL float64 operation
+    order, vectorized ACROSS rows: per centroid j, dist accumulates
+    ((0 + d0^2) + d1^2) + ... left-to-right with cm_i/1e6 the same
+    bigint->double divide, so every dist is bit-identical to the HOF
+    fold; ``np.argmin`` returns the FIRST minimum over the j-ascending
+    codebook — the same (dist, j) total order as array_min over
+    struct(dist, j). The codebook itself is an O(model) driver collect
+    (k or m*ksub rows — the 'literal' strategy incremental_ann already
+    uses, inside the bench.py timed-boundary contract), so assignment
+    becomes ONE narrow ArrowEvalPython pass: zero exchange, zero
+    broadcast join, no per-row codebook duplication through Arrow."""
+    import numpy as np
+
+    cb = sorted(cb)
+    jv = np.asarray([j for j, _ in cb], dtype=np.int64)
+    cm = np.asarray([list(c) for _, c in cb], dtype=np.float64)
+
+    @F.pandas_udf(_ARGMIN_STRUCT)
+    def argmin(xs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {
+                    "j": pd.array([], dtype="int32"),
+                    "dist": pd.array([], dtype="float64"),
+                }
+            )
+        x = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        if x.shape[1] != cm.shape[1]:
+            raise ValueError(
+                f"codebook argmin: vector length {x.shape[1]} != "
+                f"centroid length {cm.shape[1]}"
+            )
+        n = x.shape[0]
+        dists = np.empty((n, len(jv)), dtype=np.float64)
+        for kk in range(len(jv)):
+            mu = cm[kk] / 1_000_000.0
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(cm.shape[1]):
+                d = x[:, i] - mu[i]
+                acc = acc + d * d
+            dists[:, kk] = acc
+        pick = np.argmin(dists, axis=1)
+        return pd.DataFrame(
+            {
+                "j": jv[pick].astype("int32"),
+                "dist": dists[np.arange(n), pick],
+            }
+        )
+
+    return argmin
+
+
+def _pq_argmin_assign_udf(cb: list[tuple[int, int, list[int]]]):
+    """Per-subspace variant of :func:`_argmin_assign_udf` for pq_fit:
+    ``cb`` rows are (sub, j, cm); each (vec_id, sub) row's argmin runs
+    against its own subspace codebook, same bit-identical fold replay
+    and first-min/ascending-j tie-break."""
+    import numpy as np
+
+    by_sub: dict[int, tuple] = {}
+    subs = sorted({s for s, _, _ in cb})
+    for s in subs:
+        rows = sorted((j, c) for ss, j, c in cb if ss == s)
+        by_sub[s] = (
+            np.asarray([j for j, _ in rows], dtype=np.int64),
+            np.asarray([list(c) for _, c in rows], dtype=np.float64),
+        )
+
+    @F.pandas_udf(_ARGMIN_STRUCT)
+    def argmin(sub: pd.Series, sxs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(sxs) == 0:
+            return pd.DataFrame(
+                {
+                    "j": pd.array([], dtype="int32"),
+                    "dist": pd.array([], dtype="float64"),
+                }
+            )
+        sv = sub.to_numpy()
+        x = np.stack(sxs.to_numpy()).astype(np.float64, copy=False)
+        out_j = np.empty(len(sv), dtype="int32")
+        out_d = np.empty(len(sv), dtype=np.float64)
+        for s in np.unique(sv):
+            jv, cm = by_sub[int(s)]
+            mask = sv == s
+            xs = x[mask]
+            if xs.shape[1] != cm.shape[1]:
+                raise ValueError(
+                    f"pq codebook argmin: subvector length {xs.shape[1]}"
+                    f" != centroid length {cm.shape[1]}"
+                )
+            n = xs.shape[0]
+            dists = np.empty((n, len(jv)), dtype=np.float64)
+            for kk in range(len(jv)):
+                mu = cm[kk] / 1_000_000.0
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(cm.shape[1]):
+                    d = xs[:, i] - mu[i]
+                    acc = acc + d * d
+                dists[:, kk] = acc
+            pick = np.argmin(dists, axis=1)
+            out_j[mask] = jv[pick].astype("int32")
+            out_d[mask] = dists[np.arange(n), pick]
+        return pd.DataFrame({"j": out_j, "dist": out_d})
+
+    return argmin
+
+
 def kmeans_cells(
     emb: DataFrame,
     k: int = 8,
@@ -494,18 +629,19 @@ def kmeans_fit(
     ints) — the pieces an IVF search needs (route queries by centroid,
     scan only the routed cells).
 
-    Plan shape (optimization round 14, guide §2.4): the per-iteration
-    argmin is computed IN-ROW against the broadcast centroid array
-    (``array_min`` over struct(dist, j) — identical (dist, j) total
-    order as the old row_number window, j unique), so assignment is a
-    narrow map with ZERO exchange of the corpus — the old shape paid a
-    full hashpartition(vec_id) sort-window shuffle of the k-times
-    expanded corpus per iteration. The refit is ONE wide aggregate
-    (per-dim micro sums + count, map-side partials) instead of
-    posexplode + two groupBys — one k-keyed exchange instead of a
-    dim-times row blowup and two. ``dim`` is the vector length (all
-    in-tree embeddings are 64-dim); the per-dim sums `s div n` keep the
-    truncating-division parity with DuckDB `//`."""
+    Plan shape (r14 removed the per-iteration window shuffle; r15 the
+    interpreted argmin, guide §2.4/§4.2): assignment is ONE narrow
+    ArrowEvalPython pass — the codebook is an O(k) driver collect
+    closed over by :func:`_argmin_assign_udf`, which replays the HOF
+    fold bit-for-bit in numpy (the old in-row ``array_min`` over
+    ``transform``/``aggregate``/``zip_with`` against a crossJoined
+    broadcast array was CodegenFallback, interpreted per
+    row x centroid x dim — the measured 1.7 s single-task whale in
+    knn_ivf_pq's timed region). The refit stays ONE wide aggregate
+    (per-dim micro sums + count, map-side partials) with a k-keyed
+    exchange. ``dim`` is the vector length (all in-tree embeddings are
+    64-dim); the per-dim sums `s div n` keep the truncating-division
+    parity with DuckDB `//`."""
     if iters < 1:
         raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     spark = emb.sparkSession
@@ -534,42 +670,30 @@ def kmeans_fit(
         F.transform("x", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
 
-    def _to_carr(c: DataFrame) -> DataFrame:
-        # k centroids collapse into ONE broadcast row; each corpus row
-        # computes its own argmin over that array — no exchange.
-        return _centroid_carr(c)
-
-    def _from_carr(ca: DataFrame) -> DataFrame:
-        return _centroid_rows(ca)
-
     assign = None
     fit_cents = cents
-    carr = _to_carr(cents)
+    # O(k) driver collect of the live codebook (r15, guide §4.2): the
+    # old in-row argmin against a crossJoined broadcast array was an
+    # interpreted HOF per (row x centroid x dim) — see
+    # _argmin_assign_udf. iter 0 runs the seed chain once at build;
+    # later iterations read the eagerly checkpointed refit row, so the
+    # collect is always O(k) rows within the bench.py timed-boundary
+    # contract.
+    cb = [(r["j"], list(r["cm"])) for r in cents.collect()]
     for it in range(iters):
         fit_cents = cents
-        best = F.array_min(
-            F.transform(
-                F.col("_cs"),
-                lambda t: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("x"),
-                            t["cm"],
-                            lambda a, m: (a - m / 1_000_000) * (a - m / 1_000_000),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    t["j"].alias("j"),
-                ),
-            )
-        )
-        assign = (
-            x.crossJoin(F.broadcast(carr))
-            .select("vec_id", "x", best.alias("_b"))
-            .select(
-                "vec_id", "x", F.col("_b.j").alias("j"), F.col("_b.dist").alias("dist")
-            )
+        assign = x.select(
+            "vec_id", "x", _argmin_assign_udf(cb)(F.col("x")).alias("_b")
+        ).select(
+            "vec_id",
+            "x",
+            # coalesce makes j provably non-null (the UDF always fills
+            # it; -1 would match no centroid, same drop as a null join
+            # key): without it, joins on j infer IsNotNull(j) and
+            # Catalyst pushes that filter below the projection,
+            # re-evaluating the argmin in a SECOND ArrowEvalPython.
+            F.coalesce(F.col("_b.j"), F.lit(-1)).alias("j"),
+            F.col("_b.dist").alias("dist"),
         )
         if it < iters - 1:
             # Per-dim micro sums in ONE aggregate; `s div n` truncates
@@ -598,13 +722,13 @@ def kmeans_fit(
                     for i in range(dim)
                 ],
             )
-            # The refit is materialized AS the 1-row broadcast array
-            # (same checkpoint placement as before — the refit always
-            # fed the next round and the returned codebook), so the
-            # next assignment round and every downstream consumer pay
-            # one broadcast of an already-computed row, not a re-run of
-            # the k-row aggregate + collapse per consumer.
-            carr = _to_carr(
+            # The refit is materialized AS the 1-row array form (same
+            # checkpoint placement as before — the refit always fed the
+            # next round and the returned codebook), so the next
+            # round's O(k) collect and every downstream consumer read
+            # an already-computed row, not a re-run of the k-row
+            # aggregate per consumer.
+            carr = _centroid_carr(
                 sums.select(
                     "j",
                     F.when(
@@ -622,7 +746,8 @@ def kmeans_fit(
                     .alias("cm"),
                 )
             ).localCheckpoint(eager=True)
-            cents = _from_carr(carr)
+            cents = _centroid_rows(carr)
+            cb = [(t["j"], list(t["cm"])) for t in carr.first()["_cs"]]
     return assign, fit_cents
 
 
@@ -654,11 +779,13 @@ def knn_ivf_kmeans(
     c = cents.select(
         F.col("j").alias("cell"), F.transform("cm", lambda m: m / 1_000_000).alias("c")
     )
-    q = assign.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("x").alias("_qvec"),
-        norm2(F.col("x")).alias("_qn2"),
+    # Raw projected vectors, not assign: same cast of the same column,
+    # without dragging the assignment UDF into the query branch (r15).
+    qx = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_qvec"),
     )
+    q = qx.select("query_id", "_qvec", norm2(F.col("_qvec")).alias("_qn2"))
     # In-row routing (guide §2.4): centroids collapse to one broadcast
     # row; each query sorts struct(qd, cell) in-row and explodes its
     # nprobe nearest — same (qd, cell) order as the old row_number
@@ -811,19 +938,19 @@ def pq_fit(
     through to the assignment output unchanged (lets a caller avoid a
     corpus-sized re-join to recover, e.g., the IVF cell id).
 
-    Scale shape per iteration (optimization round 14, guide §2.4): the
-    per-sub codebook collapses to m broadcast rows of ksub-struct
-    arrays; each (vec_id, sub) row computes its argmin IN-ROW
-    (``array_min`` over struct(dist, j) — the same (dist, j) total
-    order as the old min-struct aggregate, j unique per sub), so
-    assignment is a narrow map with ZERO corpus exchange — the old
-    shape paid a hashpartition(vec_id, sub) aggregate of the m-times
-    expanded corpus per iteration. The refit is ONE (sub, j)-keyed wide
-    aggregate (per-dim micro sums + count, map-side partials) instead
-    of posexplode + two groupBys. At 100 TB you train on a key-hash
-    sample (the corpus split hash) and encode the full stream with the
-    final broadcast codebook — the encode pass is embarrassingly
-    parallel."""
+    Scale shape per iteration (r14 removed the per-iteration corpus
+    exchange; r15 the interpreted argmin, guide §2.4/§4.2): assignment
+    is ONE narrow ArrowEvalPython pass per iteration — the m*ksub
+    codebook is an O(model) driver collect closed over by
+    :func:`_pq_argmin_assign_udf`, which replays the HOF fold
+    bit-for-bit in numpy per subspace (the old in-row ``array_min``
+    over ``transform``/``aggregate``/``zip_with`` against the broadcast
+    m-row array form was CodegenFallback, interpreted per
+    row x centroid x dim). The refit is ONE (sub, j)-keyed wide
+    aggregate (per-dim micro sums + count, map-side partials). At
+    100 TB you train on a key-hash sample (the corpus split hash) and
+    encode the full stream with the final codebook in the closure — the
+    encode pass is embarrassingly parallel."""
     if iters < 1:
         raise ValueError(f"pq_fit requires iters >= 1, got {iters}")
     if dim % m:
@@ -869,49 +996,29 @@ def pq_fit(
         "j",
         F.transform("sx", lambda v: F.round(v * 1_000_000).cast("bigint")).alias("cm"),
     )
-    def _to_carr(c: DataFrame) -> DataFrame:
-        # The per-sub codebook collapses to m broadcast rows; each
-        # (vec_id, sub) row computes its argmin in-row — no exchange.
-        # array_min over struct(dist, j) is the same (dist, j) total
-        # order as the old min-struct aggregate (j unique per sub).
-        return _centroid_carr(c, keys=("sub",))
-
-    def _from_carr(ca: DataFrame) -> DataFrame:
-        return _centroid_rows(ca, keys=("sub",))
-
     assign = None
     fit_cents = cents
-    carr = _to_carr(cents)
+    # O(m*ksub) driver collect of the live per-sub codebooks (r15,
+    # guide §4.2) — see _pq_argmin_assign_udf; same contract note as
+    # kmeans_fit's collect.
+    cb = [(r["sub"], r["j"], list(r["cm"])) for r in cents.collect()]
     for it in range(iters):
         fit_cents = cents
-        best = F.array_min(
-            F.transform(
-                F.col("_cs"),
-                lambda t: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("sx"),
-                            t["cm"],
-                            lambda a, mu: (a - mu / 1_000_000) * (a - mu / 1_000_000),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    t["j"].alias("j"),
-                ),
-            )
-        )
-        assign = (
-            xs.join(F.broadcast(carr), "sub")
-            .select("vec_id", *keep_cols, "sub", "sx", best.alias("_b"))
-            .select(
-                "vec_id",
-                *keep_cols,
-                "sub",
-                "sx",
-                F.col("_b.j").alias("j"),
-                F.col("_b.dist").alias("dist"),
-            )
+        assign = xs.select(
+            "vec_id",
+            *keep_cols,
+            "sub",
+            "sx",
+            _pq_argmin_assign_udf(cb)(F.col("sub"), F.col("sx")).alias("_b"),
+        ).select(
+            "vec_id",
+            *keep_cols,
+            "sub",
+            "sx",
+            # coalesce: see kmeans_fit — blocks the inferred-IsNotNull
+            # double ArrowEvalPython evaluation.
+            F.coalesce(F.col("_b.j"), F.lit(-1)).alias("j"),
+            F.col("_b.dist").alias("dist"),
         )
         if it < iters - 1:
             # ONE (sub, j)-keyed wide aggregate; `s div n` keeps the
@@ -931,11 +1038,11 @@ def pq_fit(
                     for i in range(sub_dim)
                 ],
             )
-            # Materialized AS the m-row broadcast array form (same
-            # checkpoint placement as before): the next assignment and
-            # every downstream consumer broadcast the already-computed
-            # rows instead of re-running the aggregate + collapse.
-            carr = _to_carr(
+            # Materialized AS the m-row array form (same checkpoint
+            # placement as before): the next round's O(m*ksub) collect
+            # and every downstream consumer read the already-computed
+            # rows instead of re-running the aggregate per consumer.
+            carr = _centroid_carr(
                 sums.select(
                     "sub",
                     "j",
@@ -952,9 +1059,15 @@ def pq_fit(
                         )
                     )
                     .alias("cm"),
-                )
+                ),
+                keys=("sub",),
             ).localCheckpoint(eager=True)
-            cents = _from_carr(carr)
+            cents = _centroid_rows(carr, keys=("sub",))
+            cb = [
+                (r["sub"], t["j"], list(t["cm"]))
+                for r in carr.collect()
+                for t in r["_cs"]
+            ]
     return assign, fit_cents
 
 
@@ -1104,8 +1217,14 @@ def knn_ivf_pq(
         "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
     )
     # Query routing: nprobe nearest coarse centroids, residual per cell.
-    q = assign.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("x").alias("qx64")
+    # Queries read the RAW projected vectors (identical values to
+    # assign's x — the same cast of the same column): deriving from
+    # ``assign`` dragged the assignment UDF into the query branch for a
+    # column it never used (r15; the plan re-evaluated the argmin pass
+    # once per consuming branch).
+    q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("qx64"),
     )
     # In-row routing (guide §2.4): the k_cells centroids collapse into
     # one broadcast row; each query sorts struct(qd, cell, c) in-row and

@@ -876,3 +876,73 @@ def test_pq_fit_rejects_indivisible_dim():
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(None, m=7, dim=64)
+
+
+def test_arrow_argmin_bit_identical_to_hof_fold(spark):
+    """r15: kmeans_fit/pq_fit assignment moved from the interpreted
+    in-row HOF argmin to an Arrow-vectorized numpy replay
+    (_argmin_assign_udf / _pq_argmin_assign_udf). The replay must be
+    BIT-identical: per centroid the distance accumulates
+    ((0 + d0^2) + d1^2) + ... left-to-right with the same bigint/1e6
+    divide, and ties break to the smallest j. This pins the UDF against
+    the original HOF expression on an adversarial frame (duplicate
+    vectors => exact distance ties; irrational components => folds
+    whose order matters in float64)."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_8million_data__spark.operators.similarity import _argmin_assign_udf
+
+    rows = [
+        (i, [math.sqrt(2 + ((i * 13 + d * 7) % 29)) * (-1 if d % 3 else 1) for d in range(16)])
+        for i in range(60)
+    ]
+    # duplicate a vector so two centroids tie at distance 0 vs itself
+    rows += [(100 + i, rows[i][1]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = [
+        (j, [int(round(v * 1_000_000)) for v in rows[j][1]])
+        for j in (2, 0, 1, 3)  # unsorted on purpose: the factory must sort by j
+    ]
+    cbdf = spark.createDataFrame(
+        [(j, cm) for j, cm in cb], "j int, cm array<bigint>"
+    )
+    carr = cbdf.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("j", "cm"))).alias("_cs")
+    )
+    hof_best = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda t: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        t["cm"],
+                        lambda a, m: (a - m / 1_000_000) * (a - m / 1_000_000),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                t["j"].alias("j"),
+            ),
+        )
+    )
+    expected = {
+        r["vec_id"]: (r["_b"]["j"], r["_b"]["dist"])
+        for r in emb.crossJoin(F.broadcast(carr))
+        .select("vec_id", hof_best.alias("_b"))
+        .collect()
+    }
+    got = {
+        r["vec_id"]: (r["_b"]["j"], r["_b"]["dist"])
+        for r in emb.select(
+            "vec_id", _argmin_assign_udf(cb)(F.col("embedding")).alias("_b")
+        ).collect()
+    }
+    assert set(expected) == set(got)
+    for vid, (ej, ed) in expected.items():
+        gj, gd = got[vid]
+        assert gj == ej, (vid, gj, ej)
+        assert struct.pack("d", gd) == struct.pack("d", ed), (vid, gd, ed)
