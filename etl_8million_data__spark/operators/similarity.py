@@ -169,6 +169,27 @@ def dot_arrow_seqfold(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(acc)
 
 
+@F.pandas_udf(DoubleType())
+def sqdist_arrow_seqfold(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch squared Euclidean distance replaying the EXACT sequential
+    fold order of the ``aggregate(zip_with(u, v, (p-q)*(p-q)))`` HOF
+    form — the distance twin of :func:`dot_arrow_seqfold` (r15, guide
+    §4.2): per pair, float64 ops execute precisely
+    ((0 + d0^2) + d1^2) + ..., so the result is bit-identical to the
+    interpreted fold on both engines."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+    acc = np.zeros(av.shape[0], dtype=np.float64)
+    for i in range(av.shape[1]):
+        d = av[:, i] - bv[:, i]
+        acc = acc + d * d
+    return pd.Series(acc)
+
+
 def cosine_arrow(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """:func:`cosine` with the dot computed by the Arrow-vectorized
     sequential fold — same values bit-for-bit; use on HIGH-VOLUME
@@ -204,10 +225,20 @@ def knn_bruteforce(
         F.col(query_vec_col).alias("_qvec"),
         norm2(F.col(query_vec_col), dim).alias("_qn2"),
     )
+    # |Q| x |corpus| pair scoring is the dominant cost: with no static
+    # dim the HOF dot is interpreted per element per pair — route it
+    # through the Arrow sequential fold instead (r15, guide §4.2;
+    # bit-identical, see dot_arrow_seqfold). A caller-passed dim keeps
+    # the r14-measured unrolled codegen form.
+    pair_dot = (
+        dot(F.col("_qvec"), F.col("_vec"), dim)
+        if dim is not None
+        else dot_arrow_seqfold(F.col("_qvec"), F.col("_vec"))
+    )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        (dot(F.col("_qvec"), F.col("_vec"), dim) / (F.sqrt("_qn2") * F.sqrt("_n2"))).alias("cosine"),
+        (pair_dot / (F.sqrt("_qn2") * F.sqrt("_n2"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -2370,6 +2370,7 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_8million_data__spark.operators.similarity import (
         assert_baseline_scale,
         projections,
+        sqdist_arrow_seqfold,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2392,16 +2393,13 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = s.select(F.col("vec_id").alias("ia"), F.col("xd").alias("xa"), F.col("y").alias("ya"))
     b = s.select(F.col("vec_id").alias("ib"), F.col("xd").alias("xb"), F.col("y").alias("yb"))
 
-    def d2(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
+    # Arrow-vectorized sequential fold (r15, guide §4.2): the 64+16-dim
+    # per-pair squared distances were interpreted HOF folds over the
+    # sampled all-pairs set — the dominant cost; bit-identical replay,
+    # see sqdist_arrow_seqfold.
     pairs = a.join(b, F.col("ia") < F.col("ib")).select(
-        d2(F.col("xa"), F.col("xb")).alias("dx2"),
-        d2(F.col("ya"), F.col("yb")).alias("dy2"),
+        sqdist_arrow_seqfold(F.col("xa"), F.col("xb")).alias("dx2"),
+        sqdist_arrow_seqfold(F.col("ya"), F.col("yb")).alias("dy2"),
     )
     # the ratio frame is consumed twice (global mean, then per-pair
     # distortion) — checkpoint it once so the sampled all-pairs join
