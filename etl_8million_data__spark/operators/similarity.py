@@ -17,7 +17,13 @@ import hashlib
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def hyperplane_weights(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
@@ -1102,6 +1108,85 @@ def pq_fit(
     return assign, fit_cents
 
 
+def _pq_encode_udf(
+    pq_cb: list[tuple[int, int, list[int]]],
+    m: int,
+    sub_dim: int,
+    km_cb: list[tuple[int, list[int]]] | None = None,
+):
+    """Fused ENCODE pass (r15, VERDICT #9 / guide §4.2): one
+    ArrowEvalPython turns a raw vector into (cell, codes[m]) — the
+    coarse argmin, the residual subtraction and all m subspace argmins
+    in a single Python round trip, replacing a broadcast-join residual
+    (interpreted zip_with), an m-times crossJoin row blowup and a
+    second Arrow boundary on the corpus chain. Every step replays the
+    relational fold bit-for-bit: cm/1e6 is the same bigint->double
+    divide, the residual is the same elementwise a-b, distances
+    accumulate ((0 + d0^2) + d1^2) + ... per centroid, and argmin takes
+    the first minimum over the j-ascending codebook. With ``km_cb``
+    None the vector is encoded directly (knn_pq_adc's layout — no
+    coarse stage; cell returns -1, unused)."""
+    import numpy as np
+
+    if km_cb is not None:
+        km = sorted(km_cb)
+        kj = np.asarray([j for j, _ in km], dtype=np.int64)
+        kmu = np.asarray([list(c) for _, c in km], dtype=np.float64) / 1_000_000.0
+    by_sub: dict[int, tuple] = {}
+    for s in sorted({s for s, _, _ in pq_cb}):
+        rows = sorted((j, c) for ss, j, c in pq_cb if ss == s)
+        by_sub[s] = (
+            np.asarray([j for j, _ in rows], dtype=np.int64),
+            np.asarray([list(c) for _, c in rows], dtype=np.float64),
+        )
+
+    out_type = StructType(
+        [
+            StructField("cell", IntegerType(), nullable=False),
+            StructField("codes", ArrayType(IntegerType(), False), nullable=False),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def encode(xs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(xs) == 0:
+            return pd.DataFrame({"cell": pd.array([], dtype="int32"), "codes": []})
+        x = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        n = x.shape[0]
+        if km_cb is not None:
+            dists = np.empty((n, len(kj)), dtype=np.float64)
+            for kk in range(len(kj)):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(kmu.shape[1]):
+                    d = x[:, i] - kmu[kk, i]
+                    acc = acc + d * d
+                dists[:, kk] = acc
+            pick = np.argmin(dists, axis=1)
+            cell = kj[pick].astype("int32")
+            r = x - kmu[pick]  # same elementwise a - b as zip_with
+        else:
+            cell = np.full(n, -1, dtype="int32")
+            r = x
+        codes = np.empty((n, m), dtype="int32")
+        for s in range(m):
+            jv, cm = by_sub[s]
+            rs = r[:, s * sub_dim : (s + 1) * sub_dim]
+            dd = np.empty((n, len(jv)), dtype=np.float64)
+            for kk in range(len(jv)):
+                mu = cm[kk] / 1_000_000.0
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(sub_dim):
+                    d = rs[:, i] - mu[i]
+                    acc = acc + d * d
+                dd[:, kk] = acc
+            codes[:, s] = jv[np.argmin(dd, axis=1)].astype("int32")
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    return encode
+
+
 def knn_pq_adc(
     emb: DataFrame,
     m: int = 8,
@@ -1131,12 +1216,32 @@ def knn_pq_adc(
     :func:`knn_ivf_pq` (registered as similarity_knn_ivf_pq)."""
     if iters < 1:
         raise ValueError(f"knn_pq_adc requires iters >= 1, got {iters}")
-    assign, cents = pq_fit(emb, m, ksub, iters, id_col, vec_col, dim)
-    codes = assign.select("vec_id", "sub", "j")
+    sub_dim = dim // m
+    _, cents = pq_fit(emb, m, ksub, iters, id_col, vec_col, dim)
+    # Fused encode (r15): one ArrowEvalPython yields all m codes per
+    # vector from the collected O(model) codebook — replaces the
+    # m-times crossJoin + per-(vec, sub) Arrow argmin on the stored
+    # side; see _pq_encode_udf (bit-identical replay).
+    pq_cb = [(r["sub"], r["j"], list(r["cm"])) for r in cents.collect()]
+    enc = _pq_encode_udf(pq_cb, m, sub_dim)
+    codes = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("xd"),
+        )
+        .select("vec_id", enc(F.col("xd")).alias("_e"))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("_e.codes", lambda cj: F.coalesce(cj, F.lit(-1)))
+            ),
+        )
+        .withColumnsRenamed({"pos": "sub", "col": "j"})
+        .select("vec_id", F.col("sub").cast("int").alias("sub"), "j")
+    )
     c = cents.select(
         "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
     )
-    sub_dim = dim // m
     q = (
         emb.filter(F.col(id_col) % query_mod == 0)
         .select(
@@ -1232,18 +1337,38 @@ def knn_ivf_pq(
         .join(F.broadcast(c.select("cell", "c")), "cell")
         .select(
             "vec_id",
-            "cell",
             F.zip_with("x", "c", lambda a, b: a - b).alias("r"),
         )
     )
-    # cell rides through pq_fit (keep_cols) — the old shape re-joined
-    # pq_assign to res on vec_id, a corpus-sized shuffle join, to
-    # recover a column the assignment rows already flowed past.
-    pq_assign, codebook = pq_fit(
-        res, m, ksub, pq_iters, id_col="vec_id", vec_col="r", dim=dim,
-        keep_cols=("cell",),
+    # pq_fit TRAINS the residual codebook (its refit checkpoints run at
+    # build); the stored codes are then produced by the fused encode
+    # below, so the training assignment frame is never executed in the
+    # timed region.
+    _, codebook = pq_fit(res, m, ksub, pq_iters, id_col="vec_id", vec_col="r", dim=dim)
+    # Fused encode (r15, VERDICT #9): ONE ArrowEvalPython computes
+    # cell + residual + all m subspace codes per vector — the old codes
+    # chain paid two Arrow boundaries with a broadcast-join residual
+    # (interpreted zip_with) and an m-times crossJoin between them.
+    # Codebooks are O(model) collects from the fits' checkpoints.
+    km_cb = [(r["j"], list(r["cm"])) for r in km_cents.collect()]
+    pq_cb = [(r["sub"], r["j"], list(r["cm"])) for r in codebook.collect()]
+    enc = _pq_encode_udf(pq_cb, m, sub_dim, km_cb=km_cb)
+    xall = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x"),
     )
-    codes = pq_assign.select("vec_id", "cell", "sub", "j")
+    codes = (
+        xall.select("vec_id", enc(F.col("x")).alias("_e"))
+        .select(
+            "vec_id",
+            # coalesce: provably non-null join keys (see kmeans_fit) —
+            # blocks the inferred-IsNotNull double ArrowEvalPython.
+            F.coalesce(F.col("_e.cell"), F.lit(-1)).alias("cell"),
+            F.posexplode(F.transform("_e.codes", lambda cj: F.coalesce(cj, F.lit(-1)))),
+        )
+        .withColumnsRenamed({"pos": "sub", "col": "j"})
+        .select("vec_id", "cell", F.col("sub").cast("int").alias("sub"), "j")
+    )
     pc = codebook.select(
         "sub", "j", F.transform("cm", lambda v: v / 1_000_000).alias("c")
     )
